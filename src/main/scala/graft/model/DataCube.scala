@@ -1,0 +1,395 @@
+package graft.model
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.query.{DimExpr, DimOp}
+
+/** The cube: a logical multidimensional array stored physically as a sparse
+  * star/snowflake schema — one pre-aggregated fact DataFrame plus one
+  * [[Dimension]] per foreign key (reference: `data.cube` R6 class,
+  * R/data.cube.R:18-23; data model doc R/data.cube.R:8).
+  *
+  * Pure metadata wrapper over lazy DataFrames: composing queries never runs
+  * a Spark job; Catalyst optimizes the whole composed plan at action time
+  * (SURVEY §3.1). Designed so every fact-side stage is distributed and every
+  * dimension-side stage stays broadcast-small (SURVEY §7.4.7).
+  */
+final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
+
+  def dimension(name: String): Dimension =
+    dimensions.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown dimension '$name'; have: ${dimensions.keys.mkString(", ")}"))
+
+  /** Resolve a bare attribute name to its owning dimension — the reference's
+    * `dimnames.attributes` (R/cube.R:23-39), including the ambiguity error. */
+  def attrOwner(attr: String): Dimension = {
+    val owners = dimensions.values.filter(_.fields.contains(attr)).toSeq
+    owners match {
+      case Seq(d) => d
+      case Seq()  => throw new IllegalArgumentException(
+        s"attribute '$attr' not found in any dimension")
+      case ds     => throw new IllegalArgumentException(
+        s"attribute '$attr' is ambiguous across dimensions: " +
+          ds.map(_.name).mkString(", "))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // The main query path — slice / dice / collapse / drop (SURVEY §3.1)
+  // ---------------------------------------------------------------------
+
+  /** Query the cube with one operation per dimension; unmentioned dimensions
+    * pass through unchanged (the reference pads missing args to `list()`,
+    * R/data.cube.R:123-134). Returns a new chainable cube.
+    *
+    * @param drop array-compatible dimension dropping: after a slice, a
+    *             dimension reduced to one key value is removed and the fact
+    *             re-aggregated — unless the user supplied >1 filter values
+    *             for that key (R/data.cube.R:264-272).
+    */
+  def q(exprs: DimExpr*): DataCube = q(exprs, drop = true)
+
+  def q(exprs: Seq[DimExpr], drop: Boolean): DataCube = {
+    val byDim = exprs.map(e => e.name -> e.op).toMap
+    val unknown = byDim.keySet -- dimensions.keySet
+    require(unknown.isEmpty, s"unknown dimension(s): ${unknown.mkString(", ")}")
+    require(exprs.map(_.name).distinct.size == exprs.size,
+      "duplicate dimension in query")
+
+    byDim.collect { case (n, _: DimOp.Rollup) => n
+                    case (n, _: DimOp.CubeOp) => n } match {
+      case ns if ns.nonEmpty =>
+        return rollupQuery(exprs, drop)
+      case _ =>
+    }
+
+    // Dimension phase (R/data.cube.R:251-262): subset each filtered
+    // dimension; its surviving key set feeds the fact filter.
+    val subsetted: Map[String, Dimension] = byDim.collect {
+      case (n, op) if op.filters.nonEmpty => n -> dimension(n).subset(op.filters)
+    }
+    val keySets: Map[String, DataFrame] = subsetted.map { case (n, d) =>
+      d.key -> d.keyValues
+    }
+
+    // Drop decision (R/data.cube.R:264-272): a sliced dimension drops when
+    // `drop` is on, the user filtered it, and the filter pins the key to a
+    // single value — "filtered with 2+ values never drops". We decide from
+    // the filter spec when it targets the key directly (no Spark action);
+    // otherwise we count the filtered key set (dimension-side, small).
+    val collapsed = byDim.collect { case (n, _: DimOp.Collapse) => n }.toSet
+    val dropped: Set[String] =
+      if (!drop) Set.empty
+      else subsetted.collect { case (n, d) if !collapsed(n) =>
+        val keyFilter = byDim(n).filters.get(d.key)
+        val drops = keyFilter match {
+          case Some(vs) => vs.distinct.size == 1 // pinned by the user
+          case None     => d.keyValues.limit(2).count() == 1
+        }
+        if (drops) Some(n) else None
+      }.flatten.toSet
+
+    // Fact phase (R/fact.R:67-102): semi-join key sets, re-aggregate only
+    // if any fk is dropped.
+    val removeKeys = (collapsed ++ dropped).map(n => dimension(n).key)
+    val newFact = fact.subset(keySets, removeKeys)
+
+    val newDims = dimensions.collect {
+      case (n, d) if !collapsed(n) && !dropped(n) =>
+        n -> subsetted.getOrElse(n, d)
+    }
+    DataCube(newFact, ListMap(newDims.toSeq: _*))
+  }
+
+  /** `+`/`^` ops: rollup/cube over the chosen dimensions' hierarchy level
+    * keys — the part the reference parsed but left stubbed
+    * (R/data.cube.R:282-315, R/fact.R:107-130; SURVEY §2.6 G4). Implemented
+    * natively: first apply selects/collapses, then one Expand-based
+    * rollup/cube over the level keys of the first hierarchy of each `+`/`^`
+    * dimension (grouping columns default per R/data.cube.R:287-292),
+    * emitting the reference's `level` column (0 = leaf .. n = grand total,
+    * R/rollup.R:15-21). Returns a flat-fact cube keyed by the grouping
+    * attributes plus `level`.
+    */
+  private def rollupQuery(exprs: Seq[DimExpr], drop: Boolean): DataCube = {
+    val selectPart = exprs.map { e =>
+      e.op match {
+        case DimOp.Rollup(fs, _) => DimExpr(e.name, DimOp.Select(fs))
+        case DimOp.CubeOp(fs, _) => DimExpr(e.name, DimOp.Select(fs))
+        case other               => DimExpr(e.name, other)
+      }
+    }
+    val sliced = q(selectPart, drop = false)
+    val rollDims = exprs.collect {
+      case DimExpr(n, r: DimOp.Rollup) => (n, r.levels, false)
+      case DimExpr(n, c: DimOp.CubeOp) => (n, c.levels, true)
+    }
+    val anyCube = rollDims.exists(_._3)
+    // Grouping columns: explicit levels, else the first hierarchy's level
+    // keys (R/data.cube.R:287-292).
+    val attrs = rollDims.flatMap { case (n, lvls, _) =>
+      if (lvls.nonEmpty) lvls
+      else sliced.dimension(n).hierarchies.values.head.levelKeys
+    }
+    // Dims not mentioned with + / ^ keep their keys as extra grouping cols
+    // at every level (they are "by" columns outside the rollup).
+    val keepKeys = sliced.dimensions.collect {
+      case (n, d) if !rollDims.exists(_._1 == n) => d.key
+    }.toSeq
+    val flat = GroupingSets.rollup(sliced, attrs, keepKeys, cubeOp = anyCube)
+    GroupingSets.renormalize(sliced, flat, attrs, keepKeys)
+  }
+
+  // ---------------------------------------------------------------------
+  // Attribute-grain aggregation — extract / capply / apply (SURVEY §3.2)
+  // ---------------------------------------------------------------------
+
+  /** Group by arbitrary hierarchy attributes — the reference's `[[.cube`
+    * extract (R/cube.R:158-228) and `capply` (R/cube.R:340-345): filter
+    * dimensions, project each needed dimension to key + by-attrs, inner-join
+    * into the fact (broadcast — dimension side is small), aggregate by the
+    * attributes, and re-grain each surviving dimension to the attribute
+    * grain so the result is again a cube keyed by the attributes.
+    *
+    * @param by       hierarchy attribute (or fk) names; empty = grand total
+    *                 (1-row, 0-dim cube — tests/tests-021-capply.R:83-89)
+    * @param filters  per-dimension `{field -> values}` pre-filters (the `i`)
+    * @param measures override measures (the `j`); defaults to the cube's
+    */
+  def aggregate(
+      by: Seq[String],
+      filters: Map[String, Map[String, Seq[Any]]] = Map.empty,
+      measures: Seq[Measure] = fact.measures
+  ): DataCube = {
+    val unknownDims = filters.keySet -- dimensions.keySet
+    require(unknownDims.isEmpty,
+      s"unknown dimension(s) in filters: ${unknownDims.mkString(", ")}")
+
+    // Which dimension owns each by-attr (fk columns resolve to their dim).
+    val fkOwner: Map[String, Dimension] =
+      dimensions.values.map(d => d.key -> d).toMap
+    val owners: Map[String, Dimension] = by.map { a =>
+      a -> fkOwner.getOrElse(a, attrOwner(a))
+    }.toMap
+
+    // Dimension phase: subset the filtered dims.
+    val subsetted: Map[String, Dimension] = filters.map { case (n, fs) =>
+      n -> dimension(n).subset(fs)
+    }
+    def current(n: String): Dimension = subsetted.getOrElse(n, dimension(n))
+
+    val byDim: Map[String, Seq[String]] =
+      by.groupBy(a => owners(a).name)
+
+    // Fact phase: semi-join filter-only dims; inner-join projected dims that
+    // contribute attrs (key + needed attrs, broadcast) (R/cube.R:186-205).
+    var df = fact.data
+    subsetted.foreach { case (n, d) =>
+      if (!byDim.contains(n))
+        df = df.join(broadcast(d.keyValues), Seq(d.key), "left_semi")
+    }
+    byDim.foreach { case (n, attrs) =>
+      val d = current(n)
+      val needed = attrs.filterNot(_ == d.key)
+      if (needed.nonEmpty) {
+        val proj = d.denormalized
+          .select((d.key +: needed).map(col): _*).dropDuplicates(Seq(d.key))
+        val joinType = if (subsetted.contains(n)) "inner" else "left"
+        df = df.join(broadcast(proj), Seq(d.key), joinType)
+      } else if (subsetted.contains(n)) {
+        df = df.join(broadcast(d.keyValues), Seq(d.key), "left_semi")
+      }
+    }
+    val agg = Fact.aggregate(df, by, measures)
+
+    // Re-grain surviving dimensions to the attribute grain
+    // (R/cube.R:209-217): each by-dim projected to its attrs, dedup'd.
+    val newDims = byDim.map { case (n, attrs) =>
+      n -> current(n).regrain(attrs)
+    }
+    val ordered = by.map(a => owners(a).name).distinct.map(n => n -> newDims(n))
+    DataCube(Fact(agg, by, measures), ListMap(ordered: _*))
+  }
+
+  /** `apply`-style margins — the reference's `apply.data.cube`
+    * (R/data.cube.R:473-505): keep MARGIN dimensions at key grain, collapse
+    * everything else, optionally replacing every measure's aggregate with
+    * `fun` (capply: R/cube.R:340-345). */
+  def applyMargin(margin: Seq[String], fun: Option[Column => Column] = None): DataCube = {
+    val ms = fun.fold(fact.measures)(f => fact.measures.map(_.rebind(f)))
+    aggregate(margin.map { a =>
+      // margins may be dim names (use their key) or attribute names
+      dimensions.get(a).map(_.key).getOrElse(a)
+    }, measures = ms)
+  }
+
+  // ---------------------------------------------------------------------
+  // Grouping sets over hierarchy attributes (SURVEY §3.3)
+  // ---------------------------------------------------------------------
+
+  /** ROLLUP over hierarchy attributes with the reference's `level` contract
+    * — `rollup.cube` (R/rollup.R:57-104) re-expressed as one native Expand:
+    * level 0 = leaf grain .. n = grand total, subtotal keys are null,
+    * summing the whole result double-counts by design (the double-counting
+    * law, tests/tests-021-rollup.R:19-28).
+    *
+    * @param index which subtotal levels to keep (the reference's INDEX);
+    *              empty = all levels
+    * @return flat DataFrame: margin attrs ++ measures ++ `level`
+    */
+  def rollupFlat(margin: Seq[String], index: Seq[Int] = Seq.empty,
+                 measures: Seq[Measure] = fact.measures): DataFrame =
+    GroupingSets.overAttributes(this, margin, index, measures, isCube = false)
+
+  /** CUBE (2^n grouping sets) over hierarchy attributes — what the
+    * reference's `^` wanted (R/fact.R:122, cube.data.table undefined —
+    * SURVEY §2.6 G5); `level` = number of nulled-out grouping columns. */
+  def cubeFlat(margin: Seq[String], index: Seq[Int] = Seq.empty,
+               measures: Seq[Measure] = fact.measures): DataFrame =
+    GroupingSets.overAttributes(this, margin, index, measures, isCube = true)
+
+  /** Arbitrary GROUPING SETS over hierarchy attributes (native Expand —
+    * the one-pass plan the reference wanted from data.table#1377,
+    * README.md:22). */
+  def groupingSetsFlat(margin: Seq[String], sets: Seq[Seq[String]],
+                       measures: Seq[Measure] = fact.measures): DataFrame =
+    GroupingSets.sets(this, margin, sets, measures)
+
+  /** Rollup returning a navigable cube with a bound `level` dimension —
+    * the reference's normalize=TRUE path (R/rollup.R:75-103). */
+  def rollupCube(margin: Seq[String], index: Seq[Int] = Seq.empty,
+                 measures: Seq[Measure] = fact.measures): DataCube = {
+    val flat = rollupFlat(margin, index, measures)
+    GroupingSets.renormalizeAttrs(this, flat, margin, measures)
+  }
+
+  // ---------------------------------------------------------------------
+  // Export / reshape (SURVEY §2.7)
+  // ---------------------------------------------------------------------
+
+  /** Denormalize: fact + dimension attributes via lookup joins — the
+    * reference's `denormalize` (R/data.cube.R:98-110). Dimensions are
+    * broadcast (star-schema assumption: dims ≪ fact; for monster dims
+    * Catalyst falls back to shuffle join when stats exceed the threshold).
+    *
+    * @param dims   which dimensions to denormalize (default all)
+    * @param naFill densify first: cross-join all dimension key sets and
+    *               left-join the fact so absent cells surface as nulls
+    *               (R/data.cube.R:100-106) — guarded by a cell budget
+    *               because the dense cross product explodes combinatorially
+    *               (the reference's own warning,
+    *               tests/manual/021-array_cube.R:45-67)
+    */
+  def denormalize(dims: Seq[String] = dimensions.keys.toSeq,
+                  naFill: Boolean = false,
+                  maxCells: Long = 100000000L): DataFrame = {
+    val base =
+      if (!naFill) fact.data
+      else {
+        val counts = dimensions.values.map(_.keyValues.count())
+        val cells = counts.foldLeft(1L)((a, b) => math.multiplyExact(a, b))
+        require(cells <= maxCells,
+          s"na.fill would materialize $cells cells (> $maxCells budget)")
+        val dense = dimensions.values.map(_.keyValues)
+          .reduce((a, b) => a.crossJoin(b))
+        dense.join(fact.data, fact.idVars, "left")
+      }
+    dims.foldLeft(base) { (df, n) =>
+      val d = dimension(n)
+      val attrs = d.fields.filterNot(_ == d.key)
+        .filterNot(df.columns.contains) // collision check (R/data.table.R:92-101)
+      if (attrs.isEmpty) df
+      else df.join(
+        broadcast(d.denormalized.select((d.key +: attrs).map(col): _*)
+          .dropDuplicates(Seq(d.key))),
+        Seq(d.key), "left")
+    }
+  }
+
+  /** The cube as one flat DataFrame (as.data.table.data.cube,
+    * R/as.data.cube.R:193-197). */
+  def toDF: DataFrame = denormalize()
+
+  /** Number of distinct key values per dimension — `dim(cube)`
+    * (R/data.cube.R:77-119). Runs one small job per dimension. */
+  def dimCardinalities: Map[String, Long] =
+    dimensions.map { case (n, d) => n -> d.keyValues.count() }
+
+  /** Per-table row/column stats — the reference's `schema()` introspection
+    * (R/schema.R:2-11, R/data.cube.R:111-116). */
+  def describe(): Seq[(String, Long, Int)] = {
+    val f = ("fact", fact.data.count(), fact.data.columns.length)
+    val ds = dimensions.values.flatMap { d =>
+      Seq((s"dimension:${d.name}", d.data.count(), d.data.columns.length)) ++
+        d.levels.values.map(l =>
+          (s"level:${d.name}.${l.key}", l.data.count(), l.data.columns.length))
+    }
+    f +: ds.toSeq
+  }
+}
+
+object DataCube {
+
+  val ReservedDimNames: Set[String] = Set("grouping", "level")
+
+  /** Conform fact and dimensions — the reference's `data.cube$new`
+    * (R/data.cube.R:42-74):
+    *  - dimension names must be unique; `grouping`/`level` reserved;
+    *  - dimensions without a matching fact fk are dropped (with a note);
+    *  - fact fks without a dimension are dropped and the fact re-aggregated
+    *    to the surviving keys;
+    *  - dimensions are reordered to fact key order.
+    */
+  def build(fact: Fact, dims: Seq[Dimension]): DataCube = {
+    require(dims.map(_.name).distinct.size == dims.size,
+      "dimension names must be unique")
+    dims.foreach(d => require(!ReservedDimNames(d.name),
+      s"dimension name '${d.name}' is reserved"))
+    val factKeys = fact.idVars.toSet
+    val (kept, droppedDims) = dims.partition(d => factKeys(d.key))
+    droppedDims.foreach(d => System.err.println(
+      s"[datacube] dimension '${d.name}' has no matching fact key " +
+        s"'${d.key}' - dropped"))
+    val dimKeys = kept.map(_.key).toSet
+    val orphanKeys = fact.idVars.filterNot(dimKeys)
+    val conformedFact =
+      if (orphanKeys.isEmpty) fact
+      else {
+        val keep = fact.idVars.filter(dimKeys)
+        Fact(Fact.aggregate(fact.data, keep, fact.measures), keep, fact.measures)
+      }
+    // reorder dims to fact key order (R/data.cube.R:70-74)
+    val byKey = kept.map(d => d.key -> d).toMap
+    val ordered = conformedFact.idVars.map(byKey)
+    DataCube(conformedFact, ListMap(ordered.map(d => d.name -> d): _*))
+  }
+
+  /** Star-schema entry (as.data.cube.list, R/as.data.cube.R:144-162):
+    * raw fact rows + one flat table per dimension + hierarchy specs. */
+  def fromStar(
+      factRaw: DataFrame, idVars: Seq[String], measures: Seq[Measure],
+      dims: Seq[(String, String, ListMap[String, Hierarchy], DataFrame)]
+  ): DataCube = {
+    val f = Fact.build(factRaw, idVars, measures)
+    build(f, dims.map { case (n, k, hs, df) => Dimension.build(n, k, hs, df) })
+  }
+
+  /** Single denormalized table → cube (as.data.cube.data.table,
+    * R/as.data.cube.R:166-178): fact aggregated to the keys, one dimension
+    * per spec projected+dedup'd from the same table. */
+  def fromTable(
+      table: DataFrame, measures: Seq[Measure],
+      dims: Seq[(String, String, ListMap[String, Hierarchy], Seq[String])]
+  ): DataCube = {
+    val f = Fact.build(table, dims.map(_._2), measures)
+    val ds = dims.map { case (n, k, hs, cols) =>
+      Dimension.build(n, k, hs,
+        table.select((k +: cols).distinct.map(col): _*).dropDuplicates(Seq(k)))
+    }
+    build(f, ds)
+  }
+}
