@@ -1,0 +1,138 @@
+package graft.builders
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Adapter from the driver's TPC-H-ish parquet star schema
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §5) to a [[DataCube]]
+  * — the equivalent of the reference's `populate_star` + `as.data.cube.list`
+  * entry (R/populate.R:17-115, R/as.data.cube.R:144-162), but reading real
+  * parquet instead of generating in memory.
+  *
+  * Cube shape: lineitem fact at grain (order, part, supplier, ship-date) with
+  * snowflaked dimensions —
+  *  - part:      p_type -> p_brand -> p_partkey            (product h.)
+  *  - supplier:  r_name -> n_name -> s_suppkey             (geo h., snowflaked
+  *               through nation/region like the reference's geography,
+  *               R/populate.R:84-93)
+  *  - order:     c_mktsegment -> c_custkey -> o_orderkey   (customer h.)
+  *               and c_nation -> c_custkey -> o_orderkey
+  *  - date:      d_year -> d_quarter -> d_month -> d_date  (monthly h.) and
+  *               d_year -> d_week -> d_date                (weekly h.) —
+  *               the reference time dimension's two hierarchies
+  *               (R/populate.R:96-109)
+  *
+  * Measures: sum(qty), exact decimal sums for money (deterministic and
+  * engine-portable, unlike double summation order), and an additive row
+  * count `n` (the cranlogs `.N` pattern, inst/cubes/cranlogs.R:56-83).
+  */
+object Tpch {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The fact input: FKs renamed to dimension key names (the reference
+    * requires fact id.vars == dimension keys, R/data.cube.R:46-59) plus a
+    * daily-grain date key and exact-decimal money columns. */
+  def factInput(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .withColumnRenamed("l_partkey", "p_partkey")
+      .withColumnRenamed("l_suppkey", "s_suppkey")
+      .withColumn("d_date", to_date(col("l_shipdate")))
+      .withColumn("l_extendedprice", col("l_extendedprice").cast("decimal(18,2)"))
+      .withColumn("disc_price",
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)"))
+      .withColumn("n", lit(1L))
+
+  val idVars: Seq[String] = Seq("o_orderkey", "p_partkey", "s_suppkey", "d_date")
+
+  val measures: Seq[Measure] = Seq(
+    Measure.sum("l_quantity", "sum_qty"),
+    Measure.sum("l_extendedprice", "sum_price"),
+    Measure.sum("disc_price", "sum_disc_price"),
+    Measure.sum("n", "n") // additive count: ingest .N pattern, SUM re-agg
+  )
+
+  def partDim(spark: SparkSession, dir: String): Dimension =
+    Dimension.build("part", "p_partkey",
+      ListMap("product" -> Hierarchy(
+        "p_type" -> Seq.empty,
+        "p_brand" -> Seq.empty,
+        "p_partkey" -> Seq("p_name", "p_size", "p_retailprice"))),
+      table(spark, dir, "part"))
+
+  def supplierDim(spark: SparkSession, dir: String): Dimension = {
+    val flat = table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"), col("r_name"))
+    Dimension.build("supplier", "s_suppkey",
+      ListMap("geo" -> Hierarchy(
+        "r_name" -> Seq.empty,
+        "n_name" -> Seq.empty,
+        "s_suppkey" -> Seq("s_name", "s_acctbal"))),
+      flat)
+  }
+
+  def orderDim(spark: SparkSession, dir: String): Dimension = {
+    val flat = table(spark, dir, "orders")
+      .join(broadcast(table(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"), col("n_name").as("c_nation"))
+    Dimension.build("order", "o_orderkey",
+      ListMap(
+        "customer" -> Hierarchy(
+          "c_mktsegment" -> Seq.empty,
+          "c_custkey" -> Seq("c_name", "c_acctbal"),
+          "o_orderkey" -> Seq("o_orderstatus", "o_totalprice", "o_orderpriority")),
+        "geo" -> Hierarchy(
+          "c_nation" -> Seq.empty,
+          "c_custkey" -> Seq.empty,
+          "o_orderkey" -> Seq.empty)),
+      flat)
+  }
+
+  /** Date dimension derived from the fact's ship dates — the reference's
+    * two-hierarchy time dimension (R/populate.R:28-37, 96-109). */
+  def dateDim(spark: SparkSession, dir: String): Dimension = {
+    val flat = factInput(spark, dir).select("d_date").distinct()
+      .withColumn("d_year", year(col("d_date")))
+      .withColumn("d_quarter", quarter(col("d_date")))
+      .withColumn("d_month", month(col("d_date")))
+      .withColumn("d_week", weekofyear(col("d_date")))
+      .withColumn("d_weekday", date_format(col("d_date"), "EEEE"))
+    Dimension.build("date", "d_date",
+      ListMap(
+        "monthly" -> Hierarchy(
+          "d_year" -> Seq.empty,
+          "d_quarter" -> Seq.empty,
+          "d_month" -> Seq.empty,
+          "d_date" -> Seq("d_weekday")),
+        "weekly" -> Hierarchy(
+          "d_year" -> Seq.empty,
+          "d_week" -> Seq.empty,
+          "d_date" -> Seq.empty)),
+      flat)
+  }
+
+  /** The full cube over a testdata directory. */
+  def cube(spark: SparkSession, dir: String): DataCube = {
+    val fact = Fact.build(factInput(spark, dir), idVars, measures)
+    DataCube.build(fact, Seq(
+      orderDim(spark, dir), partDim(spark, dir),
+      supplierDim(spark, dir), dateDim(spark, dir)))
+  }
+}
