@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.builders.Tpch
-import graft.queries.ParityQueries
+import graft.queries.{ExtensionQueries, ParityQueries}
 import graft.query.dsl._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -22,14 +22,17 @@ object SparkEntry {
     ).toDF
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def allQueries = ParityQueries.all ++ ExtensionQueries.all
+
+  /** One entry per implemented operator from SURVEY.md §2 + the north-star
+    * extension operators (text analysis, dedup, similarity, events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.all.map { case (name, fn, _) => name -> fn }.toMap
+    allQueries.map { case (name, fn, _) => name -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.all.collect {
+    allQueries.collect {
       case (name, _, sql) if sql != null => name -> sql
     }.toMap
 }

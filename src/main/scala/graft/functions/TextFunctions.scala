@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines —
+  * beyond the reference's surface (SURVEY §7.1 step 7 / BASELINE.json
+  * north_star). Everything is built from codegen'd native functions
+  * (`org.apache.spark.sql.functions`): no UDFs in the hot path, so
+  * whole-stage codegen stays unbroken and the expressions push down /
+  * prune like any other Catalyst expression.
+  *
+  * Engine-portability rule (for the DuckDB oracle): only constructs with
+  * bit-identical semantics in both engines — whitespace-regex tokenizing,
+  * md5, integer arithmetic, exact counts. No locale-dependent ops.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def nChars(text: Column): Column = length(text)
+
+  /** Count of punctuation characters (fixed class, locale-free). */
+  def nPunct(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Mean token length — a cheap quality signal. */
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      nTokens(text).cast("double"))
+
+  /** A small function-word profile per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic, tiny, broadcast-free (literal
+    * arrays in the plan). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /** Occurrences of any of `words` among the text's tokens (multiset count:
+    * repeated stopwords count every time). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Stopword ratio against a language profile — quality signal. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    stopwordHits(text, words).cast("double") / nTokens(text).cast("double")
+
+  /** Language-ID: argmax of per-language stopword hit counts, deterministic
+    * lexicographic tie-break (ties resolve to the alphabetically first
+    * language; documents with zero hits everywhere get "und" =
+    * undetermined). A real deployment would use character n-gram profiles;
+    * the plumbing — score vector + argmax in one projection — is identical. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // struct (hits DESC via negation, lang ASC) → array_min = argmax
+    val scored = langProfiles.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (-size(filter(toks, t => t.isInCollection(words)))).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Best-profile hit count (the score behind [[langId]]). */
+  def langScore(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = langProfiles.sortBy(_._1)
+      .map { case (_, words) => size(filter(toks, t => t.isInCollection(words))) }
+    greatest(hits: _*)
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, missing
+    * punctuation and stopword-free (non-linguistic) text. Deterministic
+    * rational arithmetic; the exact formula is arbitrary but fixed. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenOk = when(nTokens(text).between(10, 1000), lit(1.0)).otherwise(lit(0.5))
+    val punctOk = when(nPunct(text) > 0, lit(1.0)).otherwise(lit(0.8))
+    val swr = stopwordRatio(text, stopwords)
+    val swOk = when(swr > 0.05, lit(1.0)).otherwise(lit(0.6))
+    round(lenOk * punctOk * swOk, 6)
+  }
+
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text.
+    * md5 is bit-identical across engines (unlike xxhash64, which DuckDB
+    * lacks) — the oracle can replicate it. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Portable 60-bit token hash: first 15 hex digits of md5 → BIGINT.
+    * Used by simhash/minhash so the DuckDB oracle can reproduce signatures
+    * exactly (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`). */
+  def tokenHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles (space-joined) of the text, as an array column.
+    * Documents shorter than n tokens produce their full token string as the
+    * single shingle (so no document silently vanishes from dedup). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(size(toks) < n, array(array_join(toks, " "))).otherwise(grams)
+  }
+}

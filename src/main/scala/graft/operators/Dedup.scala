@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension; no reference-repo counterpart). All operators are
+  * shuffle-conscious:
+  *
+  *  - exact dedup is one hash aggregation (map-side partial combine);
+  *  - n-gram Jaccard avoids the O(n²) cross join via an inverted shingle
+  *    index (self-join on shingle) with a document-frequency cap on hot
+  *    shingles — the standard all-pairs-similarity pruning; at 100 TB you
+  *    run [[minhashLsh]] first and feed only candidate pairs here;
+  *  - MinHash+LSH is the scale path: k min-hashes per doc (one aggregation
+  *    over exploded shingles), banded into b buckets, candidates from
+  *    equi-joins on (band, signature) — shuffle keyed on tiny band hashes,
+  *    never on raw text.
+  *
+  * Hashes are md5-derived ([[tokenHash60]]) so the DuckDB oracle can
+  * reproduce every signature bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized-text fingerprint: keeps the smallest id
+    * per group (deterministic winner), reports group size. One shuffle on a
+    * 16-byte hash — never on the text itself (at 100 TB the texts stay in
+    * place; only fingerprints move). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("n_dups"))
+
+  /** Distinct (doc, shingle) pairs — the inverted-index input. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted shingle index:
+    * join docs sharing a shingle, count the intersection, derive the union
+    * from per-doc shingle counts. `maxDf` drops shingles appearing in more
+    * than that many docs (stop-shingles produce quadratic join fan-out and
+    * can't push a true near-dup below threshold when dropped... they CAN
+    * affect exact scores, so the oracle applies the same cap — the operator
+    * semantics include the cap). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val filtered = maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val df = sh.groupBy("s").agg(count("*").as("df")).filter(col("df") <= cap)
+        sh.join(df.select("s"), Seq("s"), "left_semi")
+    }
+    val sizes = filtered.groupBy("doc_id").agg(count("*").as("sz"))
+    val a = filtered.toDF("i", "s")
+    val b = filtered.toDF("j", "s")
+    val inter = a.join(b, "s").filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count("*").as("inter"))
+    inter
+      .join(sizes.toDF("i", "sz_i"), "i")
+      .join(sizes.toDF("j", "sz_j"), "j")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  /** k portable min-hashes per document: min over shingles of
+    * hash(seed ++ shingle), one grouped aggregation computing all k mins
+    * in a single pass over the exploded shingles (map-side combine makes
+    * the shuffle k longs per doc, not one row per shingle). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 32): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val mins = (0 until k).map(i =>
+      min(tokenHash60(concat(lit(s"seed$i|"), col("s")))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + banded LSH candidate pairs, exact-verified.
+    *
+    * Signatures (k mins) are split into `bands` bands of k/bands rows; docs
+    * colliding on any band's full sub-signature become candidates
+    * (equi-join per band on the band tuple — a few longs — then distinct).
+    * Candidates are then verified with the exact Jaccard, so precision is
+    * 1.0 and only recall depends on the banding (with k=32, bands=8,
+    * r=4: P[miss a 0.8-similar pair] = (1-0.8⁴)^8 ≈ 0.8%^... ≈ 0.013).
+    *
+    * Returns (i, j, jaccard) for verified pairs — same shape as
+    * [[jaccardPairs]], computed without the all-pairs shingle join.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = minhashSignatures(docs, idCol, textCol, n, k)
+    // band column: array of the band's r mins (join key per band)
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), array(cols: _*).as("sig"))
+    }.reduce(_ unionByName _)
+    val cands = bandRows.toDF("i", "band", "sig")
+      .join(bandRows.toDF("j", "band", "sig"), Seq("band", "sig"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+
+    // exact verification of candidates only
+    val sh = docShingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
+    val inter = cands
+      .join(sh.toDF("i", "s"), "i")
+      .join(sh.toDF("j", "s2"), "j")
+      .filter(col("s") === col("s2"))
+      .groupBy("i", "j").agg(count("*").as("inter"))
+    inter
+      .join(sizes.toDF("i", "sz_i"), "i")
+      .join(sizes.toDF("j", "sz_j"), "j")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  /** 60-bit SimHash per document: bit j of the signature is the sign of
+    * Σ_tokens (±1 by bit j of the token hash). One explode + one grouped
+    * aggregation with 60 conditional sums — a single shuffle of 60 ints
+    * per doc. Multiset semantics (repeated tokens vote repeatedly). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", tokenHash60(col("t")))
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 60).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming, found via
+    * pigeonhole banding — split the 60 bits into (maxHamming+1) bands; any
+    * pair within distance maxHamming must agree exactly on ≥1 band, so
+    * equi-joins on band values find all of them without a cross join. Then
+    * exact-verify with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val nb = maxHamming + 1
+    val w = 60 / nb // band width in bits
+    val bandRows = (0 until nb).map { b =>
+      val band = shiftright(col("simhash"), b * w)
+        .bitwiseAND((1L << w) - 1)
+      sig.select(col("doc_id"), lit(b).as("band"), band.as("bits"), col("simhash"))
+    }.reduce(_ unionByName _)
+    bandRows.toDF("i", "band", "bits", "sig_i")
+      .join(bandRows.toDF("j", "band", "bits", "sig_j"), Seq("band", "bits"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-windowed operators over the `events` fixture — the streaming-shaped
+  * extension surface (SURVEY §2.10: the reference has none; this is the
+  * batch form of the Structured Streaming path in graft.streaming). The
+  * same `window()` / `session_window()` expressions run unchanged under
+  * `readStream` — that symmetry is the point of implementing them with
+  * native functions. */
+object Events {
+
+  /** Tumbling-window aggregation: (window start, event_type) → count,
+    * sum(value). One shuffle on (window, type) — at scale the window
+    * column derives from the timestamp, so partition pruning on date
+    * partitions still applies upstream. */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session aggregation with an inactivity gap, batch form:
+    * native `session_window` (merges rows < gap apart into one session).
+    * Output: one row per (user, session) with bounds and stats. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count("*").as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Sessionization via gaps-and-islands (lag + cumulative sum) — the
+    * window-function formulation, equivalent to [[sessions]] except that
+    * session_end is the last event's ts (session_window pads by the gap).
+    * Kept because it is the portable SQL form the oracle uses and it
+    * demonstrates the window-function surface (SURVEY §2.8). */
+  def sessionsSql(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val marked = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L,
+          1).otherwise(0))
+      .withColumn("session_no", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy("user_id", "session_no")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count("*").as("n_events"), sum("value").as("sum_value"))
+  }
+}

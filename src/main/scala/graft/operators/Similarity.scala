@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokenHash60
+
+/** Similarity search over an embedding column (`Array[Float]`) — north-star
+  * extension. Two paths:
+  *
+  *  - [[bruteKnn]]: exact cosine top-k. The join is a cartesian
+  *    (queries × corpus) but the *query side is broadcast* — at 100 TB the
+  *    corpus streams through executors once, no shuffle of the corpus at
+  *    all; per-partition top-k via the aggregation-pushdown of the window
+  *    would still shuffle, so for large k prefer the candidate cut first.
+  *  - [[lshKnn]]: random-hyperplane sign-LSH bucketing — candidates share a
+  *    bucket in at least one of `tables` hash tables; only candidates get
+  *    the exact cosine. Hyperplanes are deterministic pseudo-random
+  *    (md5-derived), so results are reproducible across runs and engines.
+  *
+  * Dot products use `zip_with` + `aggregate` over doubles — codegen'd
+  * native expressions, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two Array[Float] columns, computed in double
+    * (cast first: float math would lose too much for stable ranking). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (ties broken by id — fully deterministic). Query
+    * side is expected small → broadcast; corpus is scanned once. */
+  def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               qId: String = "vec_id", qVec: String = "embedding",
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): md5-derived value in [-0.5, 0.5). */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (tokenHash60(concat_ws("|", lit(table), lit(plane), dim)).cast("double")
+      / lit((1L << 60).toDouble)) - 0.5
+
+  /** Sign-LSH bucket id for one table: `planes` sign bits of projections
+    * onto deterministic hyperplanes. */
+  def lshBucket(vec: Column, table: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(table, p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via sign-LSH: candidates = corpus vectors sharing a
+    * bucket with the query in any of `tables` tables; exact cosine + top-k
+    * over candidates only. At scale the corpus bucket ids are precomputed
+    * once (a column write), and each query probes `tables` buckets — the
+    * scan is a semi-join on bucket keys instead of a full pass. */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             tables: Int = 8, planes: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val qB = (0 until tables).map(t =>
+      q.select(col("query_id"), col("qv"), lit(t).as("t"),
+        lshBucket(col("qv"), t, planes).as("b"))).reduce(_ unionByName _)
+    val cB = (0 until tables).map(t =>
+      c.select(col("neighbor_id"), col("cv"), lit(t).as("t"),
+        lshBucket(col("cv"), t, planes).as("b"))).reduce(_ unionByName _)
+    val cands = cB.join(broadcast(qB), Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
+    * threshold. Exact (cross-join) form — at scale, bucket with
+    * [[lshBucket]] first exactly like [[lshKnn]]. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("i", "j", "cos")
+  }
+}

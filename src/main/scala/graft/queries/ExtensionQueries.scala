@@ -1,0 +1,360 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.builders.Tpch
+import graft.functions.TextFunctions
+import graft.model.{DataCube, Hierarchy, Measure}
+import graft.operators.{Dedup, Events, Similarity}
+
+/** North-star extension queries (BASELINE.json): the training-data-pipeline
+  * operators — text analysis, dedup family, similarity search, windowed
+  * events — each DuckDB-oracle-checked where SQL-expressible.
+  *
+  * Portability conventions (same as ParityQueries): md5-derived hashes only
+  * (bit-identical in DuckDB), doubles rounded before comparison whenever an
+  * engine-side summation order could differ, exact decimal for money-like
+  * sums, every output fully ordered NULLS FIRST.
+  */
+object ExtensionQueries {
+
+  private def sorted(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toSeq: _*)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** The events fixture carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark has no native type for — read nanos as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to a micros
+    * timestamp with integer division (matching DuckDB's ns→µs truncation). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // -------------------------------------------------------------------
+  // q16 — text statistics (token count, punct, quality scoring)
+  // -------------------------------------------------------------------
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    val en = langProfiles.toMap.apply("en")
+    val t = col("text")
+    sorted(docs(s, dir).select(
+      col("doc_id"),
+      nTokens(t).as("n_tokens"),
+      nChars(t).cast("long").as("n_chars"),
+      nPunct(t).cast("long").as("n_punct"),
+      round(meanTokenLen(t), 6).as("mean_token_len"),
+      round(stopwordRatio(t, en), 6).as("stopword_ratio"),
+      qualityScore(t, en).as("quality")))
+  }
+
+  private val enWords = TextFunctions.langProfiles.toMap.apply("en")
+  private def sqlWordList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  val q16Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') toks FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS INT) AS n_tokens,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+      |         round(length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len(toks), 6) AS mean_token_len,
+      |         round(len(list_filter(toks, x -> x IN (${sqlWordList(enWords)}))) * 1.0 / len(toks), 6) AS stopword_ratio,
+      |         len(list_filter(toks, x -> x IN (${sqlWordList(enWords)}))) * 1.0 / len(toks) AS swr_raw,
+      |         len(toks) AS nt,
+      |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, n_chars, n_punct, mean_token_len, stopword_ratio,
+      |       round((CASE WHEN nt BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+      |           * (CASE WHEN np > 0 THEN 1.0 ELSE 0.8 END)
+      |           * (CASE WHEN swr_raw > 0.05 THEN 1.0 ELSE 0.6 END), 6) AS quality
+      |FROM m
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q17 — language-ID (stopword-profile argmax, deterministic tie-break)
+  // -------------------------------------------------------------------
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    sorted(docs(s, dir).select(
+      col("doc_id"),
+      langId(col("text")).as("lang_pred"),
+      langScore(col("text")).as("lang_score")))
+  }
+
+  val q17Sql: String = {
+    val profs = TextFunctions.langProfiles.sortBy(_._1)
+    val hitExprs = profs.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${sqlWordList(ws)}))) AS h_$l"
+    }.mkString(",\n      |         ")
+    val langs = profs.map(_._1)
+    val g = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN h_$l = g THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |         $hitExprs
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id, h_de, h_en, h_es, h_fr, h_zh, $g AS g FROM h
+      |)
+      |SELECT doc_id,
+      |       CASE WHEN g = 0 THEN 'und' $pick END AS lang_pred,
+      |       CAST(g AS INT) AS lang_score
+      |FROM s
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q18 — exact dedup by normalized-text fingerprint
+  // -------------------------------------------------------------------
+  def q18(s: SparkSession, dir: String): DataFrame =
+    sorted(Dedup.exact(docs(s, dir), "doc_id", "text"))
+
+  val q18Sql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  /** Shared DuckDB shingle CTE (3-gram, distinct per doc) — the oracle
+    * counterpart of Dedup.docShingles. All fixture docs have ≥ 10 tokens,
+    * so the short-doc fallback branch never fires here. */
+  private val shingleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |), sizes AS (
+      |  SELECT doc_id, count(*) n FROM sh GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val jaccardSelect: String =
+    """SELECT i, j, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q19 — exact n-gram Jaccard near-dup pairs (inverted shingle index)
+  // -------------------------------------------------------------------
+  def q19(s: SparkSession, dir: String): DataFrame =
+    sorted(Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6)))
+
+  val q19Sql: String = shingleCte + "\n" + jaccardSelect
+
+  // -------------------------------------------------------------------
+  // q20 — MinHash + banded LSH, exact-verified: must equal q19 (recall
+  //       of the banding is ~1 at this similarity; precision is exactly 1
+  //       because candidates are verified) — so the *exact* pairs SQL is
+  //       a legitimate oracle for the approximate pipeline
+  // -------------------------------------------------------------------
+  def q20(s: SparkSession, dir: String): DataFrame =
+    sorted(Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6)))
+
+  val q20Sql: String = q19Sql
+
+  // -------------------------------------------------------------------
+  // q21 — SimHash near-dup pairs (hamming ≤ 3 via pigeonhole banding)
+  // -------------------------------------------------------------------
+  def q21(s: SparkSession, dir: String): DataFrame =
+    sorted(Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long")))
+
+  val q21Sql: String = {
+    val votes = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n      |         ")
+    val sig = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(t.x), 1, 15)) AS BIGINT) AS h
+      |  FROM documents, LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS x) t
+      |), votes AS (
+      |  SELECT doc_id,
+      |         $votes
+      |  FROM tok GROUP BY 1
+      |), sig AS (
+      |  SELECT doc_id, $sig AS simhash FROM votes
+      |)
+      |SELECT a.doc_id i, b.doc_id j,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q22 — brute-force cosine top-k similarity search
+  // -------------------------------------------------------------------
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    sorted(Similarity.bruteKnn(q, e, k = 5)
+      .withColumn("cos", round(col("cos"), 4)))
+  }
+
+  val q22Sql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      |p AS (
+      |  SELECT q.vec_id query_id, e.vec_id neighbor_id, q.embedding qe, e.embedding ce
+      |  FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+      |), ex AS (
+      |  SELECT query_id, neighbor_id,
+      |         unnest(qe)::DOUBLE qv, unnest(ce)::DOUBLE cv
+      |  FROM p
+      |), d AS (
+      |  SELECT query_id, neighbor_id,
+      |         SUM(qv*cv) / sqrt(SUM(qv*qv)) / sqrt(SUM(cv*cv)) AS cos
+      |  FROM ex GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+      |         round(cos, 4) AS cos
+      |  FROM d
+      |)
+      |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 5
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q23 — embedding near-duplicate pairs (cosine ≥ threshold)
+  // -------------------------------------------------------------------
+  def q23(s: SparkSession, dir: String): DataFrame =
+    sorted(Similarity.nearDupPairs(emb(s, dir), threshold = 0.47)
+      .withColumn("cos", round(col("cos"), 4)))
+
+  val q23Sql: String =
+    """WITH p AS (
+      |  SELECT a.vec_id i, b.vec_id j, a.embedding va, b.embedding vb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |), ex AS (
+      |  SELECT i, j, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM p
+      |), d AS (
+      |  SELECT i, j, SUM(x*y) / sqrt(SUM(x*x)) / sqrt(SUM(y*y)) AS cos
+      |  FROM ex GROUP BY 1, 2
+      |)
+      |SELECT i, j, round(cos, 4) AS cos FROM d WHERE cos >= 0.47
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q24 — tumbling-window event aggregation (batch form of the
+  //       Structured Streaming path; exact decimal sums)
+  // -------------------------------------------------------------------
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("value", col("value").cast("decimal(14,2)"))
+    sorted(Events.tumbling(ev, "1 hour")
+      .withColumn("sum_value", col("sum_value").cast("double")))
+  }
+
+  val q24Sql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q25 — per-user sessionization (30-min inactivity gap)
+  // -------------------------------------------------------------------
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("value", col("value").cast("decimal(14,2)"))
+    sorted(Events.sessionsSql(ev, gapMinutes = 30)
+      .drop("session_no")
+      .withColumn("sum_value", col("sum_value").cast("double")))
+  }
+
+  val q25Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m
+      |)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, session_no
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q26 — single-table cube constructor (as.data.cube.data.table, S3):
+  //       documents as a denormalized table → cube keyed by (lang, source)
+  // -------------------------------------------------------------------
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val cube = DataCube.fromTable(
+      docs(s, dir).withColumn("one", lit(1L)),
+      measures = Seq(Measure.sum("n_chars", "sum_chars"), Measure.sum("one", "n_docs")),
+      dims = Seq(
+        ("lang", "lang", ListMap("default" -> Hierarchy.flat("lang")), Seq.empty),
+        ("source", "source", ListMap("default" -> Hierarchy.flat("source")), Seq.empty)))
+    sorted(cube.q(Seq(graft.query.dsl.dim("lang")
+        .where("lang" -> Seq("en", "de"))), drop = false)
+      .fact.data.select("lang", "source", "sum_chars", "n_docs"))
+  }
+
+  val q26Sql: String =
+    """SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_docs
+      |FROM documents WHERE lang IN ('en', 'de')
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q27 — distinct-count measure (A7/A8 extension): orders per year
+  // -------------------------------------------------------------------
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val denorm = Tpch.cube(s, dir).denormalize(dims = Seq("date"))
+    sorted(denorm.groupBy("d_year")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("n")).as("n_lineitems")))
+  }
+
+  val q27Sql: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS d_year,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       COUNT(*) AS n_lineitems
+      |FROM lineitem GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  /** name -> (query fn, oracle SQL or null). */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q16_text_stats", q16 _, q16Sql),
+    ("q17_langid", q17 _, q17Sql),
+    ("q18_dedup_exact", q18 _, q18Sql),
+    ("q19_dedup_jaccard", q19 _, q19Sql),
+    ("q20_dedup_minhash_lsh", q20 _, q20Sql),
+    ("q21_dedup_simhash", q21 _, q21Sql),
+    ("q22_knn_brute", q22 _, q22Sql),
+    ("q23_embedding_near_dup", q23 _, q23Sql),
+    ("q24_events_tumbling", q24 _, q24Sql),
+    ("q25_sessionize", q25 _, q25Sql),
+    ("q26_from_table", q26 _, q26Sql),
+    ("q27_count_distinct", q27 _, q27Sql)
+  )
+}
