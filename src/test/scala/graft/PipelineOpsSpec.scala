@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Events, Multimodal, Similarity}
+
+/** Extension-operator laws: LSH recall vs exact, simhash sanity, kNN
+  * approximation quality, multimodal plumbing. sf0.001 fixtures. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash LSH finds every exact near-dup pair (recall = 1 here)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact) // precision 1 by construction; recall 1 on fixture
+  }
+
+  test("simhash near-dups are a subset of doc pairs and deterministic") {
+    val p1 = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
+    val p2 = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
+    assert(p1.map(_.toString).sorted.sameElements(p2.map(_.toString).sorted))
+    assert(p1.forall(_.getInt(2) <= 3))
+  }
+
+  test("exact dedup keeps one winner per fingerprint") {
+    import spark.implicits._
+    val withDup = docs.select("doc_id", "text").unionByName(
+      docs.select(($"doc_id" + 100000).as("doc_id"), $"text").limit(5))
+    val r = Dedup.exact(withDup, "doc_id", "text")
+    assert(r.filter($"n_dups" === 2).count() == 5)
+    // winner is the smaller id
+    assert(r.filter($"n_dups" === 2).filter($"keep_id" >= 100000).count() == 0)
+  }
+
+  test("LSH kNN ranks candidates identically to brute force on its hits") {
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteKnn(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(q, emb, 5, tables = 8, planes = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate: recall over the true top-5 should be decent, not zero
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("cosine is symmetric and self-similarity is 1") {
+    import spark.implicits._
+    val two = emb.limit(2).collect()
+    val a = two(0).getSeq[Float](two(0).fieldIndex("embedding")).toArray
+    val b = two(1).getSeq[Float](two(1).fieldIndex("embedding")).toArray
+    val df = Seq((a, b)).toDF("x", "y")
+    val r = df.select(
+      Similarity.cosine(col("x"), col("y")).as("xy"),
+      Similarity.cosine(col("y"), col("x")).as("yx"),
+      Similarity.cosine(col("x"), col("x")).as("xx")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("session_window and gaps-and-islands sessionization agree on counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val a = Events.sessions(ev, "30 minutes").count()
+    val b = Events.sessionsSql(ev, 30).count()
+    assert(a == b)
+  }
+
+  test("multimodal feature extraction is deterministic with stable shape") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .sortBy(_.media_id)
+    assert(f1.length == 30)
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.zip(f2).forall { case (x, y) => x.features.sameElements(y.features) })
+  }
+
+  test("frame sampling explodes only videos with monotone offsets") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, 4)
+    val videos = media.filter(col("meta.media_type") === "video").count()
+    assert(frames.count() == videos * 4)
+    val oneVid = frames.orderBy("media_id", "frame_idx")
+      .filter(col("media_id") === frames.select(min("media_id")).head().getLong(0))
+      .collect().map(_.getLong(2))
+    assert(oneVid.sameElements(oneVid.sorted))
+  }
+}

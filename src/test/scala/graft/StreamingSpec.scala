@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.EventsStreaming
+
+/** Structured Streaming vs batch equivalence: the same window expression
+  * over readStream (AvailableNow, memory sink) must produce the batch
+  * answer once the stream drains. */
+class StreamingSpec extends SparkSpec {
+
+  /** File stream sources need a directory — stage the single fixture file
+    * into a temp dir. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed counts equal the batch tumbling aggregation") {
+    val stream = EventsStreaming.readEvents(spark, streamDir)
+    val agg = EventsStreaming.windowedCounts(stream, "1 hour", "2 hours")
+    val q = EventsStreaming.startToMemory(agg, "win_test")
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_test")
+      .groupBy("window_start", "event_type")
+      .agg(max("n_events").as("n_events")) // Update mode: keep last emission
+    val batchEv = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = Events.tumbling(batchEv, "1 hour")
+      .select("window_start", "event_type", "n_events")
+
+    val a = streamed.select("window_start", "event_type", "n_events")
+    assert(a.except(batch).count() == 0 && batch.except(a).count() == 0)
+  }
+
+  test("stateful sessionization emits valid closed sessions") {
+    import spark.implicits._
+    val stream = EventsStreaming.readEvents(spark, streamDir)
+    val typed = stream
+      .select($"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
+      .as[EventsStreaming.Event]
+    val sessions = EventsStreaming.sessionize(typed, 30)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("sess_test").as[EventsStreaming.Session].collect()
+    // single-batch AvailableNow: open sessions stay in state; emitted ones
+    // must be internally consistent and match batch session boundaries
+    assert(out.forall(s => !s.session_end.before(s.session_start)))
+    assert(out.forall(_.n_events > 0))
+    val batch = Events.sessionsSql(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), 30)
+      .select($"user_id", $"session_start", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    out.foreach { s =>
+      assert(batch.contains((s.user_id, s.session_start, s.n_events)),
+        s"emitted session not found in batch result: $s")
+    }
+  }
+}
