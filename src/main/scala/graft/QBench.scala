@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query profiler: sbt "runMain graft.QBench <name> [reps] [sfDir]".
+  * Prints per-rep wall time; use with the Spark UI off and explain on
+  * demand (SPARK_GRAFT_EXPLAIN=1). */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[qbench] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

@@ -138,8 +138,9 @@ final case class Dimension(
 
   /** The flat, fully-denormalized dimension table: base joined with every
     * level's properties (what the legacy cube stores directly,
-    * R/cube.R:55-61). Level tables are small -> broadcast joins. */
-  def denormalized: DataFrame =
+    * R/cube.R:55-61). Level tables are small -> broadcast joins. Lazy val:
+    * one shared DataFrame, so persisting it benefits every query. */
+  lazy val denormalized: DataFrame =
     levels.values.filter(_.properties.nonEmpty).foldLeft(data) { (acc, lvl) =>
       acc.join(broadcast(lvl.data), Seq(lvl.key), "left")
     }

@@ -50,8 +50,9 @@ object Dedup {
     * semantics include the cap). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   maxDf: Option[Int] = None): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
+                   maxDf: Option[Int] = None,
+                   shinglesDf: Option[DataFrame] = None): DataFrame = {
+    val sh = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
     val filtered = maxDf match {
       case None => sh
       case Some(cap) =>
@@ -73,15 +74,17 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
-  /** k portable min-hashes per document: min over shingles of
-    * hash(seed ++ shingle), one grouped aggregation computing all k mins
-    * in a single pass over the exploded shingles (map-side combine makes
-    * the shuffle k longs per doc, not one row per shingle). */
+  /** k min-hashes per document: min over shingles of xxhash64(seed,
+    * shingle), one grouped aggregation computing all k mins in a single
+    * pass over the exploded shingles (map-side combine makes the shuffle k
+    * longs per doc, not one row per shingle). xxhash64 (codegen'd, ~20×
+    * cheaper than md5) is fine here: signatures are internal — only the
+    * exact-Jaccard verification needs engine portability. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 32): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
-    val mins = (0 until k).map(i =>
-      min(tokenHash60(concat(lit(s"seed$i|"), col("s")))).as(s"mh$i"))
+                        n: Int = 3, k: Int = 32,
+                        shinglesDf: Option[DataFrame] = None): DataFrame = {
+    val sh = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -99,10 +102,11 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 shinglesDf: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, k)
+    val sig = minhashSignatures(docs, idCol, textCol, n, k, shinglesDf)
     // band column: array of the band's r mins (join key per band)
     val bandRows = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
@@ -114,12 +118,14 @@ object Dedup {
       .select("i", "j").distinct()
 
     // exact verification of candidates only
-    val sh = docShingles(docs, idCol, textCol, n)
+    val sh = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
+    // join the second side on (doc, shingle) so only matching shingles
+    // survive the join (a join on doc alone would fan out to
+    // |cands| × |shingles|² rows before filtering)
     val inter = cands
       .join(sh.toDF("i", "s"), "i")
-      .join(sh.toDF("j", "s2"), "j")
-      .filter(col("s") === col("s2"))
+      .join(sh.toDF("j", "s"), Seq("j", "s"))
       .groupBy("i", "j").agg(count("*").as("inter"))
     inter
       .join(sizes.toDF("i", "sz_i"), "i")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokenHash60
+import graft.functions.VectorExpressions.dotp
 
 /** Similarity search over an embedding column (`Array[Float]`) — north-star
   * extension. Two paths:
@@ -24,14 +24,30 @@ import graft.functions.TextFunctions.tokenHash60
   */
 object Similarity {
 
+  /** Dot product of two double-array columns — a custom codegen'd Catalyst
+    * expression: the higher-order-function formulation
+    * (`aggregate(zip_with(...))`) is CodegenFallback and ~15× slower on
+    * n²-pair workloads (graft.functions.DotProduct). */
+  def dot(x: Column, y: Column): Column = dotp(x, y)
+
   /** Cosine similarity of two Array[Float] columns, computed in double
     * (cast first: float math would lose too much for stable ranking). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
+    def d(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    d(a, b) / sqrt(d(a, a)) / sqrt(d(b, b))
+  }
+
+  /** L2-normalize a float-array column into a double array — done ONCE per
+    * vector so pairwise similarity is a single dot product instead of
+    * three (the norms would otherwise be recomputed for every pair: at n²
+    * pairs that's the difference between O(n²d) and O(3n²d + casts)). */
+  def normalize(vec: Column): Column = {
+    val dv = transform(vec, _.cast("double"))
+    val norm = sqrt(aggregate(transform(dv, x => x * x), lit(0.0), (a, v) => a + v))
+    transform(dv, x => x / norm)
   }
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
@@ -40,10 +56,10 @@ object Similarity {
   def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                qId: String = "vec_id", qVec: String = "embedding",
                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -52,21 +68,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): md5-derived value in [-0.5, 0.5). */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (tokenHash60(concat_ws("|", lit(table), lit(plane), dim)).cast("double")
-      / lit((1L << 60).toDouble)) - 0.5
+  /** Deterministic pseudo-random hyperplane for (table, plane): md5-derived
+    * components in [-0.5, 0.5), materialized driver-side as a literal array
+    * (tiny: planes × dim doubles) so the projection is one codegen'd dot
+    * product per row instead of per-element interpreted lambdas. */
+  private def planeVector(table: Int, plane: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val hex = md.digest(s"$table|$plane|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble - 0.5
+    }
+  }
 
   /** Sign-LSH bucket id for one table: `planes` sign bits of projections
     * onto deterministic hyperplanes. */
-  def lshBucket(vec: Column, table: Int, planes: Int): Column = {
+  def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(table, p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val plane = lit(planeVector(table, p, dim))
+      when(dotp(vec, plane) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -77,22 +97,24 @@ object Similarity {
     * once (a column write), and each query probes `tables` buckets — the
     * scan is a semi-join on bucket keys instead of a full pass. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             tables: Int = 8, planes: Int = 8): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+             tables: Int = 8, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      normalize(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      normalize(col("embedding")).as("cv"))
     val qB = (0 until tables).map(t =>
       q.select(col("query_id"), col("qv"), lit(t).as("t"),
-        lshBucket(col("qv"), t, planes).as("b"))).reduce(_ unionByName _)
+        lshBucket(col("qv"), t, planes, dim).as("b"))).reduce(_ unionByName _)
     val cB = (0 until tables).map(t =>
       c.select(col("neighbor_id"), col("cv"), lit(t).as("t"),
-        lshBucket(col("cv"), t, planes).as("b"))).reduce(_ unionByName _)
+        lshBucket(col("cv"), t, planes, dim).as("b"))).reduce(_ unionByName _)
     val cands = cB.join(broadcast(qB), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv").distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
@@ -103,10 +125,11 @@ object Similarity {
     * [[lshBucket]] first exactly like [[lshKnn]]. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    val normed = corpus.select(col(idCol).as("i"), normalize(col(vecCol)).as("va"))
+    val a = normed
+    val b = normed.toDF("j", "vb")
     a.join(b, col("i") < col("j"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("i", "j", "cos")
   }
