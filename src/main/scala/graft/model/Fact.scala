@@ -33,9 +33,12 @@ final case class Fact(data: DataFrame, idVars: Seq[String], measures: Seq[Measur
     * @param dropKeys fk columns to aggregate away (collapsed or dropped dims)
     */
   def subset(keySets: Map[String, DataFrame], dropKeys: Set[String]): Fact = {
-    val filtered = keySets.foldLeft(data) { case (df, (fk, keys)) =>
+    val joined = keySets.foldLeft(data) { case (df, (fk, keys)) =>
       df.join(broadcast(keys.toDF(fk).distinct()), Seq(fk), "left_semi")
     }
+    // semi-joins move the join key to the front — restore the canonical
+    // idVars ++ measures order so results don't depend on filter order
+    val filtered = joined.select((idVars ++ measureNames).map(col): _*)
     if (dropKeys.isEmpty) copy(data = filtered)
     else {
       val keep = idVars.filterNot(dropKeys)

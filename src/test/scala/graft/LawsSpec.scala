@@ -1,0 +1,113 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model._
+import graft.query.dsl._
+
+/** Property-based algebraic laws (the reference's metamorphic tests,
+  * SURVEY §5.3) over small generated cubes: equivalent query spellings
+  * agree, collapse complements margins, filters commute with collapse.
+  * Deterministic seeded sampling (the scalatest-scalacheck bridge isn't
+  * in the offline cache — raw Gen + fixed seeds gives the same coverage
+  * reproducibly). */
+class LawsSpec extends SparkSpec {
+
+  private def forAll[T](g: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val keyGen = Gen.chooseNum(1, 5)
+  private val rowsGen = Gen.listOfN(24,
+    for { a <- keyGen; b <- keyGen; v <- Gen.chooseNum(-50, 50) }
+      yield (a, s"g$b", v.toDouble))
+
+  private def cubeOf(rows: List[(Int, String, Double)]): DataCube = {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("g", StringType),
+      StructField("v", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      schema)
+    val d1 = df.select("k").distinct()
+    val d2 = df.select("g").distinct()
+    DataCube.build(
+      Fact.build(df, Seq("k", "g"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(
+        Dimension.build("one", "k", ListMap("h" -> Hierarchy.flat("k")), d1),
+        Dimension.build("two", "g", ListMap("h" -> Hierarchy.flat("g")), d2)))
+  }
+
+  private def facts(c: DataCube): Set[String] =
+    c.fact.data.collect().map(_.toString).toSet
+
+  test("law: collapse(one) ≡ applyMargin(two) (MARGIN complement)") {
+    forAll(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val c = cubeOf(rows)
+        val viaCollapse = c.q(dim("one").collapse())
+        val viaMargin = c.applyMargin(Seq("two"))
+        assert(facts(viaCollapse) == facts(viaMargin))
+      }
+    }
+  }
+
+  test("law: filter-then-collapse ≡ collapse-with-prefilter") {
+    forAll(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val c = cubeOf(rows)
+        val ks = rows.map(_._1).distinct.take(2)
+        val a = c.q(Seq(dim("one").where("k" -> ks)), drop = false)
+          .q(dim("one").collapse())
+        val b = c.q(dim("one").where("k" -> ks).collapse())
+        assert(facts(a) == facts(b))
+      }
+    }
+  }
+
+  test("law: grand total equals sum of any collapse") {
+    forAll(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val c = cubeOf(rows)
+        val total = c.applyMargin(Seq.empty)
+          .fact.data.head().getDouble(0)
+        val viaOne = c.q(dim("two").collapse())
+          .fact.data.agg(sum("sum_v")).head().getDouble(0)
+        assert(math.abs(total - viaOne) < 1e-9)
+      }
+    }
+  }
+
+  test("law: query composition order of independent dims is irrelevant") {
+    forAll(rowsGen) { rows =>
+      if (rows.map(_._1).distinct.size >= 2 &&
+        rows.map(_._2).distinct.size >= 2) {
+        val c = cubeOf(rows)
+        val ks = rows.map(_._1).distinct.take(2)
+        val gs = rows.map(_._2).distinct.take(2)
+        val ab = c.q(Seq(dim("one").where("k" -> ks)), drop = false)
+          .q(Seq(dim("two").where("g" -> gs)), drop = false)
+        val ba = c.q(Seq(dim("two").where("g" -> gs)), drop = false)
+          .q(Seq(dim("one").where("k" -> ks)), drop = false)
+        val both = c.q(Seq(
+          dim("one").where("k" -> ks), dim("two").where("g" -> gs)), drop = false)
+        assert(facts(ab) == facts(ba) && facts(ba) == facts(both))
+      }
+    }
+  }
+
+  test("sql: dot_product registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.builders.PopulateStar
+import graft.io.CubeIO
+import graft.model.Measure
+import graft.query.dsl._
+
+/** The reference's differential/round-trip strategy (SURVEY §5.1, §5.3):
+  * cube ops vs the dense array oracle, array↔cube↔storage round trips,
+  * format/pivot golden behavior. */
+class RoundTripSpec extends SparkSpec {
+
+  private lazy val star = PopulateStar.cube(spark, n = 500,
+    yearFrom = 2013, yearTo = 2014, seed = 1L)
+
+  test("populate_star: deterministic across invocations") {
+    val a = PopulateStar.cube(spark, 500, 2013, 2014, 1L)
+      .fact.data.agg(sum("amount")).head().getDouble(0)
+    val b = PopulateStar.cube(spark, 500, 2013, 2014, 1L)
+      .fact.data.agg(sum("amount")).head().getDouble(0)
+    assert(a == b)
+  }
+
+  test("dense array round trip: array -> cube -> array") {
+    val dims = Seq(
+      "color" -> Seq("red", "green", "blue"),
+      "size" -> Seq("S", "M", "L", "XL"))
+    val flat = Array.tabulate(12)(i => if (i % 5 == 4) Double.NaN else i * 1.5)
+    val cube = PopulateStar.fromDenseArray(spark, flat, dims)
+    // NA cells dropped from the sparse fact
+    assert(cube.fact.data.count() == flat.count(!_.isNaN))
+    val (outDims, outFlat) = CubeIO.toDenseArray(cube, "value")
+    assert(outDims == Seq(Seq("blue", "green", "red"), Seq("L", "M", "S", "XL")))
+    // compare cell sets (order differs because keys are re-sorted)
+    val inCells = (for {
+      c <- 0 until 3; s <- 0 until 4
+      v = flat(c * 4 + s) if !v.isNaN
+    } yield (dims(0)._2(c), dims(1)._2(s), v)).toSet
+    val outCells = (for {
+      c <- 0 until 3; s <- 0 until 4
+      v = outFlat(c * 4 + s) if !v.isNaN
+    } yield (outDims(0)(c), outDims(1)(s), v)).toSet
+    assert(inCells == outCells)
+  }
+
+  test("collapse on the star cube equals the dense-array margin sum") {
+    // collapse everything but product: equals summing the array over the
+    // other margins — computed here directly from the fact
+    val collapsed = star.q(
+      dim("customer").collapse(), dim("currency").collapse(),
+      dim("geography").collapse(), dim("time").collapse())
+    val expect = star.fact.data.groupBy("prod_name")
+      .agg(sum("amount").as("amount"), sum("value").as("value"))
+    val got = collapsed.fact.data
+    assert(got.select("prod_name", "amount", "value")
+      .except(expect).count() == 0)
+    assert(expect.except(got.select("prod_name", "amount", "value"))
+      .count() == 0)
+  }
+
+  test("hierarchy attribute aggregation over two dims (vignette query)") {
+    val r = star.aggregate(Seq("time_year", "curr_type"),
+      filters = Map("currency" -> Map("curr_type" -> Seq("crypto"))))
+    val rows = r.fact.data.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1) == "crypto"))
+    assert(r.dimensions.keySet == Set("time", "currency"))
+  }
+
+  test("save/load star schema round trip preserves query results") {
+    val dir = java.nio.file.Files.createTempDirectory("star_io").toString
+    CubeIO.saveStar(star, dir)
+    val loaded = CubeIO.loadStar(spark, dir)
+    assert(loaded.dimensions.keySet == star.dimensions.keySet)
+    val a = star.aggregate(Seq("geog_region_name")).fact.data
+      .orderBy("geog_region_name").collect().map(_.toString).toSeq
+    val b = loaded.aggregate(Seq("geog_region_name")).fact.data
+      .orderBy("geog_region_name").collect().map(_.toString).toSeq
+    assert(a == b)
+    // hierarchies survive the round trip
+    assert(loaded.dimension("time").hierarchies.keySet == Set("monthly", "weekly"))
+  }
+
+  test("format applies measure formatting and sorts NA-last") {
+    val small = star.aggregate(Seq("curr_type"))
+    val f = CubeIO.format(small,
+      overrides = Map("amount" -> Measure.currencyFormat("USD")))
+    val rows = f.select("curr_type", "amount").collect()
+    assert(rows.forall(_.getString(1).endsWith(" USD")))
+  }
+
+  test("pivot multi-column headers (dcast formula year ~ type)") {
+    val agg = star.aggregate(Seq("time_year", "curr_type")).fact.data
+    val wide = CubeIO.pivot(agg, Seq("time_year"), "curr_type",
+      Seq("amount"), values = Seq("crypto", "fiat"))
+    assert(wide.columns.toSet == Set("time_year", "crypto", "fiat"))
+    assert(wide.count() == 2) // 2013, 2014
+  }
+}
