@@ -113,6 +113,51 @@ object EventsStreaming {
       .filter(_.n_events > 0)
   }
 
+  /** Sessionization emitting EVERY closed session (not just the last per
+    * micro-batch) via flatMapGroupsWithState — the production variant of
+    * [[sessionize]]. */
+  def sessionizeAll(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, fromMicros(s.start), fromMicros(s.end),
+              s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, fromMicros(s.start),
+                    fromMicros(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Run a windowed-count stream into an in-memory sink (testing) or a
     * parquet sink (production shape): returns the query handle. */
   def startToMemory(agg: DataFrame, name: String): StreamingQuery =
