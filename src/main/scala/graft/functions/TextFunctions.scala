@@ -100,6 +100,29 @@ object TextFunctions {
   def tokenHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * non-space symbols — the pre-tokenization pass of byte-pair encoders
+    * (contraction splitting omitted: the char classes below behave
+    * identically in Java regex and RE2, which keeps the DuckDB oracle
+    * exact). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def nBpeTokens(text: Column): Column = size(bpeTokens(text))
+
+  /** Winnowing document fingerprints (the rolling-hash fingerprint
+    * scheme): hash every character k-gram of the normalized text, keep
+    * each w-window's minimum hash — a deterministic ~2/(w+1) sample of
+    * positions robust to insertions/reordering. Implemented as a native
+    * per-row Expression ([[graft.functions.WinnowFingerprints]]): the
+    * higher-order-function formulation re-evaluates the normalization
+    * inside every lambda element (O(n²) interpreted). md5-derived hashes
+    * keep the DuckDB oracle exact. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    VectorExpressions.winnow(text, k, w)
+
   /** Word n-gram shingles (space-joined) of the text, as an array column.
     * Documents shorter than n tokens produce their full token string as the
     * single shingle (so no document silently vanishes from dedup). */

@@ -55,8 +55,81 @@ final case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing document fingerprints in one native per-row pass (a
+  * rolling-window selection over k-gram hashes): normalize, hash every
+  * char k-gram, keep each w-window's minimum, dedup. The higher-order
+  * function formulation recomputes the normalized string and the gram
+  * array inside every lambda element (O(n²) interpreted work per row);
+  * this expression is a single O(n·k) loop. md5-derived hashes keep the
+  * DuckDB oracle exact (same selection as a Rabin-Karp rolling hash —
+  * winnowing only cares about the per-gram hash values). */
+final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private def hash60(s: String): Long = {
+    val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits == high 60 bits, matching
+    // CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // normalization identical to lower(trim(text)) + regexp_replace(\s+," "):
+    // Spark's trim strips only ' ' — replicate exactly (String.trim would
+    // also strip control chars)
+    var a = 0; var b = raw.length
+    while (a < b && raw.charAt(a) == ' ') a += 1
+    while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+    val s = raw.substring(a, b).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+    val nGrams = math.max(s.length - (k - 1), 1)
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      grams(i) = hash60(s.substring(i, math.min(i + k, s.length)))
+      i += 1
+    }
+    val nWins = math.max(nGrams - (w - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nWins) {
+      var m = grams(j)
+      var x = j + 1
+      val end = math.min(j + w, nGrams)
+      while (x < end) { if (grams(x) < m) m = grams(x); x += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotp(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Native winnowing fingerprints (see [[WinnowFingerprints]]). */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
 }

@@ -120,6 +120,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) approximate kNN — the cell-probe scale path:
+    * `nlist` centroids (deterministic corpus sample — a k-means refinement
+    * would drop in here without changing the query path), every corpus
+    * vector assigned to its nearest centroid (one broadcast argmax pass),
+    * each query probing its `nprobe` nearest cells; exact cosine + top-k
+    * over the probed cells only. At 100 TB the corpus is *stored*
+    * partitioned by cell id, so a query reads nprobe/nlist of the data —
+    * the scan reduction LSH can't give. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      normalize(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      normalize(col("embedding")).as("qv"))
+    // deterministic centroid sample: every (n/nlist)-th vector by id rank
+    val n = corpus.count()
+    val step = math.max(n / nlist, 1L)
+    val cents = c.withColumn("rk",
+        row_number().over(Window.orderBy(col("neighbor_id"))))
+      .filter((col("rk") - 1) % step === 0).limit(nlist)
+      .select(col("neighbor_id").as("cent_id"), col("cv").as("centv"))
+
+    def assign(df: DataFrame, vec: String, out: String, top: Int): DataFrame = {
+      val w = Window.partitionBy(df.columns.head)
+        .orderBy(col("sim").desc, col("cent_id").asc)
+      df.join(broadcast(cents), expr("true"))
+        .withColumn("sim", dotp(col(vec), col("centv")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= top)
+        .drop("sim", "r", "centv")
+        .withColumnRenamed("cent_id", out)
+    }
+
+    val assigned = assign(c, "cv", "cell", 1)
+    val probed = assign(q, "qv", "cell", nprobe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotp(col("qv"), col("cv")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
     * threshold. Exact (cross-join) form — at scale, bucket with
     * [[lshBucket]] first exactly like [[lshKnn]]. */

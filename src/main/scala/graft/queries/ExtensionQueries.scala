@@ -358,6 +358,47 @@ object ExtensionQueries {
       |FROM lineitem GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q28 — winnowing document fingerprints (rolling-hash scheme)
+  // -------------------------------------------------------------------
+  def q28(s: SparkSession, dir: String): DataFrame =
+    sorted(docs(s, dir).select(col("doc_id"),
+      explode(TextFunctions.winnowFingerprints(col("text"), k = 8, w = 4))
+        .as("fp")))
+
+  val q28Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |         [CAST(concat('0x', substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+      |          FOR i IN range(1, greatest(length(norm) - 7, 1) + 1)] AS grams
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id,
+      |         list_distinct([list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])
+      |                        FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+      |  FROM g
+      |)
+      |SELECT doc_id, unnest(fps) AS fp FROM m
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q29 — BPE-ish regex token counting vs whitespace tokens
+  // -------------------------------------------------------------------
+  def q29(s: SparkSession, dir: String): DataFrame =
+    sorted(docs(s, dir).select(col("doc_id"),
+      TextFunctions.nBpeTokens(col("text")).as("n_bpe"),
+      TextFunctions.nTokens(col("text")).as("n_ws")))
+
+  val q29Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe,
+      |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws
+      |FROM documents
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -371,6 +412,8 @@ object ExtensionQueries {
     ("q24_events_tumbling", q24 _, q24Sql),
     ("q25_sessionize", q25 _, q25Sql),
     ("q26_from_table", q26 _, q26Sql),
-    ("q27_count_distinct", q27 _, q27Sql)
+    ("q27_count_distinct", q27 _, q27Sql),
+    ("q28_winnow_fingerprint", q28 _, q28Sql),
+    ("q29_token_bpe", q29 _, q29Sql)
   )
 }

@@ -48,6 +48,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("IVF kNN recall against brute force") {
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteKnn(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(q, emb, 5, nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     val two = emb.limit(2).collect()
