@@ -65,6 +65,59 @@ object EventsStreaming {
     t
   }
 
+  /** Sliding-window variant: overlapping windows of `width` every `slide`
+    * (each event lands in width/slide windows via the native Expand). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes",
+                    lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stream-to-cube ingestion (SURVEY §7.1 step 7): run the watermarked
+    * windowed aggregation into an append-only parquet sink, then expose
+    * the sink as a [[graft.model.DataCube]] whose time dimension is the
+    * window start (year/date/hour hierarchy) and whose other dimension is
+    * the event type. The returned query handle drives ingestion; call
+    * [[cubeFromSink]] any time for the current cube. */
+  def startToCubeSink(agg: DataFrame, sinkDir: String,
+                      checkpointDir: String): StreamingQuery =
+    agg.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  def cubeFromSink(spark: SparkSession, sinkDir: String): graft.model.DataCube = {
+    import graft.model._
+    import scala.collection.immutable.ListMap
+    val sink = spark.read.parquet(sinkDir)
+      .withColumn("w_date", to_date(col("window_start")))
+      .withColumn("w_hour", hour(col("window_start")))
+    val timeDim = sink.select("window_start").distinct()
+      .withColumn("w_date", to_date(col("window_start")))
+      .withColumn("w_hour", hour(col("window_start")))
+      .withColumn("w_year", year(col("window_start")))
+    DataCube.build(
+      Fact.build(sink, Seq("window_start", "event_type"),
+        Seq(Measure.sum("n_events", "n_events"),
+          Measure.sum("sum_value", "sum_value"))),
+      Seq(
+        Dimension.build("time", "window_start",
+          ListMap("daily" -> Hierarchy(
+            "w_year" -> Seq.empty, "w_date" -> Seq.empty,
+            "w_hour" -> Seq.empty, "window_start" -> Seq.empty)),
+          timeDim),
+        Dimension.build("type", "event_type",
+          ListMap("default" -> Hierarchy.flat("event_type")),
+          sink.select("event_type").distinct())))
+  }
+
   /** Custom sessionization state machine via mapGroupsWithState: per-user
     * state {start, end, n, total} in epoch micros; a gap beyond
     * `gapMinutes` closes the session and emits it. Event-time timeout

@@ -39,6 +39,42 @@ class StreamingSpec extends SparkSpec {
     assert(a.except(batch).count() == 0 && batch.except(a).count() == 0)
   }
 
+  test("stream-to-cube: windowed sink queried as a navigable cube") {
+    import graft.query.dsl._
+    val sink = java.nio.file.Files.createTempDirectory("cube_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cube_ckpt").toString
+    val stream = EventsStreaming.readEvents(spark, streamDir)
+    // Append mode requires watermark-closed windows; AvailableNow closes
+    // all but the tail when the stream drains
+    val agg = EventsStreaming.windowedCounts(stream, "1 hour", "1 minute")
+    val q = EventsStreaming.startToCubeSink(agg, sink, ckpt)
+    q.awaitTermination(120000)
+    val cube = EventsStreaming.cubeFromSink(spark, sink)
+    assert(cube.dimensions.keySet == Set("time", "type"))
+    val byType = cube.q(dim("time").collapse())
+    val counts = byType.fact.data.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum > 0)
+    // cube totals match the batch aggregation over the same closed windows
+    val batch = Events.tumbling(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "1 hour")
+    val sinkWindows = spark.read.parquet(sink)
+      .select("window_start").distinct().count()
+    assert(sinkWindows > 0 && sinkWindows <= batch.select("window_start").distinct().count())
+  }
+
+  test("sliding windows produce width/slide overlapping windows") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val slid = EventsStreaming.slidingCounts(ev, "1 hour", "30 minutes")
+    val tumb = EventsStreaming.windowedCounts(ev, "1 hour")
+    // each event lands in 2 sliding windows -> total events double
+    val sSum = slid.agg(sum("n_events")).head().getLong(0)
+    val tSum = tumb.agg(sum("n_events")).head().getLong(0)
+    assert(sSum == 2 * tSum)
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
