@@ -190,7 +190,7 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     var df = fact.data
     subsetted.foreach { case (n, d) =>
       if (!byDim.contains(n))
-        df = df.join(broadcast(d.keyValues), Seq(d.key), "left_semi")
+        df = df.join(Joins.maybeBroadcast(d.keyValues), Seq(d.key), "left_semi")
     }
     byDim.foreach { case (n, attrs) =>
       val d = current(n)
@@ -199,9 +199,9 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
         val proj = d.denormalized
           .select((d.key +: needed).map(col): _*).dropDuplicates(Seq(d.key))
         val joinType = if (subsetted.contains(n)) "inner" else "left"
-        df = df.join(broadcast(proj), Seq(d.key), joinType)
+        df = df.join(Joins.maybeBroadcast(proj), Seq(d.key), joinType)
       } else if (subsetted.contains(n)) {
-        df = df.join(broadcast(d.keyValues), Seq(d.key), "left_semi")
+        df = df.join(Joins.maybeBroadcast(d.keyValues), Seq(d.key), "left_semi")
       }
     }
     val agg = Fact.aggregate(df, by, measures)
@@ -304,7 +304,7 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
         .filterNot(df.columns.contains) // collision check (R/data.table.R:92-101)
       if (attrs.isEmpty) df
       else df.join(
-        broadcast(d.denormalized.select((d.key +: attrs).map(col): _*)
+        Joins.maybeBroadcast(d.denormalized.select((d.key +: attrs).map(col): _*)
           .dropDuplicates(Seq(d.key))),
         Seq(d.key), "left")
     }
