@@ -68,10 +68,17 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     }
 
     // Dimension phase (R/data.cube.R:251-262): subset each filtered
-    // dimension; its surviving key set feeds the fact filter.
-    val subsetted: Map[String, Dimension] = byDim.collect {
-      case (n, op) if op.filters.nonEmpty => n -> dimension(n).subset(op.filters)
-    }
+    // dimension (value filters and/or positional slices); its surviving
+    // key set feeds the fact filter.
+    val posByDim: Map[String, Seq[Int]] =
+      exprs.collect { case e if e.positions.nonEmpty => e.name -> e.positions }.toMap
+    val subsetted: Map[String, Dimension] =
+      exprs.collect {
+        case e if e.op.filters.nonEmpty || e.positions.nonEmpty =>
+          val d0 = dimension(e.name)
+          val d1 = if (e.positions.nonEmpty) d0.subsetPositions(e.positions) else d0
+          e.name -> (if (e.op.filters.nonEmpty) d1.subset(e.op.filters) else d1)
+      }.toMap
     val keySets: Map[String, DataFrame] = subsetted.map { case (n, d) =>
       d.key -> d.keyValues
     }
@@ -88,7 +95,11 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
         val keyFilter = byDim(n).filters.get(d.key)
         val drops = keyFilter match {
           case Some(vs) => vs.distinct.size == 1 // pinned by the user
-          case None     => d.keyValues.limit(2).count() == 1
+          case None => posByDim.get(n) match {
+            case Some(ps) if byDim(n).filters.isEmpty =>
+              ps.distinct.size == 1 // pinned to one position
+            case _ => d.keyValues.limit(2).count() == 1
+          }
         }
         if (drops) Some(n) else None
       }.flatten.toSet
@@ -118,15 +129,15 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
   private def rollupQuery(exprs: Seq[DimExpr], drop: Boolean): DataCube = {
     val selectPart = exprs.map { e =>
       e.op match {
-        case DimOp.Rollup(fs, _) => DimExpr(e.name, DimOp.Select(fs))
-        case DimOp.CubeOp(fs, _) => DimExpr(e.name, DimOp.Select(fs))
-        case other               => DimExpr(e.name, other)
+        case DimOp.Rollup(fs, _) => e.copy(op = DimOp.Select(fs))
+        case DimOp.CubeOp(fs, _) => e.copy(op = DimOp.Select(fs))
+        case _                   => e
       }
     }
     val sliced = q(selectPart, drop = false)
     val rollDims = exprs.collect {
-      case DimExpr(n, r: DimOp.Rollup) => (n, r.levels, false)
-      case DimExpr(n, c: DimOp.CubeOp) => (n, c.levels, true)
+      case DimExpr(n, r: DimOp.Rollup, _) => (n, r.levels, false)
+      case DimExpr(n, c: DimOp.CubeOp, _) => (n, c.levels, true)
     }
     val anyCube = rollDims.exists(_._3)
     // Grouping columns: explicit levels, else the first hierarchy's level

@@ -125,6 +125,27 @@ final case class Dimension(
     copy(levels = newLevels, data = filteredBase)
   }
 
+  /** Positional slice (array-compat `ar[2,,]` — reference R/level.R:38-41):
+    * 1-based positions into the key values in ascending key order.
+    * Lazy: row_number over the sorted (small) key set + semi-join — no
+    * driver collect. The global-order window funnels the key set through
+    * one partition, which is fine dimension-side. */
+  def subsetPositions(positions: Seq[Int]): Dimension = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = keyValues.withColumn("__pos",
+      row_number().over(Window.orderBy(col(key).asc)))
+    val picked = ranked
+      .filter(col("__pos").isin(positions.map(Integer.valueOf): _*))
+      .select(key)
+    val filteredBase = data.join(Joins.maybeBroadcast(picked), Seq(key), "left_semi")
+    val newLevels = levels.map { case (lk, lvl) =>
+      lk -> lvl.copy(data = lvl.data.join(
+        Joins.maybeBroadcast(filteredBase.select(lk).distinct()),
+        Seq(lk), "left_semi"))
+    }
+    copy(levels = newLevels, data = filteredBase)
+  }
+
   /** Re-grain this dimension to the given attribute columns — used when a
     * query groups by hierarchy attributes: the result cube's dimension is
     * the projection to those attributes, dedup'd, keyed by the first

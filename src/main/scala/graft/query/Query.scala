@@ -29,7 +29,8 @@ object DimOp {
 }
 
 /** Builder sugar: `dim("time").where("time_year" -> Seq(2014)).collapse()`. */
-final case class DimExpr(name: String, op: DimOp) {
+final case class DimExpr(name: String, op: DimOp,
+                         positions: Seq[Int] = Seq.empty) {
   def where(fs: (String, Seq[Any])*): DimExpr = {
     val merged = op.filters ++ fs.toMap
     val newOp = op match {
@@ -40,6 +41,11 @@ final case class DimExpr(name: String, op: DimOp) {
     }
     copy(op = newOp)
   }
+  /** Positional slice — the array-compatible `ar[2,,]` path
+    * (R/level.R:38-41): 1-based positions into the dimension's key values
+    * in sorted key order. Resolved lazily (row_number over sorted keys +
+    * semi-join), no driver collect. */
+  def at(ps: Int*): DimExpr = copy(positions = positions ++ ps)
   def collapse(): DimExpr = copy(op = DimOp.Collapse(op.filters))
   def rollup(levels: String*): DimExpr =
     copy(op = DimOp.Rollup(op.filters, levels))

@@ -167,6 +167,34 @@ class ModelSpec extends SparkSpec {
     assert(m == Map("a" -> 15.0, "b" -> 7.0))
   }
 
+  test("positional slice: at(2) picks the 2nd sorted key and drops") {
+    val c = miniCube
+    // sorted keys of dim one with fact rows: 1, 2, 3 -> position 2 = key 2
+    val r = c.q(Seq(dim("one").at(2)), drop = false)
+    val keys = r.fact.data.select("k").distinct().collect().map(_.getInt(0))
+    assert(keys.toSeq == Seq(2))
+    // single position + drop=true removes the dimension
+    val dropped = c.q(dim("one").at(2))
+    assert(!dropped.dimensions.contains("one"))
+    // multiple positions keep it
+    val kept = c.q(dim("one").at(1, 3))
+    assert(kept.dimensions.contains("one"))
+    val ks = kept.fact.data.select("k").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(ks.toSeq == Seq(1, 3))
+  }
+
+  test("degenerate cubes: zero id.vars is a grand-total scalar cube") {
+    import spark.implicits._
+    val fact = Seq((1, 2.0), (2, 3.0)).toDF("k", "v")
+    // no dimension matches the fact key -> key dropped, 0-dim cube
+    val cube = DataCube.build(
+      Fact.build(fact, Seq.empty, Seq(Measure.sum("v", "sum_v"))), Seq.empty)
+    assert(cube.dimensions.isEmpty)
+    assert(cube.fact.data.count() == 1)
+    assert(cube.fact.data.head().getDouble(0) == 5.0)
+  }
+
   test("na.rm=FALSE poison semantics (SURVEY §7.3)") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("b", Some(2.0)))
