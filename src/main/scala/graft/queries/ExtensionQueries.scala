@@ -399,6 +399,34 @@ object ExtensionQueries {
       |FROM documents
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q30 — JSON scalar functions over the events props column
+  // -------------------------------------------------------------------
+  def q30(s: SparkSession, dir: String): DataFrame =
+    sorted(events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count("*").as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k")))
+
+  val q30Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q31 — approx_count_distinct (HLL++): no cross-engine oracle possible
+  //       (different sketch algorithms) -> rows-only check by design
+  // -------------------------------------------------------------------
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val denorm = Tpch.cube(s, dir).denormalize(dims = Seq("date"))
+    sorted(denorm.groupBy("d_year")
+      .agg(approx_count_distinct(col("o_orderkey"), 0.01).as("approx_orders")))
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -414,6 +442,8 @@ object ExtensionQueries {
     ("q26_from_table", q26 _, q26Sql),
     ("q27_count_distinct", q27 _, q27Sql),
     ("q28_winnow_fingerprint", q28 _, q28Sql),
-    ("q29_token_bpe", q29 _, q29Sql)
+    ("q29_token_bpe", q29 _, q29Sql),
+    ("q30_json_props", q30 _, q30Sql),
+    ("q31_approx_distinct", q31 _, null) // rows-only: HLL sketches differ per engine
   )
 }
