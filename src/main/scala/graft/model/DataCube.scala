@@ -330,6 +330,16 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
   def dimCardinalities: Map[String, Long] =
     dimensions.map { case (n, d) => n -> d.keyValues.count() }
 
+  /** Register the star schema as temp views for plain Spark SQL interop:
+    * `<prefix>fact` plus one denormalized view per dimension. A data.cube
+    * user gets the cube API; a SQL user gets `spark.sql("SELECT ... FROM
+    * graft_fact JOIN graft_part ...")` over the same (cached) plans. */
+  def createViews(prefix: String = "graft_"): Unit = {
+    fact.data.createOrReplaceTempView(s"${prefix}fact")
+    dimensions.values.foreach(d =>
+      d.denormalized.createOrReplaceTempView(s"$prefix${d.name}"))
+  }
+
   /** Per-table row/column stats — the reference's `schema()` introspection
     * (R/schema.R:2-11, R/data.cube.R:111-116). */
   def describe(): Seq[(String, Long, Int)] = {

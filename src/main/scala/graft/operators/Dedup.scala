@@ -35,10 +35,16 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count("*").as("n_dups"))
 
-  /** Distinct (doc, shingle) pairs — the inverted-index input. */
+  /** Distinct (doc, shingle-hash) pairs — the inverted-index input. The
+    * shingle is hashed to a long immediately (codegen'd xxhash64): every
+    * downstream shuffle/join moves 8-byte keys instead of multi-word
+    * strings, and set intersections/min-hashes only need equality. At
+    * ~2⁻⁶⁴ pair-collision probability the Jaccard counts are exact for
+    * any realistic corpus. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
       .distinct()
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted shingle index:

@@ -427,6 +427,47 @@ object ExtensionQueries {
       .agg(approx_count_distinct(col("o_orderkey"), 0.01).as("approx_orders")))
   }
 
+  // -------------------------------------------------------------------
+  // q32 — sliding windows (1h width, 30m slide): every event lands in
+  //       exactly width/slide = 2 windows; the oracle spells that out as
+  //       a UNION ALL of two shifted time_buckets
+  // -------------------------------------------------------------------
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("value", col("value").cast("decimal(14,2)"))
+    sorted(graft.streaming.EventsStreaming.slidingCounts(ev, "1 hour", "30 minutes",
+      lateness = "0 seconds")
+      .drop("window_end")
+      .withColumn("sum_value", col("sum_value").cast("double")))
+  }
+
+  val q32Sql: String =
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM events
+      |)
+      |SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM b GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q33 — SQL interop: the cube's views queried with plain Spark SQL
+  // -------------------------------------------------------------------
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    Tpch.cube(s, dir).createViews("graft_")
+    sorted(s.sql(
+      """SELECT p.p_type, SUM(f.sum_qty) AS sum_qty, CAST(SUM(f.n) AS BIGINT) AS n
+        |FROM graft_fact f JOIN graft_part p USING (p_partkey)
+        |GROUP BY 1""".stripMargin))
+  }
+
+  val q33Sql: String =
+    """SELECT p_type, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -444,6 +485,8 @@ object ExtensionQueries {
     ("q28_winnow_fingerprint", q28 _, q28Sql),
     ("q29_token_bpe", q29 _, q29Sql),
     ("q30_json_props", q30 _, q30Sql),
-    ("q31_approx_distinct", q31 _, null) // rows-only: HLL sketches differ per engine
+    ("q31_approx_distinct", q31 _, null), // rows-only: HLL sketches differ per engine
+    ("q32_events_sliding", q32 _, q32Sql),
+    ("q33_sql_views", q33 _, q33Sql)
   )
 }
