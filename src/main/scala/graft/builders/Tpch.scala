@@ -149,10 +149,15 @@ object Tpch {
 
   private def build(spark: SparkSession, dir: String): DataCube = {
     val fact = Fact.build(factInput(spark, dir), idVars, measures)
+    // date dim from a 1-column pruned scan of the raw file, NOT from
+    // fact.data: deriving it from the fact serializes its (cached)
+    // materialization behind the grain aggregation; as an independent
+    // subtree it runs in parallel with the fact stages
     val c = DataCube.build(fact, Seq(
       orderDim(spark, dir), partDim(spark, dir),
       supplierDim(spark, dir),
-      dateDimFrom(fact.data.select("d_date").distinct())))
+      dateDimFrom(table(spark, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("d_date")).distinct())))
     if (!sys.env.contains("SPARK_GRAFT_NO_CACHE")) {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // lazy materialization: caches fill as the first query's stages run
