@@ -330,6 +330,19 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
   def dimCardinalities: Map[String, Long] =
     dimensions.map { case (n, d) => n -> d.keyValues.count() }
 
+  /** First n denormalized rows — `head(cube)` (R/data.cube.R:117-119). */
+  def head(n: Int = 6): Array[org.apache.spark.sql.Row] = toDF.take(n)
+
+  /** The key values of every dimension — `dimnames(cube)`
+    * (R/dimension.R:116-129); driver-side, dimension-sized. */
+  def dimnames: Map[String, Seq[Any]] =
+    dimensions.map { case (n, d) =>
+      n -> d.keyValues.orderBy(col(d.key).asc).collect().map(_.get(0)).toSeq
+    }
+
+  /** Fact row count — `length(cube)` (R/data.cube.R:77-119). */
+  def length: Long = fact.data.count()
+
   /** Register the star schema as temp views for plain Spark SQL interop:
     * `<prefix>fact` plus one denormalized view per dimension. A data.cube
     * user gets the cube API; a SQL user gets `spark.sql("SELECT ... FROM

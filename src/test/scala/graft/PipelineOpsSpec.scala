@@ -93,6 +93,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f1.zip(f2).forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("multimodal features compose with similarity search end-to-end") {
+    // decode (stub) -> feature vectors -> brute kNN over them: the full
+    // media-dedup pipeline shape with only the codec faked
+    val media = Multimodal.syntheticMedia(spark, 40)
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val q = feats.filter(col("vec_id") < 2)
+    val knn = Similarity.bruteKnn(q, feats, k = 3)
+    val rows = knn.collect()
+    assert(rows.length == 2 * 3)
+    assert(rows.forall(_.getInt(2) <= 3)) // rank column
+  }
+
   test("frame sampling explodes only videos with monotone offsets") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, 4)
