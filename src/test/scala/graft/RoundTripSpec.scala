@@ -98,4 +98,25 @@ class RoundTripSpec extends SparkSpec {
     assert(wide.columns.toSet == Set("time_year", "crypto", "fiat"))
     assert(wide.count() == 2) // 2013, 2014
   }
+
+  test("pivotMulti concatenates column keys (year ~ type + region)") {
+    val agg = star.aggregate(Seq("time_year", "curr_type", "geog_region_name"))
+      .fact.data
+    val wide = CubeIO.pivotMulti(agg, Seq("time_year"),
+      Seq("curr_type", "geog_region_name"), Seq("amount"))
+    assert(wide.columns.contains("crypto_West"))
+    assert(wide.count() == 2)
+  }
+
+  test("introspection: head, dimnames, length, describe") {
+    val small = star.aggregate(Seq("curr_type", "geog_region_name"))
+    assert(small.head(3).length == 3)
+    val dn = small.dimnames
+    assert(dn("currency") == Seq("crypto", "fiat"))
+    assert(dn("geography").toSet == Set("Midwest", "Northeast", "South", "West"))
+    assert(small.length == small.fact.data.count())
+    val desc = small.describe()
+    assert(desc.exists(_._1 == "fact") &&
+      desc.exists(_._1.startsWith("dimension:")))
+  }
 }
