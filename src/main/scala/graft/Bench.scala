@@ -19,7 +19,8 @@ object Bench {
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // heap comes from build.sbt's -Xmx (SPARK_DRIVER_MEM, default 32g);
+      // spark.driver.memory set here post-JVM-start would be a no-op
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run every query once at the smallest SF. The schemas are
@@ -39,10 +40,13 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f interpolator is locale-sensitive and a
+    // comma-decimal default locale would emit unparseable JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,14 @@ object CubeIO {
     */
   def toDenseArray(cube: DataCube, measure: String,
                    maxCells: Long = 10000000L): (Seq[Seq[Any]], Array[Double]) = {
+    // one dimension per fact key, in key order — a regrained cube whose
+    // fact is keyed by several attributes of one dimension has no dense
+    // array shape (the reference's as.array has the same precondition)
+    require(cube.dimensions.size == cube.fact.idVars.size &&
+      cube.dimensions.values.map(_.key).toSeq == cube.fact.idVars,
+      s"dense export needs one dimension per fact key in key order; " +
+        s"fact keys ${cube.fact.idVars.mkString(",")} vs dimension keys " +
+        cube.dimensions.values.map(_.key).mkString(","))
     val dimKeys: Seq[Seq[Any]] = cube.dimensions.values.toSeq.map { d =>
       d.keyValues.orderBy(col(d.key).asc).collect().map(_.get(0)).toSeq
     }

@@ -31,9 +31,12 @@ object Joins {
       case s => s.toLong
     }
     if (threshold <= 0) return df // broadcasting disabled
+    // NOTE: reading stats analyzes+optimizes the dimension subplan on the
+    // driver at composition time — acceptable for dimension-sized plans,
+    // and the alternative (no guard) risks forced-broadcast OOM.
     val estimate =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case _: Throwable => BigInt(Long.MaxValue) }
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     if (estimate <= BigInt(threshold) * Slack) broadcast(df) else df
   }
 }

@@ -112,7 +112,10 @@ object Dedup {
                  shinglesDf: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, k, shinglesDf)
+    // build the shingle index once: signatures AND verification reuse it
+    // (otherwise the dominant tokenize+hash+distinct pass runs twice)
+    val shIdx = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
+    val sig = minhashSignatures(docs, idCol, textCol, n, k, Some(shIdx))
     // band column: array of the band's r mins (join key per band)
     val bandRows = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
@@ -124,7 +127,7 @@ object Dedup {
       .select("i", "j").distinct()
 
     // exact verification of candidates only
-    val sh = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
+    val sh = shIdx
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
     // join the second side on (doc, shingle) so only matching shingles
     // survive the join (a join on doc alone would fan out to

@@ -45,7 +45,8 @@ object Events {
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L,
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapMinutes * 60L * 1000000L,
           1).otherwise(0))
       .withColumn("session_no", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -134,12 +134,14 @@ object Similarity {
       normalize(col("embedding")).as("cv"))
     val q = queries.select(col("vec_id").as("query_id"),
       normalize(col("embedding")).as("qv"))
-    // deterministic centroid sample: every (n/nlist)-th vector by id rank
+    // deterministic centroid sample by id hash — no global sort/window
+    // (a row_number over an unpartitioned window would funnel the whole
+    // corpus through one task, the opposite of the scale path)
     val n = corpus.count()
     val step = math.max(n / nlist, 1L)
-    val cents = c.withColumn("rk",
-        row_number().over(Window.orderBy(col("neighbor_id"))))
-      .filter((col("rk") - 1) % step === 0).limit(nlist)
+    val cents = c
+      .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
+      .limit(nlist)
       .select(col("neighbor_id").as("cent_id"), col("cv").as("centv"))
 
     def assign(df: DataFrame, vec: String, out: String, top: Int): DataFrame = {

@@ -143,14 +143,18 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   /** Shared DuckDB shingle CTE (3-gram, distinct per doc) — the oracle
-    * counterpart of Dedup.docShingles. All fixture docs have ≥ 10 tokens,
-    * so the short-doc fallback branch never fires here. */
+    * counterpart of Dedup.docShingles, including the short-doc fallback
+    * (documents with < n tokens contribute their full token string as the
+    * single shingle, so no document vanishes from dedup). */
   private val shingleCte: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
       |), sizes AS (
       |  SELECT doc_id, count(*) n FROM sh GROUP BY 1
       |), pairs AS (
@@ -304,7 +308,7 @@ object ExtensionQueries {
     """WITH m AS (
       |  SELECT user_id, ts, value,
       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |), g AS (

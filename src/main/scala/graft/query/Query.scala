@@ -44,7 +44,11 @@ final case class DimExpr(name: String, op: DimOp,
   /** Positional slice — the array-compatible `ar[2,,]` path
     * (R/level.R:38-41): 1-based positions into the dimension's key values
     * in sorted key order. Resolved lazily (row_number over sorted keys +
-    * semi-join), no driver collect. */
+    * semi-join), no driver collect. DIVERGENCE from R arrays: an
+    * out-of-range position yields an empty result, not a subscript error —
+    * erroring would require a blocking cardinality check at composition
+    * time; this matches the engine's F5 semantics where unmatched filter
+    * values silently select nothing. */
   def at(ps: Int*): DimExpr = copy(positions = positions ++ ps)
   def collapse(): DimExpr = copy(op = DimOp.Collapse(op.filters))
   def rollup(levels: String*): DimExpr =

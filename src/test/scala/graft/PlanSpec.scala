@@ -40,7 +40,8 @@ class PlanSpec extends SparkSpec {
     // measures (that would be the redundant re-aggregation shuffle).
     // Cut the cached-build subtree (below InMemoryRelation) before
     // checking.
-    val above = p.substring(0, p.indexOf("InMemoryRelation"))
+    val cut = p.indexOf("InMemoryRelation")
+    val above = if (cut >= 0) p.substring(0, cut) else p
     assert(!above.contains("HashAggregate"),
       s"filter-only subset should not aggregate the fact:\n$p")
   }
