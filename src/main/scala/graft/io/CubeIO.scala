@@ -95,6 +95,21 @@ object CubeIO {
     (dimKeys, flat)
   }
 
+  /** Persist the fact bucketed by a key column (sorted within buckets):
+    * two tables bucketed the same way join/aggregate on that key with NO
+    * shuffle — the co-location technique that matters most at 100 TB,
+    * where re-shuffling the fact dominates every query. Bucketed writes
+    * go through the session catalog (`saveAsTable`), so callers name the
+    * table; read back with `spark.table(name)`. */
+  def saveFactBucketed(cube: DataCube, tableName: String, bucketKey: String,
+                       buckets: Int): Unit =
+    cube.fact.data.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Persist the star schema as parquet: fact + one directory per
     * dimension flat table, plus a tiny JSON of the metadata. */
   def saveStar(cube: DataCube, path: String): Unit = {

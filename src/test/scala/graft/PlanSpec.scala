@@ -57,6 +57,29 @@ class PlanSpec extends SparkSpec {
       s"columns not pruned at the scan:\n$p")
   }
 
+  test("bucketed fact tables join without a shuffle") {
+    import graft.io.CubeIO
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      CubeIO.saveFactBucketed(cube, "bucketed_fact_a", "o_orderkey", 4)
+      CubeIO.saveFactBucketed(cube, "bucketed_fact_b", "o_orderkey", 4)
+      val a = spark.table("bucketed_fact_a")
+      val b = spark.table("bucketed_fact_b").select("o_orderkey", "n")
+        .groupBy("o_orderkey").agg(sum("n").as("n_b"))
+      val joined = a.join(b, "o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      // same bucketing on both sides: sort-merge join with zero Exchange
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bucketed_fact_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_fact_b")
+    }
+  }
+
   test("rollup is one Expand pass, not a union of aggregations") {
     val r = cube.rollupFlat(Seq("d_year", "d_quarter", "d_month"))
     val p = plan(r)
