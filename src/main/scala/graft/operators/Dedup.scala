@@ -63,7 +63,9 @@ object Dedup {
       case None => sh
       case Some(cap) =>
         val df = sh.groupBy("s").agg(count("*").as("df")).filter(col("df") <= cap)
-        sh.join(df.select("s"), Seq("s"), "left_semi")
+        // the semi-join moves the join key first; restore (doc_id, s)
+        // order — the downstream toDF("i", "s") renames POSITIONALLY
+        sh.join(df.select("s"), Seq("s"), "left_semi").select("doc_id", "s")
     }
     val sizes = filtered.groupBy("doc_id").agg(count("*").as("sz"))
     val a = filtered.toDF("i", "s")

@@ -27,6 +27,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p1.forall(_.getInt(2) <= 3))
   }
 
+  test("jaccard maxDf cap drops hot shingles but keeps true near-dups") {
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a generous cap keeps every planted near-dup pair (hot shingles are
+    // the quadratic-fan-out ones, shared by many docs, not the near-dup
+    // signal)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDf = Some(50))
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+    // an absurd cap of 1 kills all sharing -> no pairs at all
+    val killed = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDf = Some(1)).count()
+    assert(killed == 0)
+  }
+
   test("exact dedup keeps one winner per fingerprint") {
     import spark.implicits._
     val withDup = docs.select("doc_id", "text").unionByName(

@@ -48,6 +48,18 @@ class SourcesAggregatorsSpec extends SparkSpec {
     assert(back.filter($"id" === 1).head().getDouble(2) == 2.5)
   }
 
+  test("json source round trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("json_src").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+      .write.mode("overwrite").json(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING")
+    val back = Sources.read(spark, dir, "json", Some(schema))
+    assert(back.count() == 2)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
   test("extractDimension: cranlogs surrogate-key ETL pattern") {
     import spark.implicits._
     val fact = Seq(("r", "linux", 1.0), ("r", "mac", 2.0), ("py", "linux", 3.0))
