@@ -84,10 +84,19 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     }
 
     // Drop decision (R/data.cube.R:264-272): a sliced dimension drops when
-    // `drop` is on, the user filtered it, and the filter pins the key to a
-    // single value — "filtered with 2+ values never drops". We decide from
-    // the filter spec when it targets the key directly (no Spark action);
-    // otherwise we count the filtered key set (dimension-side, small).
+    // `drop` is on, the user filtered it, and the filter spec pins the key
+    // to a single value (or a single position) — "filtered with 2+ values
+    // never drops". The decision is made from the filter spec ALONE so that
+    // composing a query never runs a Spark job (zero-job composition law,
+    // asserted by PlanSpec's listener test) — at 100 TB an order-grain
+    // dimension would otherwise pay a real job per composed query. Two
+    // documented divergences from the reference, which counts the keys that
+    // actually survive (length(dimkeys)==1, R/data.cube.R:266-270):
+    //  - a key pinned to a value that matches NOTHING still drops the axis
+    //    here (empty 0-axis cube); the reference keeps the empty axis;
+    //  - an attribute filter that happens to leave exactly one key does NOT
+    //    drop here; the reference drops. Slice by key value or position to
+    //    get array-drop behavior.
     val collapsed = byDim.collect { case (n, _: DimOp.Collapse) => n }.toSet
     val dropped: Set[String] =
       if (!drop) Set.empty
@@ -95,11 +104,9 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
         val keyFilter = byDim(n).filters.get(d.key)
         val drops = keyFilter match {
           case Some(vs) => vs.distinct.size == 1 // pinned by the user
-          case None => posByDim.get(n) match {
-            case Some(ps) if byDim(n).filters.isEmpty =>
-              ps.distinct.size == 1 // pinned to one position
-            case _ => d.keyValues.limit(2).count() == 1
-          }
+          case None =>
+            byDim(n).filters.isEmpty &&
+              posByDim.get(n).exists(_.distinct.size == 1) // one position
         }
         if (drops) Some(n) else None
       }.flatten.toSet

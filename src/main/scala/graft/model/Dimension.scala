@@ -113,14 +113,15 @@ final case class Dimension(
       if (fs.keySet.subsetOf(base.columns.toSet))
         base.filter(Level.conjunction(fs))
       else
-        base.join(broadcast(lvl.subset(fs).data.select(lk).distinct()),
+        base.join(Joins.maybeBroadcast(lvl.subset(fs).data.select(lk).distinct()),
           Seq(lk), "left_semi")
     }
 
     // Re-derive every level from the filtered base (R/dimension.R:84-87).
     val newLevels = levels.map { case (lk, lvl) =>
       lk -> lvl.copy(data = lvl.data.join(
-        broadcast(filteredBase.select(lk).distinct()), Seq(lk), "left_semi"))
+        Joins.maybeBroadcast(filteredBase.select(lk).distinct()),
+        Seq(lk), "left_semi"))
     }
     copy(levels = newLevels, data = filteredBase)
   }
@@ -159,11 +160,13 @@ final case class Dimension(
 
   /** The flat, fully-denormalized dimension table: base joined with every
     * level's properties (what the legacy cube stores directly,
-    * R/cube.R:55-61). Level tables are small -> broadcast joins. Lazy val:
+    * R/cube.R:55-61). Level tables are usually small -> broadcast joins,
+    * but an order-grain level scales with the fact, so the hint goes
+    * through the size-guarded `Joins.maybeBroadcast` policy. Lazy val:
     * one shared DataFrame, so persisting it benefits every query. */
   lazy val denormalized: DataFrame =
     levels.values.filter(_.properties.nonEmpty).foldLeft(data) { (acc, lvl) =>
-      acc.join(broadcast(lvl.data), Seq(lvl.key), "left")
+      acc.join(Joins.maybeBroadcast(lvl.data), Seq(lvl.key), "left")
     }
 }
 

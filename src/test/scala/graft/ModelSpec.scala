@@ -99,12 +99,16 @@ class ModelSpec extends SparkSpec {
     assert(keptNoDrop.dimensions.contains("one"))
   }
 
-  test("attribute slice reducing to one key value also drops (counted path)") {
+  test("attribute slices never drop: the decision is spec-only (zero jobs)") {
     val c = miniCube
-    // attr=x matches only k=1 -> cardinality-1 -> dropped
+    // attr=x matches only k=1, but the drop decision reads the filter spec
+    // alone (documented divergence from the reference's survivor count) —
+    // composing must never run a Spark job, so the dimension is KEPT and
+    // correctly filtered to its single surviving key.
     val r = c.q(dim("one").where("attr" -> Seq("x")))
-    assert(!r.dimensions.contains("one"))
-    // attr=y matches k=2,3 -> kept
+    assert(r.dimensions.contains("one"))
+    assert(r.fact.data.select("k").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // attr=y matches k=2,3 -> kept too
     val r2 = c.q(dim("one").where("attr" -> Seq("y")))
     assert(r2.dimensions.contains("one"))
   }

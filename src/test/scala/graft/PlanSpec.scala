@@ -17,6 +17,23 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Node class names of the plan that actually RAN: recurse into AQE's
+    * final plans, materialized query stages, and cached relations — and
+    * skip the conservative "Initial Plan" sections that toString includes
+    * (a static SMJ that AQE upgraded at runtime is the intended posture,
+    * not a regression). */
+  private def runtimeNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec  => Seq(a.executedPlan)
+      case q: QueryStageExec         => Seq(q.plan)
+      case s: InMemoryTableScanExec  => Seq(s.relation.cachedPlan)
+      case other                     => other.children
+    }
+    p.getClass.getSimpleName +: kids.flatMap(runtimeNodes)
+  }
+
   private lazy val cube = Tpch.cube(spark, sfDir)
 
   test("dimension joins on the query path are broadcast, never sort-merge") {
@@ -24,10 +41,16 @@ class PlanSpec extends SparkSpec {
       dim("order").where("c_mktsegment" -> Seq("BUILDING")),
       dim("part").where("p_brand" -> Seq("Brand#1", "Brand#2"))
     ), drop = false).aggregate(Seq("p_brand", "d_year"))
-    val p = plan(q.fact.data)
-    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
-    assert(!p.contains("SortMergeJoin"),
-      s"fact-path dimension join degraded to sort-merge:\n$p")
+    // The static plan may conservatively start sort-merge when Catalyst's
+    // size estimate overshoots (the broadcast guard declines rather than
+    // risk a forced-broadcast OOM); AQE must then upgrade to broadcast at
+    // runtime from the REAL sizes — assert on the final adaptive plan.
+    val df = q.fact.data
+    df.collect()
+    val nodes = runtimeNodes(df.queryExecution.executedPlan)
+    assert(nodes.contains("BroadcastHashJoinExec"), "expected broadcast joins")
+    assert(!nodes.contains("SortMergeJoinExec"),
+      s"fact-path dimension join stayed sort-merge after AQE:\n${plan(df)}")
   }
 
   test("filter-only subset does not re-aggregate the fact") {
@@ -80,6 +103,89 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_fact_a")
       spark.sql("DROP TABLE IF EXISTS bucketed_fact_b")
     }
+  }
+
+  test("over-threshold key sets degrade to a shuffle join, never a forced broadcast") {
+    // The killer case at 100x: an order-grain dimension's key set scales
+    // WITH the fact; a forced broadcast() of it would OOM every executor.
+    // Joins.maybeBroadcast must leave oversized sets unhinted so Catalyst
+    // plans a shuffle join instead.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "256") // 256 B x 16 slack
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // lineitem's own key set stands in for an order-grain dimension:
+      // a key set that scales WITH the fact (~60k keys even at sf0.001)
+      val bigKeys = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"))
+      val big = fact.join(
+        graft.model.Joins.maybeBroadcast(bigKeys.distinct()), Seq("l_orderkey"), "left_semi")
+      assert(!big.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+        "over-threshold key set still carries a broadcast hint")
+      val pBig = plan(big)
+      assert(!pBig.contains("BroadcastHashJoin"),
+        s"over-threshold key set was still force-broadcast:\n$pBig")
+      // ... while a genuinely tiny key set still gets the broadcast hint
+      val tinyKeys = spark.read.parquet(s"$sfDir/region.parquet")
+        .select(col("r_regionkey").as("n_regionkey"))
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val small = nation.join(
+        graft.model.Joins.maybeBroadcast(tinyKeys.distinct()), Seq("n_regionkey"), "left_semi")
+      assert(small.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+        "under-threshold key set lost its broadcast hint")
+      val pSmall = plan(small)
+      assert(pSmall.contains("BroadcastHashJoin"),
+        s"under-threshold key set lost its broadcast join:\n$pSmall")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("queries stay correct when the broadcast policy degrades to shuffle joins") {
+    import graft.query.dsl._
+    val reference = cube.q(Seq(
+      dim("order").where("c_mktsegment" -> Seq("BUILDING"))), drop = false)
+      .aggregate(Seq("d_year")).fact.data.orderBy("d_year").collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val degraded = cube.q(Seq(
+        dim("order").where("c_mktsegment" -> Seq("BUILDING"))), drop = false)
+        .aggregate(Seq("d_year")).fact.data.orderBy("d_year").collect().toSeq
+      assert(degraded == reference,
+        "shuffle-join plan produced different results than the broadcast plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("composing a filtered non-key slice runs zero Spark jobs") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val c = cube // memoized build's jobs happen before the listener attaches
+    c.fact.data.count() // force the cache fill outside the measured window
+    val jobs = new AtomicInteger(0)
+    val markerSeen = new CountDownLatch(1)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")
+        if (group == "graft-compose-marker") markerSeen.countDown()
+        else jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // attribute (non-key) filter with drop=true: the old code ran a
+      // limit(2).count() job here to decide the drop
+      val q = c.q(dim("part").where("p_brand" -> Seq("Brand#1")))
+      assert(q.dimensions.contains("part"))
+      // flush the listener bus with a marked job so the zero-count below
+      // is ordered after anything composition might have submitted
+      spark.sparkContext.setJobGroup("graft-compose-marker", "flush")
+      spark.range(1).count()
+      spark.sparkContext.clearJobGroup()
+      assert(markerSeen.await(60, TimeUnit.SECONDS), "listener bus never flushed")
+      assert(jobs.get() == 0,
+        s"query composition ran ${jobs.get()} Spark job(s); must be zero")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("rollup is one Expand pass, not a union of aggregations") {
