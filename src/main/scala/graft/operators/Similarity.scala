@@ -97,11 +97,13 @@ object Similarity {
     * once (a column write), and each query probes `tables` buckets — the
     * scan is a semi-join on bucket keys instead of a full pass. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             tables: Int = 8, planes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      normalize(col("embedding")).as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      normalize(col("embedding")).as("cv"))
+             tables: Int = 8, planes: Int = 8, dim: Int = 64,
+             qId: String = "vec_id", qVec: String = "embedding",
+             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+      normalize(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      normalize(col(cVec)).as("cv"))
     val qB = (0 until tables).map(t =>
       q.select(col("query_id"), col("qv"), lit(t).as("t"),
         lshBucket(col("qv"), t, planes, dim).as("b"))).reduce(_ unionByName _)
@@ -121,59 +123,144 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate kNN — the cell-probe scale path:
-    * `nlist` centroids (deterministic corpus sample — a k-means refinement
-    * would drop in here without changing the query path), every corpus
-    * vector assigned to its nearest centroid (one broadcast argmax pass),
-    * each query probing its `nprobe` nearest cells; exact cosine + top-k
-    * over the probed cells only. At 100 TB the corpus is *stored*
-    * partitioned by cell id, so a query reads nprobe/nlist of the data —
-    * the scan reduction LSH can't give. */
+    * `nlist` centroids (deterministic corpus sample refined by one k-means
+    * iteration), every corpus vector assigned to its nearest centroid via a
+    * driver-materialized centroid table (codegen'd argmax — no join, no
+    * window shuffle), each query probing its `nprobe` nearest cells; exact
+    * cosine + top-k over the probed cells only. At 100 TB the corpus is
+    * *stored* partitioned by cell id, so a query reads nprobe/nlist of the
+    * data — the scan reduction LSH can't give. The centroid table is tiny
+    * by construction (nlist × dim doubles), so collecting it to the driver
+    * is the cheap alternative to an n×nlist window shuffle per assignment.
+    * Index build runs two small driver actions (sample + refine) — the
+    * documented build-time cost, like any ANN index. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      normalize(col("embedding")).as("cv"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      normalize(col("embedding")).as("qv"))
-    // deterministic centroid sample by id hash — no global sort/window
-    // (a row_number over an unpartitioned window would funnel the whole
-    // corpus through one task, the opposite of the scale path)
-    val n = corpus.count()
-    val step = math.max(n / nlist, 1L)
-    val cents = c
-      .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
-      .limit(nlist)
-      .select(col("neighbor_id").as("cent_id"), col("cv").as("centv"))
+             nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
+             replicate: Int = 2,
+             qId: String = "vec_id", qVec: String = "embedding",
+             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      normalize(col(cVec)).as("cv"))
+      .persist() // scanned by sample, refine, and final assignment
+    val q = queries.select(col(qId).as("query_id"),
+      normalize(col(qVec)).as("qv"))
+    try {
+      // deterministic centroid sample by id hash — no global sort/window
+      // (a row_number over an unpartitioned window would funnel the whole
+      // corpus through one task, the opposite of the scale path)
+      val n = c.count()
+      val step = math.max(n / nlist, 1L)
+      val sampled: Array[Array[Double]] = c
+        .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
+        .limit(nlist)
+        .select("cv").collect()
+        .map(_.getSeq[Double](0).toArray)
 
-    def assign(df: DataFrame, vec: String, out: String, top: Int): DataFrame = {
-      val w = Window.partitionBy(df.columns.head)
-        .orderBy(col("sim").desc, col("cent_id").asc)
-      df.join(broadcast(cents), expr("true"))
-        .withColumn("sim", dotp(col(vec), col("centv")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= top)
-        .drop("sim", "r", "centv")
-        .withColumnRenamed("cent_id", out)
-    }
+      // nearest-centroid cell id as one codegen'd expression: argmax over
+      // literal centroid dot products (struct max orders by sim, then id)
+      def cellExpr(vec: Column, cents: Array[Array[Double]]): Column =
+        array_max(array(cents.zipWithIndex.map { case (cent, id) =>
+          struct(dotp(vec, lit(cent)).as("sim"), lit(id).as("cid"))
+        }: _*)).getField("cid")
 
-    val assigned = assign(c, "cv", "cell", 1)
-    val probed = assign(q, "qv", "cell", nprobe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probed.join(assigned, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dotp(col("qv"), col("cv")).as("cos"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      // k-means iterations (spherical): element-wise mean of each cell's
+      // members, re-normalized onto the sphere (empty cells keep their
+      // previous centroid). Each iteration is one distributed aggregation
+      // plus a tiny driver collect of nlist x dim doubles.
+      def refineOnce(cents: Array[Array[Double]]): Array[Array[Double]] = {
+        val means = c.withColumn("cell", cellExpr(col("cv"), cents))
+          .select(col("cell"), posexplode(col("cv")))
+          .groupBy("cell", "pos").agg(avg("col").as("m"))
+          .groupBy("cell").agg(
+            array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), transform(col("pm"), _.getField("m")).as("mv"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents.zipWithIndex.map { case (seed, id) =>
+          means.get(id).map { m =>
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            if (norm > 0) m.map(_ / norm) else seed
+          }.getOrElse(seed)
+        }
+      }
+      val refined = (1 to math.max(kmeansIters, 0))
+        .foldLeft(sampled)((cents, _) => refineOnce(cents))
+
+      // top-n nearest cells as one codegen'd expression: array sort of
+      // (-sim, cid) structs — driver-free, no join, no window shuffle
+      def topCells(vec: Column, top: Int): Column = {
+        val scored = array(refined.zipWithIndex.map { case (cent, id) =>
+          struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
+        }: _*)
+        slice(transform(array_sort(scored), _.getField("cid")), 1, top)
+      }
+      // corpus vectors are REPLICATED into their `replicate` nearest cells:
+      // boundary vectors (the IVF recall killer) appear in each adjacent
+      // cell, trading `replicate`x index storage for recall at a fixed
+      // probe fraction — the standard IVF replication/multi-assignment
+      val assigned = c.withColumn("cell", explode(topCells(col("cv"), math.max(replicate, 1))))
+      val probed = q.withColumn("cell", explode(topCells(col("qv"), nprobe)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      probed.join(assigned, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotp(col("qv"), col("cv")).as("cos"))
+        .distinct()
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    } finally c.unpersist()
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
-    * threshold. Exact (cross-join) form — at scale, bucket with
-    * [[lshBucket]] first exactly like [[lshKnn]]. */
+    * threshold. Default path is sign-LSH candidate generation + exact
+    * verification (the MinHash-LSH pattern from [[Dedup.minHashLshPairs]]):
+    * bucket every vector in `tables` hash tables, equi-join on
+    * (table, bucket) carrying ONLY ids through the shuffle, dedup the
+    * candidate pairs, re-join the vectors, and keep pairs with exact
+    * cosine ≥ threshold. The join is an equi-join — never a cartesian —
+    * so the plan survives a 100× corpus.
+    *
+    * `tables` defaults from the threshold: enough tables that a pair AT
+    * the threshold collides somewhere with probability ≥ 1 - missProb
+    * (per-plane collision prob for angle θ is 1 - θ/π; deterministic md5
+    * hyperplanes make the outcome reproducible across runs). Pairs above
+    * the threshold collide with strictly higher probability.
+    *
+    * [[nearDupPairsExact]] keeps the exact all-pairs form for small
+    * corpora / recall baselines. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   dim: Int = 64, planes: Int = 4, tables: Int = 0,
+                   missProb: Double = 1e-4): DataFrame = {
+    require(threshold > -1 && threshold < 1, s"threshold $threshold not in (-1, 1)")
+    val pPlane = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(pPlane, planes)
+    val t =
+      if (tables > 0) tables
+      else math.min(64, math.max(1,
+        math.ceil(math.log(missProb) / math.log1p(-pTable)).toInt))
+    val normed = corpus.select(col(idCol).as("i"), normalize(col(vecCol)).as("va"))
+    val bucketed = normed.select(col("i"), explode(array((0 until t).map { tb =>
+      struct(lit(tb).as("t"), lshBucket(col("va"), tb, planes, dim).as("b"))
+    }: _*)).as("x")).select(col("i"), col("x.t").as("t"), col("x.b").as("b"))
+    val cands = bucketed.join(bucketed.toDF("j", "t", "b"), Seq("t", "b"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    cands
+      .join(normed, Seq("i"))
+      .join(normed.toDF("j", "vb"), Seq("j"))
+      .withColumn("cos", dot(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("i", "j", "cos")
+  }
+
+  /** Exact all-pairs near-duplicates — O(n²) cross join; the recall
+    * baseline for [[nearDupPairs]] and the right tool only for corpora
+    * that fit a single-stage cartesian. */
+  def nearDupPairsExact(corpus: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val normed = corpus.select(col(idCol).as("i"), normalize(col(vecCol)).as("va"))
     val a = normed
     val b = normed.toDF("j", "vb")

@@ -199,6 +199,10 @@ class PlanSpec extends SparkSpec {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Similarity.nearDupPairs(e, 0.9)
     val p = plan(pairs)
+    // the default near-dup path is LSH-bucketed: candidates come from an
+    // equi-join on (table, bucket), never a cartesian of the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair generation degenerated to an all-pairs join:\n$p")
     assert(p.contains("dot_product("),
       s"pair scan lost the native expression:\n$p")
     // the n² join must not evaluate interpreted lambda chains per pair —
