@@ -53,20 +53,31 @@ object Dedup {
     * than that many docs (stop-shingles produce quadratic join fan-out and
     * can't push a true near-dup below threshold when dropped... they CAN
     * affect exact scores, so the oracle applies the same cap — the operator
-    * semantics include the cap). */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8,
-                   maxDf: Option[Int] = None,
-                   shinglesDf: Option[DataFrame] = None): DataFrame = {
-    val sh = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
-    val filtered = maxDf match {
+    * semantics include the cap). The cap is ON by default (256): a single
+    * shingle shared by d documents fans out to d²/2 join rows, so an
+    * uncapped index is quadratic in the hottest stop-shingle — with the
+    * cap, per-shingle fan-out is bounded by maxDf²/2 no matter the corpus.
+    * Pass `maxDf = None` only for small corpora where exact uncapped
+    * scores matter more than the bound. */
+  val DefaultMaxDf = 256
+
+  /** Drop shingles whose document frequency exceeds the cap. The semi-join
+    * moves the join key first; restore (doc_id, s) order — downstream
+    * toDF("i", "s") renames POSITIONALLY. */
+  private def capShingles(sh: DataFrame, maxDf: Option[Int]): DataFrame =
+    maxDf match {
       case None => sh
       case Some(cap) =>
         val df = sh.groupBy("s").agg(count("*").as("df")).filter(col("df") <= cap)
-        // the semi-join moves the join key first; restore (doc_id, s)
-        // order — the downstream toDF("i", "s") renames POSITIONALLY
         sh.join(df.select("s"), Seq("s"), "left_semi").select("doc_id", "s")
     }
+
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxDf: Option[Int] = Some(DefaultMaxDf),
+                   shinglesDf: Option[DataFrame] = None): DataFrame = {
+    val sh = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
+    val filtered = capShingles(sh, maxDf)
     val sizes = filtered.groupBy("doc_id").agg(count("*").as("sz"))
     val a = filtered.toDF("i", "s")
     val b = filtered.toDF("j", "s")
@@ -111,12 +122,17 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8,
+                 maxDf: Option[Int] = Some(DefaultMaxDf),
                  shinglesDf: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // build the shingle index once: signatures AND verification reuse it
-    // (otherwise the dominant tokenize+hash+distinct pass runs twice)
-    val shIdx = shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n))
+    // (otherwise the dominant tokenize+hash+distinct pass runs twice).
+    // The stop-shingle cap applies to the WHOLE index — signatures and
+    // verification — so minhashLsh(maxDf=c) == jaccardPairs(maxDf=c) up
+    // to LSH recall, and the same capped oracle checks both.
+    val shIdx = capShingles(
+      shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n)), maxDf)
     val sig = minhashSignatures(docs, idCol, textCol, n, k, Some(shIdx))
     // band column: array of the band's r mins (join key per band)
     val bandRows = (0 until bands).map { b =>

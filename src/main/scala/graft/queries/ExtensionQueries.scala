@@ -145,23 +145,37 @@ object ExtensionQueries {
   /** Shared DuckDB shingle CTE (3-gram, distinct per doc) — the oracle
     * counterpart of Dedup.docShingles, including the short-doc fallback
     * (documents with < n tokens contribute their full token string as the
-    * single shingle, so no document vanishes from dedup). */
-  private val shingleCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents
-      |), sh AS (
+    * single shingle, so no document vanishes from dedup). `capDf` mirrors
+    * the operator's maxDf stop-shingle cap: shingles in more than capDf
+    * docs are dropped from the index AND the per-doc sizes, exactly like
+    * Dedup.jaccardPairs. */
+  private def shingleCteWith(capDf: Option[Int]): String = {
+    val shFinal = capDf match {
+      case None => ""
+      case Some(cap) =>
+        s"""|, sh AS (
+            |  SELECT * FROM sh0
+            |  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $cap)
+            |)""".stripMargin
+    }
+    val shName = if (capDf.isEmpty) "sh" else "sh0"
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents
+      |), $shName AS (
       |  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
       |  WHERE len(t) >= 3
       |  UNION
       |  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
-      |), sizes AS (
+      |)$shFinal, sizes AS (
       |  SELECT doc_id, count(*) n FROM sh GROUP BY 1
       |), pairs AS (
       |  SELECT a.doc_id i, b.doc_id j, count(*) inter
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)""".stripMargin
+  }
+  private val shingleCte: String = shingleCteWith(None)
 
   private val jaccardSelect: String =
     """SELECT i, j, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
@@ -170,14 +184,18 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
-  // q19 — exact n-gram Jaccard near-dup pairs (inverted shingle index)
+  // q19 — exact n-gram Jaccard near-dup pairs (inverted shingle index),
+  //       with the default stop-shingle cap ACTIVE (maxDf=256) so the
+  //       join fan-out stays bounded at any corpus size; the oracle
+  //       applies the identical cap
   // -------------------------------------------------------------------
   def q19(s: SparkSession, dir: String): DataFrame =
     sorted(Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
       threshold = 0.8, shinglesDf = Some(shingles3(s, dir)))
       .withColumn("jaccard", round(col("jaccard"), 6)))
 
-  val q19Sql: String = shingleCte + "\n" + jaccardSelect
+  val q19Sql: String =
+    shingleCteWith(Some(Dedup.DefaultMaxDf)) + "\n" + jaccardSelect
 
   // -------------------------------------------------------------------
   // q20 — MinHash + banded LSH, exact-verified: must equal q19 (recall

@@ -28,7 +28,7 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("jaccard maxDf cap drops hot shingles but keeps true near-dups") {
-    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDf = None)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // a generous cap keeps every planted near-dup pair (hot shingles are
     // the quadratic-fan-out ones, shared by many docs, not the near-dup
