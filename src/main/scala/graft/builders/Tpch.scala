@@ -145,7 +145,36 @@ object Tpch {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataCube]()
 
   def cube(spark: SparkSession, dir: String): DataCube =
-    cache.computeIfAbsent((spark, dir), { case (s, d) => build(s, d) })
+    cache.computeIfAbsent((spark, dir), { case (s, d) =>
+      // evict on session stop: long-lived applications cycling sessions
+      // must not pin cubes (and their cached plans) for the JVM lifetime
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          cache.remove((s, d))
+      })
+      build(s, d)
+    })
+
+  /** Force-fill the persisted caches (fact grain aggregation + dimension
+    * dedups + denormalized views). The cube's usage model is build-once-
+    * query-many, so benchmarks should account this cost on its own line
+    * rather than inside whichever query happens to run first. Sequential
+    * counts: later materializations reuse the caches earlier ones fill. */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    val c = cube(spark, dir)
+    c.fact.data.count()
+    c.dimensions.values.foreach { d => d.data.count(); d.denormalized.count() }
+  }
+
+  /** Drop the memoized cube and unpersist its caches — the eviction hook
+    * for long-lived applications that outlive a (session, dir) working
+    * set. */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    Option(cache.remove((spark, dir))).foreach { c =>
+      c.fact.data.unpersist()
+      c.dimensions.values.foreach { d => d.data.unpersist(); d.denormalized.unpersist() }
+    }
 
   private def build(spark: SparkSession, dir: String): DataCube = {
     val fact = Fact.build(factInput(spark, dir), idVars, measures)
