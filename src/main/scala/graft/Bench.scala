@@ -33,7 +33,23 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Build/cache-fill accounting: the engine's usage model is build-once-
+    // query-many (the reference holds an in-memory cube object), so the
+    // cube build + persisted-cache fill and the shared shingle-index build
+    // get their OWN line items. Without this, whichever query touches a
+    // cold cache first absorbs the whole build cost and per-query numbers
+    // are incomparable across rounds.
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs")
+      name -> sec
+    }
+    val builds = Seq(
+      timed("build_cube") { graft.builders.Tpch.warm(spark, sfDir) },
+      timed("build_shingles") { graft.queries.ExtensionQueries.warmShingles(spark, sfDir) })
+    val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

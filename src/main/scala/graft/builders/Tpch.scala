@@ -142,19 +142,20 @@ object Tpch {
     * persist dimensions only and leave the fact on parquet — controlled
     * here by SPARK_GRAFT_NO_CACHE=1. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataCube]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataCube, () => Unit)]()
 
   def cube(spark: SparkSession, dir: String): DataCube =
     cache.computeIfAbsent((spark, dir), { case (s, d) =>
       // evict on session stop: long-lived applications cycling sessions
-      // must not pin cubes (and their cached plans) for the JVM lifetime
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          cache.remove((s, d))
-      })
-      build(s, d)
-    })
+      // must not pin cubes (and their cached plans) for the JVM lifetime.
+      // SessionCleanup = one listener per context, detachable hook — a
+      // per-entry anonymous listener would stay on the bus after
+      // invalidate() for the JVM lifetime.
+      val detach = graft.util.SessionCleanup.onApplicationEnd(s) { () =>
+        cache.remove((s, d)): Unit
+      }
+      (build(s, d), detach)
+    })._1
 
   /** Force-fill the persisted caches (fact grain aggregation + dimension
     * dedups + denormalized views). The cube's usage model is build-once-
@@ -171,9 +172,10 @@ object Tpch {
     * for long-lived applications that outlive a (session, dir) working
     * set. */
   def invalidate(spark: SparkSession, dir: String): Unit =
-    Option(cache.remove((spark, dir))).foreach { c =>
+    Option(cache.remove((spark, dir))).foreach { case (c, detach) =>
       c.fact.data.unpersist()
       c.dimensions.values.foreach { d => d.data.unpersist(); d.denormalized.unpersist() }
+      detach()
     }
 
   private def build(spark: SparkSession, dir: String): DataCube = {

@@ -55,6 +55,65 @@ final case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L2-normalize an array<double> column in one codegen'd pass.
+  *
+  * The higher-order-function formulation (three `transform`/`aggregate`
+  * passes) is CodegenFallback: every element goes through interpreted
+  * lambda plumbing, and the enclosing expression tree is re-evaluated per
+  * element — measured as the dominant cost of the similarity operators
+  * once the dot product itself was native. Semantics are bit-identical to
+  * `transform(dv, x => x / sqrt(aggregate(transform(dv, x => x*x), 0.0,
+  * _+_)))`: left-to-right accumulation, IEEE division (a zero vector
+  * yields NaNs, exactly like the HOF form and the DuckDB oracle). */
+final case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "l2_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getDouble(i); s += v * v; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $a.getDouble($i);
+         |  $s += v * v;
+         |}
+         |double $norm = java.lang.Math.sqrt($s);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.getDouble($i) / $norm;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 /** Winnowing document fingerprints in one native per-row pass (a
   * rolling-window selection over k-gram hashes): normalize, hash every
   * char k-gram, keep each w-window's minimum, dedup. The higher-order
@@ -132,4 +191,8 @@ object VectorExpressions {
   /** Native winnowing fingerprints (see [[WinnowFingerprints]]). */
   def winnow(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+
+  /** Codegen'd L2 normalization of an array<double> column. */
+  def l2normalize(a: Column): Column =
+    Bridge.column(L2Normalize(Bridge.expression(a)))
 }

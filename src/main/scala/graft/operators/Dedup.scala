@@ -61,6 +61,20 @@ object Dedup {
     * scores matter more than the bound. */
   val DefaultMaxDf = 256
 
+  /** Build the capped inverted shingle index ONCE — the input every dedup
+    * operator here consumes. At scale (and in the shared query layer) this
+    * is THE thing to materialize: `buildShingleIndex(...).persist()` (or
+    * write it out), then pass it to [[jaccardPairs]]/[[minhashLsh]] as
+    * `shinglesDf` with `maxDf = None`. Passing a raw index plus a `maxDf`
+    * instead re-runs the cap aggregation + semi-join in EVERY branch of the
+    * consuming plan (sizes, both join sides, signatures — 3-4×), and
+    * concurrent first-use races the cache fill; that recomputation was a
+    * measured 10× slowdown on the sf0.1 bench. */
+  def buildShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3,
+                        maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame =
+    capShingles(docShingles(docs, idCol, textCol, n), maxDf)
+
   /** Drop shingles whose document frequency exceeds the cap. The semi-join
     * moves the join key first; restore (doc_id, s) order — downstream
     * toDF("i", "s") renames POSITIONALLY. */

@@ -43,12 +43,11 @@ object Similarity {
   /** L2-normalize a float-array column into a double array — done ONCE per
     * vector so pairwise similarity is a single dot product instead of
     * three (the norms would otherwise be recomputed for every pair: at n²
-    * pairs that's the difference between O(n²d) and O(3n²d + casts)). */
-  def normalize(vec: Column): Column = {
-    val dv = transform(vec, _.cast("double"))
-    val norm = sqrt(aggregate(transform(dv, x => x * x), lit(0.0), (a, v) => a + v))
-    transform(dv, x => x / norm)
-  }
+    * pairs that's the difference between O(n²d) and O(3n²d + casts)).
+    * Codegen'd custom expression: the HOF formulation is CodegenFallback
+    * and was the residual interpreted cost of every similarity plan. */
+  def normalize(vec: Column): Column =
+    graft.functions.VectorExpressions.l2normalize(vec.cast("array<double>"))
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (ties broken by id — fully deterministic). Query
@@ -139,78 +138,97 @@ object Similarity {
              replicate: Int = 2,
              qId: String = "vec_id", qVec: String = "embedding",
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(cId).as("neighbor_id"),
+    // Build-time cache: the index build runs several driver actions (count,
+    // sample, one aggregation per k-means iteration) over the normalized
+    // corpus — persist for THOSE, and unpersist as soon as the centroids
+    // are final. The returned (lazy) plan reads a fresh corpus scan
+    // instead: one extra normalize pass at execution, no cache entry
+    // leaked past the call, and no recompute-from-scratch surprise from
+    // unpersisting under a lazy plan.
+    def normed = corpus.select(col(cId).as("neighbor_id"),
       normalize(col(cVec)).as("cv"))
-      .persist() // scanned by sample, refine, and final assignment
+    val cBuild = normed.persist()
     val q = queries.select(col(qId).as("query_id"),
       normalize(col(qVec)).as("qv"))
-    try {
-      // deterministic centroid sample by id hash — no global sort/window
-      // (a row_number over an unpartitioned window would funnel the whole
-      // corpus through one task, the opposite of the scale path)
-      val n = c.count()
-      val step = math.max(n / nlist, 1L)
-      val sampled: Array[Array[Double]] = c
-        .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
-        .limit(nlist)
-        .select("cv").collect()
-        .map(_.getSeq[Double](0).toArray)
+    val refined =
+      try {
+        // deterministic centroid sample by id hash — no global sort/window
+        // (a row_number over an unpartitioned window would funnel the whole
+        // corpus through one task, the opposite of the scale path)
+        val n = cBuild.count()
+        require(n > 0, "ivfKnn: corpus is empty")
+        val step = math.max(n / nlist, 1L)
+        val hashSampled: Array[Array[Double]] = cBuild
+          .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
+          .limit(nlist)
+          .select("cv").collect()
+          .map(_.getSeq[Double](0).toArray)
+        // tiny/skewed-id corpora can leave the hash filter empty — fall
+        // back to the first nlist vectors rather than failing analysis
+        // downstream with a zero-element centroid array
+        val sampled =
+          if (hashSampled.nonEmpty) hashSampled
+          else cBuild.limit(nlist).select("cv").collect()
+            .map(_.getSeq[Double](0).toArray)
 
-      // nearest-centroid cell id as one codegen'd expression: argmax over
-      // literal centroid dot products (struct max orders by sim, then id)
-      def cellExpr(vec: Column, cents: Array[Array[Double]]): Column =
-        array_max(array(cents.zipWithIndex.map { case (cent, id) =>
-          struct(dotp(vec, lit(cent)).as("sim"), lit(id).as("cid"))
-        }: _*)).getField("cid")
+        // nearest-centroid cell id as one codegen'd expression: argmax over
+        // literal centroid dot products (struct max orders by sim, then id)
+        def cellExpr(vec: Column, cents: Array[Array[Double]]): Column =
+          array_max(array(cents.zipWithIndex.map { case (cent, id) =>
+            struct(dotp(vec, lit(cent)).as("sim"), lit(id).as("cid"))
+          }: _*)).getField("cid")
 
-      // k-means iterations (spherical): element-wise mean of each cell's
-      // members, re-normalized onto the sphere (empty cells keep their
-      // previous centroid). Each iteration is one distributed aggregation
-      // plus a tiny driver collect of nlist x dim doubles.
-      def refineOnce(cents: Array[Array[Double]]): Array[Array[Double]] = {
-        val means = c.withColumn("cell", cellExpr(col("cv"), cents))
-          .select(col("cell"), posexplode(col("cv")))
-          .groupBy("cell", "pos").agg(avg("col").as("m"))
-          .groupBy("cell").agg(
-            array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cell"), transform(col("pm"), _.getField("m")).as("mv"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-        cents.zipWithIndex.map { case (seed, id) =>
-          means.get(id).map { m =>
-            val norm = math.sqrt(m.map(x => x * x).sum)
-            if (norm > 0) m.map(_ / norm) else seed
-          }.getOrElse(seed)
+        // k-means iterations (spherical): element-wise mean of each cell's
+        // members, re-normalized onto the sphere (empty cells keep their
+        // previous centroid). Each iteration is one distributed aggregation
+        // plus a tiny driver collect of nlist x dim doubles.
+        def refineOnce(cents: Array[Array[Double]]): Array[Array[Double]] = {
+          val means = cBuild.withColumn("cell", cellExpr(col("cv"), cents))
+            .select(col("cell"), posexplode(col("cv")))
+            .groupBy("cell", "pos").agg(avg("col").as("m"))
+            .groupBy("cell").agg(
+              array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+            .select(col("cell"), transform(col("pm"), _.getField("m")).as("mv"))
+            .collect()
+            .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+          cents.zipWithIndex.map { case (seed, id) =>
+            means.get(id).map { m =>
+              val norm = math.sqrt(m.map(x => x * x).sum)
+              if (norm > 0) m.map(_ / norm) else seed
+            }.getOrElse(seed)
+          }
         }
-      }
-      val refined = (1 to math.max(kmeansIters, 0))
-        .foldLeft(sampled)((cents, _) => refineOnce(cents))
+        (1 to math.max(kmeansIters, 0))
+          .foldLeft(sampled)((cents, _) => refineOnce(cents))
+      } finally cBuild.unpersist()
 
-      // top-n nearest cells as one codegen'd expression: array sort of
-      // (-sim, cid) structs — driver-free, no join, no window shuffle
-      def topCells(vec: Column, top: Int): Column = {
-        val scored = array(refined.zipWithIndex.map { case (cent, id) =>
-          struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
-        }: _*)
-        slice(transform(array_sort(scored), _.getField("cid")), 1, top)
-      }
-      // corpus vectors are REPLICATED into their `replicate` nearest cells:
-      // boundary vectors (the IVF recall killer) appear in each adjacent
-      // cell, trading `replicate`x index storage for recall at a fixed
-      // probe fraction — the standard IVF replication/multi-assignment
-      val assigned = c.withColumn("cell", explode(topCells(col("cv"), math.max(replicate, 1))))
-      val probed = q.withColumn("cell", explode(topCells(col("qv"), nprobe)))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      probed.join(assigned, "cell")
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          dotp(col("qv"), col("cv")).as("cos"))
-        .distinct()
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    } finally c.unpersist()
+    // top-n nearest cells as one codegen'd expression: array sort of
+    // (-sim, cid) structs — driver-free, no join, no window shuffle
+    def topCells(vec: Column, top: Int): Column = {
+      val scored = array(refined.zipWithIndex.map { case (cent, id) =>
+        struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
+      }: _*)
+      slice(transform(array_sort(scored), _.getField("cid")), 1, top)
+    }
+    // the served plan reads a FRESH normalized-corpus scan (not the
+    // build-time cache, which is already released by here)
+    val c = normed
+    // corpus vectors are REPLICATED into their `replicate` nearest cells:
+    // boundary vectors (the IVF recall killer) appear in each adjacent
+    // cell, trading `replicate`x index storage for recall at a fixed
+    // probe fraction — the standard IVF replication/multi-assignment
+    val assigned = c.withColumn("cell", explode(topCells(col("cv"), math.max(replicate, 1))))
+    val probed = q.withColumn("cell", explode(topCells(col("qv"), nprobe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotp(col("qv"), col("cv")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
@@ -226,7 +244,12 @@ object Similarity {
     * the threshold collides somewhere with probability ≥ 1 - missProb
     * (per-plane collision prob for angle θ is 1 - θ/π; deterministic md5
     * hyperplanes make the outcome reproducible across runs). Pairs above
-    * the threshold collide with strictly higher probability.
+    * the threshold collide with strictly higher probability. If the
+    * requested `planes` would need more than 64 tables, `planes` is
+    * REDUCED until the count fits — the missProb guarantee always holds
+    * for auto-derived parameters (bigger buckets, more exact verifications,
+    * never silent recall loss); pass `tables` explicitly to pin the
+    * parameters and own the tradeoff yourself.
     *
     * [[nearDupPairsExact]] keeps the exact all-pairs form for small
     * corpora / recall baselines. */
@@ -236,14 +259,27 @@ object Similarity {
                    missProb: Double = 1e-4): DataFrame = {
     require(threshold > -1 && threshold < 1, s"threshold $threshold not in (-1, 1)")
     val pPlane = 1.0 - math.acos(threshold) / math.Pi
-    val pTable = math.pow(pPlane, planes)
-    val t =
-      if (tables > 0) tables
-      else math.min(64, math.max(1,
-        math.ceil(math.log(missProb) / math.log1p(-pTable)).toInt))
+    def tablesFor(p: Int): Int = math.max(1,
+      math.ceil(math.log(missProb) / math.log1p(-math.pow(pPlane, p))).toInt)
+    // Auto-derivation honors the missProb guarantee: if the requested
+    // `planes` would need more than MaxAutoTables tables, REDUCE planes
+    // until the table count fits — fewer planes means bigger buckets (more
+    // exact verifications) but the at-threshold miss probability stays
+    // ≤ missProb. The old behavior silently clamped tables and broke the
+    // documented guarantee. Callers wanting the fast/large-planes regime
+    // pass (planes, tables) explicitly and own the recall tradeoff.
+    val MaxAutoTables = 64
+    val (p, t) =
+      if (tables > 0) (planes, tables)
+      else (planes to 1 by -1).map(pl => (pl, tablesFor(pl)))
+        .find(_._2 <= MaxAutoTables)
+        .getOrElse(throw new IllegalArgumentException(
+          s"sign-LSH cannot honor missProb=$missProb at threshold=$threshold " +
+            s"within $MaxAutoTables tables even at planes=1 " +
+            s"(needs ${tablesFor(1)}); pass planes/tables explicitly"))
     val normed = corpus.select(col(idCol).as("i"), normalize(col(vecCol)).as("va"))
     val bucketed = normed.select(col("i"), explode(array((0 until t).map { tb =>
-      struct(lit(tb).as("t"), lshBucket(col("va"), tb, planes, dim).as("b"))
+      struct(lit(tb).as("t"), lshBucket(col("va"), tb, p, dim).as("b"))
     }: _*)).as("x")).select(col("i"), col("x.t").as("t"), col("x.b").as("b"))
     val cands = bucketed.join(bucketed.toDF("j", "t", "b"), Seq("t", "b"))
       .filter(col("i") < col("j"))
