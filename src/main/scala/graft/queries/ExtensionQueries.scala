@@ -466,14 +466,30 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
-  // q31 — approx_count_distinct (HLL++): no cross-engine oracle possible
-  //       (different sketch algorithms) -> rows-only check by design
+  // q31 — approx_count_distinct (HLL++): the raw sketch estimate has no
+  //       cross-engine oracle (different algorithms), so the query outputs
+  //       the EXACT distinct count plus a tolerance verdict — approx_ok =
+  //       1 iff |approx - exact| <= 5% of exact (rsd is 1%, so 5% is a
+  //       deterministic-pass margin). The oracle computes the exact count
+  //       and asserts the verdict column is literally 1: the hash compare
+  //       becomes a real accuracy check instead of rows-only.
   // -------------------------------------------------------------------
   def q31(s: SparkSession, dir: String): DataFrame = {
     val denorm = Tpch.cube(s, dir).denormalize(dims = Seq("date"))
     sorted(denorm.groupBy("d_year")
-      .agg(approx_count_distinct(col("o_orderkey"), 0.01).as("approx_orders")))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        approx_count_distinct(col("o_orderkey"), 0.01).as("approx"))
+      .select(col("d_year"), col("n_orders"),
+        (abs(col("approx") - col("n_orders"))
+          <= col("n_orders") * lit(0.05)).cast("int").as("approx_ok")))
   }
+
+  val q31Sql: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS d_year,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       1 AS approx_ok
+      |FROM lineitem GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
   // q32 — sliding windows (1h width, 30m slide): every event lands in
@@ -533,7 +549,7 @@ object ExtensionQueries {
     ("q28_winnow_fingerprint", q28 _, q28Sql),
     ("q29_token_bpe", q29 _, q29Sql),
     ("q30_json_props", q30 _, q30Sql),
-    ("q31_approx_distinct", q31 _, null), // rows-only: HLL sketches differ per engine
+    ("q31_approx_distinct", q31 _, q31Sql), // exact count + 5% tolerance verdict
     ("q32_events_sliding", q32 _, q32Sql),
     ("q33_sql_views", q33 _, q33Sql)
   )

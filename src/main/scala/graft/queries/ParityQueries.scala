@@ -356,14 +356,22 @@ object ParityQueries {
 
   // -------------------------------------------------------------------
   // q14 — surrogate keys (S11, add.surrogate.key): dense integer id by
-  //        natural key order
+  //        natural key order. Scale-safe formulation: dense_rank over an
+  //        unpartitioned window funnels its INPUT through one task, so the
+  //        window runs over the distinct natural keys only (dimension-
+  //        cardinality — tiny by star-schema assumption) and joins back;
+  //        the table-scale side never sees a single-partition shuffle.
+  //        Semantically identical to dense_rank over the full table.
   // -------------------------------------------------------------------
   def q14(s: SparkSession, dir: String): DataFrame = {
     val part = Tpch.table(s, dir, "part")
     val w = Window.orderBy(col("p_brand").asc)
+    val brandIds = part.select("p_brand").distinct()
+      .withColumn("brand_id", dense_rank().over(w))
     sorted(part
       .select("p_partkey", "p_brand")
-      .withColumn("brand_id", dense_rank().over(w)))
+      .join(Joins.maybeBroadcast(brandIds), Seq("p_brand"))
+      .select("p_partkey", "p_brand", "brand_id"))
   }
 
   val q14Sql: String =
