@@ -84,8 +84,10 @@ object Tpch {
   }
 
   def orderDim(spark: SparkSession, dir: String): Dimension = {
+    // customer is SF-proportional (fact-scale at 100 TB) — size-guarded
+    // hint only; nation is a 25-row constant, safe to force.
     val flat = table(spark, dir, "orders")
-      .join(broadcast(table(spark, dir, "customer")),
+      .join(Joins.maybeBroadcast(table(spark, dir, "customer")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(table(spark, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -150,11 +152,14 @@ object Tpch {
       // must not pin cubes (and their cached plans) for the JVM lifetime.
       // SessionCleanup = one listener per context, detachable hook — a
       // per-entry anonymous listener would stay on the bus after
-      // invalidate() for the JVM lifetime.
+      // invalidate() for the JVM lifetime. Hook registered AFTER build
+      // succeeds: a throwing build must not leak a closure on the context's
+      // hook queue per retry.
+      val c = build(s, d)
       val detach = graft.util.SessionCleanup.onApplicationEnd(s) { () =>
         cache.remove((s, d)): Unit
       }
-      (build(s, d), detach)
+      (c, detach)
     })._1
 
   /** Force-fill the persisted caches (fact grain aggregation + dimension

@@ -32,7 +32,7 @@ object GroupingSets {
       val proj = d.denormalized
         .select((d.key +: as.filterNot(_ == d.key)).distinct.map(col): _*)
         .dropDuplicates(Seq(d.key))
-      df.join(broadcast(proj), Seq(d.key), "left")
+      df.join(Joins.maybeBroadcast(proj), Seq(d.key), "left")
     }
   }
 

@@ -61,7 +61,9 @@ object Sources {
                        idName: String): (DataFrame, DataFrame) = {
     val dim = withSurrogateKey(
       fact.select(dimCols.map(col): _*).distinct(), dimCols.head, idName)
-    val withId = fact.join(broadcast(dim), dimCols, "left")
+    // a high-cardinality column set yields a fact-scale "dimension" —
+    // size-guarded hint, never a forced broadcast
+    val withId = fact.join(graft.model.Joins.maybeBroadcast(dim), dimCols, "left")
       .drop(dimCols.filter(_ != idName): _*)
     (dim, withId)
   }
@@ -74,7 +76,8 @@ object Sources {
     val collisions = cols.toSet & fact.columns.toSet
     require(collisions.isEmpty,
       s"lookup would overwrite existing columns: ${collisions.mkString(", ")}")
-    fact.join(broadcast(dim.select((key +: cols).map(col): _*)
-      .dropDuplicates(Seq(key))), Seq(key), "left")
+    fact.join(graft.model.Joins.maybeBroadcast(
+      dim.select((key +: cols).map(col): _*)
+        .dropDuplicates(Seq(key))), Seq(key), "left")
   }
 }

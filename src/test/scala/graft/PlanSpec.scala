@@ -139,6 +139,51 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("grouping-sets attribute projections degrade to shuffle joins over threshold") {
+    // The killer case for the grouping-sets family: the order dimension is
+    // keyed by o_orderkey and scales WITH the fact, so a rollup over one of
+    // its attributes joins an order-grain projection into the fact. A forced
+    // broadcast() there OOMs every executor at 100x — the hint must be
+    // size-guarded like every other dimension join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "256")
+      val flat = graft.model.GroupingSets.denormFor(cube, Seq("c_mktsegment"))
+      assert(!flat.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+        "over-threshold grouping-sets projection still carries a forced broadcast hint")
+      // ... and the full rollup stays correct on the shuffle-join plan
+      val r = cube.rollupFlat(Seq("c_mktsegment"))
+        .orderBy("level", "c_mktsegment").collect().toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val ref = cube.rollupFlat(Seq("c_mktsegment"))
+        .orderBy("level", "c_mktsegment").collect().toSeq
+      assert(r == ref, "degraded rollup plan changed results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("no unguarded broadcast() call sites outside the allowed list") {
+    // Policy pin for the 100 TB posture: every broadcast() in main source is
+    // either routed through Joins.maybeBroadcast (size-guarded) or on the
+    // explicit allowlist of provably-small sides (25-row nation / 5-row
+    // region constants; query-side broadcasts whose public contract bounds
+    // the size). A new raw broadcast() must be justified here.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val allowed = Set(
+      "graft/model/Joins.scala",        // the guard itself
+      "graft/builders/Tpch.scala",      // nation/region constants (audited)
+      "graft/operators/Similarity.scala" // query side small by contract
+    )
+    val root = Paths.get("src/main/scala")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => allowed.exists(a => p.toString.endsWith(a)))
+      .filter(p => new String(Files.readAllBytes(p)).contains("broadcast("))
+      .map(_.toString).toList
+    assert(offenders.isEmpty,
+      s"unguarded broadcast() call sites outside the allowlist: $offenders")
+  }
+
   test("queries stay correct when the broadcast policy degrades to shuffle joins") {
     import graft.query.dsl._
     val reference = cube.q(Seq(
