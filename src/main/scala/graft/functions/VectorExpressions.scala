@@ -23,15 +23,26 @@ final case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null-element propagation can produce null even from non-null inputs
+  // (also guarantees ev.isNull is a mutable slot in generated code)
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
 
+  // A null ELEMENT yields a null result — the same propagation as the HOF
+  // formulation (`aggregate(zip_with(a,b,(x,y)=>x*y),0.0,_+_)`: one null
+  // product poisons the sum). getDouble on a null slot would silently read
+  // garbage; the guard costs one bitmap test per element.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
@@ -44,6 +55,7 @@ final case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;
@@ -71,14 +83,24 @@ final case class L2Normalize(child: Expression)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
 
+  // null-element propagation can produce null even from non-null inputs
+  // (also guarantees ev.isNull is a mutable slot in generated code)
+  override def nullable: Boolean = true
+
   override def prettyName: String = "l2_normalize"
 
+  // A null ELEMENT yields a null result array (declared containsNull=false,
+  // so element-level null propagation is not representable; whole-null is
+  // the honest degradation and keeps getDouble off null slots).
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = a.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = a.getDouble(i); s += v * v; i += 1
+    }
     val norm = math.sqrt(s)
     val out = new Array[Double](n)
     i = 0
@@ -91,22 +113,26 @@ final case class L2Normalize(child: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
       val norm = ctx.freshName("norm")
       val out = ctx.freshName("out")
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = $a.getDouble($i);
-         |  $s += v * v;
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
          |}
-         |double $norm = java.lang.Math.sqrt($s);
-         |double[] $out = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $a.getDouble($i) / $norm;
+         |if (!${ev.isNull}) {
+         |  double $norm = java.lang.Math.sqrt($s);
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $a.getDouble($i) / $norm;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
-         |${ev.value} =
-         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 

@@ -90,6 +90,41 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** All `tables` hyperplanes as ONE literal tensor [table][plane][dim].
+    * Inlining a separate literal per (table, plane) — 45 tables × 4 planes
+    * at the near-dup defaults — made the projection a 180-dot-product
+    * expression tree whose generated code blew past JIT/codegen budgets;
+    * one constant tensor indexed by a table COLUMN keeps the generated
+    * method tiny regardless of the table count. */
+  private def planeTensor(tables: Int, planes: Int, dim: Int): Column =
+    typedLit((0 until tables).map(t =>
+      (0 until planes).map(p => planeVector(t, p, dim).toSeq)))
+
+  /** Bucket id where the table index is a COLUMN (post-explode): same bits
+    * as [[lshBucket]] for each concrete table value. */
+  private def lshBucketAt(vec: Column, tableCol: Column, tensor: Column,
+                          planes: Int): Column = {
+    val planesOfT = element_at(tensor, tableCol + 1)
+    (0 until planes).map { p =>
+      when(dotp(vec, element_at(planesOfT, p + 1)) > 0,
+        shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Explode `df` into one row per (row, table) with its bucket id —
+    * the shared candidate-generation input for [[lshKnn]] and
+    * [[nearDupPairs]]. Output: (idAs, vecAs, t, b). */
+  private def bucketRows(df: DataFrame, id: String, vec: String,
+                         idAs: String, vecAs: String,
+                         tables: Int, planes: Int, dim: Int): DataFrame = {
+    val tensor = planeTensor(tables, planes, dim)
+    df.select(col(id).as(idAs), normalize(col(vec)).as(vecAs))
+      .select(col(idAs), col(vecAs),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"))
+      .select(col(idAs), col(vecAs), col("t"),
+        lshBucketAt(col(vecAs), col("t"), tensor, planes).as("b"))
+  }
+
   /** Approximate top-k via sign-LSH: candidates = corpus vectors sharing a
     * bucket with the query in any of `tables` tables; exact cosine + top-k
     * over candidates only. At scale the corpus bucket ids are precomputed
@@ -99,16 +134,8 @@ object Similarity {
              tables: Int = 8, planes: Int = 8, dim: Int = 64,
              qId: String = "vec_id", qVec: String = "embedding",
              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"),
-      normalize(col(qVec)).as("qv"))
-    val c = corpus.select(col(cId).as("neighbor_id"),
-      normalize(col(cVec)).as("cv"))
-    val qB = (0 until tables).map(t =>
-      q.select(col("query_id"), col("qv"), lit(t).as("t"),
-        lshBucket(col("qv"), t, planes, dim).as("b"))).reduce(_ unionByName _)
-    val cB = (0 until tables).map(t =>
-      c.select(col("neighbor_id"), col("cv"), lit(t).as("t"),
-        lshBucket(col("cv"), t, planes, dim).as("b"))).reduce(_ unionByName _)
+    val qB = bucketRows(queries, qId, qVec, "query_id", "qv", tables, planes, dim)
+    val cB = bucketRows(corpus, cId, cVec, "neighbor_id", "cv", tables, planes, dim)
     val cands = cB.join(broadcast(qB), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv").distinct()
@@ -233,63 +260,74 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
     * threshold. Default path is sign-LSH candidate generation + exact
-    * verification (the MinHash-LSH pattern from [[Dedup.minHashLshPairs]]):
+    * verification (the MinHash-LSH pattern from [[Dedup.minhashLsh]]):
     * bucket every vector in `tables` hash tables, equi-join on
     * (table, bucket) carrying ONLY ids through the shuffle, dedup the
     * candidate pairs, re-join the vectors, and keep pairs with exact
     * cosine ≥ threshold. The join is an equi-join — never a cartesian —
     * so the plan survives a 100× corpus.
     *
-    * `tables` defaults from the threshold: enough tables that a pair AT
-    * the threshold collides somewhere with probability ≥ 1 - missProb
+    * `planes`/`tables` default from the threshold: `planes` is MAXIMIZED
+    * (most selective buckets) subject to the table count that keeps the
+    * at-threshold miss probability ≤ `missProb` fitting within 64 tables
     * (per-plane collision prob for angle θ is 1 - θ/π; deterministic md5
     * hyperplanes make the outcome reproducible across runs). Pairs above
-    * the threshold collide with strictly higher probability. If the
-    * requested `planes` would need more than 64 tables, `planes` is
-    * REDUCED until the count fits — the missProb guarantee always holds
-    * for auto-derived parameters (bigger buckets, more exact verifications,
-    * never silent recall loss); pass `tables` explicitly to pin the
-    * parameters and own the tradeoff yourself.
+    * the threshold collide with strictly higher probability.
     *
-    * [[nearDupPairsExact]] keeps the exact all-pairs form for small
-    * corpora / recall baselines. */
+    * LOW thresholds saturate sign-LSH: auto-derivation also computes the
+    * collision probability of a RANDOM (near-orthogonal) pair under the
+    * derived parameters, and when that false-positive rate reaches 1/2 the
+    * bucketed plan is all-pairs-plus-overhead — nearly every pair becomes
+    * a candidate and still pays the `tables`× explode plus the candidate
+    * dedup shuffle (measured 6× slower than the cartesian it degenerates
+    * to). Auto mode then returns [[nearDupPairsExact]] instead: recall 1.0
+    * trivially honors `missProb`, and the O(n²) cost LSH could not avoid
+    * is paid without the bucketing constant. Both auto outcomes honor the
+    * guarantee, and neither throws (the round-3 IllegalArgumentException
+    * for guarantee-unsatisfiable-within-64-tables is gone — the exact
+    * fallback covers that case). At this missProb the bucketed shape wins
+    * for thresholds ≳ 0.7. Pass `tables` (with `planes`) explicitly to
+    * force bucketing and own the recall/cost tradeoff yourself.
+    *
+    * [[nearDupPairsExact]] also remains directly callable as the recall
+    * baseline. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   dim: Int = 64, planes: Int = 4, tables: Int = 0,
+                   dim: Int = 64, planes: Int = 0, tables: Int = 0,
                    missProb: Double = 1e-4): DataFrame = {
     require(threshold > -1 && threshold < 1, s"threshold $threshold not in (-1, 1)")
     val pPlane = 1.0 - math.acos(threshold) / math.Pi
     def tablesFor(p: Int): Int = math.max(1,
       math.ceil(math.log(missProb) / math.log1p(-math.pow(pPlane, p))).toInt)
-    // Auto-derivation honors the missProb guarantee: if the requested
-    // `planes` would need more than MaxAutoTables tables, REDUCE planes
-    // until the table count fits — fewer planes means bigger buckets (more
-    // exact verifications) but the at-threshold miss probability stays
-    // ≤ missProb. The old behavior silently clamped tables and broke the
-    // documented guarantee. Callers wanting the fast/large-planes regime
-    // pass (planes, tables) explicitly and own the recall tradeoff.
+    // random-pair (cos ≈ 0 → per-plane collision prob 1/2) rate anywhere
+    def fpRate(p: Int, t: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(0.5, p), t)
     val MaxAutoTables = 64
-    val (p, t) =
-      if (tables > 0) (planes, tables)
-      else (planes to 1 by -1).map(pl => (pl, tablesFor(pl)))
-        .find(_._2 <= MaxAutoTables)
-        .getOrElse(throw new IllegalArgumentException(
-          s"sign-LSH cannot honor missProb=$missProb at threshold=$threshold " +
-            s"within $MaxAutoTables tables even at planes=1 " +
-            s"(needs ${tablesFor(1)}); pass planes/tables explicitly"))
-    val normed = corpus.select(col(idCol).as("i"), normalize(col(vecCol)).as("va"))
-    val bucketed = normed.select(col("i"), explode(array((0 until t).map { tb =>
-      struct(lit(tb).as("t"), lshBucket(col("va"), tb, p, dim).as("b"))
-    }: _*)).as("x")).select(col("i"), col("x.t").as("t"), col("x.b").as("b"))
-    val cands = bucketed.join(bucketed.toDF("j", "t", "b"), Seq("t", "b"))
-      .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-    cands
-      .join(normed, Seq("i"))
-      .join(normed.toDF("j", "vb"), Seq("j"))
-      .withColumn("cos", dot(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select("i", "j", "cos")
+    val chosen: Option[(Int, Int)] =
+      if (tables > 0) Some((if (planes > 0) planes else 4, tables))
+      else {
+        val maxPlanes = if (planes > 0) planes else 16
+        (maxPlanes to 1 by -1).map(pl => (pl, tablesFor(pl)))
+          .find(_._2 <= MaxAutoTables)
+          .filter { case (p, t) => fpRate(p, t) < 0.5 }
+      }
+    chosen match {
+      case None => nearDupPairsExact(corpus, threshold, idCol, vecCol)
+      case Some((p, t)) =>
+        val normed = corpus.select(col(idCol).as("i"),
+          normalize(col(vecCol)).as("va"))
+        val bucketed = bucketRows(corpus, idCol, vecCol, "i", "va", t, p, dim)
+          .select("i", "t", "b")
+        val cands = bucketed.join(bucketed.toDF("j", "t", "b"), Seq("t", "b"))
+          .filter(col("i") < col("j"))
+          .select("i", "j").distinct()
+        cands
+          .join(normed, Seq("i"))
+          .join(normed.toDF("j", "vb"), Seq("j"))
+          .withColumn("cos", dot(col("va"), col("vb")))
+          .filter(col("cos") >= threshold)
+          .select("i", "j", "cos")
+    }
   }
 
   /** Exact all-pairs near-duplicates — O(n²) cross join; the recall

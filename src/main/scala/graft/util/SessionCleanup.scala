@@ -28,11 +28,24 @@ object SessionCleanup {
     val q = hooks.computeIfAbsent(sc, { c =>
       c.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          Option(hooks.remove(c)).foreach(_.forEach(h => h()))
+          // poll-drain (not forEach): removal is atomic per hook, so the
+          // late-registration path below can use q.remove as a
+          // did-the-drain-already-run-it test without double-running.
+          Option(hooks.remove(c)).foreach { queue =>
+            var h = queue.poll()
+            while (h != null) { h(); h = queue.poll() }
+          }
       })
       new ConcurrentLinkedQueue[() => Unit]()
     })
     q.add(hook)
+    // Race: application end between computeIfAbsent and q.add orphans the
+    // queue — the hook would never run and its cache entry stays pinned for
+    // the JVM lifetime. If the queue is no longer registered, run the hook
+    // now (q.remove succeeding proves the drain didn't).
+    if (hooks.get(sc) ne q) {
+      if (q.remove(hook)) hook()
+    }
     () => { q.remove(hook): Unit }
   }
 }

@@ -78,12 +78,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall too low: $recall")
   }
 
-  test("bucketed near-dup pairs match the exact cross-join result") {
+  test("near-dup pairs match the exact cross-join result on both paths") {
     val exact = Similarity.nearDupPairsExact(emb, 0.47).select("i", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bucketed = Similarity.nearDupPairs(emb, 0.47).select("i", "j")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // auto mode at 0.47: derivation detects the saturated-LSH regime
+    // (random-pair fp ≥ 0.5) and falls back to the exact cartesian
+    val auto = Similarity.nearDupPairs(emb, 0.47).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == exact)
+    // forced bucketing (the round-3 auto parameters): the LSH recall
+    // guarantee must still find every exact pair — deterministic md5
+    // hyperplanes make this a fixed outcome, not a flaky probabilistic one
+    val bucketed = Similarity.nearDupPairs(emb, 0.47, planes = 4, tables = 45)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed == exact,
       s"LSH-bucketed candidates missed pairs: ${(exact -- bucketed).mkString(",")}")
   }
@@ -100,6 +109,24 @@ class PipelineOpsSpec extends SparkSpec {
       Similarity.cosine(col("x"), col("x")).as("xx")).head()
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("null array elements propagate to a null result, never garbage") {
+    import graft.functions.VectorExpressions
+    // parquet arrays are containsNull=true; a null slot must not be read as
+    // 0.0/garbage by the codegen'd getDouble loops (ADVICE r03)
+    val df = spark.sql(
+      "select array(1.0d, cast(null as double), 2.0d) as bad, " +
+        "array(3.0d, 4.0d) as good")
+    val r = df.select(
+      VectorExpressions.dotp(col("bad"), col("bad")).as("d_bad"),
+      VectorExpressions.l2normalize(col("bad")).as("n_bad"),
+      VectorExpressions.dotp(col("good"), col("good")).as("d_good"),
+      VectorExpressions.l2normalize(col("good")).as("n_good")).head()
+    assert(r.isNullAt(0), "dot_product over a null element must be null")
+    assert(r.isNullAt(1), "l2_normalize over a null element must be null")
+    assert(r.getDouble(2) == 25.0)
+    assert(math.abs(r.getSeq[Double](3).head - 0.6) < 1e-12)
   }
 
   test("session_window and gaps-and-islands sessionization agree on counts") {
