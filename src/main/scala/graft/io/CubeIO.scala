@@ -32,6 +32,29 @@ object CubeIO {
     }
   }
 
+  /** The reference's `format(dcast = TRUE, formula = rows ~ cols)`
+    * (R/data.cube.R:433-458, pivot at :456) as ONE call: denormalize →
+    * per-measure fun.format → dcast pivot → NA-last sort on the row keys
+    * (sorting after the pivot — the group-by would destroy a pre-sort).
+    * `measures` defaults to all of the cube's measures; `values` pins the
+    * pivot columns and skips the discovery scan, exactly like [[pivot]]. */
+  def format(cube: DataCube, rowKeys: Seq[String], colKeys: Seq[String],
+             measures: Seq[String],
+             overrides: Map[String, Column => Column],
+             values: Seq[Any]): DataFrame = {
+    require(colKeys.nonEmpty, "format dcast needs at least one column key")
+    val formatted = format(cube, overrides)
+    val ms = if (measures.nonEmpty) measures else cube.fact.measures.map(_.name)
+    val wide =
+      if (colKeys.size == 1) pivot(formatted, rowKeys, colKeys.head, ms, values)
+      else pivotMulti(formatted, rowKeys, colKeys, ms)
+    wide.orderBy(rowKeys.map(k => col(k).asc_nulls_last): _*)
+  }
+
+  def format(cube: DataCube, rowKeys: Seq[String],
+             colKeys: Seq[String]): DataFrame =
+    format(cube, rowKeys, colKeys, Seq.empty, Map.empty, Seq.empty)
+
   /** dcast-style pivot (X4): long → wide by `rowKeys ~ colKey`, one wide
     * column per (pivot value × measure). Explicit `values` avoids the
     * pivot-discovery job (a full distinct scan) — pass them when known. */
@@ -95,6 +118,25 @@ object CubeIO {
     (dimKeys, flat)
   }
 
+  /** 1-D shape convenience (R/data.table.R:44-83: a one-dimensional array
+    * drops to a named vector): (sorted key values, measure vector). */
+  def toDenseVector(cube: DataCube, measure: String,
+                    maxCells: Long = 10000000L): (Seq[Any], Array[Double]) = {
+    require(cube.fact.idVars.size == 1,
+      s"dense vector export needs exactly one dimension; " +
+        s"fact keys: ${cube.fact.idVars.mkString(",")}")
+    val (keys, flat) = toDenseArray(cube, measure, maxCells)
+    (keys.head, flat)
+  }
+
+  /** 0-dim shape convenience (R/data.table.R:44-83: a zero-dimensional
+    * cube drops to a scalar): the grand-total cell, NaN when absent. */
+  def toScalar(cube: DataCube, measure: String): Double = {
+    require(cube.fact.idVars.isEmpty,
+      s"scalar export needs a 0-dim cube; fact keys: ${cube.fact.idVars.mkString(",")}")
+    toDenseArray(cube, measure)._2.head
+  }
+
   /** Persist the fact bucketed by a key column (sorted within buckets):
     * two tables bucketed the same way join/aggregate on that key with NO
     * shuffle — the co-location technique that matters most at 100 TB,
@@ -110,95 +152,72 @@ object CubeIO {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Star metadata as typed rows — written and read by Spark's own JSON
+    * codec with this explicit schema (never inference, never hand-rolled
+    * parsing: the round-1 regex decoder corrupted on `]`/`"` inside quoted
+    * names). Seq fields keep hierarchy/level ORDER, which ListMap-based
+    * model construction relies on. */
+  private[io] case class LevelMeta(key: String, props: Seq[String])
+  private[io] case class HierMeta(name: String, levels: Seq[LevelMeta])
+  private[io] case class DimMeta(name: String, key: String,
+                                 hierarchies: Seq[HierMeta], dir: String)
+  private[io] case class MeasureMeta(vr: String, name: String)
+  private[io] case class StarMeta(idVars: Seq[String],
+                                  measures: Seq[MeasureMeta],
+                                  dimensions: Seq[DimMeta])
+
+  /** Dimension data directory name: md5 of the dimension name — stable,
+    * collision-free in practice, and safe for names containing path
+    * metacharacters (`/`, quotes, brackets). The human-readable name
+    * lives in the metadata, not the filesystem. */
+  private def dimDir(name: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))
+    "dim_" + d.map("%02x".format(_)).mkString
+  }
+
   /** Persist the star schema as parquet: fact + one directory per
     * dimension flat table, plus a tiny JSON of the metadata. */
   def saveStar(cube: DataCube, path: String): Unit = {
     cube.fact.data.write.mode("overwrite").parquet(s"$path/fact")
     cube.dimensions.values.foreach { d =>
-      d.denormalized.write.mode("overwrite").parquet(s"$path/dim_${d.name}")
+      d.denormalized.write.mode("overwrite").parquet(s"$path/${dimDir(d.name)}")
     }
-    val meta = starMeta(cube)
+    val meta = StarMeta(
+      cube.fact.idVars,
+      cube.fact.measures.map(m => MeasureMeta(m.vr, m.name)),
+      cube.dimensions.values.toSeq.map { d =>
+        DimMeta(d.name, d.key,
+          d.hierarchies.toSeq.map { case (hn, h) =>
+            HierMeta(hn, h.levels.toSeq.map { case (lk, props) =>
+              LevelMeta(lk, props)
+            })
+          },
+          dimDir(d.name))
+      })
     val spark = cube.fact.data.sparkSession
     import spark.implicits._
-    Seq(meta).toDF("meta").coalesce(1)
+    Seq(meta).toDS().coalesce(1)
       .write.mode("overwrite").json(s"$path/meta")
-  }
-
-  private def starMeta(cube: DataCube): String = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val dims = cube.dimensions.values.map { d =>
-      val hs = d.hierarchies.map { case (hn, h) =>
-        val lvls = h.levels.map { case (lk, props) =>
-          s"""{"key":"${esc(lk)}","props":[${props.map(p => s""""${esc(p)}"""").mkString(",")}]}"""
-        }.mkString(",")
-        s"""{"name":"${esc(hn)}","levels":[$lvls]}"""
-      }.mkString(",")
-      s"""{"name":"${esc(d.name)}","key":"${esc(d.key)}","hierarchies":[$hs]}"""
-    }.mkString(",")
-    val ms = cube.fact.measures.map(m =>
-      s"""{"vr":"${esc(m.vr)}","name":"${esc(m.name)}"}""").mkString(",")
-    s"""{"idVars":[${cube.fact.idVars.map(v => s""""${esc(v)}"""").mkString(",")}],"measures":[$ms],"dimensions":[$dims]}"""
   }
 
   /** Load a star schema saved by [[saveStar]]. Measures reload as SUM of
     * the stored (already grain-aggregated) columns — the additive default;
     * callers with custom aggregates re-supply them. */
   def loadStar(spark: SparkSession, path: String): DataCube = {
-    val metaStr = spark.read.json(s"$path/meta")
-      .select("meta").head().getString(0)
-    // minimal JSON decode (flat, known shape; no external json lib)
-    def arr(s: String, field: String): Seq[String] = {
-      val m = (s""""$field":\\[""").r.pattern.matcher(s)
-      if (!m.find()) return Seq.empty
-      var depth = 1; var i = m.end(); val start = i
-      while (depth > 0 && i < s.length) {
-        s.charAt(i) match {
-          case '[' => depth += 1
-          case ']' => depth -= 1
-          case _ =>
-        }
-        i += 1
-      }
-      splitTop(s.substring(start, i - 1))
-    }
-    def splitTop(s: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      var depth = 0; var start = 0
-      s.zipWithIndex.foreach { case (c, i) =>
-        c match {
-          case '[' | '{' => depth += 1
-          case ']' | '}' => depth -= 1
-          case ',' if depth == 0 =>
-            out += s.substring(start, i); start = i + 1
-          case _ =>
-        }
-      }
-      if (start < s.length) out += s.substring(start)
-      out.result().map(_.trim).filter(_.nonEmpty)
-    }
-    def str(s: String, field: String): String = {
-      val m = (s""""$field":"([^"]*)"""").r
-      m.findFirstMatchIn(s).map(_.group(1)).getOrElse(
-        throw new IllegalArgumentException(s"missing $field in $s"))
-    }
-    val idVars = arr(metaStr, "idVars").map(_.stripPrefix("\"").stripSuffix("\""))
-    val measures = arr(metaStr, "measures").map { m =>
-      Measure.sum(str(m, "vr"), str(m, "name"))
-    }
-    val dims = arr(metaStr, "dimensions").map { d =>
-      val name = str(d, "name")
-      val key = str(d, "key")
-      val hs = arr(d, "hierarchies").map { h =>
-        val lvls = arr(h, "levels").map { l =>
-          str(l, "key") -> arr(l, "props").map(_.stripPrefix("\"").stripSuffix("\""))
-        }
-        str(h, "name") -> Hierarchy(ListMap(lvls: _*))
-      }
-      Dimension.build(name, key, ListMap(hs: _*),
-        spark.read.parquet(s"$path/dim_$name"))
+    import spark.implicits._
+    val meta = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[StarMeta].schema)
+      .json(s"$path/meta").as[StarMeta].head()
+    val measures = meta.measures.map(m => Measure.sum(m.vr, m.name))
+    val dims = meta.dimensions.map { d =>
+      val hs = d.hierarchies.map(h =>
+        h.name -> Hierarchy(ListMap(h.levels.map(l => l.key -> l.props): _*)))
+      Dimension.build(d.name, d.key, ListMap(hs: _*),
+        spark.read.parquet(s"$path/${d.dir}"))
     }
     val factDf = spark.read.parquet(s"$path/fact")
     // stored fact is already at grain; re-aggregation is a no-op reload
-    DataCube.build(Fact(factDf, idVars, measures.map(m => m.copy(vr = m.name))), dims)
+    DataCube.build(Fact(factDf, meta.idVars, measures.map(m => m.copy(vr = m.name))), dims)
   }
 }

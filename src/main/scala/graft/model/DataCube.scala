@@ -53,7 +53,10 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     */
   def q(exprs: DimExpr*): DataCube = q(exprs, drop = true)
 
-  def q(exprs: Seq[DimExpr], drop: Boolean): DataCube = {
+  def q(exprs: Seq[DimExpr], drop: Boolean): DataCube =
+    q(exprs, drop, dropCounted = false)
+
+  def q(exprs: Seq[DimExpr], drop: Boolean, dropCounted: Boolean): DataCube = {
     val byDim = exprs.map(e => e.name -> e.op).toMap
     val unknown = byDim.keySet -- dimensions.keySet
     require(unknown.isEmpty, s"unknown dimension(s): ${unknown.mkString(", ")}")
@@ -96,10 +99,19 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     //    here (empty 0-axis cube); the reference keeps the empty axis;
     //  - an attribute filter that happens to leave exactly one key does NOT
     //    drop here; the reference drops. Slice by key value or position to
-    //    get array-drop behavior.
+    //    get array-drop behavior — or pass `dropCounted = true` for the
+    //    reference's exact counted semantics, accepting one blocking
+    //    cardinality job per filtered dimension at composition time.
     val collapsed = byDim.collect { case (n, _: DimOp.Collapse) => n }.toSet
     val dropped: Set[String] =
       if (!drop) Set.empty
+      else if (dropCounted)
+        // exact reference semantics: count the SURVIVING keys; drop on
+        // exactly 1 (an empty axis is kept, an attribute filter that
+        // leaves one key drops). limit(2) bounds the job: the answer
+        // only distinguishes 0 / 1 / many.
+        subsetted.collect { case (n, d) if !collapsed(n) &&
+          d.keyValues.limit(2).count() == 1 => n }.toSet
       else subsetted.collect { case (n, d) if !collapsed(n) =>
         val keyFilter = byDim(n).filters.get(d.key)
         val drops = keyFilter match {
@@ -360,14 +372,25 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
       d.denormalized.createOrReplaceTempView(s"$prefix${d.name}"))
   }
 
-  /** Per-table row/column stats — the reference's `schema()` introspection
-    * (R/schema.R:2-11, R/data.cube.R:111-116). */
-  def describe(): Seq[(String, Long, Int)] = {
-    val f = ("fact", fact.data.count(), fact.data.columns.length)
+  /** Per-table row/column/size stats — the reference's `schema()`
+    * introspection (R/schema.R:2-11, R/data.cube.R:111-116), which reports
+    * nrow/ncol/MB per table. Size is Catalyst's optimized-plan estimate
+    * (`stats.sizeInBytes`, capped at Long.MaxValue): zero extra jobs — the
+    * row counts are the only actions, same as before. */
+  def describe(): Seq[(String, Long, Int, Long)] = {
+    def sizeOf(df: DataFrame): Long = {
+      val s = try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+      if (s.isValidLong) s.toLong else Long.MaxValue
+    }
+    val f = ("fact", fact.data.count(), fact.data.columns.length,
+      sizeOf(fact.data))
     val ds = dimensions.values.flatMap { d =>
-      Seq((s"dimension:${d.name}", d.data.count(), d.data.columns.length)) ++
+      Seq((s"dimension:${d.name}", d.data.count(), d.data.columns.length,
+        sizeOf(d.data))) ++
         d.levels.values.map(l =>
-          (s"level:${d.name}.${l.key}", l.data.count(), l.data.columns.length))
+          (s"level:${d.name}.${l.key}", l.data.count(),
+            l.data.columns.length, sizeOf(l.data)))
     }
     f +: ds.toSeq
   }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * resize / frame-sample operators (north-star extension; no reference
   * counterpart).
   *
-  * The actual codec calls are STUBBED — this container has no image/audio
-  * libraries — behind `decodeStub`, a deterministic fake that derives
-  * "features" from the bytes themselves. Everything Spark-side is real and
-  * tested: the schema, the `mapPartitions` batch shape (decoder state is
-  * constructed once per partition, not per row — the expensive part at
-  * scale), partition sizing, and the typed output columns.
+  * IMAGE decode is REAL: the JDK's `javax.imageio.ImageIO` reads PNG, BMP,
+  * JPEG and GIF with no external library, and [[imageFeatures]] derives
+  * resolution + luminance-histogram features from the decoded raster.
+  * Bytes that no registered reader accepts (and the audio/video codecs,
+  * which the JDK does not ship) fall back to [[decodeStub]], a
+  * deterministic fake that derives "features" from the bytes themselves.
+  * Everything Spark-side is real and tested either way: the schema, the
+  * `mapPartitions` batch shape (decoder state is constructed once per
+  * partition, not per row — the expensive part at scale), partition
+  * sizing, and the typed output columns.
   */
 object Multimodal {
 
@@ -35,14 +39,69 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, n_bytes: Long,
                                  features: Array[Float])
 
-  /** Deterministic fake "decode + feature extraction": a real pipeline
-    * would decode the image/audio here (??? in this container). The fake
-    * derives `dim` floats from a rolling byte hash — stable across runs,
-    * so tests can assert exact values. The *shape* (per-partition decoder
-    * init, streaming iterator, no materialization of the whole partition)
-    * is the production shape. */
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers
+    * ship with the JRE). None when no registered reader accepts the bytes
+    * — the caller falls back to [[decodeStub]], so undecodable blobs
+    * degrade deterministically instead of failing the job. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Features from a decoded raster: [width, height, mean luminance,
+    * (dim-3)-bucket luminance histogram (pixel fractions)]. Deterministic
+    * for a given image; resolution comes from the REAL decode, so a
+    * mis-sized blob is caught by feature checks, not just metadata. */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    if (dim > 0) out(0) = w.toFloat
+    if (dim > 1) out(1) = h.toFloat
+    if (dim > 2) {
+      val buckets = math.max(dim - 3, 1)
+      val hist = new Array[Int](buckets)
+      var lumSum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // ITU-R BT.601 integer luma from the sRGB channels
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          lumSum += lum
+          hist(math.min(lum * buckets / 256, buckets - 1)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val nPix = (w.toLong * h).toDouble
+      out(2) = (lumSum / nPix).toFloat
+      var b = 0
+      while (b < buckets && 3 + b < dim) {
+        out(3 + b) = (hist(b) / nPix).toFloat
+        b += 1
+      }
+    }
+    out
+  }
+
+  /** Decode + featurize one blob: real ImageIO path when the bytes are a
+    * decodable image, deterministic fake otherwise. */
+  def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) => imageFeatures(img, dim)
+      case None      => decodeStub(bytes, dim)
+    }
+
+  /** Deterministic fake "decode + feature extraction" — the fallback for
+    * bytes no JDK reader decodes (and the stand-in for the audio/video
+    * codecs this container doesn't have). Derives `dim` floats from a
+    * rolling byte hash — stable across runs, so tests can assert exact
+    * values. The *shape* (per-partition decoder init, streaming iterator,
+    * no materialization of the whole partition) is the production shape. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec call goes here (e.g. ImageIO / ffmpeg binding)
+    // ??? <- real audio/video codec call would go here (ffmpeg binding)
     val out = new Array[Float](dim)
     var h = 1125899906842597L // large prime seed
     var i = 0
@@ -69,7 +128,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         MediaFeatures(r.getLong(idIdx), bytes.length.toLong,
-          decodeStub(bytes, dim))
+          decodeFeatures(bytes, dim))
       }
     }
   }

@@ -113,6 +113,32 @@ class ModelSpec extends SparkSpec {
     assert(r2.dimensions.contains("one"))
   }
 
+  test("dropCounted opt-in gives the reference's counted-drop semantics") {
+    val c = miniCube
+    // attribute filter that leaves exactly one key (attr=x -> k=1):
+    // spec-only default KEEPS the dimension; counted mode DROPS it
+    // (length(dimkeys)==1, R/data.cube.R:266-270)
+    val spec = c.q(Seq(dim("one").where("attr" -> Seq("x"))), drop = true)
+    assert(spec.dimensions.contains("one"))
+    val counted = c.q(Seq(dim("one").where("attr" -> Seq("x"))),
+      drop = true, dropCounted = true)
+    assert(!counted.dimensions.contains("one"))
+    assert(counted.fact.idVars == Seq("g"))
+    // key pinned to a value that matches NOTHING: default drops the axis
+    // (spec pins one value); counted mode keeps the empty axis like the
+    // reference (0 surviving keys != 1)
+    val specGone = c.q(Seq(dim("one").where("k" -> Seq(99))), drop = true)
+    assert(!specGone.dimensions.contains("one"))
+    val countedKept = c.q(Seq(dim("one").where("k" -> Seq(99))),
+      drop = true, dropCounted = true)
+    assert(countedKept.dimensions.contains("one"))
+    assert(countedKept.fact.data.count() == 0)
+    // 2+ surviving keys never drop in either mode
+    val two = c.q(Seq(dim("one").where("attr" -> Seq("y"))),
+      drop = true, dropCounted = true)
+    assert(two.dimensions.contains("one"))
+  }
+
   test("empty filter list is constant-false (NULL semantics, F5)") {
     val c = miniCube
     val r = c.q(Seq(dim("one").where("k" -> Seq.empty)), drop = false)

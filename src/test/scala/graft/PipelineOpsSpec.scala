@@ -138,6 +138,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("real PNG bytes decode to width/height-correct features; garbage falls back") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    val img = new BufferedImage(7, 5, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, ((x * 37 + y * 53) % 256) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val garbage = Array[Byte](1, 2, 3, 4)
+    val media = Seq((1L, png), (2L, garbage)).toDF("media_id", "content")
+    val fs = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    // decoded path: resolution comes from the REAL raster, histogram sums to 1
+    assert(fs(1L).features(0) == 7.0f, "decoded width")
+    assert(fs(1L).features(1) == 5.0f, "decoded height")
+    assert(math.abs(fs(1L).features.drop(3).sum - 1.0f) < 1e-5, "histogram mass")
+    assert(fs(1L).n_bytes == png.length)
+    // undecodable bytes: deterministic fake, bit-identical to decodeStub
+    assert(fs(2L).features.sameElements(Multimodal.decodeStub(garbage, 8)))
+  }
+
   test("multimodal feature extraction is deterministic with stable shape") {
     val media = Multimodal.syntheticMedia(spark, 30)
     assert(media.schema("content").dataType.typeName == "binary")

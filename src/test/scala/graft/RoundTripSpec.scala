@@ -118,5 +118,58 @@ class RoundTripSpec extends SparkSpec {
     val desc = small.describe()
     assert(desc.exists(_._1 == "fact") &&
       desc.exists(_._1.startsWith("dimension:")))
+    // the reference's schema() reports bytes per table (R/schema.R:2-11):
+    // every row carries a positive size estimate
+    assert(desc.forall(_._4 > 0), s"non-positive size estimate in $desc")
+  }
+
+  test("one-call format dcast: denormalize + format + pivot + NA-last sort") {
+    val small = star.aggregate(Seq("time_year", "curr_type"))
+    val wide = CubeIO.format(small, Seq("time_year"), Seq("curr_type"),
+      Seq("amount"), Map("amount" -> Measure.currencyFormat("USD")),
+      values = Seq("crypto", "fiat"))
+    assert(wide.columns.toSet == Set("time_year", "crypto", "fiat"))
+    val rows = wide.collect()
+    assert(rows.length == 2) // 2013, 2014 — sorted ascending
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2013, 2014))
+    // fun.format was applied BEFORE the pivot: wide cells are strings
+    assert(rows.forall(r => r.getString(1).endsWith(" USD")))
+  }
+
+  test("save/load round trip survives ] and quote in a dimension name") {
+    import scala.collection.immutable.ListMap
+    import spark.implicits._
+    import graft.model._
+    val weird = """we]ird"dim"""
+    val fact = Seq((1, 2.0), (2, 3.0), (2, 4.0)).toDF("k", "v")
+    val d = Seq((1, "x"), (2, "y")).toDF("k", "attr")
+    val cube = DataCube.build(
+      Fact.build(fact, Seq("k"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(Dimension.build(weird, "k",
+        ListMap("h" -> Hierarchy("attr" -> Seq.empty, "k" -> Seq.empty)), d)))
+    val dir = java.nio.file.Files.createTempDirectory("star_weird").toString
+    CubeIO.saveStar(cube, dir)
+    val loaded = CubeIO.loadStar(spark, dir)
+    assert(loaded.dimensions.keySet == Set(weird))
+    assert(loaded.dimension(weird).hierarchies("h").levels.keys.toSeq ==
+      Seq("attr", "k"))
+    val got = loaded.aggregate(Seq("attr")).fact.data
+      .orderBy("attr").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("x", 2.0), ("y", 7.0)))
+  }
+
+  test("dense shape conveniences: 1-D vector and 0-dim scalar") {
+    // 1-D: collapse to one dimension, export as (keys, vector)
+    val oneD = star.q(
+      dim("customer").collapse(), dim("currency").collapse(),
+      dim("geography").collapse(), dim("time").collapse())
+    val (keys, vec) = CubeIO.toDenseVector(oneD, "amount")
+    assert(keys.size == vec.length)
+    assert(vec.exists(!_.isNaN))
+    // 0-dim: grand total drops to a scalar
+    val zeroD = star.applyMargin(Seq.empty)
+    val total = CubeIO.toScalar(zeroD, "amount")
+    val expect = star.fact.data.agg(sum("amount")).head().getDouble(0)
+    assert(math.abs(total - expect) < 1e-6)
   }
 }
