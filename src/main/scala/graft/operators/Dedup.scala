@@ -148,11 +148,14 @@ object Dedup {
     val shIdx = capShingles(
       shinglesDf.getOrElse(docShingles(docs, idCol, textCol, n)), maxDf)
     val sig = minhashSignatures(docs, idCol, textCol, n, k, Some(shIdx))
-    // band column: array of the band's r mins (join key per band)
-    val bandRows = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), array(cols: _*).as("sig"))
-    }.reduce(_ unionByName _)
+    // band rows via ONE posexplode of the band arrays — a per-band
+    // union-of-selects would re-run the signature aggregation once per
+    // band per join side (16× at the defaults; measured ~3× on q20)
+    val bandArr = array((0 until bands).map { b =>
+      array((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)
+    }: _*)
+    val bandRows = sig.select(col("doc_id"),
+      posexplode(bandArr).as(Seq("band", "sig")))
     val cands = bandRows.toDF("i", "band", "sig")
       .join(bandRows.toDF("j", "band", "sig"), Seq("band", "sig"))
       .filter(col("i") < col("j"))
@@ -207,11 +210,14 @@ object Dedup {
     val sig = simhash(docs, idCol, textCol)
     val nb = maxHamming + 1
     val w = 60 / nb // band width in bits
-    val bandRows = (0 until nb).map { b =>
-      val band = shiftright(col("simhash"), b * w)
-        .bitwiseAND((1L << w) - 1)
-      sig.select(col("doc_id"), lit(b).as("band"), band.as("bits"), col("simhash"))
-    }.reduce(_ unionByName _)
+    // one posexplode instead of an nb-way union: the union form re-ran
+    // the simhash aggregation once per band per join side
+    val bandArr = array((0 until nb).map { b =>
+      shiftright(col("simhash"), b * w).bitwiseAND((1L << w) - 1)
+    }: _*)
+    val bandRows = sig.select(col("doc_id"),
+      posexplode(bandArr).as(Seq("band", "bits")), col("simhash"))
+      .select("doc_id", "band", "bits", "simhash")
     bandRows.toDF("i", "band", "bits", "sig_i")
       .join(bandRows.toDF("j", "band", "bits", "sig_j"), Seq("band", "bits"))
       .filter(col("i") < col("j"))
