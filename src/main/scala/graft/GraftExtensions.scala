@@ -5,11 +5,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, L2Normalize, WinnowFingerprints}
 
 /** Session-extension wiring (SURVEY §4: the one custom-Catalyst piece the
-  * engine ships): registers the codegen'd vector functions into Spark SQL,
-  * so `spark.sql("SELECT dot_product(a, b) ...")` works alongside the
+  * engine ships): registers the codegen'd vector/text functions into Spark
+  * SQL, so `spark.sql("SELECT dot_product(a, b) ...")` works alongside the
   * DataFrame API.
   *
   * Use at session build time:
@@ -17,24 +17,47 @@ import graft.functions.DotProduct
   * or on a live session: `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProductDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotProductBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 2, "dot_product takes exactly 2 arguments")
-    DotProduct(exprs.head, exprs(1))
+
+  private def litInt(e: Expression, arg: String): Int = {
+    require(e.foldable, s"$arg must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$arg must be a literal integer, got $other")
+    }
   }
 
-  private val dotProductDescriptor =
+  private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      dotProductBuilder)
+      { exprs =>
+        require(exprs.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
+      { exprs =>
+        require(exprs.length == 1, "l2_normalize takes exactly 1 argument")
+        L2Normalize(exprs.head)
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      { exprs =>
+        require(exprs.length == 3,
+          "winnow_fingerprints takes (text, k, w)")
+        WinnowFingerprints(exprs.head,
+          litInt(exprs(1), "k"), litInt(exprs(2), "w"))
+      }))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotProductDescriptor._1, dotProductDescriptor._2, dotProductDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

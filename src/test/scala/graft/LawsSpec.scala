@@ -110,4 +110,19 @@ class LawsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r == 11.0)
   }
+
+  test("sql: l2_normalize and winnow_fingerprints registered too") {
+    GraftExtensions.register(spark)
+    val n = spark.sql("SELECT l2_normalize(array(3.0d, 4.0d)) AS v").head()
+      .getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8))
+    val w = spark.sql(
+      "SELECT size(winnow_fingerprints('the quick brown fox', 3, 4)) AS s")
+      .head().getInt(0)
+    assert(w > 0)
+    // non-foldable k is a composition error, not a silent misread
+    intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprints('x', cast(rand()*4 as int) + 1, 4)").head()
+    }
+  }
 }
