@@ -123,14 +123,25 @@ object TextFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     VectorExpressions.winnow(text, k, w)
 
-  /** Word n-gram shingles (space-joined) of the text, as an array column.
-    * Documents shorter than n tokens produce their full token string as the
-    * single shingle (so no document silently vanishes from dedup). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles (space-joined) from a PRE-COMPUTED token-array
+    * column. Stage the tokens with [[tokens]] in a projection first: the
+    * HOF lambda here is CodegenFallback and re-evaluates its argument
+    * subtree per element, so handing it the raw `split` expression costs
+    * O(tokens²) re-splits per document — a bound column reference makes
+    * each element O(n). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => array_join(slice(toks, i + 1, lit(n)), " "))
     when(size(toks) < n, array(array_join(toks, " "))).otherwise(grams)
   }
+
+  /** Word n-gram shingles (space-joined) of the text, as an array column.
+    * Documents shorter than n tokens produce their full token string as the
+    * single shingle (so no document silently vanishes from dedup).
+    * Convenience form — inside an operator pipeline prefer staging
+    * [[tokens]] in its own projection and calling [[shinglesFromTokens]]
+    * (see its scaladoc for why). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 }

@@ -43,7 +43,12 @@ object Dedup {
     * any realistic corpus. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s0"))
+      // tokens staged as a real column BEFORE the shingle lambda — the HOF
+      // re-evaluates its argument subtree per element, and handing it the
+      // raw split() costs O(tokens²) re-splits per doc (see
+      // TextFunctions.shinglesFromTokens)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
       .distinct()
 
