@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 import graft.functions.{DotProduct, L2Normalize, WinnowFingerprints}
 
@@ -26,11 +27,21 @@ object GraftExtensions {
   private def litInt(e: Expression, arg: String): Int = {
     require(e.foldable, s"$arg must be a literal integer")
     e.eval() match {
-      case n: Number => n.intValue()
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long)
+        if n.asInstanceOf[Number].longValue().isValidInt =>
+        n.asInstanceOf[Number].intValue()
       case other => throw new IllegalArgumentException(
         s"$arg must be a literal integer, got $other")
     }
   }
+
+  // SQL arguments arrive untyped: the expressions read elements with
+  // getDouble, so a non-double array (bigint/int/float from parquet) would
+  // be reinterpreted as raw bits — cast first, like the DataFrame wrappers
+  // do; an uncastable argument fails analysis loudly.
+  private def asDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType, containsNull = true))
 
   private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -38,20 +49,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       { exprs =>
         require(exprs.length == 2, "dot_product takes exactly 2 arguments")
-        DotProduct(exprs.head, exprs(1))
+        DotProduct(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
       }),
     (FunctionIdentifier("l2_normalize"),
       new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
       { exprs =>
         require(exprs.length == 1, "l2_normalize takes exactly 1 argument")
-        L2Normalize(exprs.head)
+        L2Normalize(asDoubleArray(exprs.head))
       }),
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       { exprs =>
         require(exprs.length == 3,
           "winnow_fingerprints takes (text, k, w)")
-        WinnowFingerprints(exprs.head,
+        WinnowFingerprints(Cast(exprs.head, StringType),
           litInt(exprs(1), "k"), litInt(exprs(2), "w"))
       }))
 

@@ -146,8 +146,8 @@ object Tpch {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataCube, () => Unit)]()
 
-  def cube(spark: SparkSession, dir: String): DataCube =
-    cache.computeIfAbsent((spark, dir), { case (s, d) =>
+  def cube(spark: SparkSession, dir: String): DataCube = {
+    val entry = cache.computeIfAbsent((spark, dir), { case (s, d) =>
       // evict on session stop: long-lived applications cycling sessions
       // must not pin cubes (and their cached plans) for the JVM lifetime.
       // SessionCleanup = one listener per context, detachable hook — a
@@ -160,7 +160,15 @@ object Tpch {
         cache.remove((s, d)): Unit
       }
       (c, detach)
-    })._1
+    })
+    // If the application ended DURING the build, the cleanup hook may have
+    // fired (immediately, via SessionCleanup's late-registration path)
+    // before computeIfAbsent inserted the entry — its remove was a no-op.
+    // Post-insertion check closes that window.
+    if (spark.sparkContext.isStopped)
+      Option(cache.remove((spark, dir))).foreach(_._2.apply())
+    entry._1
+  }
 
   /** Force-fill the persisted caches (fact grain aggregation + dimension
     * dedups + denormalized views). The cube's usage model is build-once-

@@ -152,6 +152,9 @@ final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  require(k >= 1, s"winnow k-gram size must be >= 1, got $k")
+  require(w >= 1, s"winnow window size must be >= 1, got $w")
+
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
 

@@ -47,7 +47,7 @@ object CubeIO {
     val ms = if (measures.nonEmpty) measures else cube.fact.measures.map(_.name)
     val wide =
       if (colKeys.size == 1) pivot(formatted, rowKeys, colKeys.head, ms, values)
-      else pivotMulti(formatted, rowKeys, colKeys, ms)
+      else pivotMulti(formatted, rowKeys, colKeys, ms, values)
     wide.orderBy(rowKeys.map(k => col(k).asc_nulls_last): _*)
   }
 
@@ -68,11 +68,13 @@ object CubeIO {
 
   /** Multi-column pivot headers (`year ~ status + color` →
     * `active_green` …): concat the column keys first
-    * (tests/tests-021-format.R:102-110). */
+    * (tests/tests-021-format.R:102-110). `values`, when given, are the
+    * CONCATENATED header values (e.g. `"active_green"`) and skip the
+    * discovery scan exactly like [[pivot]]'s. */
   def pivotMulti(df: DataFrame, rowKeys: Seq[String], colKeys: Seq[String],
-                 measures: Seq[String]): DataFrame = {
+                 measures: Seq[String], values: Seq[Any] = Seq.empty): DataFrame = {
     val combined = df.withColumn("__pivot", concat_ws("_", colKeys.map(col): _*))
-    pivot(combined, rowKeys, "__pivot", measures)
+    pivot(combined, rowKeys, "__pivot", measures, values)
   }
 
   /** Dense export — the reference's `as.array` (R/data.table.R:44-83):
@@ -206,9 +208,14 @@ object CubeIO {
     * callers with custom aggregates re-supply them. */
   def loadStar(spark: SparkSession, path: String): DataCube = {
     import spark.implicits._
+    // FAILFAST: a corrupt or old-format meta file must fail loudly here,
+    // not surface later as an all-null StarMeta NPE
     val meta = spark.read
       .schema(org.apache.spark.sql.Encoders.product[StarMeta].schema)
+      .option("mode", "FAILFAST")
       .json(s"$path/meta").as[StarMeta].head()
+    require(meta.idVars != null && meta.measures != null && meta.dimensions != null,
+      s"$path/meta is not a saveStar metadata file (missing fields)")
     val measures = meta.measures.map(m => Measure.sum(m.vr, m.name))
     val dims = meta.dimensions.map { d =>
       val hs = d.hierarchies.map(h =>

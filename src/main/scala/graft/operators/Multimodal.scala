@@ -44,8 +44,16 @@ object Multimodal {
     * — the caller falls back to [[decodeStub]], so undecodable blobs
     * degrade deterministically instead of failing the job. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case scala.util.control.NonFatal(_) => None }
+    // MemoryCacheImageInputStream explicitly: ImageIO.read(InputStream)
+    // defaults to a DISK-backed cache stream (a temp file per blob), which
+    // would add per-row disk I/O to the decode hot path
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // NO explicit close: read(ImageInputStream) closes the stream itself
+      // (javadoc); a second close throws and would mask the decoded image
+      Option(javax.imageio.ImageIO.read(iis))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Features from a decoded raster: [width, height, mean luminance,
     * (dim-3)-bucket luminance histogram (pixel fractions)]. Deterministic

@@ -39,17 +39,25 @@ object ExtensionQueries {
     * Consumers pass this index with `maxDf = None`. */
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, () => Unit)]()
-  private def shingles3(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s, dir), { case (ss, d) =>
-      val detach = graft.util.SessionCleanup.onApplicationEnd(ss) { () =>
-        shingleCache.remove((ss, d)): Unit
-      }
+  private def shingles3(s: SparkSession, dir: String): DataFrame = {
+    val entry = shingleCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      // hook registered AFTER the index composes (throwing build must not
+      // leak hook closures per retry — same contract as Tpch.cube)
       val sh = Dedup.buildShingleIndex(docs(ss, d), "doc_id", "text", 3,
         maxDf = Some(Dedup.DefaultMaxDf))
       if (!sys.env.contains("SPARK_GRAFT_NO_CACHE"))
         sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val detach = graft.util.SessionCleanup.onApplicationEnd(ss) { () =>
+        shingleCache.remove((ss, d)): Unit
+      }
       (sh, detach)
-    })._1
+    })
+    // application ended during build: the hook may have fired before the
+    // entry was inserted — evict post-insertion (see Tpch.cube)
+    if (s.sparkContext.isStopped)
+      Option(shingleCache.remove((s, dir))).foreach(_._2.apply())
+    entry._1
+  }
 
   /** Force-fill the shared shingle index cache (bench `build_shingles`
     * accounting line — the index is the dominant cost of the dedup family
