@@ -28,10 +28,18 @@ object Bench {
     // are byte-identical and Spark's codegen cache + the JIT are fully
     // primed for the timed plans; data volume stays negligible.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
+      // Drop the warm-dir cube + shingle caches before the timed section:
+      // left pinned (uncompressed columnar) they compete for executor
+      // memory/GC with the sf target's build and bleed into its line items
+      // (observed: build_cube 12.7s -> 37.9s with the caches held).
+      graft.builders.Tpch.invalidate(spark, warmDir)
+      graft.queries.ExtensionQueries.invalidateShingles(spark, warmDir)
+      System.gc()
+    }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // Build/cache-fill accounting: the engine's usage model is build-once-
     // query-many (the reference holds an in-memory cube object), so the

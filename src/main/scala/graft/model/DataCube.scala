@@ -257,6 +257,24 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     }, measures = ms)
   }
 
+  /** Integer-MARGIN form — the reference accepts dimension POSITIONS and
+    * maps them through the fact's id.vars (`MARGIN = X$id.vars[MARGIN]`,
+    * R/data.cube.R:475-476; 1-based, R convention). The DummyImplicit
+    * disambiguates the erased overload. */
+  def applyMargin(margin: Seq[Int], fun: Option[Column => Column])(
+      implicit d: DummyImplicit): DataCube = {
+    val keys = fact.idVars
+    val named = margin.map { i =>
+      require(i >= 1 && i <= keys.length,
+        s"MARGIN position $i out of 1..${keys.length} (id.vars: ${keys.mkString(", ")})")
+      keys(i - 1)
+    }
+    applyMargin(named, fun)
+  }
+
+  def applyMargin(margin: Seq[Int])(implicit d: DummyImplicit): DataCube =
+    applyMargin(margin, None)
+
   // ---------------------------------------------------------------------
   // Grouping sets over hierarchy attributes (SURVEY §3.3)
   // ---------------------------------------------------------------------
@@ -320,9 +338,17 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     val base =
       if (!naFill) fact.data
       else {
-        val counts = dimensions.values.map(_.keyValues.count())
-        val cells = counts.foldLeft(1L)((a, b) => math.multiplyExact(a, b))
-        require(cells <= maxCells,
+        // ONE job for the cell budget: union the per-dimension counts and
+        // collect once (per-dimension `.count()` serialized N blocking
+        // driver round-trips at composition time).
+        val counts = dimensions.values
+          .map(_.keyValues.agg(count(lit(1)).cast("long").as("c")))
+          .reduce(_ union _)
+          .collect().map(_.getLong(0)).toSeq
+        // BigInt: a many-dimension product overflows Long long before the
+        // budget check — overflow must surface as the budget error
+        val cells = counts.foldLeft(BigInt(1))(_ * _)
+        require(cells <= BigInt(maxCells),
           s"na.fill would materialize $cells cells (> $maxCells budget)")
         val dense = dimensions.values.map(_.keyValues)
           .reduce((a, b) => a.crossJoin(b))
@@ -394,6 +420,49 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     }
     f +: ds.toSeq
   }
+
+  /** The reference's print banner (`print.data.cube`, R/data.cube.R:80-97):
+    * {{{
+    * <data.cube>
+    * fact:
+    *   60175 rows x 7 dimensions x 2 measures (1.84 MB)
+    * dimensions:
+    *   date : 2406 entities x 2 levels (0.09 MB)
+    * total size: 2.01 MB
+    * }}}
+    * Row counts run [[describe]]'s jobs; MB is Catalyst's size estimate
+    * (the reference prints data.table memory footprints — same role).
+    * `show()` prints it; this returns the text for golden specs. */
+  def banner(): String = {
+    val rows = describe()
+    // sizeOf caps failures at Long.MaxValue / -1 — clamp and sum in BigInt
+    // so a capped entry can't overflow the total
+    def mb(parts: Seq[Long]): String =
+      String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(parts.map(b => BigInt(b.max(0L))).sum
+          .min(BigInt(Long.MaxValue)).toDouble / 1048576.0))
+    val factRow = rows.head
+    val sb = new StringBuilder
+    sb ++= "<data.cube>\n"
+    sb ++= "fact:\n"
+    sb ++= s"  ${factRow._2} rows x ${dimensions.size} dimensions x " +
+      s"${fact.measures.size} measures (${mb(Seq(factRow._4))} MB)\n"
+    if (dimensions.nonEmpty) {
+      sb ++= "dimensions:\n"
+      dimensions.values.foreach { d =>
+        val related = rows.filter(r =>
+          r._1 == s"dimension:${d.name}" || r._1.startsWith(s"level:${d.name}."))
+        val entities = related.head._2
+        sb ++= s"  ${d.name} : $entities entities x ${d.levels.size} levels " +
+          s"(${mb(related.map(_._4))} MB)\n"
+      }
+    }
+    sb ++= s"total size: ${mb(rows.map(_._4))} MB"
+    sb.toString
+  }
+
+  /** Print the banner — `print(cube)` parity. */
+  def show(): Unit = println(banner())
 }
 
 object DataCube {

@@ -1,6 +1,10 @@
 package graft.model
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.broadcast
 
 /** Broadcast policy for dimension-side DataFrames.
@@ -21,6 +25,23 @@ object Joins {
   // configured threshold (default 10 MB × 16 = 160 MB estimated).
   private val Slack = 16L
 
+  // Size estimates memoized by canonicalized analyzed plan: reading
+  // `.stats` OPTIMIZES the subplan on the driver, and chained query
+  // composition (subset → aggregate → rollup) re-derives the same
+  // dimension projection several times — at hundreds-of-dimensions
+  // metadata scale that's a real driver latency tax. Canonicalized plans
+  // compare structurally, so each distinct dimension subtree pays the
+  // optimizer once per JVM. Bounded (estimates are tiny; the cap guards
+  // plan-object retention in long-lived JVMs cycling working sets).
+  private val estimates = new ConcurrentHashMap[LogicalPlan, BigInt]()
+  private val MaxEntries = 1024
+
+  /** Cache-miss stats evaluations — observable by PlanSpec to pin the
+    * one-optimizer-pass-per-distinct-plan contract. */
+  private[graft] val statsEvals = new AtomicLong(0)
+
+  private[graft] def invalidateEstimates(): Unit = estimates.clear()
+
   def maybeBroadcast(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -31,12 +52,21 @@ object Joins {
       case s => s.toLong
     }
     if (threshold <= 0) return df // broadcasting disabled
-    // NOTE: reading stats analyzes+optimizes the dimension subplan on the
-    // driver at composition time — acceptable for dimension-sized plans,
-    // and the alternative (no guard) risks forced-broadcast OOM.
+    val key =
+      try df.queryExecution.analyzed.canonicalized
+      catch { case scala.util.control.NonFatal(_) => null }
     val estimate =
-      try df.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+      if (key == null) computeEstimate(df)
+      else {
+        if (estimates.size > MaxEntries) estimates.clear()
+        estimates.computeIfAbsent(key, _ => computeEstimate(df))
+      }
     if (estimate <= BigInt(threshold) * Slack) broadcast(df) else df
+  }
+
+  private def computeEstimate(df: DataFrame): BigInt = {
+    statsEvals.incrementAndGet()
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes
+    catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
   }
 }

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: the JDK's `javax.imageio.ImageIO` reads PNG, BMP,
   * JPEG and GIF with no external library, and [[imageFeatures]] derives
   * resolution + luminance-histogram features from the decoded raster.
-  * Bytes that no registered reader accepts (and the audio/video codecs,
-  * which the JDK does not ship) fall back to [[decodeStub]], a
+  * AUDIO decode is REAL too: `javax.sound.sampled.AudioSystem` reads
+  * WAV/AIFF/AU PCM with no external library, and [[audioFeatures]] derives
+  * duration/sample-rate/channels + amplitude-histogram features from the
+  * decoded samples. Bytes no registered reader accepts (and the VIDEO
+  * codecs, which the JDK does not ship) fall back to [[decodeStub]], a
   * deterministic fake that derives "features" from the bytes themselves.
   * Everything Spark-side is real and tested either way: the schema, the
   * `mapPartitions` batch shape (decoder state is constructed once per
@@ -94,22 +97,111 @@ object Multimodal {
     out
   }
 
+  /** A decoded audio clip: stream format + normalized mono samples. */
+  final case class AudioClip(sampleRate: Float, channels: Int,
+                             durationMs: Long, samples: Array[Float])
+
+  /** Real audio decode via the JDK's sampled-audio stack
+    * (`javax.sound.sampled.AudioSystem` — WAV/AIFF/AU PCM readers ship
+    * with the JRE, no ffmpeg needed). PCM samples are normalized to
+    * [-1, 1] and channel-mixed to mono for the amplitude histogram;
+    * duration comes from the real frame count / frame rate. None when no
+    * installed reader accepts the bytes or the encoding isn't 8/16-bit
+    * PCM (mp3/ogg/video still need ffmpeg → [[decodeStub]]). */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioClip] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val bits = fmt.getSampleSizeInBits
+        val decodable =
+          (fmt.getEncoding == PCM_SIGNED || fmt.getEncoding == PCM_UNSIGNED) &&
+            (bits == 8 || bits == 16)
+        if (!decodable) None
+        else {
+          val raw = in.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val nFrames = raw.length / (bytesPerSample * ch)
+          val samples = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < ch) {
+              val off = (f * ch + c) * bytesPerSample
+              val v =
+                if (bits == 8) {
+                  if (fmt.getEncoding == PCM_UNSIGNED)
+                    ((raw(off) & 0xff) - 128) / 128.0f
+                  else raw(off) / 128.0f
+                } else {
+                  val lo = raw(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
+                  val hi = raw(off + (if (fmt.isBigEndian) 0 else 1)).toInt
+                  ((hi << 8) | lo) / 32768.0f // sign-extended hi keeps the sign
+                }
+              acc += v
+              c += 1
+            }
+            samples(f) = acc / ch
+            f += 1
+          }
+          val durMs = math.round(nFrames * 1000.0 / fmt.getSampleRate)
+          Some(AudioClip(fmt.getSampleRate, ch, durMs, samples))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Features from a decoded clip, mirroring [[imageFeatures]]'s layout:
+    * [duration_ms, sample_rate, channels, (dim-3)-bucket |amplitude|
+    * histogram (sample fractions)]. Resolution-analog facts come from the
+    * REAL decode, so a mislabeled blob is caught by feature checks. */
+  def audioFeatures(clip: AudioClip, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (dim > 0) out(0) = clip.durationMs.toFloat
+    if (dim > 1) out(1) = clip.sampleRate
+    if (dim > 2) out(2) = clip.channels.toFloat
+    if (dim > 3 && clip.samples.nonEmpty) {
+      val buckets = dim - 3
+      val hist = new Array[Int](buckets)
+      var i = 0
+      while (i < clip.samples.length) {
+        val a = math.min(math.abs(clip.samples(i)), 1.0f)
+        hist(math.min((a * buckets).toInt, buckets - 1)) += 1
+        i += 1
+      }
+      var b = 0
+      while (b < buckets) {
+        out(3 + b) = hist(b).toFloat / clip.samples.length
+        b += 1
+      }
+    }
+    out
+  }
+
   /** Decode + featurize one blob: real ImageIO path when the bytes are a
-    * decodable image, deterministic fake otherwise. */
+    * decodable image, real sampled-audio path when they are a decodable
+    * PCM clip, deterministic fake otherwise (video — no ffmpeg here). */
   def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
     decodeImage(bytes) match {
       case Some(img) => imageFeatures(img, dim)
-      case None      => decodeStub(bytes, dim)
+      case None => decodeAudio(bytes) match {
+        case Some(clip) => audioFeatures(clip, dim)
+        case None       => decodeStub(bytes, dim)
+      }
     }
 
   /** Deterministic fake "decode + feature extraction" — the fallback for
-    * bytes no JDK reader decodes (and the stand-in for the audio/video
-    * codecs this container doesn't have). Derives `dim` floats from a
-    * rolling byte hash — stable across runs, so tests can assert exact
-    * values. The *shape* (per-partition decoder init, streaming iterator,
-    * no materialization of the whole partition) is the production shape. */
+    * bytes no JDK reader decodes (and the stand-in for the VIDEO codecs
+    * this container doesn't have; image and audio decode are real above).
+    * Derives `dim` floats from a rolling byte hash — stable across runs,
+    * so tests can assert exact values. The *shape* (per-partition decoder
+    * init, streaming iterator, no materialization of the whole partition)
+    * is the production shape. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real audio/video codec call would go here (ffmpeg binding)
+    // ??? <- real video codec call would go here (ffmpeg binding)
     val out = new Array[Float](dim)
     var h = 1125899906842597L // large prime seed
     var i = 0

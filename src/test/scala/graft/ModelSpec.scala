@@ -251,4 +251,46 @@ class ModelSpec extends SparkSpec {
       c.denormalize(naFill = true, maxCells = 3)
     }
   }
+
+  test("applyMargin accepts integer MARGIN positions (1-based id.vars, R parity)") {
+    val c = miniCube
+    // reference: MARGIN = X$id.vars[MARGIN] (R/data.cube.R:475-476)
+    val byName = c.applyMargin(Seq("one")).fact.data.orderBy("k").collect().toSeq
+    val byPos = c.applyMargin(Seq(1)).fact.data.orderBy("k").collect().toSeq
+    assert(byPos == byName, "integer MARGIN diverged from the name form")
+    val bothName = c.applyMargin(Seq("one", "two")).fact.data
+      .orderBy("k", "g").collect().toSeq
+    val bothPos = c.applyMargin(Seq(1, 2)).fact.data
+      .orderBy("k", "g").collect().toSeq
+    assert(bothPos == bothName)
+    // FUN rebinding threads through the integer form too
+    val mx: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.max(_)
+    val rebound = c.applyMargin(Seq(1), Some(mx))
+      .fact.data.orderBy("k").collect().toSeq
+    val reboundName = c.applyMargin(Seq("one"), Some(mx))
+      .fact.data.orderBy("k").collect().toSeq
+    assert(rebound == reboundName)
+    intercept[IllegalArgumentException](c.applyMargin(Seq(0)))
+    intercept[IllegalArgumentException](c.applyMargin(Seq(3)))
+  }
+
+  test("print banner matches the reference's shape (print.data.cube)") {
+    // golden structure pin mirroring the reference's own print test
+    // (tests/tests-data.cube.R:35-41: line 1 "<data.cube>", line 2 "fact:",
+    // line 4 "dimensions:", fixed line count); sizes are Catalyst
+    // estimates, so the MB fields are shape-checked, not value-pinned
+    val lines = miniCube.banner().linesIterator.toSeq
+    assert(lines.length == 7, s"banner had ${lines.length} lines:\n${lines.mkString("\n")}")
+    assert(lines(0) == "<data.cube>")
+    assert(lines(1) == "fact:")
+    assert(lines(2).matches("""  3 rows x 2 dimensions x 1 measures \(\d+\.\d\d MB\)"""),
+      s"fact line: '${lines(2)}'")
+    assert(lines(3) == "dimensions:")
+    assert(lines(4).matches("""  one : 4 entities x 2 levels \(\d+\.\d\d MB\)"""),
+      s"dim line: '${lines(4)}'")
+    assert(lines(5).matches("""  two : 2 entities x 2 levels \(\d+\.\d\d MB\)"""),
+      s"dim line: '${lines(5)}'")
+    assert(lines(6).matches("""total size: \d+\.\d\d MB"""), s"total line: '${lines(6)}'")
+  }
 }

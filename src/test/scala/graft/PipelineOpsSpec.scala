@@ -97,6 +97,91 @@ class PipelineOpsSpec extends SparkSpec {
       s"LSH-bucketed candidates missed pairs: ${(exact -- bucketed).mkString(",")}")
   }
 
+  /** Seeded clustered corpus for quantified ANN recall gates: 10k vectors
+    * in 32 tight clusters (unit-scale Gaussian centers, 0.05σ noise), so
+    * true top-k neighbors sit at high cosine and a parameter regression
+    * shows up as a hard recall drop, not flaky noise. Deterministic:
+    * fixed-seed Random on the driver, tiny (10k × 16 floats). */
+  private lazy val seeded10k = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val d = 16
+    val centers = Array.fill(32)(Array.fill(d)(rnd.nextGaussian().toFloat))
+    (0 until 10000).map { i =>
+      val c = centers(i % 32)
+      (i.toLong, c.map(v => v + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").repartition(4).cache()
+  }
+
+  private def recallVsBrute(approx: org.apache.spark.sql.DataFrame,
+                            brute: Set[(Long, Long)]): Double = {
+    val a = approx.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (brute & a).size.toDouble / brute.size
+  }
+
+  test("LSH kNN recall@5 >= 0.9 on the seeded 10k corpus (tables=8, planes=8)") {
+    val q = seeded10k.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(q, seeded10k, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 100, "brute-force ground truth incomplete")
+    val recall = recallVsBrute(
+      Similarity.lshKnn(q, seeded10k, 5, tables = 8, planes = 8, dim = 16), brute)
+    assert(recall >= 0.9, s"lshKnn(tables=8, planes=8) recall@5 = $recall < 0.9")
+  }
+
+  test("IVF kNN recall@5 >= 0.9 on the seeded 10k corpus (nlist=16, nprobe=4, replicate=2)") {
+    val q = seeded10k.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(q, seeded10k, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = recallVsBrute(
+      Similarity.ivfKnn(q, seeded10k, 5, nlist = 16, nprobe = 4, replicate = 2), brute)
+    assert(recall >= 0.9, s"ivfKnn(nlist=16, nprobe=4, replicate=2) recall@5 = $recall < 0.9")
+  }
+
+  test("real WAV bytes decode to duration/rate/channel/amplitude features") {
+    import javax.sound.sampled._
+    import spark.implicits._
+    // 500 ms, 8 kHz, mono, 16-bit little-endian PCM, 440 Hz sine at HALF
+    // amplitude — every derived feature below is exact, not approximate
+    val rate = 8000f
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 16384).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val clip = Multimodal.decodeAudio(wav).getOrElse(
+      fail("JDK sampled-audio stack rejected a canonical WAV"))
+    assert(clip.durationMs == 500, s"duration ${clip.durationMs} != 500 ms")
+    assert(clip.sampleRate == 8000f)
+    assert(clip.channels == 1)
+    val feats = Multimodal.audioFeatures(clip, 8)
+    assert(feats(0) == 500f && feats(1) == 8000f && feats(2) == 1f)
+    // 5 histogram buckets over |amp|: a 0.5-amplitude sine never reaches
+    // the [0.6, 0.8) and [0.8, 1.0] buckets
+    assert(math.abs(feats.drop(3).sum - 1.0f) < 1e-5, "histogram mass")
+    assert(feats(6) == 0f && feats(7) == 0f, "half-amplitude sine leaked into top buckets")
+    // image bytes don't decode as audio, audio bytes not as image
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeImage(wav).isEmpty)
+    // end-to-end through the partition-wise extractor: REAL decode path
+    val media = Seq((7L, wav)).toDF("media_id", "content")
+    val fs = Multimodal.extractFeatures(media, dim = 8).collect().head
+    assert(fs.features(0) == 500f, "extractFeatures lost the real audio decode")
+    assert(fs.n_bytes == wav.length)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     val two = emb.limit(2).collect()

@@ -75,6 +75,43 @@ class StreamingSpec extends SparkSpec {
     assert(sSum == 2 * tSum)
   }
 
+  test("streaming exact dedup across micro-batches equals batch Dedup.exact") {
+    import graft.operators.Dedup
+    import graft.streaming.DocStreaming
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    // second wave: same texts under fresh ids — duplicates that arrive in a
+    // LATER micro-batch (maxFilesPerTrigger=1 => one batch per file)
+    val dupWave = docsDf.withColumn("doc_id", col("doc_id") + 1000000L)
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    docsDf.coalesce(1).write.mode("append").parquet(dir)
+    dupWave.coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val deduped = DocStreaming.dedupExact(stream, "doc_id", "text", "ts", "1 hour")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val survivors = spark.table("dedup_stream_test")
+    val batch = Dedup.exact(docsDf.unionByName(dupWave), "doc_id", "text")
+    // exactly-once per fingerprint, and the survivor fingerprint set equals
+    // the batch dedup groups — the whole duplicate wave was dropped
+    assert(survivors.count() == batch.count(),
+      "streaming dedup survivor count diverged from batch Dedup.exact")
+    val sFps = survivors.select("fp").collect().map(_.getString(0)).toSet
+    val bFps = batch.select("fp").collect().map(_.getString(0)).toSet
+    assert(sFps == bFps, "survivor fingerprints diverged from batch dedup groups")
+    assert(survivors.groupBy("fp").count()
+      .filter(col("count") > 1).count() == 0, "a fingerprint survived twice")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
