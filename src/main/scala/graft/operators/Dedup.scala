@@ -231,4 +231,93 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a near-dup pair set — the canonicalization
+    * step after pair generation: near-duplication is NOT transitive, but
+    * keep/drop decisions must be (if A~B and B~C, keeping both A and C
+    * still double-counts B's content), so pairs are closed transitively
+    * and each cluster elects one canonical member (its minimum id).
+    *
+    * Algorithm: iterative min-label propagation — every node starts
+    * labeled with its own id; each round every node takes the min of its
+    * own and its neighbors' labels; stop when a round changes nothing.
+    * Each round is ONE shuffle of (node, label) pairs (an equi-join on
+    * node id plus a min-aggregation — no vectors, no text), and labels
+    * persist between rounds so lineage never replays. Round count is
+    * bounded by the cluster diameter: near-dup clusters are quasi-cliques
+    * (most members pair directly), so real workloads close in 2–4 rounds;
+    * `maxIter` bounds adversarial chains, and hitting it raises rather
+    * than returning a half-merged clustering. Convergence is detected with
+    * a 1-row changed-count action per round (`limit(1)` — existence, not
+    * enumeration).
+    *
+    * Output: (doc_id, component) for every doc that appears in a pair.
+    * Docs with no pairs are their own singleton components and are
+    * omitted — [[dropNearDups]] treats absence as keep. The result is
+    * already materialized (eager localCheckpoint — reading it never
+    * replays the propagation rounds); its blocks are freed by the
+    * ContextCleaner once the DataFrame is unreferenced.
+    *
+    * @param pairs near-dup pairs, e.g. [[minhashLsh]]/[[jaccardPairs]] output
+    */
+  def connectedComponents(pairs: DataFrame, iCol: String = "i",
+                          jCol: String = "j", maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(iCol).as("src"), col(jCol).as("dst"))
+      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
+      .distinct()
+      .persist()
+    try {
+      // localCheckpoint (eager) per round, NOT persist: the propagation
+      // join embeds the previous round's plan TWICE (self side + neighbor
+      // side), so without lineage truncation the logical plan doubles per
+      // round and Catalyst analysis/canonicalization goes exponential in
+      // the round count — the classic iterative-Spark trap (caching
+      // truncates recomputation, not the logical plan). Checkpointing
+      // replaces each round's plan with its materialized blocks, keeping
+      // planning O(1) per round. Swap for reliable `checkpoint` on a
+      // cluster where executor loss mid-algorithm matters.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id"))
+        .localCheckpoint(true)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxIter) {
+        // min over self + neighbors' labels, one join + one aggregation
+        val nbr = edges
+          .join(labels.select(col("doc_id").as("dst"),
+            col("component").as("nbr_comp")), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("nbr_comp")).as("nbr_min"))
+        val next = labels
+          .join(nbr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"))
+          .localCheckpoint(true)
+        val changed = next
+          .join(labels.withColumnRenamed("component", "prev"), "doc_id")
+          .filter(col("component") =!= col("prev"))
+          .limit(1).count()
+        labels = next // previous round's blocks are GC'd by ContextCleaner
+        converged = changed == 0
+        round += 1
+      }
+      require(converged,
+        s"connected components did not converge within $maxIter rounds — " +
+          "pathological chain structure; raise maxIter")
+      labels
+    } finally edges.unpersist(): Unit
+  }
+
+  /** Keep one canonical document per near-dup cluster: transitively close
+    * `pairs` with [[connectedComponents]] and anti-join every non-minimum
+    * cluster member out of `docs`. Docs in no pair survive untouched. */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val losers = connectedComponents(pairs, iCol, jCol)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -540,6 +540,39 @@ object ExtensionQueries {
       |GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q34 — near-dup connected components: the canonicalization step after
+  //       pair generation (keep/drop must be transitive even though
+  //       near-duplication isn't). Spark side: iterative min-label
+  //       propagation over the exact-verified MinHash-LSH pairs; oracle:
+  //       the same pair set transitively closed with a recursive CTE,
+  //       component = min reachable id.
+  // -------------------------------------------------------------------
+  def q34(s: SparkSession, dir: String): DataFrame =
+    sorted(Dedup.connectedComponents(
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.8,
+        maxDf = None, shinglesDf = Some(shingles3(s, dir)))))
+
+  val q34Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |)
+      |SELECT a AS doc_id, least(a, min(b)) AS component
+      |FROM reach GROUP BY a
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -559,6 +592,7 @@ object ExtensionQueries {
     ("q30_json_props", q30 _, q30Sql),
     ("q31_approx_distinct", q31 _, q31Sql), // exact count + 5% tolerance verdict
     ("q32_events_sliding", q32 _, q32Sql),
-    ("q33_sql_views", q33 _, q33Sql)
+    ("q33_sql_views", q33 _, q33Sql),
+    ("q34_dedup_components", q34 _, q34Sql)
   )
 }

@@ -44,6 +44,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(killed == 0)
   }
 
+  test("connected components close pairs transitively; dropNearDups keeps cluster minima") {
+    import spark.implicits._
+    // chain 1-2-3 (A~B, B~C but NOT A~C — the non-transitive case), a
+    // separate pair, and an isolated doc
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs)
+    val m = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val docsDf = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L).toDF("doc_id")
+      .withColumn("text", lit("x"))
+    val kept = Dedup.dropNearDups(docsDf, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L, 30L), "kept one canonical doc per cluster + singleton")
+    // a 10-node chain needs one round per hop — multi-round convergence
+    // (and constant-size plans per round: without lineage truncation this
+    // chain is the case that sends Catalyst exponential)
+    val chain = (0L until 9L).map(x => (x, x + 1)).toDF("i", "j")
+    val ccChain = Dedup.connectedComponents(chain)
+    assert(ccChain.collect().forall(_.getLong(1) == 0L), "chain must collapse to min label")
+    // refusing to return a half-merged clustering beats silent wrong answers
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
   test("exact dedup keeps one winner per fingerprint") {
     import spark.implicits._
     val withDup = docs.select("doc_id", "text").unionByName(
