@@ -164,9 +164,12 @@ object CubeIO {
   private[io] case class DimMeta(name: String, key: String,
                                  hierarchies: Seq[HierMeta], dir: String)
   private[io] case class MeasureMeta(vr: String, name: String)
+  // factPartitions was added after round 4: old meta files read it as null
+  // (explicit schema, missing field) — normalized to empty in readMeta
   private[io] case class StarMeta(idVars: Seq[String],
                                   measures: Seq[MeasureMeta],
-                                  dimensions: Seq[DimMeta])
+                                  dimensions: Seq[DimMeta],
+                                  factPartitions: Seq[String])
 
   /** Dimension data directory name: md5 of the dimension name — stable,
     * collision-free in practice, and safe for names containing path
@@ -179,9 +182,22 @@ object CubeIO {
   }
 
   /** Persist the star schema as parquet: fact + one directory per
-    * dimension flat table, plus a tiny JSON of the metadata. */
-  def saveStar(cube: DataCube, path: String): Unit = {
-    cube.fact.data.write.mode("overwrite").parquet(s"$path/fact")
+    * dimension flat table, plus a tiny JSON of the metadata.
+    *
+    * @param partitionFact hive-partition the fact by these key columns
+    *        (typically the time key): a slice on a partition column then
+    *        prunes whole directories at the SCAN (`PartitionFilters` in
+    *        the plan) — at 100 TB the difference between reading a day
+    *        and reading a decade. Choose low-cardinality keys; a
+    *        high-cardinality partition column produces millions of tiny
+    *        files (the small-files problem) and slows listing. */
+  def saveStar(cube: DataCube, path: String,
+               partitionFact: Seq[String] = Seq.empty): Unit = {
+    require(partitionFact.forall(cube.fact.idVars.contains),
+      s"partition columns ${partitionFact.mkString(",")} must be fact id.vars " +
+        s"(${cube.fact.idVars.mkString(",")})")
+    cube.fact.data.write.mode("overwrite")
+      .partitionBy(partitionFact: _*).parquet(s"$path/fact")
     cube.dimensions.values.foreach { d =>
       d.denormalized.write.mode("overwrite").parquet(s"$path/${dimDir(d.name)}")
     }
@@ -196,17 +212,15 @@ object CubeIO {
             })
           },
           dimDir(d.name))
-      })
+      },
+      partitionFact)
     val spark = cube.fact.data.sparkSession
     import spark.implicits._
     Seq(meta).toDS().coalesce(1)
       .write.mode("overwrite").json(s"$path/meta")
   }
 
-  /** Load a star schema saved by [[saveStar]]. Measures reload as SUM of
-    * the stored (already grain-aggregated) columns — the additive default;
-    * callers with custom aggregates re-supply them. */
-  def loadStar(spark: SparkSession, path: String): DataCube = {
+  private def readMeta(spark: SparkSession, path: String): StarMeta = {
     import spark.implicits._
     // FAILFAST: a corrupt or old-format meta file must fail loudly here,
     // not surface later as an all-null StarMeta NPE
@@ -216,6 +230,14 @@ object CubeIO {
       .json(s"$path/meta").as[StarMeta].head()
     require(meta.idVars != null && meta.measures != null && meta.dimensions != null,
       s"$path/meta is not a saveStar metadata file (missing fields)")
+    if (meta.factPartitions == null) meta.copy(factPartitions = Seq.empty) else meta
+  }
+
+  /** Load a star schema saved by [[saveStar]]. Measures reload as SUM of
+    * the stored (already grain-aggregated) columns — the additive default;
+    * callers with custom aggregates re-supply them. */
+  def loadStar(spark: SparkSession, path: String): DataCube = {
+    val meta = readMeta(spark, path)
     val measures = meta.measures.map(m => Measure.sum(m.vr, m.name))
     val dims = meta.dimensions.map { d =>
       val hs = d.hierarchies.map(h =>
@@ -226,5 +248,62 @@ object CubeIO {
     val factDf = spark.read.parquet(s"$path/fact")
     // stored fact is already at grain; re-aggregation is a no-op reload
     DataCube.build(Fact(factDf, meta.idVars, measures.map(m => m.copy(vr = m.name))), dims)
+  }
+
+  /** Batch-incremental maintenance of a PARTITIONED star fact
+    * (`saveStar(..., partitionFact = ...)`): aggregate `rawDelta` to the
+    * stored grain, read ONLY the partitions the delta touches (the filter
+    * is partition-pruned at the scan), merge at grain, and rewrite JUST
+    * those partitions via dynamic partition overwrite. Cost scales with
+    * the delta's partition footprint, not the fact size — a day's ingest
+    * reads and rewrites a day, not a decade. This is the 100 TB
+    * maintenance model; an unpartitioned star must be rebuilt with
+    * [[saveStar]] (merging without partition boundaries rewrites
+    * everything anyway).
+    *
+    * Measures follow the [[loadStar]] additive contract (stored columns
+    * merge by SUM), and the delta arrives in the STAR's own schema —
+    * id.vars plus measure-NAME columns (what [[saveStar]] wrote; for a
+    * stored star the measure name IS the column). Delta rows may be below
+    * grain (they are summed to grain first) and may hit existing grain
+    * rows (merged) or open new partitions. Custom non-additive aggregates
+    * need a rebuild at their original definition.
+    *
+    * The merged rows are materialized (eager localCheckpoint) BEFORE the
+    * overwrite: the write must not lazily re-read the very files it is
+    * replacing.
+    *
+    * @return the number of fact partitions rewritten */
+  def ingestIntoStar(spark: SparkSession, path: String,
+                     rawDelta: DataFrame): Int = {
+    val meta = readMeta(spark, path)
+    require(meta.factPartitions.nonEmpty,
+      "incremental ingest needs a partitioned fact " +
+        "(saveStar(..., partitionFact = ...)); rebuild unpartitioned stars")
+    val pCols = meta.factPartitions
+    val ingestMeasures = meta.measures.map(m => Measure.sum(m.vr, m.name))
+    val delta = Fact.build(rawDelta, meta.idVars, ingestMeasures)
+    val stored = meta.measures.map(m => Measure.sum(m.name, m.name))
+    // the delta's partition footprint — small by construction (days, not
+    // rows); collected to build a pruning filter for the existing scan
+    val touched = delta.data.select(pCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return 0
+    val touchedFilter = touched.map { r =>
+      pCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = spark.read.parquet(s"$path/fact")
+      .filter(touchedFilter)
+      .select(delta.data.columns.map(col): _*) // align column order for union
+    val merged = Fact.aggregate(
+      existing.unionByName(delta.data), meta.idVars, stored)
+      .localCheckpoint(true)
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(pCols: _*)
+      .parquet(s"$path/fact")
+    touched.length
   }
 }

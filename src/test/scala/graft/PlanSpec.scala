@@ -292,6 +292,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned star fact prunes partitions at the scan on a time slice") {
+    import graft.io.CubeIO
+    val dir = java.nio.file.Files.createTempDirectory("star_part").toString
+    CubeIO.saveStar(cube, dir, partitionFact = Seq("d_date"))
+    val loaded = CubeIO.loadStar(spark, dir)
+    // a day slice must prune whole directories at the scan, not filter rows
+    val day = loaded.fact.data
+      .filter(col("d_date") === java.sql.Date.valueOf("1995-06-17"))
+    val scan = day.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: ["),
+      s"no partition filters at the scan:\n$scan")
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*d_date[^\\]]*\\].*"),
+      s"d_date slice did not reach PartitionFilters:\n$scan")
+    // and the partitioned round-trip preserves the data
+    val a = cube.fact.data.agg(sum("sum_qty")).head().getDouble(0)
+    val b = loaded.fact.data.agg(sum("sum_qty")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-6, "partitioned fact lost rows")
+    // non-partition columns must not leak into the id.vars guard
+    intercept[IllegalArgumentException] {
+      CubeIO.saveStar(cube, dir, partitionFact = Seq("not_a_key"))
+    }
+  }
+
   test("rollup is one Expand pass, not a union of aggregations") {
     val r = cube.rollupFlat(Seq("d_year", "d_quarter", "d_month"))
     val p = plan(r)

@@ -83,6 +83,44 @@ class RoundTripSpec extends SparkSpec {
     assert(loaded.dimension("time").hierarchies.keySet == Set("monthly", "weekly"))
   }
 
+  test("incremental ingest rewrites only touched partitions and matches a rebuild") {
+    import spark.implicits._
+    import graft.model._
+    import scala.collection.immutable.ListMap
+    val half1 = Seq((1, "d1", 2.0), (2, "d1", 3.0), (1, "d2", 5.0)).toDF("k", "d", "v")
+    // the delta merges into an existing grain row (1,d2) AND opens a new
+    // partition (d3) — both paths of the merge
+    // delta arrives in the STAR's schema: id.vars + measure-name columns
+    val delta = Seq((1, "d2", 7.0), (3, "d3", 1.0)).toDF("k", "d", "sum_v")
+    val dimK = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "attr")
+    val c1 = DataCube.build(
+      Fact.build(half1, Seq("k", "d"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(Dimension.build("kd", "k", ListMap.empty, dimK),
+        Dimension.build("dd", "d", ListMap.empty, half1.select("d").distinct())))
+    val dir = java.nio.file.Files.createTempDirectory("star_ingest").toString
+    CubeIO.saveStar(c1, dir, partitionFact = Seq("d"))
+    val untouched = new java.io.File(s"$dir/fact/d=d1")
+    val before = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val rewritten = CubeIO.ingestIntoStar(spark, dir, delta)
+    assert(rewritten == 2, s"expected 2 touched partitions, got $rewritten")
+    // d1 was not in the delta: its files must be byte-for-byte untouched
+    val after = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "untouched partition was rewritten")
+    // merged fact equals a full rebuild over half1 ++ delta
+    val got = CubeIO.loadStar(spark, dir).fact.data
+      .collect().map(r => (r.getInt(0), r.getAs[String]("d")) -> r.getDouble(r.fieldIndex("sum_v"))).toMap
+    assert(got == Map(
+      (1, "d1") -> 2.0, (2, "d1") -> 3.0, (1, "d2") -> 12.0, (3, "d3") -> 1.0))
+    // empty delta is a no-op
+    assert(CubeIO.ingestIntoStar(spark, dir, delta.limit(0)) == 0)
+    // unpartitioned stars refuse incremental ingest
+    val flat = java.nio.file.Files.createTempDirectory("star_flat").toString
+    CubeIO.saveStar(c1, flat)
+    intercept[IllegalArgumentException] {
+      CubeIO.ingestIntoStar(spark, flat, delta)
+    }
+  }
+
   test("format applies measure formatting and sorts NA-last") {
     val small = star.aggregate(Seq("curr_type"))
     val f = CubeIO.format(small,
