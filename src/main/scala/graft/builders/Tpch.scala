@@ -189,6 +189,10 @@ object Tpch {
       c.fact.data.unpersist()
       c.dimensions.values.foreach { d => d.data.unpersist(); d.denormalized.unpersist() }
       detach()
+      // cached-plan size estimates change when the working set's
+      // persistence changes — a stale estimate could force or skip a
+      // broadcast for the next working set
+      graft.model.Joins.invalidateEstimates()
     }
 
   private def build(spark: SparkSession, dir: String): DataCube = {

@@ -164,12 +164,14 @@ object CubeIO {
   private[io] case class DimMeta(name: String, key: String,
                                  hierarchies: Seq[HierMeta], dir: String)
   private[io] case class MeasureMeta(vr: String, name: String)
-  // factPartitions was added after round 4: old meta files read it as null
-  // (explicit schema, missing field) — normalized to empty in readMeta
+  // factPartitions was added after round 4, factSchemaJson after round 6:
+  // old meta files read the missing fields as null (explicit schema) —
+  // normalized/defaulted in readMeta and at the read sites
   private[io] case class StarMeta(idVars: Seq[String],
                                   measures: Seq[MeasureMeta],
                                   dimensions: Seq[DimMeta],
-                                  factPartitions: Seq[String])
+                                  factPartitions: Seq[String],
+                                  factSchemaJson: String)
 
   /** Dimension data directory name: md5 of the dimension name — stable,
     * collision-free in practice, and safe for names containing path
@@ -213,7 +215,12 @@ object CubeIO {
           },
           dimDir(d.name))
       },
-      partitionFact)
+      partitionFact,
+      // the WRITTEN fact schema, pinned: a partitioned reload otherwise
+      // infers partition-column types from the directory VALUES, so a
+      // numeric-looking string key ('00123') would silently reload as int
+      // — lost leading zeros and a corrupted join grain
+      cube.fact.data.schema.json)
     val spark = cube.fact.data.sparkSession
     import spark.implicits._
     Seq(meta).toDS().coalesce(1)
@@ -233,6 +240,22 @@ object CubeIO {
     if (meta.factPartitions == null) meta.copy(factPartitions = Seq.empty) else meta
   }
 
+  /** Read the stored fact with the WRITTEN schema when the meta recorded
+    * one (post-round-6 stars): partition-column types then come from the
+    * schema, not from Hive partition-VALUE inference — a zero-padded
+    * string key round-trips as string. Pre-schema meta files fall back to
+    * inference (their partition columns must round-trip under
+    * `partitionColumnTypeInference`, the old documented contract). */
+  private def readFact(spark: SparkSession, path: String, meta: StarMeta): DataFrame = {
+    val reader = spark.read
+    val withSchema =
+      if (meta.factSchemaJson == null) reader
+      else reader.schema(
+        org.apache.spark.sql.types.DataType.fromJson(meta.factSchemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    withSchema.parquet(s"$path/fact")
+  }
+
   /** Load a star schema saved by [[saveStar]]. Measures reload as SUM of
     * the stored (already grain-aggregated) columns — the additive default;
     * callers with custom aggregates re-supply them. */
@@ -245,7 +268,7 @@ object CubeIO {
       Dimension.build(d.name, d.key, ListMap(hs: _*),
         spark.read.parquet(s"$path/${d.dir}"))
     }
-    val factDf = spark.read.parquet(s"$path/fact")
+    val factDf = readFact(spark, path, meta)
     // stored fact is already at grain; re-aggregation is a no-op reload
     DataCube.build(Fact(factDf, meta.idVars, measures.map(m => m.copy(vr = m.name))), dims)
   }
@@ -293,7 +316,7 @@ object CubeIO {
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }
         .reduce(_ && _)
     }.reduce(_ || _)
-    val existing = spark.read.parquet(s"$path/fact")
+    val existing = readFact(spark, path, meta)
       .filter(touchedFilter)
       .select(delta.data.columns.map(col): _*) // align column order for union
     val merged = Fact.aggregate(

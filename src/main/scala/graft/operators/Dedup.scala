@@ -262,12 +262,25 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
                           jCol: String = "j", maxIter: Int = 20): DataFrame = {
+    // both edge directions from ONE evaluation of `pairs` — a
+    // union(pairs, pairs.reversed) embeds the (potentially expensive)
+    // pair-generation plan twice and evaluates it twice in the persist
+    // fill; measured 2× the whole LSH pipeline on q34
     val edges = pairs
-      .select(col(iCol).as("src"), col(jCol).as("dst"))
-      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
+      .select(explode(array(
+        struct(col(iCol).as("src"), col(jCol).as("dst")),
+        struct(col(jCol).as("src"), col(iCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     try {
+      val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+      def t[A](what: String)(body: => A): A =
+        if (!dbg) body else {
+          val t0 = System.nanoTime(); val r = body
+          System.err.println(f"[cc] $what ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+        }
+      if (dbg) t("edges materialize")(edges.count(): Unit)
       // localCheckpoint (eager) per round, NOT persist: the propagation
       // join embeds the previous round's plan TWICE (self side + neighbor
       // side), so without lineage truncation the logical plan doubles per
@@ -277,9 +290,10 @@ object Dedup {
       // replaces each round's plan with its materialized blocks, keeping
       // planning O(1) per round. Swap for reliable `checkpoint` on a
       // cluster where executor loss mid-algorithm matters.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("component", col("doc_id"))
-        .localCheckpoint(true)
+      var labels = t("labels init")(
+        edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("component", col("doc_id"))
+          .localCheckpoint(true))
       var round = 0
       var converged = false
       while (!converged && round < maxIter) {
@@ -289,19 +303,25 @@ object Dedup {
             col("component").as("nbr_comp")), "dst")
           .groupBy(col("src").as("doc_id"))
           .agg(min(col("nbr_comp")).as("nbr_min"))
-        val next = labels
+        // the changed flag rides IN the label row: convergence detection
+        // is then a filter over the just-materialized blocks — no extra
+        // next⋈prev join shuffle per round
+        val next = t("round checkpoint")(labels
           .join(nbr, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("component"), coalesce(col("nbr_min"), col("component")))
-              .as("component"))
-          .localCheckpoint(true)
-        val changed = next
-          .join(labels.withColumnRenamed("component", "prev"), "doc_id")
-          .filter(col("component") =!= col("prev"))
-          .limit(1).count()
-        labels = next // previous round's blocks are GC'd by ContextCleaner
+              .as("component"),
+            // id-type-generic (no typed sentinel): null nbr_min = no change
+            (col("nbr_min").isNotNull && col("nbr_min") < col("component"))
+              .as("changed"))
+          .localCheckpoint(true))
+        val changed = t("changed scan")(next.filter(col("changed")).limit(1).count())
+        // previous round's blocks are GC'd by ContextCleaner
+        labels = next.select("doc_id", "component")
         converged = changed == 0
         round += 1
+        if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round $round changed=$changed")
       }
       require(converged,
         s"connected components did not converge within $maxIter rounds — " +

@@ -122,37 +122,52 @@ object Multimodal {
         if (!decodable) None
         else {
           val raw = in.readAllBytes()
-          val ch = fmt.getChannels
-          val bytesPerSample = bits / 8
-          val nFrames = raw.length / (bytesPerSample * ch)
-          val samples = new Array[Float](nFrames)
-          var f = 0
-          while (f < nFrames) {
-            var acc = 0.0f
-            var c = 0
-            while (c < ch) {
-              val off = (f * ch + c) * bytesPerSample
-              val v =
-                if (bits == 8) {
-                  if (fmt.getEncoding == PCM_UNSIGNED)
-                    ((raw(off) & 0xff) - 128) / 128.0f
-                  else raw(off) / 128.0f
-                } else {
-                  val lo = raw(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
-                  val hi = raw(off + (if (fmt.isBigEndian) 0 else 1)).toInt
-                  ((hi << 8) | lo) / 32768.0f // sign-extended hi keeps the sign
-                }
-              acc += v
-              c += 1
-            }
-            samples(f) = acc / ch
-            f += 1
-          }
-          val durMs = math.round(nFrames * 1000.0 / fmt.getSampleRate)
-          Some(AudioClip(fmt.getSampleRate, ch, durMs, samples))
+          val samples = pcmToMono(raw, bits, fmt.getChannels,
+            fmt.getEncoding == PCM_UNSIGNED, fmt.isBigEndian)
+          val durMs = math.round(samples.length * 1000.0 / fmt.getSampleRate)
+          Some(AudioClip(fmt.getSampleRate, fmt.getChannels, durMs, samples))
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Raw 8/16-bit PCM frames → normalized [-1, 1] mono samples.
+    * Package-visible so the unsigned/endian arithmetic is testable without
+    * a container format (the JDK writers can't EMIT unsigned 16-bit WAV,
+    * but a parsed header can still declare it). */
+  private[graft] def pcmToMono(raw: Array[Byte], bits: Int, ch: Int,
+                               unsigned: Boolean, bigEndian: Boolean): Array[Float] = {
+    val bytesPerSample = bits / 8
+    val nFrames = raw.length / (bytesPerSample * ch)
+    val samples = new Array[Float](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0f
+      var c = 0
+      while (c < ch) {
+        val off = (f * ch + c) * bytesPerSample
+        val v =
+          if (bits == 8) {
+            if (unsigned) ((raw(off) & 0xff) - 128) / 128.0f
+            else raw(off) / 128.0f
+          } else if (unsigned) {
+            // unsigned 16-bit: midpoint 32768 is silence — decoding as
+            // two's complement would map silence to ±1 extremes
+            val lo = raw(off + (if (bigEndian) 1 else 0)) & 0xff
+            val hi = raw(off + (if (bigEndian) 0 else 1)) & 0xff
+            (((hi << 8) | lo) - 32768) / 32768.0f
+          } else {
+            val lo = raw(off + (if (bigEndian) 1 else 0)) & 0xff
+            val hi = raw(off + (if (bigEndian) 0 else 1)).toInt
+            ((hi << 8) | lo) / 32768.0f // sign-extended hi keeps the sign
+          }
+        acc += v
+        c += 1
+      }
+      samples(f) = acc / ch
+      f += 1
+    }
+    samples
+  }
 
   /** Features from a decoded clip, mirroring [[imageFeatures]]'s layout:
     * [duration_ms, sample_rate, channels, (dim-3)-bucket |amplitude|

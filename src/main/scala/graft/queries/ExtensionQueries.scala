@@ -71,6 +71,9 @@ object ExtensionQueries {
     Option(shingleCache.remove((s, dir))).foreach { case (sh, detach) =>
       sh.unpersist()
       detach()
+      // drop memoized broadcast size estimates with the working set (an
+      // estimate taken against the persisted index is stale once dropped)
+      graft.model.Joins.invalidateEstimates()
     }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")

@@ -208,6 +208,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fs.n_bytes == wav.length)
   }
 
+  test("16-bit PCM decode honors signedness and endianness") {
+    // unsigned midpoint 0x8000 is SILENCE: two's-complement decoding would
+    // map it to -1.0 (the round-6 advice bug). Little-endian bytes.
+    val silenceU = Array[Byte](0x00, 0x80.toByte)
+    assert(Multimodal.pcmToMono(silenceU, 16, 1, unsigned = true, bigEndian = false)
+      .head == 0.0f)
+    // unsigned full-scale extremes land on ±1 (8000 above midpoint = 0x0000)
+    assert(Multimodal.pcmToMono(Array[Byte](0, 0), 16, 1, unsigned = true,
+      bigEndian = false).head == -1.0f)
+    assert(Multimodal.pcmToMono(Array[Byte](0xff.toByte, 0xff.toByte), 16, 1,
+      unsigned = true, bigEndian = false).head > 0.999f)
+    // signed: 0x4000 = +0.5 in both endiannesses
+    assert(Multimodal.pcmToMono(Array[Byte](0x00, 0x40), 16, 1,
+      unsigned = false, bigEndian = false).head == 0.5f)
+    assert(Multimodal.pcmToMono(Array[Byte](0x40, 0x00), 16, 1,
+      unsigned = false, bigEndian = true).head == 0.5f)
+    // unsigned big-endian midpoint
+    assert(Multimodal.pcmToMono(Array[Byte](0x80.toByte, 0x00), 16, 1,
+      unsigned = true, bigEndian = true).head == 0.0f)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     val two = emb.limit(2).collect()

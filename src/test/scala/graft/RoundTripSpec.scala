@@ -83,6 +83,35 @@ class RoundTripSpec extends SparkSpec {
     assert(loaded.dimension("time").hierarchies.keySet == Set("monthly", "weekly"))
   }
 
+  test("numeric-looking string partition keys round-trip (no type inference)") {
+    import spark.implicits._
+    import graft.model._
+    import scala.collection.immutable.ListMap
+    // zero-padded string ids: Hive partition-VALUE inference would reload
+    // '00123' as int 123 — lost padding, corrupted join grain
+    val f = Seq(("00123", 2.0), ("00124", 3.0), ("7", 5.0)).toDF("k", "v")
+    val dimK = Seq(("00123", "a"), ("00124", "b"), ("7", "c")).toDF("k", "attr")
+    val c1 = DataCube.build(
+      Fact.build(f, Seq("k"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(Dimension.build("kd", "k", ListMap.empty, dimK)))
+    val dir = java.nio.file.Files.createTempDirectory("star_padded").toString
+    CubeIO.saveStar(c1, dir, partitionFact = Seq("k"))
+    val loaded = CubeIO.loadStar(spark, dir)
+    val kField = loaded.fact.data.schema("k")
+    assert(kField.dataType == org.apache.spark.sql.types.StringType,
+      s"partition column reloaded as ${kField.dataType}, not string")
+    assert(loaded.fact.data.select("k").as[String].collect().sorted.toSeq ==
+      Seq("00123", "00124", "7"))
+    // the dimension join grain survives: every fact row still matches
+    assert(loaded.denormalize().count() == 3)
+    // and incremental ingest merges on the STRING key, not an inferred int
+    assert(CubeIO.ingestIntoStar(spark, dir,
+      Seq(("00123", 1.0)).toDF("k", "sum_v")) == 1)
+    val merged = CubeIO.loadStar(spark, dir).fact.data
+      .select("k", "sum_v").as[(String, Double)].collect().toMap
+    assert(merged == Map("00123" -> 3.0, "00124" -> 3.0, "7" -> 5.0))
+  }
+
   test("incremental ingest rewrites only touched partitions and matches a rebuild") {
     import spark.implicits._
     import graft.model._
