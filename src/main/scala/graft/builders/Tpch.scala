@@ -176,9 +176,31 @@ object Tpch {
     * rather than inside whichever query happens to run first. Sequential
     * counts: later materializations reuse the caches earlier ones fill. */
   def warm(spark: SparkSession, dir: String): Unit = {
+    val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    def t(what: String)(body: => Unit): Unit =
+      if (!dbg) body else {
+        val t0 = System.nanoTime(); body
+        System.err.println(f"[warm] $what ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
     val c = cube(spark, dir)
-    c.fact.data.count()
-    c.dimensions.values.foreach { d => d.data.count(); d.denormalized.count() }
+    // The fact and each dimension are INDEPENDENT cache subtrees (dims
+    // don't read the fact; the date dim scans the raw file), so their
+    // fill jobs run concurrently — local[32] is far from saturated by any
+    // one of these small-stage jobs, and on a cluster concurrent jobs
+    // pipeline through the scheduler. WITHIN a dimension the denormalized
+    // view reads the dim cache, so data fills strictly before denorm
+    // (concurrent counts over one unfilled cache duplicate its work).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fills = Future(t("fact")(c.fact.data.count(): Unit)) +:
+      c.dimensions.values.toSeq.map { d =>
+        Future {
+          t(s"dim ${d.name}")(d.data.count(): Unit)
+          t(s"dim ${d.name} denorm")(d.denormalized.count(): Unit)
+        }
+      }
+    Await.result(Future.sequence(fills), Duration.Inf): Unit
   }
 
   /** Drop the memoized cube and unpersist its caches — the eviction hook
