@@ -69,4 +69,35 @@ object Joins {
     try df.queryExecution.optimizedPlan.stats.sizeInBytes
     catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
   }
+
+  /** Skew-safe inner equi-join: salt the big side's hot keys across
+    * `salts` sub-keys and replicate the small side once per salt, so a
+    * single monster key (the classic power-law fact key that lands 30% of
+    * 100 TB on one reducer) spreads over `salts` tasks instead of
+    * straggling on one. Semantically identical to `big.join(small, key)`.
+    *
+    * The salt is DETERMINISTIC — `xxhash64(saltSource) mod salts`, not
+    * `rand()` — so retried/speculated tasks recompute identical rows
+    * (a nondeterministic salt breaks exactly-once under task retry: the
+    * retry re-draws salts and the join drops or duplicates rows).
+    * `saltSource` should be a column (or struct of columns) that varies
+    * WITHIN a key group — a line number, a unique id — so the hot key's
+    * rows actually spread.
+    *
+    * AQE's skew-join handles sort-merge skew automatically when it can
+    * split partitions; explicit salting remains the tool when the skew is
+    * in a single key value (AQE cannot split one key) or when the join is
+    * already broadcast-ineligible. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 saltSource: org.apache.spark.sql.Column): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt column name collision")
+    import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
+    val b = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)).cast("int"))
+    // replicate the SMALL side salts× (explode of a literal array — a few
+    // extra copies of a small table is the price for splitting the hot key)
+    val s = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset-split operators for training-data
+  * pipelines (north-star extension; no reference-repo counterpart).
+  *
+  * Everything here is a pure per-row projection/filter on an md5-derived
+  * uniform — NO shuffle, no state, no RNG:
+  *
+  *  - the same row lands in the same split/sample on every run, every
+  *    engine, and every cluster size (a `rand()`-based split changes
+  *    membership per run and per partitioning — useless for a train/eval
+  *    contract that must hold across reprocessing);
+  *  - filters compose with scan pruning: sampling a parquet table is a
+  *    single codegen'd scan-project-filter, so a 1% sample of 100 TB
+  *    reads row groups once and shuffles nothing;
+  *  - md5 (not xxhash64) so any engine can reproduce membership
+  *    bit-for-bit — the DuckDB oracle checks the split assignment itself.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) from the first 60 bits of md5(salt ++ id) — the
+    * portable-hash trick used across this library (TextFunctions
+    * `tokenHash60`): 15 hex digits → long → /2^60. Collision-free enough
+    * for sampling; exactly reproducible in SQL as
+    * `CAST('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 15) AS
+    * BIGINT) / 1152921504606846976.0`. */
+  def hashUniform(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+
+  /** Add a `split` column assigning each row to one of `splits` by hash of
+    * its id — the reproducible train/val/test split. Weights must sum to 1;
+    * assignment is by cumulative threshold on [[hashUniform]], so a row's
+    * split depends only on (salt, id) — stable under reprocessing,
+    * repartitioning, and engine choice. Change `salt` to draw a fresh
+    * independent split without touching the data. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] =
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                  salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split weights must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val u = hashUniform(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), threshold), rest) => when(u < threshold, name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic Bernoulli(rate) sample by id hash: keeps exactly the
+    * rows with hashUniform < rate. Two samples at rates r1 < r2 with the
+    * same salt are NESTED (the r1 sample is a subset of the r2 sample) —
+    * the property that lets you grow a sample without resampling. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(hashUniform(col(idCol), salt) < rate)
+  }
+
+  /** Stratified deterministic sample: a per-stratum rate (e.g. language →
+    * keep fraction for corpus rebalancing), `defaultRate` for strata not
+    * listed. Same per-row projection shape — the rate lookup is a chained
+    * `when`, not a join, so strata count in the hundreds stays a single
+    * codegen'd stage. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 0.0,
+                           salt: String = ""): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((stratum, r), rest) => when(col(strataCol) === stratum, r).otherwise(rest)
+    }
+    df.filter(hashUniform(col(idCol), salt) < rate)
+  }
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.builders.Tpch
 import graft.functions.TextFunctions
 import graft.model.{DataCube, Hierarchy, Measure}
-import graft.operators.{Dedup, Events, Similarity}
+import graft.operators.{Dedup, Events, Sampling, Similarity}
 
 /** North-star extension queries (BASELINE.json): the training-data-pipeline
   * operators — text analysis, dedup family, similarity search, windowed
@@ -576,6 +576,81 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q35 — deterministic train/val/test split: hash-of-id assignment
+  //       (Sampling.assignSplit), per-split count + id range + char
+  //       volume. The ORACLE CHECKS MEMBERSHIP itself (same md5-derived
+  //       uniform in DuckDB), not just sizes — a changed hash or
+  //       threshold arithmetic fails the row hash.
+  // -------------------------------------------------------------------
+  def q35(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.assignSplit(docs(s, dir), "doc_id")
+      .groupBy("split")
+      .agg(count("*").as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum("n_chars").as("sum_chars")))
+
+  val q35Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           / 1152921504606846976.0 AS u
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM h GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q36 — exact distribution quantiles per group: Spark `percentile`
+  //       (exact linear interpolation) ≡ DuckDB `quantile_cont`. On a
+  //       quantity column holding small integers the interpolation
+  //       arithmetic is exact in both engines — safe to hash-compare.
+  // -------------------------------------------------------------------
+  def q36(s: SparkSession, dir: String): DataFrame =
+    sorted(s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        percentile(col("l_quantity"), lit(0.99)).as("p99")))
+
+  val q36Sql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.9) AS p90,
+      |       quantile_cont(l_quantity, 0.99) AS p99
+      |FROM lineitem GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q37 — skew-safe salted join: Joins.saltedJoin(lineitem, part) must
+  //       be RESULT-identical to the plain join (the oracle is the plain
+  //       SQL join) while spreading each part key over 8 salted sub-keys.
+  //       l_linenumber varies within an order; (orderkey, linenumber)
+  //       varies within a part key group — a proper salt source.
+  // -------------------------------------------------------------------
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+    val part = s.read.parquet(s"$dir/part.parquet").select("p_partkey", "p_brand")
+    sorted(graft.model.Joins
+      .saltedJoin(li, part, "p_partkey", salts = 8,
+        saltSource = struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("p_brand")
+      .agg(sum("l_quantity").as("sum_qty"), count("*").as("n")))
+  }
+
+  val q37Sql: String =
+    """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -596,6 +671,9 @@ object ExtensionQueries {
     ("q31_approx_distinct", q31 _, q31Sql), // exact count + 5% tolerance verdict
     ("q32_events_sliding", q32 _, q32Sql),
     ("q33_sql_views", q33 _, q33Sql),
-    ("q34_dedup_components", q34 _, q34Sql)
+    ("q34_dedup_components", q34 _, q34Sql),
+    ("q35_hash_split", q35 _, q35Sql),
+    ("q36_quantiles", q36 _, q36Sql),
+    ("q37_salted_join", q37 _, q37Sql)
   )
 }

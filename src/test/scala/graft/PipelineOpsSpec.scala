@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Multimodal, Similarity}
+import graft.operators.{Dedup, Events, Multimodal, Sampling, Similarity}
 
 /** Extension-operator laws: LSH recall vs exact, simhash sanity, kNN
   * approximation quality, multimodal plumbing. sf0.001 fixtures. */
@@ -206,6 +206,47 @@ class PipelineOpsSpec extends SparkSpec {
     val fs = Multimodal.extractFeatures(media, dim = 8).collect().head
     assert(fs.features(0) == 500f, "extractFeatures lost the real audio decode")
     assert(fs.n_bytes == wav.length)
+  }
+
+  test("hash split is deterministic, exhaustive, and weight-proportional") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split assignment must be run-stable")
+    assert(a.size == docs.count(), "every row gets a split")
+    val byName = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(byName.keySet == Set("train", "val", "test"))
+    val trainFrac = byName("train").toDouble / a.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac far from 0.8")
+    // a different salt draws an INDEPENDENT split: some rows must move
+    val salted = Sampling.assignSplit(docs, "doc_id", splits, salt = "v2")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(salted != a, "salt must change the draw")
+    // weights are validated
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("hash samples are nested across rates and stratified rates hold") {
+    val ids10 = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids30 = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids30), "samples at growing rates must be nested")
+    assert(ids30.size > ids10.size)
+    // stratified: keep all of one language, none of the rest
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    val keep = langs.head
+    val strat = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map(keep -> 1.0), defaultRate = 0.0)
+    assert(strat.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq(keep))
+    assert(strat.count() == docs.filter(col("lang") === keep).count())
+    // and the filter is a pure projection — no shuffle in the plan
+    val planStr = strat.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"), s"sampling must not shuffle:\n$planStr")
   }
 
   test("16-bit PCM decode honors signedness and endianness") {

@@ -322,6 +322,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), s"rollup fell back to union-all:\n$p")
   }
 
+  test("salted join equals the plain join and salts the join keys") {
+    import graft.model.Joins
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_brand")
+    val salted = Joins.saltedJoin(li, part, "p_partkey", salts = 4,
+      saltSource = struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"), count("*").as("n"))
+    val plain = li.join(part, "p_partkey")
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"), count("*").as("n"))
+    val a = salted.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val b = plain.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(a == b, "salting must not change join semantics")
+    // the salt column must reach the join condition (that's the whole
+    // point — each key group splits across `salts` sub-keys)
+    val joined = Joins.saltedJoin(li, part, "p_partkey", salts = 4,
+      saltSource = struct(col("l_orderkey"), col("l_linenumber")))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "salt key missing from the join")
+    // deterministic: same salts on re-evaluation (task-retry safety)
+    val s1 = Joins.saltedJoin(li, part, "p_partkey", 4,
+      struct(col("l_orderkey"), col("l_linenumber"))).count()
+    val s2 = Joins.saltedJoin(li, part, "p_partkey", 4,
+      struct(col("l_orderkey"), col("l_linenumber"))).count()
+    assert(s1 == s2)
+  }
+
   test("pairwise similarity uses the native dot_product, HOFs only per-row") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Similarity.nearDupPairs(e, 0.9)
