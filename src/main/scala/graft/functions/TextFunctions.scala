@@ -144,4 +144,17 @@ object TextFunctions {
     * (see its scaladoc for why). */
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
+
+  /** Within-document n-gram repetition ratio — the repetitive-text quality
+    * signal (boilerplate, keyword stuffing, generation loops): fraction of
+    * n-gram occurrences that are repeats of an earlier n-gram in the SAME
+    * document, `1 - distinct/total` over the (multiset) shingles. 0 = no
+    * internal repetition; → 1 as the document degenerates into a loop.
+    * Expects a PRE-STAGED shingle array (see [[shinglesFromTokens]]);
+    * per-row arithmetic only — no shuffle, no join, composes with scan
+    * pruning like every quality score here. */
+  def repetitionRatio(shingleArr: Column): Column =
+    when(size(shingleArr) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(shingleArr)).cast("double")
+        / size(shingleArr).cast("double"))
 }

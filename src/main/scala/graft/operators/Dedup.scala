@@ -112,6 +112,35 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Cross-corpus n-gram overlap — the train/eval DECONTAMINATION check:
+    * pairs (i ∈ left, j ∈ right) whose n-gram Jaccard ≥ threshold, via the
+    * same inverted-index join as [[jaccardPairs]] but across two corpora
+    * (no i<j dedup — the sides are distinct by construction). Run it with
+    * `left` = training corpus and `right` = benchmark/eval set before
+    * training: any hit is an eval document leaking into training data.
+    * The right side (eval sets are small) drives broadcast-ability of the
+    * index join; the maxDf cap applies to EACH side's index. Returns
+    * (i, j, jaccard). */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val shL = capShingles(docShingles(left, idCol, textCol, n), maxDf)
+    val shR = capShingles(docShingles(right, idCol, textCol, n), maxDf)
+    val sizesL = shL.groupBy("doc_id").agg(count("*").as("sz_i")).toDF("i", "sz_i")
+    val sizesR = shR.groupBy("doc_id").agg(count("*").as("sz_j")).toDF("j", "sz_j")
+    val inter = shL.toDF("i", "s").join(shR.toDF("j", "s"), "s")
+      .groupBy("i", "j").agg(count("*").as("inter"))
+    inter
+      .join(sizesL, "i")
+      .join(sizesR, "j")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
   /** k min-hashes per document: min over shingles of xxhash64(seed,
     * shingle), one grouped aggregation computing all k mins in a single
     * pass over the exploded shingles (map-side combine makes the shuffle k

@@ -178,65 +178,9 @@ object Similarity {
     val q = queries.select(col(qId).as("query_id"),
       normalize(col(qVec)).as("qv"))
     val refined =
-      try {
-        // deterministic centroid sample by id hash — no global sort/window
-        // (a row_number over an unpartitioned window would funnel the whole
-        // corpus through one task, the opposite of the scale path)
-        val n = cBuild.count()
-        require(n > 0, "ivfKnn: corpus is empty")
-        val step = math.max(n / nlist, 1L)
-        val hashSampled: Array[Array[Double]] = cBuild
-          .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
-          .limit(nlist)
-          .select("cv").collect()
-          .map(_.getSeq[Double](0).toArray)
-        // tiny/skewed-id corpora can leave the hash filter empty — fall
-        // back to the first nlist vectors rather than failing analysis
-        // downstream with a zero-element centroid array
-        val sampled =
-          if (hashSampled.nonEmpty) hashSampled
-          else cBuild.limit(nlist).select("cv").collect()
-            .map(_.getSeq[Double](0).toArray)
+      try trainCentroids(cBuild, nlist, kmeansIters)
+      finally cBuild.unpersist()
 
-        // nearest-centroid cell id as one codegen'd expression: argmax over
-        // literal centroid dot products (struct max orders by sim, then id)
-        def cellExpr(vec: Column, cents: Array[Array[Double]]): Column =
-          array_max(array(cents.zipWithIndex.map { case (cent, id) =>
-            struct(dotp(vec, lit(cent)).as("sim"), lit(id).as("cid"))
-          }: _*)).getField("cid")
-
-        // k-means iterations (spherical): element-wise mean of each cell's
-        // members, re-normalized onto the sphere (empty cells keep their
-        // previous centroid). Each iteration is one distributed aggregation
-        // plus a tiny driver collect of nlist x dim doubles.
-        def refineOnce(cents: Array[Array[Double]]): Array[Array[Double]] = {
-          val means = cBuild.withColumn("cell", cellExpr(col("cv"), cents))
-            .select(col("cell"), posexplode(col("cv")))
-            .groupBy("cell", "pos").agg(avg("col").as("m"))
-            .groupBy("cell").agg(
-              array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-            .select(col("cell"), transform(col("pm"), _.getField("m")).as("mv"))
-            .collect()
-            .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-          cents.zipWithIndex.map { case (seed, id) =>
-            means.get(id).map { m =>
-              val norm = math.sqrt(m.map(x => x * x).sum)
-              if (norm > 0) m.map(_ / norm) else seed
-            }.getOrElse(seed)
-          }
-        }
-        (1 to math.max(kmeansIters, 0))
-          .foldLeft(sampled)((cents, _) => refineOnce(cents))
-      } finally cBuild.unpersist()
-
-    // top-n nearest cells as one codegen'd expression: array sort of
-    // (-sim, cid) structs — driver-free, no join, no window shuffle
-    def topCells(vec: Column, top: Int): Column = {
-      val scored = array(refined.zipWithIndex.map { case (cent, id) =>
-        struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
-      }: _*)
-      slice(transform(array_sort(scored), _.getField("cid")), 1, top)
-    }
     // the served plan reads a FRESH normalized-corpus scan (not the
     // build-time cache, which is already released by here)
     val c = normed
@@ -244,11 +188,134 @@ object Similarity {
     // boundary vectors (the IVF recall killer) appear in each adjacent
     // cell, trading `replicate`x index storage for recall at a fixed
     // probe fraction — the standard IVF replication/multi-assignment
-    val assigned = c.withColumn("cell", explode(topCells(col("cv"), math.max(replicate, 1))))
-    val probed = q.withColumn("cell", explode(topCells(col("qv"), nprobe)))
+    val assigned = c.withColumn("cell",
+      explode(topCells(col("cv"), refined, math.max(replicate, 1))))
+    val probed = q.withColumn("cell", explode(topCells(col("qv"), refined, nprobe)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     probed.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotp(col("qv"), col("cv")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Spherical k-means centroid training over a NORMALIZED corpus
+    * (columns `neighbor_id`, `cv`; persist it for the duration — the build
+    * runs several driver actions). Deterministic: centroid seeds come from
+    * an id-hash sample, not `rand()`. Each refinement iteration is one
+    * distributed aggregation plus a tiny nlist×dim driver collect. */
+  private def trainCentroids(cBuild: DataFrame, nlist: Int,
+                             kmeansIters: Int): Array[Array[Double]] = {
+    // deterministic centroid sample by id hash — no global sort/window
+    // (a row_number over an unpartitioned window would funnel the whole
+    // corpus through one task, the opposite of the scale path)
+    val n = cBuild.count()
+    require(n > 0, "ivf: corpus is empty")
+    val step = math.max(n / nlist, 1L)
+    val hashSampled: Array[Array[Double]] = cBuild
+      .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
+      .limit(nlist)
+      .select("cv").collect()
+      .map(_.getSeq[Double](0).toArray)
+    // tiny/skewed-id corpora can leave the hash filter empty — fall
+    // back to the first nlist vectors rather than failing analysis
+    // downstream with a zero-element centroid array
+    val sampled =
+      if (hashSampled.nonEmpty) hashSampled
+      else cBuild.limit(nlist).select("cv").collect()
+        .map(_.getSeq[Double](0).toArray)
+
+    // nearest-centroid cell id as one codegen'd expression: argmax over
+    // literal centroid dot products (struct max orders by sim, then id)
+    def cellExpr(vec: Column, cents: Array[Array[Double]]): Column =
+      array_max(array(cents.zipWithIndex.map { case (cent, id) =>
+        struct(dotp(vec, lit(cent)).as("sim"), lit(id).as("cid"))
+      }: _*)).getField("cid")
+
+    // k-means iterations (spherical): element-wise mean of each cell's
+    // members, re-normalized onto the sphere (empty cells keep their
+    // previous centroid). Each iteration is one distributed aggregation
+    // plus a tiny driver collect of nlist x dim doubles.
+    def refineOnce(cents: Array[Array[Double]]): Array[Array[Double]] = {
+      val means = cBuild.withColumn("cell", cellExpr(col("cv"), cents))
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), _.getField("m")).as("mv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents.zipWithIndex.map { case (seed, id) =>
+        means.get(id).map { m =>
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm > 0) m.map(_ / norm) else seed
+        }.getOrElse(seed)
+      }
+    }
+    (1 to math.max(kmeansIters, 0))
+      .foldLeft(sampled)((cents, _) => refineOnce(cents))
+  }
+
+  /** Top-n nearest cells as one codegen'd expression: array sort of
+    * (-sim, cid) structs — driver-free, no join, no window shuffle. */
+  private def topCells(vec: Column, cents: Array[Array[Double]], top: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (cent, id) =>
+      struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
+    }: _*)
+    slice(transform(array_sort(scored), _.getField("cid")), 1, top)
+  }
+
+  /** Build and PERSIST an IVF index: centroids to `path`/centroids, the
+    * normalized corpus — each vector replicated into its `replicate`
+    * nearest cells — to `path`/corpus hive-partitioned BY CELL. This is
+    * the 100 TB ANN serving layout: a query probing `nprobe` of `nlist`
+    * cells reads `nprobe/nlist` of the index as whole pruned partitions
+    * ([[ivfKnnStored]] — the scan reduction the in-memory [[ivfKnn]] can
+    * only approximate with a shuffle). `nlist` should track corpus size
+    * (√n cells is the usual rule); keep it well under the small-files
+    * threshold for the target filesystem. */
+  def saveIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                   kmeansIters: Int = 3, replicate: Int = 2,
+                   cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cBuild = corpus.select(col(cId).as("neighbor_id"),
+      normalize(col(cVec)).as("cv")).persist()
+    try {
+      val cents = trainCentroids(cBuild, nlist, kmeansIters)
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      cBuild.withColumn("cell",
+          explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    } finally cBuild.unpersist(): Unit
+  }
+
+  /** Serve kNN from a [[saveIvfIndex]] layout: per query, probe the
+    * `nprobe` nearest cells and join the PARTITIONED index on the cell id.
+    * The probe side is broadcast, so dynamic partition pruning narrows the
+    * index scan to exactly the probed cells — the dominant cost scales
+    * with `nprobe/nlist` of the index, not its size. Centroids are a tiny
+    * nlist×dim driver read (same contract as the in-memory build). */
+  def ivfKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int, nprobe: Int = 4,
+                   qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"$path/centroids is empty — not a saveIvfIndex layout")
+    val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+    val probed = q.withColumn("cell",
+      explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
+    val stored = spark.read.parquet(s"$path/corpus")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    stored.join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dotp(col("qv"), col("cv")).as("cos"))

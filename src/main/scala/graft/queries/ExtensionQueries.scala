@@ -651,6 +651,85 @@ object ExtensionQueries {
       |GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q38 — within-document repetition ratio (the repetitive-text quality
+  //       signal): per doc, total vs distinct 3-gram occurrences and
+  //       1 - distinct/total. Pure per-row arithmetic — no shuffle.
+  // -------------------------------------------------------------------
+  def q38(s: SparkSession, dir: String): DataFrame =
+    sorted(docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.shinglesFromTokens(col("toks"), 3).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).as("n_grams"),
+        size(array_distinct(col("sh"))).as("n_distinct"),
+        TextFunctions.repetitionRatio(col("sh")).as("rep_ratio")))
+
+  val q38Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+      |         CAST(count(DISTINCT s) AS INT) AS n_distinct
+      |  FROM sh GROUP BY 1
+      |)
+      |SELECT doc_id, n_grams, n_distinct,
+      |       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS rep_ratio
+      |FROM agg
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q39 — train/eval decontamination: treat source 'src0' as the eval
+  //       set and every other source as training data; report training
+  //       docs sharing >= 0.8 n-gram Jaccard with any eval doc (the
+  //       leakage that inflates benchmark scores). Cross-corpus inverted
+  //       index — same join shape as q19, no i<j (sides are disjoint).
+  // -------------------------------------------------------------------
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(Dedup.crossJaccardPairs(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text", n = 3, threshold = 0.8))
+  }
+
+  val q39Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') t
+      |  FROM documents
+      |), shx AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, source, array_to_string(t, ' ') AS s
+      |  FROM toks WHERE len(t) < 3
+      |), a0 AS (SELECT doc_id, s FROM shx WHERE source <> 'src0'
+      |), b0 AS (SELECT doc_id, s FROM shx WHERE source = 'src0'
+      |), a AS (
+      |  SELECT * FROM a0
+      |  WHERE s IN (SELECT s FROM a0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |), b AS (
+      |  SELECT * FROM b0
+      |  WHERE s IN (SELECT s FROM b0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |), sza AS (SELECT doc_id, count(*) n FROM a GROUP BY 1
+      |), szb AS (SELECT doc_id, count(*) n FROM b GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) c
+      |  FROM a JOIN b ON a.s = b.s GROUP BY 1, 2
+      |)
+      |SELECT i, j, c * 1.0 / (sza.n + szb.n - c) AS jaccard
+      |FROM inter JOIN sza ON sza.doc_id = i JOIN szb ON szb.doc_id = j
+      |WHERE c * 1.0 / (sza.n + szb.n - c) >= 0.8
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -674,6 +753,8 @@ object ExtensionQueries {
     ("q34_dedup_components", q34 _, q34Sql),
     ("q35_hash_split", q35 _, q35Sql),
     ("q36_quantiles", q36 _, q36Sql),
-    ("q37_salted_join", q37 _, q37Sql)
+    ("q37_salted_join", q37 _, q37Sql),
+    ("q38_repetition", q38 _, q38Sql),
+    ("q39_decontaminate", q39 _, q39Sql)
   )
 }

@@ -208,6 +208,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fs.n_bytes == wav.length)
   }
 
+  test("repetition ratio is 0 for unique grams and rises with repeats") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),             // 3 unique 3-grams -> 0.0
+      (2L, "x y x y x y x y"),       // loop: 6 grams, 2 distinct -> 2/3
+      (3L, "q")                      // short doc: single shingle -> 0.0
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.repetitionRatio(
+          TextFunctions.shinglesFromTokens(col("toks"), 3)).as("r"))
+    val r = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.0)
+    assert(math.abs(r(2L) - 2.0 / 3.0) < 1e-12)
+    assert(r(3L) == 0.0)
+  }
+
+  test("cross-corpus decontamination finds planted leaks, and only across") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training text about spark engines"),
+      (3L, "another unrelated document entirely different words")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // exact leak of 1
+      (101L, "held out evaluation prompt with unique content")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossJaccardPairs(train, eval_, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 100L)), s"expected exactly the planted leak, got $hits")
+    // within-corpus duplicates must NOT appear (cross only)
+    val trainDup = train.union(Seq((4L,
+      "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val hits2 = Dedup.crossJaccardPairs(trainDup, eval_, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 == Set((1L, 100L), (4L, 100L)))
+  }
+
+  test("stored IVF index prunes partitions at the scan and keeps recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvfIndex(seeded10k, dir, nlist = 16, replicate = 2)
+    // layout: one directory per cell
+    val cells = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cells.length == 16, s"expected 16 cell partitions, got ${cells.toSeq}")
+    val q = seeded10k.filter(col("vec_id") < 20)
+    val served = Similarity.ivfKnnStored(spark, dir, q, k = 5, nprobe = 4)
+    val brute = Similarity.bruteKnn(q, seeded10k, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = recallVsBrute(served, brute)
+    assert(recall >= 0.9, s"stored-IVF recall@5 = $recall < 0.9")
+    // the scan must read ONLY probed partitions: partition filters present
+    // (dynamic pruning from the broadcast probe side)
+    val scanLine = served.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("Scan parquet") && l.contains("corpus"))
+    assert(scanLine.exists(l => l.contains("PartitionFilters: [") &&
+      l.contains("dynamicpruning")),
+      s"index scan is not partition-pruned:\n${scanLine.getOrElse("<no scan>")}")
+  }
+
   test("hash split is deterministic, exhaustive, and weight-proportional") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val a = Sampling.assignSplit(docs, "doc_id", splits)
