@@ -54,4 +54,33 @@ object Events {
       .agg(min("ts").as("session_start"), max("ts").as("session_end"),
         count("*").as("n_events"), sum("value").as("sum_value"))
   }
+
+  /** Ordered conversion funnel: per stage k, the users with events of
+    * types `stages(0..k)` in strictly increasing timestamp order. Greedy
+    * first-occurrence is optimal for strict ordering (taking the EARLIEST
+    * qualifying event at each stage dominates any later choice), so stage
+    * k+1's time is `min(ts | type = stages(k+1), ts > t_k)` — one grouped
+    * aggregation + user-keyed join per stage, shuffling only (user, ts)
+    * pairs. Output: (stage_no, stage, n_users), n_users non-increasing. */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // frontier fold: (user, t_k) = earliest time the user completes the
+    // ordered prefix stages(0..k)
+    val frontiers = stages.tail.scanLeft(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))) {
+      case (prev, stage) =>
+        events.filter(col(typeCol) === stage)
+          .join(prev.withColumnRenamed("t", "t_prev"), userCol)
+          .filter(col(tsCol) > col("t_prev"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+    frontiers.zip(stages.zipWithIndex).map { case (df, (stage, i)) =>
+      df.agg(count("*").as("n_users"))
+        .select(lit(i + 1).as("stage_no"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
 }

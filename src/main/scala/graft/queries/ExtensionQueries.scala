@@ -730,6 +730,58 @@ object ExtensionQueries {
       |WHERE c * 1.0 / (sza.n + szb.n - c) >= 0.8
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q40 — sequence packing: per-source streaming concat-and-cut into
+  //       512-token packs (Packing.packSummary); per-pack doc count and
+  //       token fill. Window cumsum partitions by source — no
+  //       unpartitioned-window funnel.
+  // -------------------------------------------------------------------
+  def q40(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Packing.packSummary(
+      docs(s, dir), "doc_id", TextFunctions.nTokens(col("text")),
+      budget = 512, shardCol = "source"))
+
+  val q40Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         len(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, doc_id, tok,
+      |         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id) - tok AS strt
+      |  FROM t
+      |)
+      |SELECT source, CAST(floor(strt / 512.0) AS BIGINT) AS pack_seq,
+      |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+      |FROM s GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q41 — ordered conversion funnel view → click → purchase by first
+  //       qualifying occurrence (greedy-earliest is optimal for strict
+  //       ordering); per-stage distinct-user counts, non-increasing.
+  // -------------------------------------------------------------------
+  def q41(s: SparkSession, dir: String): DataFrame =
+    sorted(Events.funnel(events(s, dir), Seq("view", "click", "purchase")))
+
+  val q41Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+      |)
+      |SELECT 1 AS stage_no, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL
+      |SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |UNION ALL
+      |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -755,6 +807,8 @@ object ExtensionQueries {
     ("q36_quantiles", q36 _, q36Sql),
     ("q37_salted_join", q37 _, q37Sql),
     ("q38_repetition", q38 _, q38Sql),
-    ("q39_decontaminate", q39 _, q39Sql)
+    ("q39_decontaminate", q39 _, q39Sql),
+    ("q40_pack_sequences", q40 _, q40Sql),
+    ("q41_funnel", q41 _, q41Sql)
   )
 }

@@ -272,6 +272,55 @@ class PipelineOpsSpec extends SparkSpec {
       s"index scan is not partition-pruned:\n${scanLine.getOrElse("<no scan>")}")
   }
 
+  test("sequence packing honors the budget up to one straddling doc per pack") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val budget = 100
+    val d = Seq(
+      // shard a: 40+40 fills pack 0 to 80; 50 straddles (starts at 80 -> pack 0)
+      ("a", 1L, 40), ("a", 2L, 40), ("a", 3L, 50), ("a", 4L, 30),
+      // shard b: a single doc larger than the budget gets its own pack
+      ("b", 1L, 250), ("b", 2L, 10)
+    ).toDF("src", "id", "tok")
+    val packed = Packing.packByBudget(d, "id", col("tok"), budget, "src")
+      .select("src", "id", "pack_seq")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(packed(("a", 1L)) == 0 && packed(("a", 2L)) == 0)
+    assert(packed(("a", 3L)) == 0, "doc starting inside pack 0 stays in pack 0")
+    assert(packed(("a", 4L)) == 1, "doc starting past the boundary opens pack 1")
+    assert(packed(("b", 1L)) == 0 && packed(("b", 2L)) == 2,
+      "oversized doc consumes whole budget multiples")
+    // overhang contract on the real corpus: sum - last doc < budget
+    val docsDf = docs.limit(200)
+    val sm = Packing.packByBudget(docsDf, "doc_id",
+      graft.functions.TextFunctions.nTokens(col("text")), 512, "source")
+    val viol = sm.groupBy("source", "pack_seq")
+      .agg(sum("pack_tokens").as("s"), max("pack_tokens").as("m"))
+      .filter(col("s") - col("m") >= 512).count()
+    assert(viol == 0, "a pack's pre-overhang fill must stay under the budget")
+    // packs never span shards; assignment deterministic
+    val again = Packing.packByBudget(d, "id", col("tok"), budget, "src")
+      .select("src", "id", "pack_seq")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == packed)
+  }
+
+  test("funnel counts only strictly ordered stage completions") {
+    import graft.operators.Events
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)), // full
+      (2L, "view", ts(5)), (2L, "click", ts(4)),                          // click BEFORE view
+      (3L, "view", ts(1)), (3L, "click", ts(2)),                          // no purchase
+      (4L, "purchase", ts(1))                                             // purchase only
+    ).toDF("user_id", "event_type", "ts")
+    val f = Events.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(f == Map(1 -> 3L, 2 -> 2L, 3 -> 1L),
+      s"expected view=3, click=2 (user 2's click precedes their view), purchase=1; got $f")
+  }
+
   test("hash split is deterministic, exhaustive, and weight-proportional") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val a = Sampling.assignSplit(docs, "doc_id", splits)
