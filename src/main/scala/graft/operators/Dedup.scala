@@ -120,13 +120,23 @@ object Dedup {
     * training: any hit is an eval document leaking into training data.
     * The right side (eval sets are small) drives broadcast-ability of the
     * index join; the maxDf cap applies to EACH side's index. Returns
-    * (i, j, jaccard). */
+    * (i, j, jaccard).
+    *
+    * Each side's index feeds TWO plan branches (its sizes and the
+    * intersection join), so at scale pass PRE-BUILT (persisted or
+    * checkpointed) indexes via `leftShinglesDf`/`rightShinglesDf` with
+    * `maxDf = None` — same contract as [[buildShingleIndex]]: without it
+    * the tokenize+shingle+cap pipeline runs twice per side per action. */
   def crossJaccardPairs(left: DataFrame, right: DataFrame,
                         idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    val shL = capShingles(docShingles(left, idCol, textCol, n), maxDf)
-    val shR = capShingles(docShingles(right, idCol, textCol, n), maxDf)
+                        maxDf: Option[Int] = Some(DefaultMaxDf),
+                        leftShinglesDf: Option[DataFrame] = None,
+                        rightShinglesDf: Option[DataFrame] = None): DataFrame = {
+    val shL = capShingles(
+      leftShinglesDf.getOrElse(docShingles(left, idCol, textCol, n)), maxDf)
+    val shR = capShingles(
+      rightShinglesDf.getOrElse(docShingles(right, idCol, textCol, n)), maxDf)
     val sizesL = shL.groupBy("doc_id").agg(count("*").as("sz_i")).toDF("i", "sz_i")
     val sizesR = shR.groupBy("doc_id").agg(count("*").as("sz_j")).toDF("j", "sz_j")
     val inter = shL.toDF("i", "s").join(shR.toDF("j", "s"), "s")

@@ -66,16 +66,24 @@ object Events {
              userCol: String = "user_id", typeCol: String = "event_type",
              tsCol: String = "ts"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    // frontier fold: (user, t_k) = earliest time the user completes the
-    // ordered prefix stages(0..k)
+    // Frontier fold: (user, t_k) = earliest time the user completes the
+    // ordered prefix stages(0..k). Each frontier is MATERIALIZED (eager
+    // localCheckpoint, the connectedComponents pattern): frontier k has
+    // two consumers — frontier k+1 and its own count — and without
+    // truncation each stage's plan embeds every earlier stage's, so an
+    // n-stage funnel would re-scan events O(n²) times instead of n. The
+    // frontiers are per-user rows (small); events is scanned once per
+    // stage, with the stage filter pushed to the scan.
     val frontiers = stages.tail.scanLeft(
       events.filter(col(typeCol) === stages.head)
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))) {
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+        .localCheckpoint(true)) {
       case (prev, stage) =>
         events.filter(col(typeCol) === stage)
           .join(prev.withColumnRenamed("t", "t_prev"), userCol)
           .filter(col(tsCol) > col("t_prev"))
           .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+          .localCheckpoint(true)
     }
     frontiers.zip(stages.zipWithIndex).map { case (df, (stage, i)) =>
       df.agg(count("*").as("n_users"))

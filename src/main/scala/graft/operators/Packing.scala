@@ -32,7 +32,18 @@ object Packing {
   def packByBudget(docs: DataFrame, idCol: String, tokenCol: Column,
                    budget: Int, shardCol: String): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    Seq("pack_tokens", "pack_seq", "__start").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a '$c' column — rename it before packing " +
+          "(re-packing a packed corpus clobbers the previous assignment)")
+    }
+    // ROWS frame explicitly: the default RANGE frame treats equal idCol
+    // values as one peer group, handing duplicate ids each other's tokens
+    // and assigning docs to packs they don't start in. idCol should still
+    // be UNIQUE per shard for a run-stable assignment — with duplicates
+    // the tie order between the equal rows is partition-order dependent.
     val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("pack_tokens", tokenCol.cast("long"))
       // start offset of this doc within its shard's concatenated stream

@@ -21,15 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 1) from the first 60 bits of md5(salt ++ id) — the
-    * portable-hash trick used across this library (TextFunctions
-    * `tokenHash60`): 15 hex digits → long → /2^60. Collision-free enough
-    * for sampling; exactly reproducible in SQL as
+  /** Uniform [0, 1) from the first 60 bits of md5(salt ++ id) — the SAME
+    * portable-hash arithmetic as [[graft.functions.TextFunctions.tokenHash60]]
+    * (reused, not re-implemented: the oracle contract requires the two to
+    * stay bit-identical): 15 hex digits → long → /2^60. Collision-free
+    * enough for sampling; exactly reproducible in SQL as
     * `CAST('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 15) AS
-    * BIGINT) / 1152921504606846976.0`. */
+    * BIGINT) / 1152921504606846976.0`.
+    *
+    * NULL ids hash as the empty string (coalesce) so every null-id row
+    * deterministically gets the SAME uniform — they travel together into
+    * one split / one sampling outcome instead of silently vanishing from
+    * filters (null comparisons are null) while being assigned by
+    * `otherwise` branches. */
   def hashUniform(id: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+    graft.functions.TextFunctions
+      .tokenHash60(concat(lit(salt), coalesce(id.cast("string"), lit(""))))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
 
   /** Add a `split` column assigning each row to one of `splits` by hash of
     * its id — the reproducible train/val/test split. Weights must sum to 1;
@@ -46,7 +54,13 @@ object Sampling {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     val u = hashUniform(col(idCol), salt)
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // cumulative thresholds in EXACT decimal arithmetic: double
+    // accumulation gives 0.8+0.1 = 0.9000000000000001, which would
+    // disagree with the documented SQL contract's literal `u < 0.9` for
+    // hashes landing exactly between the two doubles
+    val cum = splits.scanLeft(BigDecimal(0)) {
+      case (acc, (_, w)) => acc + BigDecimal(w.toString)
+    }.tail.map(_.toDouble)
     val assign = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), threshold), rest) => when(u < threshold, name).otherwise(rest)
     }

@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.builders.Tpch
@@ -694,16 +694,27 @@ object ExtensionQueries {
   // -------------------------------------------------------------------
   def q39(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // per-side indexes carved from the SHARED persisted index (one
+    // source-lookup join each, size-guarded broadcast: the id list is
+    // SF-proportional) — the cap is therefore the GLOBAL corpus cap,
+    // mirrored by the oracle; tokenization never re-runs (q19/q20
+    // doctrine: build the index once)
+    val bySource = (pred: Column) => shingles3(s, dir)
+      .join(graft.model.Joins.maybeBroadcast(
+        d.select(col("doc_id"), col("source")).filter(pred)
+          .select("doc_id")), "doc_id")
     sorted(Dedup.crossJaccardPairs(
       d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
-      "doc_id", "text", n = 3, threshold = 0.8))
+      "doc_id", "text", n = 3, threshold = 0.8, maxDf = None,
+      leftShinglesDf = Some(bySource(col("source") =!= "src0")),
+      rightShinglesDf = Some(bySource(col("source") === "src0"))))
   }
 
   val q39Sql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') t
       |  FROM documents
-      |), shx AS (
+      |), sh0 AS (
       |  SELECT DISTINCT doc_id, source,
       |         t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
@@ -711,14 +722,11 @@ object ExtensionQueries {
       |  UNION
       |  SELECT doc_id, source, array_to_string(t, ' ') AS s
       |  FROM toks WHERE len(t) < 3
-      |), a0 AS (SELECT doc_id, s FROM shx WHERE source <> 'src0'
-      |), b0 AS (SELECT doc_id, s FROM shx WHERE source = 'src0'
-      |), a AS (
-      |  SELECT * FROM a0
-      |  WHERE s IN (SELECT s FROM a0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
-      |), b AS (
-      |  SELECT * FROM b0
-      |  WHERE s IN (SELECT s FROM b0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |), shx AS (
+      |  SELECT * FROM sh0
+      |  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |), a AS (SELECT doc_id, s FROM shx WHERE source <> 'src0'
+      |), b AS (SELECT doc_id, s FROM shx WHERE source = 'src0'
       |), sza AS (SELECT doc_id, count(*) n FROM a GROUP BY 1
       |), szb AS (SELECT doc_id, count(*) n FROM b GROUP BY 1
       |), inter AS (
