@@ -103,6 +103,58 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: hash samples nest across arbitrary rate pairs; split partitions exhaustively") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val ids = (0L until 400L).toDF("id")
+    val rateGen = for {
+      a <- Gen.chooseNum(1, 99); b <- Gen.chooseNum(1, 99)
+    } yield (math.min(a, b) / 100.0, math.max(a, b) / 100.0)
+    forAll(rateGen) { case (lo, hi) =>
+      val small = Sampling.hashSample(ids, "id", lo).as[Long].collect().toSet
+      val big = Sampling.hashSample(ids, "id", hi).as[Long].collect().toSet
+      assert(small.subsetOf(big), s"sample($lo) ⊄ sample($hi)")
+    }
+    // any weight vector: splits partition the table (disjoint + exhaustive)
+    val weightsGen = Gen.listOfN(3, Gen.chooseNum(1, 10)).map { ws =>
+      val t = ws.sum.toDouble
+      ws.zipWithIndex.map { case (w, i) => s"s$i" -> w / t }
+    }
+    forAll(weightsGen) { splits =>
+      val total = BigDecimal(1) - splits.map(s => BigDecimal(s._2.toString)).sum
+      val fixed =
+        if (total == 0) splits
+        else splits.init :+ (splits.last._1 -> (BigDecimal(splits.last._2.toString) + total).toDouble)
+      val assigned = Sampling.assignSplit(ids, "id", fixed)
+      assert(assigned.count() == 400)
+      assert(assigned.groupBy("id").count().filter(col("count") > 1).count() == 0)
+      assert(assigned.select("split").distinct().collect()
+        .map(_.getString(0)).toSet.subsetOf(fixed.map(_._1).toSet))
+    }
+  }
+
+  test("law: packing start offsets cover the shard stream without gaps") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val tokGen = Gen.listOfN(30, Gen.chooseNum(1, 300))
+    forAll(tokGen) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => ("s", i.toLong, t) }
+        .toDF("shard", "id", "tok")
+      val packed = Packing.packByBudget(df, "id", col("tok"), 256, "shard")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))) // id, tokens, pack
+      // packs are non-decreasing in stream order and every pack's fill
+      // minus its straddling last doc stays under the budget
+      assert(packed.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+      packed.groupBy(_._3).foreach { case (_, docs) =>
+        val fill = docs.map(_._2).sum
+        val last = docs.maxBy(_._1)._2
+        assert(fill - last < 256,
+          s"pack pre-overhang fill ${fill - last} >= budget")
+      }
+    }
+  }
+
   test("sql: dot_product registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -140,4 +140,33 @@ class StreamingSpec extends SparkSpec {
         s"emitted session not found in batch result: $s")
     }
   }
+
+  test("hash split assigns identically on a stream (stateless projection)") {
+    import graft.operators.Sampling
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("split_stream").toString
+    docsDf.coalesce(2).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // the split is a pure projection: legal on a stream with NO watermark,
+    // no state — membership decided per row at ingest, the property that
+    // lets a training pipeline route docs as they arrive
+    val q = Sampling.assignSplit(stream, "doc_id")
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("split_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("split_stream_test").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Sampling.assignSplit(docsDf, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch,
+      "streaming split assignment diverged from batch — membership must not " +
+        "depend on batch boundaries")
+  }
 }
