@@ -145,6 +145,30 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** PII redaction patterns — deliberately in the Java∩RE2 regex subset so
+    * the DuckDB oracle (RE2) replaces byte-identically: no lookarounds, no
+    * backrefs, only literal classes and bounded quantifiers. Order
+    * matters: emails first (their local parts contain digit runs), then
+    * IPv4 (dotted digit groups shorter than the long-number floor), then
+    * bare long digit runs (phone/SSN/card numbers). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val LongNumberPattern = "[0-9]{9,}"
+
+  /** Redact PII for training-data scrubbing: emails → `<EMAIL>`, IPv4 →
+    * `<IP>`, ≥9-digit runs → `<NUM>`. Three chained codegen'd
+    * regexp_replace calls — a pure per-row projection (no shuffle, no UDF)
+    * that composes with scan pruning; at 100 TB the scrub is one pass over
+    * the text column. Pattern-match recall is the usual regex-PII
+    * tradeoff — extend the pattern list per policy, keeping to the
+    * Java∩RE2 subset if oracle parity must hold. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      LongNumberPattern, "<NUM>")
+
   /** Within-document n-gram repetition ratio — the repetitive-text quality
     * signal (boilerplate, keyword stuffing, generation loops): fraction of
     * n-gram occurrences that are repeats of an earlier n-gram in the SAME

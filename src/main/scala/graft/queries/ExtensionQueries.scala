@@ -790,6 +790,34 @@ object ExtensionQueries {
       |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q42 — PII redaction parity: the fixture text carries no PII, so both
+  //       engines INJECT identical synthetic PII derived from doc_id
+  //       (email, IP, long number), redact, and hash — any divergence in
+  //       regex semantics or replacement order fails the row hash.
+  // -------------------------------------------------------------------
+  def q42(s: SparkSession, dir: String): DataFrame =
+    sorted(docs(s, dir).select(
+      col("doc_id"),
+      md5(TextFunctions.redactPii(concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com at 10.0."), col("doc_id").cast("string"),
+        lit(".7 ref 90210"), col("doc_id").cast("string"),
+        lit("55512 done")))).as("redacted_fp")))
+
+  val q42Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |         || '@example.com at 10.0.' || CAST(doc_id AS VARCHAR)
+      |         || '.7 ref 90210' || CAST(doc_id AS VARCHAR) || '55512 done',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '[0-9]{9,}', '<NUM>', 'g')) AS redacted_fp
+      |FROM documents
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -817,6 +845,7 @@ object ExtensionQueries {
     ("q38_repetition", q38 _, q38Sql),
     ("q39_decontaminate", q39 _, q39Sql),
     ("q40_pack_sequences", q40 _, q40Sql),
-    ("q41_funnel", q41 _, q41Sql)
+    ("q41_funnel", q41 _, q41Sql),
+    ("q42_redact_pii", q42 _, q42Sql)
   )
 }

@@ -208,6 +208,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fs.n_bytes == wav.length)
   }
 
+  test("PII redaction scrubs emails, IPs, and long numbers; leaves prose alone") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val out = Seq(
+      "mail a.user+tag@sub.example.co.uk now",
+      "host 192.168.1.254 responded",
+      "card 4111111111111111 and ssn 123456789",
+      "short codes 12345 and 911 stay",   // below the 9-digit floor
+      "plain prose with no identifiers at all"
+    ).toDF("text").select(TextFunctions.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "host <IP> responded")
+    assert(out(2) == "card <NUM> and ssn <NUM>")
+    assert(out(3) == "short codes 12345 and 911 stay")
+    assert(out(4) == "plain prose with no identifiers at all")
+  }
+
   test("repetition ratio is 0 for unique grams and rises with repeats") {
     import graft.functions.TextFunctions
     import spark.implicits._

@@ -351,6 +351,21 @@ class PlanSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("sequence packing is one shard-keyed shuffle, never a global window") {
+    import graft.operators.Packing
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val packed = Packing.packByBudget(d, "doc_id",
+      graft.functions.TextFunctions.nTokens(col("text")), 512, "source")
+    val nodes = runtimeNodes(packed.queryExecution.executedPlan)
+    assert(nodes.count(_.contains("Exchange")) <= 1,
+      s"packing should shuffle once on the shard key:\n$nodes")
+    // the exchange must partition on the SHARD, not a single partition
+    // (an unpartitioned window funnels the corpus through one task)
+    val planStr = packed.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SinglePartition"),
+      s"packing plan funnels through one task:\n$planStr")
+  }
+
   test("pairwise similarity uses the native dot_product, HOFs only per-row") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Similarity.nearDupPairs(e, 0.9)
