@@ -818,6 +818,34 @@ object ExtensionQueries {
       |FROM documents
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q43 — per-doc top-3 terms with corpus df (the exact-integer core of
+  //       tf-idf keyword extraction): explode + tf agg + doc-partitioned
+  //       row_number + df join. Integer-exact, deterministic tie-break.
+  // -------------------------------------------------------------------
+  def q43(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Corpus.topTerms(docs(s, dir), "doc_id", "text", k = 3))
+
+  val q43Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), ranked AS (
+      |  SELECT doc_id, term, tf,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY tf DESC, term ASC) AS rnk
+      |  FROM tf
+      |)
+      |SELECT r.doc_id, r.term, r.tf, d.df, CAST(r.rnk AS INT) AS rank
+      |FROM ranked r JOIN dfreq d USING (term)
+      |WHERE r.rnk <= 3
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -846,6 +874,7 @@ object ExtensionQueries {
     ("q39_decontaminate", q39 _, q39Sql),
     ("q40_pack_sequences", q40 _, q40Sql),
     ("q41_funnel", q41 _, q41Sql),
-    ("q42_redact_pii", q42 _, q42Sql)
+    ("q42_redact_pii", q42 _, q42Sql),
+    ("q43_top_terms", q43 _, q43Sql)
   )
 }

@@ -208,6 +208,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fs.n_bytes == wav.length)
   }
 
+  test("top terms rank by tf with deterministic term tie-break and true df") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val d = Seq(
+      (1L, "b b b a a c"),   // tf: b=3, a=2, c=1
+      (2L, "a z z")          // tf: z=2, a=1
+    ).toDF("doc_id", "text")
+    val r = Corpus.topTerms(d, "doc_id", "text", k = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3), x.getInt(4)))
+      .toSet
+    assert(r == Set(
+      (1L, "b", 3L, 1L, 1), (1L, "a", 2L, 2L, 2),
+      (2L, "z", 2L, 1L, 1), (2L, "a", 1L, 2L, 2)),
+      s"got $r")
+  }
+
   test("PII redaction scrubs emails, IPs, and long numbers; leaves prose alone") {
     import graft.functions.TextFunctions
     import spark.implicits._
