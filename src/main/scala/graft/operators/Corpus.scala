@@ -23,6 +23,10 @@ object Corpus {
     require(k > 0, s"k must be positive, got $k")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+      // whitespace-only / tab-prefixed docs split to an EMPTY token (trim
+      // strips spaces only), and "" sorts FIRST in the tie-break — drop it
+      // or it displaces real keywords and inflates its own df
+      .filter(col("term") =!= "")
     val tf = tok.groupBy("doc_id", "term").agg(count("*").as("tf"))
     val df = tf.groupBy("term").agg(count("*").as("df"))
     val w = Window.partitionBy("doc_id")

@@ -802,19 +802,23 @@ object ExtensionQueries {
       md5(TextFunctions.redactPii(concat(
         col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com at 10.0."), col("doc_id").cast("string"),
+        // doc_id mod 250: an octet must be <= 3 digits or the IPv4 pattern
+        // silently stops matching and the parity check tests nothing
+        lit("@example.com at 10.0."), pmod(col("doc_id"), lit(250)).cast("string"),
         lit(".7 ref 90210"), col("doc_id").cast("string"),
         lit("55512 done")))).as("redacted_fp")))
 
   val q42Sql: String =
-    """SELECT doc_id,
+    // the regexes interpolate from TextFunctions so the oracle CANNOT
+    // drift from the operator (same convention as ${Dedup.DefaultMaxDf})
+    s"""SELECT doc_id,
       |  md5(regexp_replace(regexp_replace(regexp_replace(
       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
-      |         || '@example.com at 10.0.' || CAST(doc_id AS VARCHAR)
+      |         || '@example.com at 10.0.' || CAST(doc_id % 250 AS VARCHAR)
       |         || '.7 ref 90210' || CAST(doc_id AS VARCHAR) || '55512 done',
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-      |    '[0-9]{9,}', '<NUM>', 'g')) AS redacted_fp
+      |    '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+      |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g'),
+      |    '${TextFunctions.LongNumberPattern}', '<NUM>', 'g')) AS redacted_fp
       |FROM documents
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
@@ -831,7 +835,8 @@ object ExtensionQueries {
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       |  FROM documents
       |), tf AS (
-      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term <> '' GROUP BY 1, 2
       |), dfreq AS (
       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
       |), ranked AS (

@@ -128,8 +128,17 @@ class LawsSpec extends SparkSpec {
       val assigned = Sampling.assignSplit(ids, "id", fixed)
       assert(assigned.count() == 400)
       assert(assigned.groupBy("id").count().filter(col("count") > 1).count() == 0)
-      assert(assigned.select("split").distinct().collect()
-        .map(_.getString(0)).toSet.subsetOf(fixed.map(_._1).toSet))
+      // the WEIGHTS must govern assignment, not just the names: observed
+      // per-split fractions track the requested weights (400 uniform
+      // hashes → σ ≤ 0.025 per split; 0.12 is a >4σ gate that still fails
+      // loudly on any thresholding bug, e.g. everything landing in s0)
+      val byName = assigned.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      fixed.foreach { case (name, w) =>
+        val obs = byName.getOrElse(name, 0L).toDouble / 400
+        assert(math.abs(obs - w) < 0.12,
+          s"split $name: observed fraction $obs vs weight $w")
+      }
     }
   }
 
