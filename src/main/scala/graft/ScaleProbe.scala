@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: replicate the sf corpus N× (fresh ids, slightly
+  * perturbed text so replicas aren't trivial dups) and time the dedup/ANN
+  * pipelines at 1× and N×. The point is the RATIO — a bucketed/indexed
+  * path should scale near-linearly in rows; anything superlinear here is
+  * a 100 TB red flag long before a cluster run exposes it.
+  *
+  * `sbt "runMain graft.ScaleProbe [factor] [sfDir]"` — prints one line
+  * per (step, scale) and the N×/1× ratio.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 8
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val nDocs = docs1.count()
+    // replicas get fresh ids and a per-replica token prefix: they must NOT
+    // be near-dups of the original or the pair count (and pair cost) would
+    // grow quadratically in the replication factor by construction
+    def docsN(n: Int): DataFrame =
+      spark.range(n).toDF("rep").crossJoin(docs1)
+        .select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+          concat(lit("rep"), col("rep"), lit("x "),
+            concat_ws(" ", lit("w"), col("rep")), lit(" "), col("text")).as("text"))
+
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def embN(n: Int): DataFrame =
+      spark.range(n).toDF("rep").crossJoin(emb1)
+        .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
+          // rotate vectors per replica by prepending the tail: cheap
+          // deterministic perturbation that keeps norms ~1
+          when(col("rep") === 0, col("embedding"))
+            .otherwise(reverse(col("embedding"))).as("embedding"))
+
+    def timed(what: String)(body: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $what%-28s $sec%8.2fs rows=$rows")
+      sec
+    }
+
+    def dedupSuite(tag: String, d: DataFrame): Map[String, Double] = {
+      val idx = graft.operators.Dedup
+        .buildShingleIndex(d, "doc_id", "text", 3).persist()
+      val r = Map(
+        s"index" -> timed(s"$tag index build+count")(idx.count()),
+        s"lsh" -> timed(s"$tag minhash LSH pairs") {
+          graft.operators.Dedup.minhashLsh(d, "doc_id", "text",
+            maxDf = None, shinglesDf = Some(idx)).count()
+        },
+        s"cc" -> timed(s"$tag connected components") {
+          graft.operators.Dedup.connectedComponents(
+            graft.operators.Dedup.minhashLsh(d, "doc_id", "text",
+              maxDf = None, shinglesDf = Some(idx))).count()
+        },
+        s"simhash" -> timed(s"$tag simhash pairs") {
+          graft.operators.Dedup.simhashPairs(d, "doc_id", "text").count()
+        })
+      idx.unpersist()
+      r
+    }
+
+    def annSuite(tag: String, e: DataFrame): Map[String, Double] = Map(
+      "neardup" -> timed(s"$tag embedding near-dup") {
+        graft.operators.Similarity.nearDupPairs(e, 0.9).count()
+      },
+      "ivf" -> timed(s"$tag IVF kNN (64 queries)") {
+        graft.operators.Similarity.ivfKnn(
+          e.filter(col("vec_id") % 1000 === 0), e, 5,
+          nlist = 32, nprobe = 4).count()
+      })
+
+    println(s"[probe] corpus 1x = $nDocs docs; factor = $factor")
+    val d1 = dedupSuite("1x", docsN(1))
+    val dN = dedupSuite(s"${factor}x", docsN(factor))
+    val a1 = annSuite("1x", embN(1))
+    val aN = annSuite(s"${factor}x", embN(factor))
+    println(f"[probe] RATIOS at ${factor}x rows (linear => ~$factor):")
+    (d1.keySet ++ a1.keySet).toSeq.sorted.foreach { k =>
+      val r1 = d1.getOrElse(k, a1(k))
+      val rN = dN.getOrElse(k, aN(k))
+      println(f"[probe]   $k%-10s ${rN / r1}%6.1fx")
+    }
+    spark.stop()
+  }
+}
