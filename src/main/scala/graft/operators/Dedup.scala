@@ -244,24 +244,30 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxHamming, found via
-    * pigeonhole banding — split the 60 bits into (maxHamming+1) bands; any
-    * pair within distance maxHamming must agree exactly on ≥1 band, so
-    * equi-joins on band values find all of them without a cross join. Then
-    * exact-verify with bit_count(xor). */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs, idCol, textCol)
+  /** All pairs within `maxHamming` bits over a (id, signature) table —
+    * the pigeonhole-banding primitive shared by [[simhashPairs]] (60-bit
+    * text simhash) and [[graft.operators.Multimodal]] image hashes
+    * (64-bit aHash): split `bits` into (maxHamming+1) bands; any pair
+    * within distance maxHamming must agree EXACTLY on ≥1 band (pigeonhole
+    * — the differing bits can't touch every band), so equi-joins on band
+    * values find all of them with no cross join; exact-verify with
+    * bit_count(xor). Input columns: (idCol, sigCol: long). */
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming $maxHamming not in [0, $bits)")
     val nb = maxHamming + 1
-    val w = 60 / nb // band width in bits
+    val w = bits / nb // band width in bits (trailing remainder joins band 0)
     // one posexplode instead of an nb-way union: the union form re-ran
-    // the simhash aggregation once per band per join side
+    // the upstream signature computation once per band per join side
     val bandArr = array((0 until nb).map { b =>
-      shiftright(col("simhash"), b * w).bitwiseAND((1L << w) - 1)
+      val width = if (b == nb - 1) bits - b * w else w // remainder band
+      shiftright(col(sigCol), b * w)
+        .bitwiseAND(if (width >= 64) -1L else (1L << width) - 1)
     }: _*)
-    val bandRows = sig.select(col("doc_id"),
-      posexplode(bandArr).as(Seq("band", "bits")), col("simhash"))
-      .select("doc_id", "band", "bits", "simhash")
+    val bandRows = sig.select(col(idCol).as("doc_id"),
+      posexplode(bandArr).as(Seq("band", "bits")), col(sigCol).as("sig"))
+      .select("doc_id", "band", "bits", "sig")
     bandRows.toDF("i", "band", "bits", "sig_i")
       .join(bandRows.toDF("j", "band", "bits", "sig_j"), Seq("band", "bits"))
       .filter(col("i") < col("j"))
@@ -270,6 +276,13 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming over the
+    * 60-bit signatures, via [[hammingPairs]] banding. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol), "doc_id", "simhash",
+      bits = 60, maxHamming = maxHamming)
 
   /** Connected components over a near-dup pair set — the canonicalization
     * step after pair generation: near-duplication is NOT transitive, but

@@ -230,6 +230,74 @@ object Multimodal {
     out
   }
 
+  /** 64-bit perceptual average-hash of a decoded raster: mean luminance
+    * over an 8×8 grid of cells, bit k set when cell k is at least the
+    * grid mean. Robust to re-encoding, resizing, and small edits (they
+    * move few cells across the mean) while inverting/different images
+    * flip ~half the bits — the standard aHash. Deterministic. */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0
+        cells(cy * 8 + cx) += lum
+        counts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    var mean = 0.0
+    while (i < 64) {
+      if (counts(i) > 0) cells(i) /= counts(i)
+      mean += cells(i)
+      i += 1
+    }
+    mean /= 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hashes over a media table: REAL decode (per
+    * partition, streamed) → aHash. Undecodable blobs are DROPPED (null
+    * hash rows would pair with each other meaninglessly); route them
+    * through [[extractFeatures]]' stub path if they must be tracked.
+    * Output: (media_id, ahash). */
+  def imageHashes(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImage(r.getAs[Array[Byte]](contentIdx))
+          .map(img => (r.getLong(idIdx), aHash64(img)))
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs: aHash within `maxHamming` bits, found
+    * with the same pigeonhole banding as text SimHash
+    * ([[Dedup.hammingPairs]]) — equi-joins on band values, never a cross
+    * join, shuffling only (id, 8-byte hash); the image bytes stay in
+    * place. Output: (i, j, hamming). */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 5): DataFrame =
+    Dedup.hammingPairs(imageHashes(media), "media_id", "ahash",
+      bits = 64, maxHamming = maxHamming)
+
   /** Feature extraction over a media DataFrame: one decoder per partition,
     * rows streamed through it (mapPartitions — the iterator is lazy, so a
     * 10 GB partition never materializes). Output: (media_id, n_bytes,

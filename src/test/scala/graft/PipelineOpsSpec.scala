@@ -208,6 +208,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fs.n_bytes == wav.length)
   }
 
+  test("image near-dup pairs: aHash banding finds edited copies, not inversions") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // high-contrast cell blocks (every 8x8 cell far from the global mean):
+    // a small edit barely moves cell means, an inversion flips every bit.
+    // A smooth gradient would be aHash's worst case — all cells borderline.
+    def blocks(invert: Boolean, edits: Int): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val bright = ((x / 8) + (y / 8) * 3) % 3 == 0
+        val v = if (bright != invert) 220 else 30
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      // small localized edit inside one cell
+      for (y <- 0 until edits; x <- 0 until edits) img.setRGB(x, y, 0xffffff)
+      img
+    }
+    val base = blocks(invert = false, edits = 0)
+    val edited = blocks(invert = false, edits = 6)
+    val inverted = blocks(invert = true, edits = 0)
+    // hash robustness: re-encoding is a no-op, small edit stays close,
+    // inversion flips ~half the bits
+    val hBase = Multimodal.aHash64(base)
+    assert(Multimodal.aHash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png(base)))) == hBase,
+      "aHash must survive PNG round-trip")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hBase, Multimodal.aHash64(edited)) <= 5, "edit moved too many cells")
+    assert(ham(hBase, Multimodal.aHash64(inverted)) > 20, "inversion should be far")
+
+    val media = Seq((1L, png(base)), (2L, png(edited)), (3L, png(inverted)),
+      (4L, Array[Byte](1, 2, 3))) // undecodable row is dropped, not paired
+      .toDF("media_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only (base, edited), got $pairs")
+  }
+
   test("top terms rank by tf with deterministic term tie-break and true df") {
     import graft.operators.Corpus
     import spark.implicits._
