@@ -298,6 +298,64 @@ object Multimodal {
     Dedup.hammingPairs(imageHashes(media), "media_id", "ahash",
       bits = 64, maxHamming = maxHamming)
 
+  /** 64-bit audio envelope hash: RMS energy over 64 equal time windows,
+    * bit k set when window k's energy is at least the clip mean — the
+    * amplitude-envelope analog of [[aHash64]]. Mean-relative, so it is
+    * volume-invariant (scaling every sample scales windows and mean
+    * alike); robust to light noise and re-encoding, while a different
+    * recording's envelope flips ~half the bits. Deterministic. */
+  def audioHash64(clip: AudioClip): Long = {
+    val n = clip.samples.length
+    if (n == 0) return 0L
+    val energy = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = math.min(i * 64 / n, 63)
+      val s = clip.samples(i).toDouble
+      energy(w) += s * s
+      counts(w) += 1
+      i += 1
+    }
+    var mean = 0.0
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) energy(k) = math.sqrt(energy(k) / counts(k))
+      mean += energy(k)
+      k += 1
+    }
+    mean /= 64
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (energy(k) >= mean) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** Per-clip envelope hashes: REAL decode (per partition, streamed) →
+    * [[audioHash64]]; undecodable blobs dropped (see [[imageHashes]]).
+    * Output: (media_id, audio_hash). */
+  def audioHashes(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.getAs[Array[Byte]](contentIdx))
+          .map(clip => (r.getLong(idIdx), audioHash64(clip)))
+      }
+    }.toDF("media_id", "audio_hash")
+  }
+
+  /** Audio near-duplicate pairs: envelope hash within `maxHamming` bits
+    * via the shared pigeonhole banding ([[Dedup.hammingPairs]]) —
+    * equi-joins on band values; the audio bytes never shuffle. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 5): DataFrame =
+    Dedup.hammingPairs(audioHashes(media), "media_id", "audio_hash",
+      bits = 64, maxHamming = maxHamming)
+
   /** Feature extraction over a media DataFrame: one decoder per partition,
     * rows streamed through it (mapPartitions — the iterator is lazy, so a
     * 10 GB partition never materializes). Output: (media_id, n_bytes,

@@ -251,6 +251,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"expected only (base, edited), got $pairs")
   }
 
+  test("audio near-dup pairs: envelope hash finds noised copies, not other rhythms") {
+    import javax.sound.sampled._
+    import spark.implicits._
+    // clips with PATTERNED envelopes (alternating loud/quiet beats): the
+    // envelope hash needs windows far from the mean, like aHash's blocks
+    def wav(beatEvery: Int, noise: Boolean): Array[Byte] = {
+      val rate = 8000f
+      val n = 8000
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val beat = (i * 64 / n) / beatEvery % 2 == 0
+        val amp = if (beat) 14000 else 800
+        val jitter = if (noise) ((i * 31) % 101 - 50) else 0
+        val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp).toInt + jitter
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = wav(4, noise = false)
+    val noised = wav(4, noise = true)       // same rhythm, light noise
+    val other = wav(1, noise = false)       // different beat pattern
+    def clip(b: Array[Byte]) = Multimodal.decodeAudio(b).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hBase = Multimodal.audioHash64(clip(base))
+    assert(ham(hBase, Multimodal.audioHash64(clip(noised))) <= 5,
+      "light noise moved the envelope too far")
+    assert(ham(hBase, Multimodal.audioHash64(clip(other))) > 10,
+      "different rhythm should be far")
+    val media = Seq((1L, base), (2L, noised), (3L, other),
+      (4L, Array[Byte](9, 9, 9))) // undecodable row dropped
+      .toDF("media_id", "content")
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only (base, noised), got $pairs")
+  }
+
   test("top terms rank by tf with deterministic term tie-break and true df") {
     import graft.operators.Corpus
     import spark.implicits._
