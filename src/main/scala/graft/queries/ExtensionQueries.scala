@@ -851,6 +851,52 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q44 — image near-dup end-to-end (REAL PNG encode → decode → aHash →
+  //       banding): a deterministic synthetic gallery where ids i and
+  //       i+10000 carry the same block pattern with a small edit — the
+  //       planted near-dups. Binary decode is not SQL-expressible, so no
+  //       DuckDB oracle (driver records the rows-only check); the exact
+  //       pair semantics are pinned by PipelineOpsSpec.
+  // -------------------------------------------------------------------
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gallery = s.range(100).flatMap { idBox =>
+      val id: Long = idBox // spark.range boxes; a j.l.Long in the tuple
+                           // would type the Seq as Any and lose the encoder
+      def png(edit: Boolean): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            // pseudo-random per (cell, id) via the splitmix64 finalizer:
+            // a single multiply does NOT avalanche (ids 56 apart stayed
+            // within 5 bits through the carry structure) — full xor-shift
+            // mixing makes per-cell bits independent across ids, so the
+            // only near-dups are the planted (i, i+10000) edit pairs
+            var z = ((x / 8) + (y / 8) * 8 + id * 64) * 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^= z >>> 31
+            val bright = (z & 0x7fffffffL) % 3 == 0
+            val v = if (bright) 220 else 30
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        if (edit) { var i = 0; while (i < 5) { img.setRGB(i, 0, 0xffffff); i += 1 } }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      Seq((id, png(false)), (id + 10000L, png(true)))
+    }.toDF("media_id", "content")
+    sorted(graft.operators.Multimodal.imageNearDupPairs(gallery, maxHamming = 5))
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -880,6 +926,7 @@ object ExtensionQueries {
     ("q40_pack_sequences", q40 _, q40Sql),
     ("q41_funnel", q41 _, q41Sql),
     ("q42_redact_pii", q42 _, q42Sql),
-    ("q43_top_terms", q43 _, q43Sql)
+    ("q43_top_terms", q43 _, q43Sql),
+    ("q44_image_near_dup", q44 _, null) // binary decode: rows-only check
   )
 }
