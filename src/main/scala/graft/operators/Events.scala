@@ -91,4 +91,38 @@ object Events {
           col("n_users"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Last-touch attribution: for every `toType` event, the MOST RECENT
+    * `fromType` event by the same user at most `within` before it (NULL
+    * when none — the unattributed conversions). The classic
+    * view→purchase credit assignment.
+    *
+    * Shape: one user-keyed equi-join (the time bound is a post-join
+    * filter on the hash join, not a range-join blowup — per-pair cost is
+    * a comparison) + one grouped max. Fan-out is views-per-user ×
+    * conversions-per-user, bounded by per-user activity, and only
+    * (user, ts) pairs shuffle. The same join with both sides watermarked
+    * is the streaming form
+    * ([[graft.streaming.EventsStreaming.attributionStream]]) — Spark can
+    * expire join state there precisely because the `within` bound is in
+    * the join condition.
+    *
+    * Output: (event_id, user_id, to_ts, from_ts). */
+  def attribution(events: DataFrame, fromType: String, toType: String,
+                  within: String = "30 minutes",
+                  userCol: String = "user_id", typeCol: String = "event_type",
+                  tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val from = events.filter(col(typeCol) === fromType)
+      .select(col(userCol).as("f_user"), col(tsCol).as("from_ts"))
+    val to = events.filter(col(typeCol) === toType)
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        col(tsCol).as("to_ts"))
+    to.join(from,
+        col("f_user") === col("user_id") &&
+          col("from_ts") <= col("to_ts") &&
+          col("from_ts") >= col("to_ts") - expr(s"INTERVAL $within"),
+        "left")
+      .groupBy("event_id", "user_id", "to_ts")
+      .agg(max("from_ts").as("from_ts"))
+  }
 }

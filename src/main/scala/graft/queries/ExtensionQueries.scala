@@ -897,6 +897,186 @@ object ExtensionQueries {
     sorted(graft.operators.Multimodal.imageNearDupPairs(gallery, maxHamming = 5))
   }
 
+  // -------------------------------------------------------------------
+  // q45 — near-dup dedup END-TO-END: the actual deliverable of the dedup
+  //       family — pairs (MinHash-LSH, exact-verified) → transitive
+  //       closure → one canonical doc per cluster → the SURVIVING CORPUS,
+  //       summarized per source. Oracle: q34's recursive-CTE closure plus
+  //       the same min-id canonicalization and anti-join.
+  // -------------------------------------------------------------------
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8,
+      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
+    sorted(Dedup.dropNearDups(d, pairs, "doc_id")
+      .groupBy("source")
+      .agg(count("*").as("n_docs"), sum("n_chars").as("sum_chars")))
+  }
+
+  val q45Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), losers AS (
+      |  SELECT doc_id FROM comp WHERE doc_id <> component
+      |)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q46 — duplicate-n-gram share (the Gopher/C4-style corpus-overlap
+  //       quality filter): per doc, fraction of its distinct 3-grams that
+  //       occur in >= 2 documents. UNCAPPED index by design — the hottest
+  //       n-grams ARE the duplicated mass being measured (the df join-back
+  //       is 1:1, so no cap is needed for the cost bound either).
+  // -------------------------------------------------------------------
+  def q46(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Corpus.duplicateNgramShare(
+      docs(s, dir), "doc_id", "text", n = 3))
+
+  val q46Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+      |), dfq AS (
+      |  SELECT s, count(*) AS df FROM sh GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+      |         AS dup_share
+      |FROM sh JOIN dfq USING (s)
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q47 — RAG token-window chunking: width-64 windows advancing by 48
+  //       (16-token overlap), chunk text fingerprinted for cross-engine
+  //       hash comparison. Start positions = multiples of stride below
+  //       the token count in BOTH engines (range() in DuckDB, the
+  //       floor-div sequence in Spark) — the window arithmetic itself is
+  //       what the hash pins.
+  // -------------------------------------------------------------------
+  def q47(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Chunking.chunkFingerprints(
+      docs(s, dir), "doc_id", "text", width = 64, stride = 48))
+
+  val q47Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents
+      |), st AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS strt FROM toks
+      |), c AS (
+      |  SELECT doc_id, CAST(strt // 48 AS INT) AS chunk_idx,
+      |         list_slice(t, strt + 1, strt + 64) AS chunk
+      |  FROM st
+      |)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
+      |       md5(array_to_string(chunk, ' ')) AS chunk_fp
+      |FROM c
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q48 — temperature-weighted corpus mixing (tokens^0.7 sampling
+  //       weights): per-source token totals are integer-exact; the only
+  //       float arithmetic (pow + normalize) is rounded to 6 decimals in
+  //       both engines.
+  // -------------------------------------------------------------------
+  def q48(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Corpus.mixingWeights(
+      docs(s, dir), "source", TextFunctions.nTokens(col("text")),
+      temperature = 0.7))
+
+  val q48Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |           AS tokens
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT source, tokens,
+      |       round(pow(CAST(tokens AS DOUBLE), 0.7) /
+      |             (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.7)) FROM per), 6)
+      |         AS weight
+      |FROM per
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q49 — last-touch attribution: every purchase joined to the most
+  //       recent view by the same user within 30 minutes (NULL when
+  //       unattributed). Raw-timestamp output is hash-safe: the fixture's
+  //       ns timestamps are micros-aligned (verified), so Spark's µs
+  //       truncation is value-identical to DuckDB's ns reads.
+  // -------------------------------------------------------------------
+  def q49(s: SparkSession, dir: String): DataFrame =
+    sorted(Events.attribution(events(s, dir), "view", "purchase",
+      within = "30 minutes"))
+
+  val q49Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'view'
+      |), t AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT t.event_id, t.user_id, t.ts AS to_ts, max(f.ts) AS from_ts
+      |FROM t LEFT JOIN f
+      |  ON f.user_id = t.user_id
+      | AND f.ts <= t.ts
+      | AND f.ts >= t.ts - INTERVAL '30 minutes'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q50 — approx quantiles (the sketch path you actually run at 100 TB):
+  //       exact interpolated percentiles plus a percentile_approx verdict
+  //       column, q31-style — the approx sketch has no cross-engine
+  //       oracle, so the hash pins the exact values and the assertion
+  //       that the sketch landed within tolerance. l_quantity is an
+  //       integer grid, so |approx - exact| <= 2 is a deterministic-pass
+  //       margin at accuracy 10000.
+  // -------------------------------------------------------------------
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    sorted(li.groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a90"))
+      .select(col("l_returnflag"), col("p50"), col("p90"),
+        (abs(col("a50") - col("p50")) <= 2.0 &&
+          abs(col("a90") - col("p90")) <= 2.0).cast("int").as("approx_ok")))
+  }
+
+  val q50Sql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.9) AS p90,
+      |       1 AS approx_ok
+      |FROM lineitem GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -927,6 +1107,12 @@ object ExtensionQueries {
     ("q41_funnel", q41 _, q41Sql),
     ("q42_redact_pii", q42 _, q42Sql),
     ("q43_top_terms", q43 _, q43Sql),
-    ("q44_image_near_dup", q44 _, null) // binary decode: rows-only check
+    ("q44_image_near_dup", q44 _, null), // binary decode: rows-only check
+    ("q45_dedup_corpus", q45 _, q45Sql),
+    ("q46_dup_ngram_share", q46 _, q46Sql),
+    ("q47_chunking", q47 _, q47Sql),
+    ("q48_mixing_weights", q48 _, q48Sql),
+    ("q49_attribution", q49 _, q49Sql),
+    ("q50_approx_quantiles", q50 _, q50Sql)
   )
 }

@@ -213,6 +213,36 @@ object EventsStreaming {
 
   /** Run a windowed-count stream into an in-memory sink (testing) or a
     * parquet sink (production shape): returns the query handle. */
+  /** Stream-stream interval join — the streaming form of
+    * [[graft.operators.Events.attribution]]'s join step: every
+    * (conversion, prior view ≤ `within` before it) pair, both sides
+    * watermarked. The time bound lives IN the join condition, which is
+    * what lets Spark expire buffered rows: a view older than
+    * `to_ts - within` below the watermark can never match again, so join
+    * state stays bounded at any stream length (the unbounded-state
+    * stream-stream join is rejected by Spark outright).
+    *
+    * Inner join by design — the streaming twin of the batch op's pair
+    * set before its per-conversion max; take the max downstream (batch
+    * over the sink, or a stateful agg) where the semantics need
+    * last-touch rather than all-touch. Output: (event_id, user_id,
+    * to_ts, from_ts). */
+  def attributionStream(events: DataFrame, fromType: String, toType: String,
+                        within: String = "30 minutes",
+                        lateness: String = "1 hour"): DataFrame = {
+    val from = events.filter(col("event_type") === fromType)
+      .select(col("user_id").as("f_user"), col("ts").as("from_ts"))
+      .withWatermark("from_ts", lateness)
+    val to = events.filter(col("event_type") === toType)
+      .select(col("event_id"), col("user_id"), col("ts").as("to_ts"))
+      .withWatermark("to_ts", lateness)
+    to.join(from,
+        col("f_user") === col("user_id") &&
+          col("from_ts") <= col("to_ts") &&
+          col("from_ts") >= col("to_ts") - expr(s"INTERVAL $within"))
+      .select("event_id", "user_id", "to_ts", "from_ts")
+  }
+
   def startToMemory(agg: DataFrame, name: String): StreamingQuery =
     agg.writeStream
       .format("memory")

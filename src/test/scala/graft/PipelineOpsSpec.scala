@@ -602,4 +602,69 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.getLong(2))
     assert(oneVid.sameElements(oneVid.sorted))
   }
+
+  test("chunking covers every token; stride=width partitions exactly") {
+    import graft.operators.Chunking
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"), // shorter than one window
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    // overlapping windows: width 8, stride 5 -> starts 0,5,...,95
+    val c = Chunking.chunkByTokens(d, "doc_id", "text", width = 8, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val doc1 = c.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.length == 20, "starts are multiples of 5 below 100")
+    assert(doc1.init.forall(_._3 == 8), "all but the last chunk are full width")
+    assert(doc1.last._3 == 5, "trailing window clamps at the document end")
+    // consecutive chunks overlap by width - stride = 3 tokens
+    val (c0, c1) = (doc1(0)._4.split(" "), doc1(1)._4.split(" "))
+    assert(c0.takeRight(3).sameElements(c1.take(3)))
+    assert(c.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
+    assert(c.filter(_._1 == 3L).map(_._4).toSeq == Seq("solo"))
+    // stride = width: disjoint chunks reconstruct the token stream exactly
+    val parts = Chunking.chunkByTokens(d, "doc_id", "text", width = 8, stride = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id").agg(concat_ws(" ", collect_list("chunk_text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(parts(1L) == (1 to 100).map(i => s"t$i").mkString(" "))
+  }
+
+  test("duplicate-ngram share: exact copies score 1, unique text scores low") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, boiler), (2L, boiler), // planted exact pair: every 3-gram shared
+      (3L, "entirely original words nobody else uses anywhere whatsoever today"),
+      (4L, "tiny") // short-doc fallback: whole text as the single shingle
+    ).toDF("doc_id", "text")
+    val s = Corpus.duplicateNgramShare(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(s(1L)._3 == 1.0 && s(2L)._3 == 1.0, "exact copies share every n-gram")
+    assert(s(3L)._3 == 0.0, "unique text shares none")
+    assert(s(4L) == ((1L, 0L, 0.0)), "short doc contributes its full-text shingle")
+    assert(s.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0 && v._2 <= v._1))
+  }
+
+  test("mixing weights sum to 1 and T=1 recovers token proportions") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val d = Seq(
+      ("big", 1L, "a b c d e f g h"), ("big", 2L, "i j k l m n o p"), // 16 tokens
+      ("small", 3L, "q r s t") // 4 tokens
+    ).toDF("source", "doc_id", "text")
+    val t1 = Corpus.mixingWeights(d, "source",
+      graft.functions.TextFunctions.nTokens(col("text")), temperature = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(t1("big") == ((16L, 0.8)) && t1("small") == ((4L, 0.2)))
+    // T < 1 compresses toward uniform but keeps the order
+    val t07 = Corpus.mixingWeights(d, "source",
+      graft.functions.TextFunctions.nTokens(col("text")), temperature = 0.7)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(t07.values.sum - 1.0) < 1e-6)
+    assert(t07("big") > t07("small") && t07("big") < 0.8,
+      "temperature < 1 up-samples the small source")
+  }
 }

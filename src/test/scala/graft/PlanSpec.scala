@@ -366,6 +366,16 @@ class PlanSpec extends SparkSpec {
       s"packing plan funnels through one task:\n$planStr")
   }
 
+  test("token chunking is shuffle-free: pure per-row explode, no Exchange") {
+    import graft.operators.Chunking
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = Chunking.chunkFingerprints(d, "doc_id", "text",
+      width = 64, stride = 48)
+    val nodes = runtimeNodes(chunks.queryExecution.executedPlan)
+    assert(!nodes.exists(_.contains("Exchange")),
+      s"chunking must be embarrassingly parallel (no shuffle):\n$nodes")
+  }
+
   test("pairwise similarity uses the native dot_product, HOFs only per-row") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Similarity.nearDupPairs(e, 0.9)

@@ -169,4 +169,39 @@ class StreamingSpec extends SparkSpec {
       "streaming split assignment diverged from batch — membership must not " +
         "depend on batch boundaries")
   }
+
+  test("stream-stream interval join equals the batch attribution pair set") {
+    val stream = EventsStreaming.readEvents(spark, streamDir)
+    val joined = EventsStreaming.attributionStream(stream, "view", "purchase",
+      within = "30 minutes", lateness = "1 hour")
+    val q = joined.writeStream
+      .format("memory").queryName("attr_join_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val batchEv = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the batch op's pair set BEFORE its per-conversion max (inner join
+    // rows) — the streaming join's exact contract
+    val from = batchEv.filter(col("event_type") === "view")
+      .select(col("user_id").as("f_user"), col("ts").as("from_ts"))
+    val batch = batchEv.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("to_ts"))
+      .join(from,
+        col("f_user") === col("user_id") &&
+          col("from_ts") <= col("to_ts") &&
+          col("from_ts") >= col("to_ts") - expr("INTERVAL 30 minutes"))
+      .select("event_id", "user_id", "to_ts", "from_ts")
+
+    val streamed = spark.table("attr_join_test")
+    // AvailableNow drains the whole fixture, so no pair is lost to an
+    // open watermark at the data's tail: the sets must be identical
+    assert(streamed.except(batch).count() == 0,
+      "streaming join emitted a pair batch attribution does not have")
+    assert(batch.except(streamed).count() == 0,
+      "streaming join dropped a pair batch attribution has")
+    assert(streamed.count() == batch.count(), "pair multiplicity diverged")
+  }
 }
