@@ -87,15 +87,29 @@ object ScaleProbe {
           nlist = 32, nprobe = 4).count()
       })
 
+    // per-row / indexed text-pipeline ops: chunking is shuffle-free and
+    // must scale ~linearly; dup-share's df join-back is 1:1 on index rows
+    // (any superlinear growth here means the uncapped-index claim is wrong)
+    def pipeSuite(tag: String, d: DataFrame): Map[String, Double] = Map(
+      "chunk" -> timed(s"$tag chunk fingerprints") {
+        graft.operators.Chunking.chunkFingerprints(d, "doc_id", "text",
+          width = 64, stride = 48).count()
+      },
+      "dupshare" -> timed(s"$tag dup-ngram share") {
+        graft.operators.Corpus.duplicateNgramShare(d, "doc_id", "text").count()
+      })
+
     println(s"[probe] corpus 1x = $nDocs docs; factor = $factor")
     val d1 = dedupSuite("1x", docsN(1))
     val dN = dedupSuite(s"${factor}x", docsN(factor))
     val a1 = annSuite("1x", embN(1))
     val aN = annSuite(s"${factor}x", embN(factor))
+    val p1 = pipeSuite("1x", docsN(1))
+    val pN = pipeSuite(s"${factor}x", docsN(factor))
     println(f"[probe] RATIOS at ${factor}x rows (linear => ~$factor):")
-    (d1.keySet ++ a1.keySet).toSeq.sorted.foreach { k =>
-      val r1 = d1.getOrElse(k, a1(k))
-      val rN = dN.getOrElse(k, aN(k))
+    (d1.keySet ++ a1.keySet ++ p1.keySet).toSeq.sorted.foreach { k =>
+      val r1 = d1.getOrElse(k, a1.getOrElse(k, p1(k)))
+      val rN = dN.getOrElse(k, aN.getOrElse(k, pN(k)))
       println(f"[probe]   $k%-10s ${rN / r1}%6.1fx")
     }
     spark.stop()

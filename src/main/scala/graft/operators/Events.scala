@@ -92,6 +92,30 @@ object Events {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-event trailing-window count: for every event, how many events
+    * the same key produced in the last `widthSeconds` (inclusive range
+    * frame over event time — the per-event rate signal behind bot/abuse
+    * detection and rate limiting).
+    *
+    * A RANGE frame over unix micros, not a ROWS frame: the window is
+    * defined by TIME, so bursts of equal-timestamp events are peers and
+    * all count each other (value-based frames are the cross-engine
+    * semantics; ROWS frames tie-break by partition order and are not
+    * reproducible). One shuffle keyed on `keyCol` — no global window.
+    * Output: input columns + `n_window`. */
+  def trailingCount(events: DataFrame, widthSeconds: Long,
+                    keyCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
+    require(!events.columns.contains("__us"), "input already has a __us column")
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"))
+      .rangeBetween(-widthSeconds * 1000000L, 0)
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .drop("__us")
+  }
+
   /** Last-touch attribution: for every `toType` event, the MOST RECENT
     * `fromType` event by the same user at most `within` before it (NULL
     * when none — the unattributed conversions). The classic

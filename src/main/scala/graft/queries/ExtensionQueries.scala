@@ -1077,6 +1077,59 @@ object ExtensionQueries {
       |FROM lineitem GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q51 — per-event trailing 1-hour rate (RANGE frame over event time):
+  //       the bot/rate-limit signal. Value-based frames make equal-ts
+  //       bursts peers in both engines — the frame SET is pinned by the
+  //       hash, so any tie-handling divergence fails loudly.
+  // -------------------------------------------------------------------
+  def q51(s: SparkSession, dir: String): DataFrame =
+    sorted(Events.trailingCount(events(s, dir), widthSeconds = 3600)
+      .select("event_id", "user_id", "ts", "n_window"))
+
+  val q51Sql: String =
+    """SELECT event_id, user_id, ts,
+      |       count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |         RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+      |         AS n_window
+      |FROM events
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q52 — NATIVE session_window sessionization (q25 is the SQL
+  //       gaps-and-islands twin): same inactivity islands, but
+  //       session_end is padded by the gap (window close time) — the
+  //       oracle mirrors that as max(ts) + 30 minutes. This makes the
+  //       operator actually used in streaming (session_window runs
+  //       unchanged under readStream) oracle-checked in batch.
+  // -------------------------------------------------------------------
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("value", col("value").cast("decimal(14,2)"))
+    sorted(Events.sessions(ev, gap = "30 minutes")
+      .withColumn("sum_value", col("sum_value").cast("double")))
+  }
+
+  val q52Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL '30 minutes' AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, session_no
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1113,6 +1166,8 @@ object ExtensionQueries {
     ("q47_chunking", q47 _, q47Sql),
     ("q48_mixing_weights", q48 _, q48Sql),
     ("q49_attribution", q49 _, q49Sql),
-    ("q50_approx_quantiles", q50 _, q50Sql)
+    ("q50_approx_quantiles", q50 _, q50Sql),
+    ("q51_trailing_rate", q51 _, q51Sql),
+    ("q52_session_native", q52 _, q52Sql)
   )
 }
