@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter decontamination — the 100 TB shape of the train/eval leak
+  * check (north-star extension; no reference counterpart).
+  *
+  * [[Dedup.crossJaccardPairs]] (q39) is the exact form: an inverted-index
+  * JOIN between the training corpus and the eval set. At 100 TB of
+  * training data that join shuffles the training index. The production
+  * alternative exploits the asymmetry — eval sets are tiny, training data
+  * is not: build a Bloom filter over the eval set's n-gram hashes (a few
+  * MB regardless of training size), embed it as a LITERAL in the plan,
+  * and probe every training n-gram with Spark's codegen'd
+  * `BloomFilterMightContain` (the expression behind runtime row-level
+  * filtering). The training side is then scanned ONCE with zero joins and
+  * zero shuffles before the final per-doc aggregation — and Bloom
+  * one-sidedness means NO false negatives: a leaked n-gram is never
+  * missed, false positives only ever over-count, bounded by `fpp`.
+  */
+object Decontaminate {
+
+  /** Serialized Bloom filter over the DISTINCT n-gram hashes of an eval
+    * corpus. `expectedItems` sizes the filter; when absent, one count job
+    * measures the exact distinct-gram cardinality first (eval sets are
+    * small — the count is cheap; at scale pass the known cardinality).
+    * The filter is built distributed (`stat.bloomFilter` tree-aggregates
+    * partial filters) and only the final ~MB bit array reaches the
+    * driver. */
+  def ngramBloom(evalDocs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, fpp: Double = 1e-6,
+                 expectedItems: Option[Long] = None): Array[Byte] = {
+    val hashes = Dedup.docShingles(evalDocs, idCol, textCol, n)
+      .select("s").distinct()
+    val items = expectedItems.getOrElse(hashes.count()).max(1L)
+    val bf = hashes.stat.bloomFilter("s", items, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Codegen'd membership probe: `might_contain(<literal filter>, hash)`.
+    * `hashCol` must be the same xxhash64 longs the filter was built over
+    * ([[Dedup.docShingles]]'s `s` column). */
+  def mightContain(bloom: Array[Byte], hashCol: Column): Column =
+    Bridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), Bridge.expression(hashCol)))
+
+  /** Per-training-doc leak report against an eval-set Bloom filter:
+    * (doc_id, n_grams, n_hit, hit_share) where `n_hit` counts this doc's
+    * distinct n-grams that (might-)occur in the eval set. Exactly the
+    * q39/Gopher contamination signal, computed with one scan of the
+    * training corpus + one doc-keyed aggregation — no join against the
+    * eval set. Overcount ≤ fpp · n_grams; never an undercount. */
+  def bloomLeakReport(train: DataFrame, bloom: Array[Byte],
+                      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = Dedup.docShingles(train, idCol, textCol, n)
+    sh.groupBy("doc_id")
+      .agg(count("*").as("n_grams"),
+        sum(when(mightContain(bloom, col("s")), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("hit_share",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+  }
+}

@@ -1130,6 +1130,67 @@ object ExtensionQueries {
       |FROM g GROUP BY user_id, session_no
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q53 — Bloom-filter decontamination (the scan-only form of q39): per
+  //       training doc, distinct 3-grams and how many occur in the eval
+  //       set (source 'src0'), both as the exact semi-join count AND as
+  //       the bloom-probe count. Bloom one-sidedness makes the pair
+  //       comparable: n_bloom >= n_exact always (no false negatives), and
+  //       at fpp 1e-6 over ~1e5 probes the overcount is 0 with
+  //       probability ~1 - 1e-1... per-doc slack 2 makes the verdict
+  //       deterministic. Oracle: exact counts + literal verdict.
+  // -------------------------------------------------------------------
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Decontaminate
+    val d = docs(s, dir)
+    val evalD = d.filter(col("source") === "src0")
+    val trainSh = Dedup.docShingles(
+      d.filter(col("source") =!= "src0"), "doc_id", "text", 3)
+    val evalSh = Dedup.docShingles(evalD, "doc_id", "text", 3)
+      .select("s").distinct().withColumn("in_eval", lit(1L))
+    val bloom = Decontaminate.ngramBloom(evalD, "doc_id", "text", 3)
+    sorted(trainSh
+      .join(graft.model.Joins.maybeBroadcast(evalSh), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_grams"),
+        sum(coalesce(col("in_eval"), lit(0L))).as("n_leaked"),
+        sum(when(Decontaminate.mightContain(bloom, col("s")), 1L)
+          .otherwise(0L)).as("n_bloom"))
+      .select(col("doc_id"), col("n_grams"), col("n_leaked"),
+        round(col("n_leaked").cast("double") / col("n_grams").cast("double"), 6)
+          .as("leak_share"),
+        (col("n_bloom") >= col("n_leaked") &&
+          col("n_bloom") - col("n_leaked") <= 2L).cast("int").as("bloom_ok")))
+  }
+
+  val q53Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, source, array_to_string(t, ' ') AS s
+      |  FROM toks WHERE len(t) < 3
+      |), ev AS (
+      |  SELECT DISTINCT s FROM sh0 WHERE source = 'src0'
+      |), tr AS (
+      |  SELECT doc_id, sh0.s, CASE WHEN ev.s IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM sh0 LEFT JOIN ev ON sh0.s = ev.s
+      |  WHERE source <> 'src0'
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(hit) AS BIGINT) AS n_leaked,
+      |       round(sum(hit) * 1.0 / count(*), 6) AS leak_share,
+      |       1 AS bloom_ok
+      |FROM tr
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1168,6 +1229,7 @@ object ExtensionQueries {
     ("q49_attribution", q49 _, q49Sql),
     ("q50_approx_quantiles", q50 _, q50Sql),
     ("q51_trailing_rate", q51 _, q51Sql),
-    ("q52_session_native", q52 _, q52Sql)
+    ("q52_session_native", q52 _, q52Sql),
+    ("q53_bloom_decontaminate", q53 _, q53Sql)
   )
 }

@@ -648,6 +648,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0 && v._2 <= v._1))
   }
 
+  test("bloom decontamination: no false negatives, planted leak found, no join in the probe plan") {
+    import graft.operators.{Decontaminate, Dedup}
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "the held out benchmark question about astrophysics and entropy"),
+      (2L, "a second eval prompt nobody should train on ever")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // planted leak: eval doc 1 verbatim inside a training doc
+      (10L, "prefix words then the held out benchmark question about astrophysics and entropy trailing"),
+      (11L, "completely unrelated training text about cooking pasta slowly"),
+      (12L, "a second eval prompt nobody should train on ever") // exact copy
+    ).toDF("doc_id", "text")
+    val bloom = Decontaminate.ngramBloom(evalSet, "doc_id", "text", n = 3)
+
+    // law: every eval gram probes true (Bloom filters cannot false-negative)
+    val evalGrams = Dedup.docShingles(evalSet, "doc_id", "text", 3)
+    val misses = evalGrams
+      .filter(!Decontaminate.mightContain(bloom, col("s"))).count()
+    assert(misses == 0, "an eval n-gram was not found in its own filter")
+
+    val report = Decontaminate.bloomLeakReport(train, bloom, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(report(12L)._3 == 1.0, "verbatim eval copy must hit on every gram")
+    assert(report(10L)._2 >= 7, "embedded eval text's grams must hit")
+    assert(report(11L)._2 <= 1, "clean doc may see at most fp noise")
+    // the probe plan is scan + aggregate: no join node anywhere
+    val probePlan = Decontaminate.bloomLeakReport(train, bloom, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Join"),
+      s"bloom probe must not join against the eval set:\n$probePlan")
+  }
+
   test("mixing weights sum to 1 and T=1 recovers token proportions") {
     import graft.operators.Corpus
     import spark.implicits._

@@ -376,6 +376,39 @@ class PlanSpec extends SparkSpec {
       s"chunking must be embarrassingly parallel (no shuffle):\n$nodes")
   }
 
+  /** The events fixture carries TIMESTAMP(NANOS) — read ns as long and
+    * truncate to micros, same as the query layer's events() helper. */
+  private def eventsDf = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("attribution is a hash/merge equi-join on the user key, never nested-loop") {
+    import graft.operators.Events
+    val ev = eventsDf
+    val attr = Events.attribution(ev, "view", "purchase", "30 minutes")
+    attr.count() // materialize so AQE finalizes the runtime plan
+    val nodes = runtimeNodes(attr.queryExecution.executedPlan)
+    // the time bound must ride the user-keyed equi-join as a post-filter;
+    // a nested-loop/cartesian here is quadratic in per-user activity
+    assert(!nodes.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+        n.contains("CartesianProduct")),
+      s"attribution degenerated to an all-pairs join:\n$nodes")
+  }
+
+  test("trailing-count window shuffles once on the key, never a global sort") {
+    import graft.operators.Events
+    val ev = eventsDf
+    val rate = Events.trailingCount(ev, widthSeconds = 3600)
+    val nodes = runtimeNodes(rate.queryExecution.executedPlan)
+    assert(nodes.count(_.contains("Exchange")) <= 1,
+      s"trailing count should shuffle once on the partition key:\n$nodes")
+    val planStr = rate.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SinglePartition"),
+      s"trailing count funnels through one task:\n$planStr")
+  }
+
   test("pairwise similarity uses the native dot_product, HOFs only per-row") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Similarity.nearDupPairs(e, 0.9)
