@@ -88,6 +88,31 @@ object Joins {
     * split partitions; explicit salting remains the tool when the skew is
     * in a single key value (AQE cannot split one key) or when the join is
     * already broadcast-ineligible. */
+  /** Key-skew report — the diagnostic you run BEFORE deciding to salt:
+    * the k heaviest join-key values with their row counts and corpus
+    * share. A top key holding 30% of the rows is the [[saltedJoin]]
+    * signal; a flat report says AQE alone is enough.
+    *
+    * Scale shape: one hash aggregation on the key, then `orderBy.limit(k)`
+    * — Spark plans TakeOrdered (per-partition top-k, driver merges k·p
+    * rows), NOT a global sort or a data-sized window. The rank window runs
+    * AFTER the limit, over k rows. Output: (rank, key, n, share). */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, round, row_number}
+    require(k > 0, s"k must be positive, got $k")
+    val top = df.groupBy(col(keyCol).as("key")).agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("key").asc).limit(k)
+    val total = maybeBroadcast(df.agg(count("*").as("__total")))
+    top.crossJoin(total)
+      // unpartitioned window is safe here: it ranks the k-row top set,
+      // not the corpus
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("key").asc)))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .select("rank", "key", "n", "share")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  saltSource: org.apache.spark.sql.Column): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")

@@ -1191,6 +1191,30 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q54 — key-skew report (the pre-salting diagnostic): top-20 heaviest
+  //       l_suppkey values with row share. TakeOrdered top-k (no global
+  //       sort/window); ties broken by key for determinism.
+  // -------------------------------------------------------------------
+  def q54(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.model.Joins.skewReport(
+      s.read.parquet(s"$dir/lineitem.parquet"), "l_suppkey", k = 20))
+
+  val q54Sql: String =
+    """WITH c AS (
+      |  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT count(*) AS total FROM lineitem
+      |), r AS (
+      |  SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rnk
+      |  FROM c
+      |)
+      |SELECT CAST(r.rnk AS INT) AS rank, r.key, r.n,
+      |       round(r.n * 1.0 / t.total, 6) AS share
+      |FROM r, t
+      |WHERE r.rnk <= 20
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1230,6 +1254,7 @@ object ExtensionQueries {
     ("q50_approx_quantiles", q50 _, q50Sql),
     ("q51_trailing_rate", q51 _, q51Sql),
     ("q52_session_native", q52 _, q52Sql),
-    ("q53_bloom_decontaminate", q53 _, q53Sql)
+    ("q53_bloom_decontaminate", q53 _, q53Sql),
+    ("q54_skew_report", q54 _, q54Sql)
   )
 }

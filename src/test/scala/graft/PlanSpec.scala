@@ -409,6 +409,21 @@ class PlanSpec extends SparkSpec {
       s"trailing count funnels through one task:\n$planStr")
   }
 
+  test("skew report surfaces the hot key via TakeOrdered, not a global sort") {
+    import spark.implicits._
+    // planted skew: key 777 holds 60 of 100 rows
+    val d = (Seq.fill(60)(777L) ++ (1L to 40L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("key_col", "payload")
+    val rep = graft.model.Joins.skewReport(d, "key_col", k = 3)
+    val rows = rep.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.head == ((1, 777L, 60L, 0.6)), s"hot key must rank first: ${rows.toSeq}")
+    assert(rows.length == 3 && rows(1)._3 == 1L,
+      "remaining keys are singletons, tie-broken by key")
+    val nodes = runtimeNodes(rep.queryExecution.executedPlan)
+    assert(nodes.exists(_.contains("TakeOrdered")),
+      s"top-k must plan as TakeOrdered (per-partition top-k), got:\n$nodes")
+  }
+
   test("pairwise similarity uses the native dot_product, HOFs only per-row") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Similarity.nearDupPairs(e, 0.9)
