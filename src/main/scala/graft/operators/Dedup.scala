@@ -35,6 +35,46 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count("*").as("n_dups"))
 
+  /** Incremental exact dedup — which delta docs already exist in a stored
+    * corpus (the batch-ingest production shape: dedup the DELTA against
+    * the corpus, never re-dedup the corpus). A Bloom filter over the
+    * corpus fingerprint hashes prefilters the delta to bloom HITS (true
+    * dups + ~fpp·|delta| false positives); only that small candidate set
+    * is exact-verified with a fingerprint semi-join, so the corpus
+    * fingerprint set joins against candidates instead of the whole delta.
+    * Bloom misses are definitively new (no false negatives) and never
+    * touch the join.
+    *
+    * Result is EXACT (the verification kills every false positive) —
+    * identical to the plain delta⋈corpus anti-join, which is what the
+    * oracle checks. Output: delta's (idCol, fp, is_dup).
+    *
+    * At 100 TB the corpus fingerprint set comes from the stored dedup
+    * index and `expectedItems` is its known cardinality; here it defaults
+    * to one count job. */
+  def exactDelta(corpus: DataFrame, delta: DataFrame,
+                 idCol: String, textCol: String,
+                 fpp: Double = 1e-6,
+                 expectedItems: Option[Long] = None): DataFrame = {
+    val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+    val hashes = corpusFp.select(xxhash64(col("fp")).as("h"))
+    val items = expectedItems.getOrElse(hashes.count()).max(1L)
+    val bloom = {
+      val bf = hashes.stat.bloomFilter("h", items, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val deltaFp = delta.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    val candidates = deltaFp
+      .filter(Decontaminate.mightContain(bloom, xxhash64(col("fp"))))
+    val verified = candidates.join(corpusFp, Seq("fp"), "left_semi")
+      .select(col(idCol)).withColumn("__dup", lit(1))
+    deltaFp.join(verified, Seq(idCol), "left")
+      .select(col(idCol), col("fp"),
+        coalesce(col("__dup"), lit(0)).as("is_dup"))
+  }
+
   /** Distinct (doc, shingle-hash) pairs — the inverted-index input. The
     * shingle is hashed to a long immediately (codegen'd xxhash64): every
     * downstream shuffle/join moves 8-byte keys instead of multi-word

@@ -1215,6 +1215,42 @@ object ExtensionQueries {
       |WHERE r.rnk <= 20
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q55 — incremental exact dedup (delta vs stored corpus): a synthetic
+  //       delta where every 5th doc is a verbatim corpus copy (fresh ids)
+  //       and the rest carry an id-derived tail. The bloom prefilter +
+  //       exact verification must equal the plain anti-join — which is
+  //       exactly what the oracle computes.
+  // -------------------------------------------------------------------
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val delta = corpus.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" tail"),
+          col("doc_id").cast("string"))).as("text"))
+    sorted(Dedup.exactDelta(corpus, delta, "doc_id", "text")
+      .withColumn("is_dup", col("is_dup").cast("int")))
+  }
+
+  val q55Sql: String =
+    """WITH delta AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN text
+      |              ELSE text || ' tail' || CAST(doc_id AS VARCHAR) END AS text
+      |  FROM documents
+      |), cfp AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |)
+      |SELECT d.doc_id,
+      |       md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp,
+      |       CASE WHEN cfp.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+      |FROM delta d
+      |LEFT JOIN cfp
+      |  ON cfp.fp = md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1255,6 +1291,7 @@ object ExtensionQueries {
     ("q51_trailing_rate", q51 _, q51Sql),
     ("q52_session_native", q52 _, q52Sql),
     ("q53_bloom_decontaminate", q53 _, q53Sql),
-    ("q54_skew_report", q54 _, q54Sql)
+    ("q54_skew_report", q54 _, q54Sql),
+    ("q55_dedup_delta", q55 _, q55Sql)
   )
 }

@@ -681,6 +681,31 @@ class PipelineOpsSpec extends SparkSpec {
       s"bloom probe must not join against the eval set:\n$probePlan")
   }
 
+  test("incremental exact dedup equals the plain anti-join on a planted delta") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "eta theta iota")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma"),      // verbatim dup
+      (11L, "ALPHA   beta gamma "),   // dup after normalization (case+ws)
+      (12L, "kappa lambda mu"),       // new
+      (13L, "delta epsilon zeta new") // near but not exact -> new
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDelta(corpus, delta, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(10L -> 1, 11L -> 1, 12L -> 0, 13L -> 0))
+    // law: identical to the unoptimized fingerprint anti-join
+    val naive = delta
+      .select(col("doc_id"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .join(corpus.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")),
+        Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2 == 0).keySet == naive,
+      "bloom prefilter changed the exact result")
+  }
+
   test("mixing weights sum to 1 and T=1 recovers token proportions") {
     import graft.operators.Corpus
     import spark.implicits._
