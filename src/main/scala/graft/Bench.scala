@@ -68,7 +68,11 @@ object Bench {
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val (sec, n) = runs.minBy(_._1)
+      // successful runs only (rows >= 0): a thrown run returns in near-zero
+      // time and would otherwise always win the min, reporting a transient
+      // failure as the query's best time even when the retry succeeded
+      val ok = runs.filter(_._2 >= 0)
+      val (sec, n) = (if (ok.nonEmpty) ok else runs).minBy(_._1)
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n")
       name -> sec
     }

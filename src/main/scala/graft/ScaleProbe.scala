@@ -30,23 +30,34 @@ object ScaleProbe {
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val nDocs = docs1.count()
-    // replicas get fresh ids and a per-replica token prefix: they must NOT
-    // be near-dups of the original or the pair count (and pair cost) would
-    // grow quadratically in the replication factor by construction
+    // Replicas get fresh ids and REPLICA-DISJOINT shingles: every token is
+    // suffixed with the replica number (group-ref replacement, token count
+    // and per-row cost unchanged), so no trigram is shared across replicas
+    // — a mere prefix would leave docs >= ~26 tokens above the 0.8 Jaccard
+    // threshold pairwise and the pair count (and pair cost) would grow
+    // quadratically in the replication factor by construction. Replica 0
+    // is suffixed too, keeping the 1x and Nx workloads cost-identical
+    // per row; within a replica the corpus's own near-dup structure is
+    // preserved.
     def docsN(n: Int): DataFrame =
       spark.range(n).toDF("rep").crossJoin(docs1)
         .select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
-          concat(lit("rep"), col("rep"), lit("x "),
-            concat_ws(" ", lit("w"), col("rep")), lit(" "), col("text")).as("text"))
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("rep").cast("string"))).as("text"))
 
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def embN(n: Int): DataFrame =
       spark.range(n).toDF("rep").crossJoin(emb1)
         .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
-          // rotate vectors per replica by prepending the tail: cheap
-          // deterministic perturbation that keeps norms ~1
-          when(col("rep") === 0, col("embedding"))
-            .otherwise(reverse(col("embedding"))).as("embedding"))
+          // rotate each replica's vector by `rep` positions: deterministic,
+          // norm-preserving, and DISTINCT per replica (a single shared
+          // transform like reverse() makes all replicas bit-identical to
+          // each other — cross-replica cosine 1.0 — and the probe would
+          // manufacture the quadratic near-dup blowup it exists to detect)
+          concat(
+            slice(col("embedding"), col("rep") + 1,
+              size(col("embedding")) - col("rep")),
+            slice(col("embedding"), lit(1), col("rep"))).as("embedding"))
 
     def timed(what: String)(body: => Long): Double = {
       val t0 = System.nanoTime()
@@ -81,10 +92,13 @@ object ScaleProbe {
       "neardup" -> timed(s"$tag embedding near-dup") {
         graft.operators.Similarity.nearDupPairs(e, 0.9).count()
       },
-      "ivf" -> timed(s"$tag IVF kNN (64 queries)") {
+      "ivf" -> timed(s"$tag IVF kNN (fixed query set)") {
+        // query set pinned to replica 0 (replica offsets are multiples of
+        // 1000, so a bare modulus would scale the query count with the
+        // factor and a linear index would read as ~factor² here)
         graft.operators.Similarity.ivfKnn(
-          e.filter(col("vec_id") % 1000 === 0), e, 5,
-          nlist = 32, nprobe = 4).count()
+          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e, 5, nlist = 32, nprobe = 4).count()
       })
 
     // per-row / indexed text-pipeline ops: chunking is shuffle-free and

@@ -173,8 +173,10 @@ object Tpch {
   /** Force-fill the persisted caches (fact grain aggregation + dimension
     * dedups + denormalized views). The cube's usage model is build-once-
     * query-many, so benchmarks should account this cost on its own line
-    * rather than inside whichever query happens to run first. Sequential
-    * counts: later materializations reuse the caches earlier ones fill. */
+    * rather than inside whichever query happens to run first. Independent
+    * caches fill CONCURRENTLY (fact and each dimension share nothing);
+    * only within a dimension do the fills run in order, so the
+    * denormalized view reuses the dimension cache it depends on. */
   def warm(spark: SparkSession, dir: String): Unit = {
     val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     def t(what: String)(body: => Unit): Unit =

@@ -34,10 +34,20 @@ object Decontaminate {
   def ngramBloom(evalDocs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, fpp: Double = 1e-6,
                  expectedItems: Option[Long] = None): Array[Byte] = {
+    // eager localCheckpoint: the count action and the filter aggregation
+    // otherwise each re-run the tokenize+shingle+distinct pipeline
     val hashes = Dedup.docShingles(evalDocs, idCol, textCol, n)
-      .select("s").distinct()
-    val items = expectedItems.getOrElse(hashes.count()).max(1L)
-    val bf = hashes.stat.bloomFilter("s", items, fpp)
+      .select("s").distinct().localCheckpoint(true)
+    serializeBloom(hashes, "s", expectedItems.getOrElse(hashes.count()), fpp)
+  }
+
+  /** Build + serialize a Bloom filter over a LongType hash column — the
+    * one shared construction every bloom consumer uses ([[ngramBloom]],
+    * [[Dedup.exactDelta]]), so sizing/fpp fixes cannot drift between
+    * call sites. */
+  private[operators] def serializeBloom(hashes: DataFrame, hashCol: String,
+                                        items: Long, fpp: Double): Array[Byte] = {
+    val bf = hashes.stat.bloomFilter(hashCol, items.max(1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -56,15 +56,14 @@ object Dedup {
                  idCol: String, textCol: String,
                  fpp: Double = 1e-6,
                  expectedItems: Option[Long] = None): DataFrame = {
-    val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
-    val hashes = corpusFp.select(xxhash64(col("fp")).as("h"))
-    val items = expectedItems.getOrElse(hashes.count()).max(1L)
-    val bloom = {
-      val bf = hashes.stat.bloomFilter("h", items, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    // eager localCheckpoint: count, bloom aggregation, and the
+    // verification semi-join all consume this — without materialization
+    // the fingerprint+distinct corpus pass runs three times
+    val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))
+      .distinct().localCheckpoint(true)
+    val bloom = Decontaminate.serializeBloom(
+      corpusFp.select(xxhash64(col("fp")).as("h")), "h",
+      expectedItems.getOrElse(corpusFp.count()), fpp)
     val deltaFp = delta.select(col(idCol), fingerprint(col(textCol)).as("fp"))
     val candidates = deltaFp
       .filter(Decontaminate.mightContain(bloom, xxhash64(col("fp"))))
@@ -131,6 +130,21 @@ object Dedup {
         sh.join(df.select("s"), Seq("s"), "left_semi").select("doc_id", "s")
     }
 
+  /** Shared tail of every Jaccard path (exact, cross-corpus,
+    * LSH-verified): attach per-side sizes to (i, j, inter) candidate
+    * counts, derive union from |A|+|B|−|A∩B|, keep pairs ≥ threshold.
+    * `sizesI`/`sizesJ` columns: (i, sz_i) / (j, sz_j). */
+  private def scorePairs(inter: DataFrame, sizesI: DataFrame,
+                         sizesJ: DataFrame, threshold: Double): DataFrame =
+    inter
+      .join(sizesI, "i")
+      .join(sizesJ, "j")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxDf: Option[Int] = Some(DefaultMaxDf),
@@ -142,14 +156,7 @@ object Dedup {
     val b = filtered.toDF("j", "s")
     val inter = a.join(b, "s").filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count("*").as("inter"))
-    inter
-      .join(sizes.toDF("i", "sz_i"), "i")
-      .join(sizes.toDF("j", "sz_j"), "j")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
+    scorePairs(inter, sizes.toDF("i", "sz_i"), sizes.toDF("j", "sz_j"), threshold)
   }
 
   /** Cross-corpus n-gram overlap — the train/eval DECONTAMINATION check:
@@ -181,14 +188,7 @@ object Dedup {
     val sizesR = shR.groupBy("doc_id").agg(count("*").as("sz_j")).toDF("j", "sz_j")
     val inter = shL.toDF("i", "s").join(shR.toDF("j", "s"), "s")
       .groupBy("i", "j").agg(count("*").as("inter"))
-    inter
-      .join(sizesL, "i")
-      .join(sizesR, "j")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
+    scorePairs(inter, sizesL, sizesR, threshold)
   }
 
   /** k min-hashes per document: min over shingles of xxhash64(seed,
@@ -255,14 +255,7 @@ object Dedup {
       .join(sh.toDF("i", "s"), "i")
       .join(sh.toDF("j", "s"), Seq("j", "s"))
       .groupBy("i", "j").agg(count("*").as("inter"))
-    inter
-      .join(sizes.toDF("i", "sz_i"), "i")
-      .join(sizes.toDF("j", "sz_j"), "j")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
+    scorePairs(inter, sizes.toDF("i", "sz_i"), sizes.toDF("j", "sz_j"), threshold)
   }
 
   /** 60-bit SimHash per document: bit j of the signature is the sign of
@@ -297,7 +290,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming $maxHamming not in [0, $bits)")
     val nb = maxHamming + 1
-    val w = bits / nb // band width in bits (trailing remainder joins band 0)
+    val w = bits / nb // band width in bits (the LAST band absorbs the remainder)
     // one posexplode instead of an nb-way union: the union form re-ran
     // the upstream signature computation once per band per join side
     val bandArr = array((0 until nb).map { b =>

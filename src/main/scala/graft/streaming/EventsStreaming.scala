@@ -211,8 +211,6 @@ object EventsStreaming {
       }
   }
 
-  /** Run a windowed-count stream into an in-memory sink (testing) or a
-    * parquet sink (production shape): returns the query handle. */
   /** Stream-stream interval join — the streaming form of
     * [[graft.operators.Events.attribution]]'s join step: every
     * (conversion, prior view ≤ `within` before it) pair, both sides
@@ -243,6 +241,9 @@ object EventsStreaming {
       .select("event_id", "user_id", "to_ts", "from_ts")
   }
 
+  /** Run a streaming aggregation into an in-memory sink (testing) —
+    * returns the query handle; the parquet production shape is
+    * [[startToCubeSink]]. */
   def startToMemory(agg: DataFrame, name: String): StreamingQuery =
     agg.writeStream
       .format("memory")
