@@ -170,6 +170,35 @@ class StreamingSpec extends SparkSpec {
         "depend on batch boundaries")
   }
 
+  test("stateless text pipeline (chunking) runs unchanged on a doc stream") {
+    import graft.operators.Chunking
+    val docsPath = java.nio.file.Files.createTempDirectory("docs_chunk_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      docsPath.resolve("documents.parquet"))
+    val schema = spark.read.parquet(docsPath.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsPath.toString)
+    // the same operator invocation as batch — stateless projections need
+    // no watermark and emit in append mode
+    val chunks = Chunking.chunkFingerprints(stream, "doc_id", "text",
+      width = 64, stride = 48)
+    val q = chunks.writeStream
+      .format("memory").queryName("chunk_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("chunk_stream_test")
+    val batch = Chunking.chunkFingerprints(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      width = 64, stride = 48)
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0 &&
+      streamed.count() == batch.count(),
+      "streaming chunk output diverged from batch")
+  }
+
   test("stream-stream interval join equals the batch attribution pair set") {
     val stream = EventsStreaming.readEvents(spark, streamDir)
     val joined = EventsStreaming.attributionStream(stream, "view", "purchase",
