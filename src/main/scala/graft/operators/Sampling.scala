@@ -93,4 +93,29 @@ object Sampling {
     }
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
+
+  /** Sample a temperature-weighted training MIX to a token budget — the
+    * corpus-mix constructor: per-source keep rates
+    * `r_s = min(1, budget·w_s / tokens_s)` with `w_s ∝ tokens_s^T`
+    * ([[Corpus.mixingWeights]]), membership by the same deterministic
+    * hash as every sampler here. Expected sampled token mass per source
+    * ≈ budget·w_s; a source too small for its share saturates at rate 1
+    * and contributes everything it has.
+    *
+    * The driver collects ONE row per source (the weights aggregate —
+    * dozens of rows at any corpus size) to build the rate lookup; the
+    * sampling itself remains a per-row scan filter, so drawing a mix
+    * from 100 TB is one codegen'd scan with no shuffle. */
+  def sampleToBudget(docs: DataFrame, idCol: String, sourceCol: String,
+                     tokenCol: Column, budgetTokens: Long,
+                     temperature: Double = 0.7, salt: String = ""): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val rates = Corpus.mixingWeights(docs, sourceCol, tokenCol, temperature)
+      .collect() // one row per source — driver-bound by design
+      .map(r => r.get(0).toString ->
+        math.min(1.0, budgetTokens.toDouble * r.getDouble(2) / r.getLong(1)))
+      .toMap
+    stratifiedHashSample(docs, idCol, sourceCol, rates,
+      defaultRate = 0.0, salt = salt)
+  }
 }

@@ -1251,6 +1251,48 @@ object ExtensionQueries {
       |  ON cfp.fp = md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q56 — corpus-mix construction end-to-end: temperature weights (q48)
+  //       → per-source keep rates min(1, budget·w/tokens) → deterministic
+  //       hash sampling (q35's md5-u) → per-source sampled mass. The
+  //       oracle re-derives the rates from the same integer token counts
+  //       and 6-decimal-rounded weights, so the float arithmetic is
+  //       bit-identical and membership itself is checked.
+  // -------------------------------------------------------------------
+  def q56(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.sampleToBudget(
+      docs(s, dir), "doc_id", "source", TextFunctions.nTokens(col("text")),
+      budgetTokens = 10000L, temperature = 0.7)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.nTokens(col("text")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"), sum("tok").as("sum_tokens")))
+
+  val q56Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |           AS tokens
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source, tokens,
+      |         round(pow(CAST(tokens AS DOUBLE), 0.7) /
+      |               (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.7)) FROM per), 6)
+      |           AS weight
+      |  FROM per
+      |), r AS (
+      |  SELECT source, least(1.0, 10000.0 * weight / tokens) AS rate FROM w
+      |), s AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS tok
+      |  FROM documents d JOIN r USING (source)
+      |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |          / 1152921504606846976.0 < r.rate
+      |)
+      |SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+      |FROM s GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1292,6 +1334,7 @@ object ExtensionQueries {
     ("q52_session_native", q52 _, q52Sql),
     ("q53_bloom_decontaminate", q53 _, q53Sql),
     ("q54_skew_report", q54 _, q54Sql),
-    ("q55_dedup_delta", q55 _, q55Sql)
+    ("q55_dedup_delta", q55 _, q55Sql),
+    ("q56_sample_to_budget", q56 _, q56Sql)
   )
 }

@@ -681,6 +681,29 @@ class PipelineOpsSpec extends SparkSpec {
       s"bloom probe must not join against the eval set:\n$probePlan")
   }
 
+  test("sample-to-budget saturates small sources and respects the hash membership") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val d = (
+      (1 to 50).map(i => ("big", i.toLong, Seq.fill(20)("w").mkString(" "))) ++
+      (1 to 2).map(i => ("tiny", 100L + i, "a b c d e"))
+    ).toDF("source", "doc_id", "text")
+    val tok = graft.functions.TextFunctions.nTokens(col("text"))
+    // budget >> tiny source's mass: its rate saturates at 1 (keep all)
+    val out = Sampling.sampleToBudget(d, "doc_id", "source", tok,
+      budgetTokens = 500L, temperature = 0.7)
+    assert(out.filter(col("source") === "tiny").count() == 2,
+      "a source smaller than its budget share must be kept whole")
+    // membership is the deterministic hash: rerun is identical
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sampleToBudget(d, "doc_id", "source", tok, 500L, 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // big source is subsampled, not dropped and not kept whole
+    val nBig = out.filter(col("source") === "big").count()
+    assert(nBig > 0 && nBig < 50, s"big source should thin out, kept $nBig")
+  }
+
   test("incremental exact dedup equals the plain anti-join on a planted delta") {
     import graft.operators.Dedup
     import spark.implicits._
