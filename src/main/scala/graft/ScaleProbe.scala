@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 8
+    // the embedding perturbation rotates by the replica index, so offsets
+    // must stay below the vector dimension (64 in the fixture) or replicas
+    // wrap back to bit-identical vectors (rep == dim) / negative-length
+    // slices (rep > dim) — cap well under it
+    require(factor >= 1 && factor <= 16,
+      s"replication factor must be in [1, 16], got $factor")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

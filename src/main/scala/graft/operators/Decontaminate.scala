@@ -34,10 +34,13 @@ object Decontaminate {
   def ngramBloom(evalDocs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, fpp: Double = 1e-6,
                  expectedItems: Option[Long] = None): Array[Byte] = {
-    // eager localCheckpoint: the count action and the filter aggregation
-    // otherwise each re-run the tokenize+shingle+distinct pipeline
-    val hashes = Dedup.docShingles(evalDocs, idCol, textCol, n)
-      .select("s").distinct().localCheckpoint(true)
+    // eager localCheckpoint ONLY when the count fallback makes a second
+    // consumer of the pipeline; with expectedItems supplied (the at-scale
+    // path, whose point is skipping extra jobs) the bloom aggregation is
+    // the single consumer and a checkpoint would be a pure extra pass
+    val base = Dedup.docShingles(evalDocs, idCol, textCol, n)
+      .select("s").distinct()
+    val hashes = if (expectedItems.isEmpty) base.localCheckpoint(true) else base
     serializeBloom(hashes, "s", expectedItems.getOrElse(hashes.count()), fpp)
   }
 

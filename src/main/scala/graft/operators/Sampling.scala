@@ -112,8 +112,18 @@ object Sampling {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val rates = Corpus.mixingWeights(docs, sourceCol, tokenCol, temperature)
       .collect() // one row per source — driver-bound by design
-      .map(r => r.get(0).toString ->
-        math.min(1.0, budgetTokens.toDouble * r.getDouble(2) / r.getLong(1)))
+      .flatMap { r =>
+        // a NULL source key or a null/zero token total contributes NOTHING
+        // (defaultRate 0) instead of crashing the rate build or yielding a
+        // NaN rate from 0/0 — mirrors stratifiedHashSample's `=== stratum`
+        // null semantics and the oracle's inner join
+        (Option(r.get(0)), if (r.isNullAt(1)) None else Some(r.getLong(1))) match {
+          case (Some(src), Some(tokens)) if tokens > 0 =>
+            Some(src.toString ->
+              math.min(1.0, budgetTokens.toDouble * r.getDouble(2) / tokens))
+          case _ => None
+        }
+      }
       .toMap
     stratifiedHashSample(docs, idCol, sourceCol, rates,
       defaultRate = 0.0, salt = salt)

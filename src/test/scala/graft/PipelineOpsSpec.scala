@@ -702,6 +702,16 @@ class PipelineOpsSpec extends SparkSpec {
     // big source is subsampled, not dropped and not kept whole
     val nBig = out.filter(col("source") === "big").count()
     assert(nBig > 0 && nBig < 50, s"big source should thin out, kept $nBig")
+    // null source and null text must contribute nothing, not crash the
+    // driver-side rate build (null-key group row / null token sum)
+    val dirty = d.unionByName(Seq(
+      (null.asInstanceOf[String], 900L, "x y z"),
+      ("ghost", 901L, null.asInstanceOf[String])
+    ).toDF("source", "doc_id", "text"))
+    val dirtyOut = Sampling.sampleToBudget(dirty, "doc_id", "source", tok,
+      budgetTokens = 500L, temperature = 0.7)
+    assert(dirtyOut.filter(col("doc_id") >= 900L).count() == 0,
+      "null-source / null-text rows sample at rate 0")
   }
 
   test("incremental exact dedup equals the plain anti-join on a planted delta") {
