@@ -374,6 +374,46 @@ object Multimodal {
     }
   }
 
+  /** Typed output row of [[resizeImages]]. */
+  final case class ResizedImage(media_id: Long, content: Array[Byte],
+                                width: Int, height: Int)
+
+  /** REAL image resize over a media DataFrame: decode (JDK ImageIO),
+    * bilinear-scale to `width`×`height` with Graphics2D, re-encode PNG.
+    * Same batch shape as [[extractFeatures]] — one decoder context per
+    * partition, rows streamed lazily, blobs never shuffle (the transform
+    * is per-row, so resizing 100 TB of images is scan-rewrite
+    * parallelism). Rows whose bytes don't decode (corrupt blob, video,
+    * unsupported codec) emit `content = null` with zero dims rather than
+    * poisoning the partition — the caller filters or routes them. */
+  def resizeImages(media: DataFrame, width: Int, height: Int): Dataset[ResizedImage] = {
+    require(width > 0 && height > 0, s"target dims must be positive, got ${width}x$height")
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        decodeImage(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null): Unit
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(id, bos.toByteArray, width, height)
+          case None => ResizedImage(id, null, 0, 0)
+        }
+      }
+    }
+  }
+
   /** Frame sampling plumbing for video blobs: emits `n` (frame_no, offset
     * fraction) stubs per video row — the explode shape of a real frame
     * sampler (each frame row would carry decoded bytes). Deterministic. */

@@ -592,6 +592,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) <= 3)) // rank column
   }
 
+  test("resize re-encodes real PNGs at the target dims; garbage passes through null") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) { img.setRGB(i % w, i / w, i * 2654435761L.toInt); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(64, 64)), (2L, png(33, 17)),
+      (3L, Array.fill[Byte](16)(0x7f)) // not an image
+    ).toDF("media_id", "content")
+    val out = Multimodal.resizeImages(media, 16, 16).collect()
+      .map(r => r.media_id -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(id).content))
+      assert(decoded.getWidth == 16 && decoded.getHeight == 16,
+        s"media $id must re-decode at the target dims")
+      assert(out(id).width == 16 && out(id).height == 16)
+    }
+    assert(out(3L).content == null && out(3L).width == 0,
+      "undecodable bytes pass through as null, not an exception")
+    // deterministic: same input bytes -> same output bytes
+    val again = Multimodal.resizeImages(media, 16, 16).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(java.util.Arrays.equals(out(1L).content, again(1L).content))
+  }
+
   test("frame sampling explodes only videos with monotone offsets") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, 4)
