@@ -392,22 +392,41 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
+      // per-PARTITION target buffer + graphics: dims are constant and the
+      // scaled draw overwrites every target pixel, so reuse is safe — a
+      // fresh width×height raster per row would be pure allocator churn
+      // on the hot path (BufferedImage graphics hold no native resources
+      // that need per-row disposal)
+      val out = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       rows.map { r =>
         val id = r.getLong(idIdx)
         decodeImage(r.getAs[Array[Byte]](contentIdx)) match {
           case Some(img) =>
-            val out = new java.awt.image.BufferedImage(
-              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
             try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
               g.drawImage(img, 0, 0, width, height, null): Unit
-            } finally g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            ResizedImage(id, bos.toByteArray, width, height)
+              val bos = new java.io.ByteArrayOutputStream()
+              // memory-cached image output, NOT the ImageIO.write(File...)
+              // default path whose FileCacheImageOutputStream creates and
+              // deletes a java.io.tmpdir file per row (same rationale as
+              // decodeImage's MemoryCacheImageInputStream) — and honor the
+              // writer's boolean: no-writer means the null sentinel, not a
+              // zero-byte blob
+              val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+              val written =
+                try javax.imageio.ImageIO.write(out, "png", ios)
+                finally ios.close()
+              if (written) ResizedImage(id, bos.toByteArray, width, height)
+              else ResizedImage(id, null, 0, 0)
+            } catch {
+              // an encode failure degrades the ROW, not the partition —
+              // the same contract as decode failures
+              case scala.util.control.NonFatal(_) => ResizedImage(id, null, 0, 0)
+            }
           case None => ResizedImage(id, null, 0, 0)
         }
       }

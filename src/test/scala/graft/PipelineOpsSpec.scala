@@ -700,6 +700,12 @@ class PipelineOpsSpec extends SparkSpec {
     val misses = evalGrams
       .filter(!Decontaminate.mightContain(bloom, col("s"))).count()
     assert(misses == 0, "an eval n-gram was not found in its own filter")
+    // the at-scale path (caller-supplied cardinality, no count job, no
+    // checkpoint) must build an equally sound filter
+    val sizedBloom = Decontaminate.ngramBloom(evalSet, "doc_id", "text", n = 3,
+      expectedItems = Some(64L))
+    assert(evalGrams.filter(!Decontaminate.mightContain(sizedBloom, col("s")))
+      .count() == 0, "expectedItems-sized filter lost an eval n-gram")
 
     val report = Decontaminate.bloomLeakReport(train, bloom, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
