@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * AUDIO decode is REAL too: `javax.sound.sampled.AudioSystem` reads
   * WAV/AIFF/AU PCM with no external library, and [[audioFeatures]] derives
   * duration/sample-rate/channels + amplitude-histogram features from the
-  * decoded samples. Bytes no registered reader accepts (and the VIDEO
-  * codecs, which the JDK does not ship) fall back to [[decodeStub]], a
-  * deterministic fake that derives "features" from the bytes themselves.
+  * decoded samples. VIDEO decode is REAL for MJPEG-in-AVI
+  * ([[decodeVideo]] — a hand-rolled RIFF walk over ImageIO-read JPEG
+  * frames, zero dependencies); other video codecs (H.264 etc.) need
+  * ffmpeg, which this container lacks, and fall back with any other
+  * unreadable bytes to [[decodeStub]], a deterministic fake that derives
+  * "features" from the bytes themselves.
   * Everything Spark-side is real and tested either way: the schema, the
   * `mapPartitions` batch shape (decoder state is constructed once per
   * partition, not per row — the expensive part at scale), partition
@@ -196,21 +199,116 @@ object Multimodal {
     out
   }
 
+  /** A decoded video: frames (as images) + timing. */
+  final case class VideoClip(frames: Seq[java.awt.image.BufferedImage],
+                             microsPerFrame: Long) {
+    def durationMs: Long = frames.length * microsPerFrame / 1000L
+  }
+
+  /** REAL video decode for MJPEG-in-AVI — the one video codec the bare
+    * JDK can handle (each frame is a JPEG, which ImageIO reads; the AVI
+    * RIFF container is a ~60-line binary walk). Other codecs (H.264 etc.)
+    * still need ffmpeg and return None → the deterministic stub.
+    *
+    * Container walk: RIFF('AVI ') holds LIST chunks; 'hdrl'→'avih' gives
+    * dwMicroSecPerFrame (first u32 of its payload), 'movi' holds the
+    * frame stream as '##dc'/'##db' chunks whose payloads start with the
+    * JPEG SOI marker. Chunk sizes are little-endian u32, chunks pad to
+    * even offsets. Truncated/malformed containers decode to however many
+    * whole frames precede the damage (None when zero). */
+  def decodeVideo(bytes: Array[Byte], maxFrames: Int = 64): Option[VideoClip] = {
+    if (bytes.length < 12 ||
+      new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "AVI ") return None
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    var microsPerFrame = 33333L // fallback ~30fps when avih is absent
+    val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+    // walk chunks in [from, until); descend into LIST payloads
+    def walk(from: Int, until: Int): Unit = {
+      var p = from
+      while (p + 8 <= until && frames.length < maxFrames) {
+        val id = fourcc(p)
+        val size = u32(p + 4).toInt
+        val dataStart = p + 8
+        if (size < 0 || dataStart + size > until) return // truncated
+        id match {
+          case "LIST" if size >= 4 =>
+            walk(dataStart + 4, dataStart + size) // skip the list type
+          case "avih" if size >= 4 =>
+            microsPerFrame = math.max(1L, u32(dataStart))
+          case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+              size >= 2 && (bytes(dataStart) & 0xff) == 0xff &&
+              (bytes(dataStart + 1) & 0xff) == 0xd8 => // JPEG SOI
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, dataStart, size))
+              if (img != null) frames += img: Unit
+            } catch { case scala.util.control.NonFatal(_) => }
+          case _ => ()
+        }
+        p = dataStart + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+    if (frames.isEmpty) None else Some(VideoClip(frames.toSeq, microsPerFrame))
+  }
+
+  /** Feature vector from a decoded video: [n_frames, fps, width, height,
+    * per-sampled-frame mean luminance...] — the same shape discipline as
+    * [[imageFeatures]]/[[audioFeatures]]. */
+  def videoFeatures(clip: VideoClip, dim: Int): Array[Float] = {
+    require(dim >= 4, s"video features need dim >= 4, got $dim")
+    val out = new Array[Float](dim)
+    out(0) = clip.frames.length.toFloat
+    out(1) = (1e6 / clip.microsPerFrame).toFloat // fps
+    out(2) = clip.frames.head.getWidth.toFloat
+    out(3) = clip.frames.head.getHeight.toFloat
+    val slots = dim - 4
+    var s = 0
+    while (s < slots && s < clip.frames.length) {
+      // evenly sample frames into the remaining slots
+      val f = clip.frames(s * clip.frames.length / math.max(1, math.min(slots, clip.frames.length)))
+      var sum = 0.0; var n = 0
+      var y = 0
+      while (y < f.getHeight) {
+        var x = 0
+        while (x < f.getWidth) {
+          val rgb = f.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      out(4 + s) = (sum / math.max(1, n) / 255.0).toFloat
+      s += 1
+    }
+    out
+  }
+
   /** Decode + featurize one blob: real ImageIO path when the bytes are a
     * decodable image, real sampled-audio path when they are a decodable
-    * PCM clip, deterministic fake otherwise (video — no ffmpeg here). */
+    * PCM clip, REAL MJPEG/AVI path when they are a JDK-readable video,
+    * deterministic fake otherwise (other video codecs — no ffmpeg here). */
   def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
     decodeImage(bytes) match {
       case Some(img) => imageFeatures(img, dim)
       case None => decodeAudio(bytes) match {
         case Some(clip) => audioFeatures(clip, dim)
-        case None       => decodeStub(bytes, dim)
+        case None => decodeVideo(bytes) match {
+          case Some(v) if dim >= 4 => videoFeatures(v, dim)
+          case _                   => decodeStub(bytes, dim)
+        }
       }
     }
 
   /** Deterministic fake "decode + feature extraction" — the fallback for
-    * bytes no JDK reader decodes (and the stand-in for the VIDEO codecs
-    * this container doesn't have; image and audio decode are real above).
+    * bytes no JDK reader decodes (the stand-in for the NON-MJPEG video
+    * codecs this container doesn't have; image, audio, and MJPEG/AVI
+    * video decode are real above).
     * Derives `dim` floats from a rolling byte hash — stable across runs,
     * so tests can assert exact values. The *shape* (per-partition decoder
     * init, streaming iterator, no materialization of the whole partition)
@@ -431,6 +529,35 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Encode frames as an MJPEG AVI — the test/demo twin of
+    * [[decodeVideo]] (JPEG frames via ImageIO inside a hand-built RIFF
+    * container), so video round-trips with zero native dependencies. */
+  def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+                     microsPerFrame: Long = 33333L): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++ pad
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val jpegs = frames.map { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try require(javax.imageio.ImageIO.write(f, "jpg", ios), "no JPEG writer")
+      finally ios.close()
+      bos.toByteArray
+    }
+    val avih = chunk("avih", le32(microsPerFrame) ++ Array.fill[Byte](52)(0))
+    val hdrl = list("hdrl", avih)
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
   /** Frame sampling plumbing for video blobs: emits `n` (frame_no, offset

@@ -624,6 +624,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(out(1L).content, again(1L).content))
   }
 
+  test("MJPEG AVI round-trips: real frames, timing, and feature routing") {
+    def frame(brightness: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(brightness, brightness, brightness))
+      g.fillRect(0, 0, 32, 24)
+      g.dispose()
+      img
+    }
+    val avi = Multimodal.encodeMjpegAvi(
+      (1 to 6).map(i => frame(i * 40)), microsPerFrame = 40000L)
+    val clip = Multimodal.decodeVideo(avi).get
+    assert(clip.frames.length == 6, "all six JPEG frames demux")
+    assert(clip.frames.head.getWidth == 32 && clip.frames.head.getHeight == 24)
+    assert(clip.microsPerFrame == 40000L, "avih timing survives the round trip")
+    assert(clip.durationMs == 240L)
+    // feature routing: AVI bytes take the REAL video path, not the stub
+    val feats = Multimodal.decodeFeatures(avi, dim = 10)
+    assert(feats(0) == 6.0f && feats(1) == 25.0f &&
+      feats(2) == 32.0f && feats(3) == 24.0f,
+      s"header features must be (frames, fps, w, h): ${feats.toSeq}")
+    // sampled mean luminance rises with the planted brightness ramp
+    assert(feats(4) < feats(9), s"luminance ramp lost: ${feats.toSeq}")
+    // garbage and truncation degrade, never throw
+    assert(Multimodal.decodeVideo(Array.fill[Byte](64)(0x11)).isEmpty)
+    val truncated = java.util.Arrays.copyOf(avi, avi.length / 2)
+    val partial = Multimodal.decodeVideo(truncated)
+    assert(partial.forall(_.frames.length < 6),
+      "truncated container yields at most the whole frames before the cut")
+  }
+
   test("frame sampling explodes only videos with monotone offsets") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, 4)
