@@ -396,6 +396,48 @@ object Multimodal {
     Dedup.hammingPairs(imageHashes(media), "media_id", "ahash",
       bits = 64, maxHamming = maxHamming)
 
+  /** 64-bit perceptual video hash: the bitwise MAJORITY of the per-frame
+    * [[aHash64]] values — bit k of the video hash is set when bit k is
+    * set in at least half the frames. Majority (not first-frame) makes
+    * the hash robust to a re-cut first frame or a few edited frames,
+    * while two different videos still disagree on ~half the bits.
+    * Deterministic. */
+  def videoHash64(clip: VideoClip): Long = {
+    val votes = new Array[Int](64)
+    clip.frames.foreach { f =>
+      val h = aHash64(f)
+      var k = 0
+      while (k < 64) { if (((h >> k) & 1L) == 1L) votes(k) += 1; k += 1 }
+    }
+    val half = (clip.frames.length + 1) / 2
+    var hash = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) >= half) hash |= (1L << k); k += 1 }
+    hash
+  }
+
+  /** (media_id, vhash) for every decodable MJPEG/AVI row — same batch
+    * shape as [[imageHashes]]; undecodable rows drop out. */
+  def videoHashes(media: DataFrame, maxFrames: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeVideo(r.getAs[Array[Byte]](contentIdx), maxFrames)
+          .map(clip => (r.getLong(idIdx), videoHash64(clip)))
+      }
+    }.toDF("media_id", "vhash")
+  }
+
+  /** Near-duplicate videos within `maxHamming` bits of majority frame
+    * hash — decode → hash → the same pigeonhole banding as every other
+    * perceptual dedup here. */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 5,
+                        maxFrames: Int = 16): DataFrame =
+    Dedup.hammingPairs(videoHashes(media, maxFrames), "media_id", "vhash",
+      bits = 64, maxHamming = maxHamming)
+
   /** 64-bit audio envelope hash: RMS energy over 64 equal time windows,
     * bit k set when window k's energy is at least the clip mean — the
     * amplitude-envelope analog of [[aHash64]]. Mean-relative, so it is

@@ -1293,6 +1293,50 @@ object ExtensionQueries {
       |FROM s GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q57 — VIDEO near-dup end-to-end (REAL MJPEG-AVI encode → RIFF demux →
+  //       per-frame aHash → majority hash → banding): q44's gallery
+  //       construction lifted to video — ids i and i+10000 carry the same
+  //       3-frame block-pattern clip with one edited frame. Rows-only
+  //       driver check (binary demux is not SQL-expressible); pair
+  //       semantics pinned by PipelineOpsSpec.
+  // -------------------------------------------------------------------
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gallery = s.range(50).flatMap { idBox =>
+      val id: Long = idBox
+      def frame(frameNo: Int, edit: Boolean): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            // splitmix64 over (cell, frame, id) — q44's avalanche rationale
+            var z = ((x / 8) + (y / 8) * 8 + frameNo * 64 + id * 256) *
+              0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^= z >>> 31
+            val v = if ((z & 0x7fffffffL) % 3 == 0) 220 else 30
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        if (edit) { var i = 0; while (i < 6) { img.setRGB(i, 0, 0xffffff); i += 1 } }
+        img
+      }
+      def avi(edit: Boolean): Array[Byte] =
+        graft.operators.Multimodal.encodeMjpegAvi(
+          // the edit touches only frame 1 of 3: the majority hash must
+          // still band the pair together
+          (0 until 3).map(f => frame(f, edit && f == 1)), microsPerFrame = 40000L)
+      Seq((id, avi(false)), (id + 10000L, avi(true)))
+    }.toDF("media_id", "content")
+    sorted(graft.operators.Multimodal.videoNearDupPairs(gallery, maxHamming = 5))
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1335,6 +1379,7 @@ object ExtensionQueries {
     ("q53_bloom_decontaminate", q53 _, q53Sql),
     ("q54_skew_report", q54 _, q54Sql),
     ("q55_dedup_delta", q55 _, q55Sql),
-    ("q56_sample_to_budget", q56 _, q56Sql)
+    ("q56_sample_to_budget", q56 _, q56Sql),
+    ("q57_video_near_dup", q57 _, null) // binary demux: rows-only check
   )
 }

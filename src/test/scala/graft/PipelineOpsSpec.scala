@@ -656,6 +656,50 @@ class PipelineOpsSpec extends SparkSpec {
       "truncated container yields at most the whole frames before the cut")
   }
 
+  test("video near-dup: majority hash survives one edited frame, not a recut") {
+    import spark.implicits._
+    def frame(seed: Long, invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          var z = ((x / 8) + (y / 8) * 8 + seed * 64) * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^= z >>> 31
+          val bright = ((z & 0x7fffffffL) % 3 == 0) ^ invert
+          val v = if (bright) 220 else 30
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    def avi(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] =
+      Multimodal.encodeMjpegAvi(frames, 40000L)
+    val base = (0 until 3).map(f => frame(f, invert = false))
+    // edited copy: a small corner edit in ONE frame (the q57 plant shape —
+    // a fully different frame would flip the A0/A2-tie bits and push the
+    // majority hash past any tight threshold)
+    val edited = {
+      val f1 = frame(1, invert = false)
+      var i = 0
+      while (i < 6) { f1.setRGB(i, 0, 0xffffff); i += 1 }
+      Seq(base(0), f1, base(2))
+    }
+    val media = Seq(
+      (1L, avi(base)),
+      (2L, avi(edited)),
+      (3L, avi((0 until 3).map(f => frame(f, invert = true)))) // inverted: far
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.videoNearDupPairs(media, maxHamming = 8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"one-frame edit must pair, inversion must not: $pairs")
+  }
+
   test("frame sampling explodes only videos with monotone offsets") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, 4)
