@@ -61,6 +61,18 @@ object Multimodal {
       Option(javax.imageio.ImageIO.read(iis))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** ITU-R BT.601 luma from packed sRGB — THE luminance definition for
+    * every image/video path here (features, aHash, video sampling), so
+    * the coefficients can never diverge between them. Integer form for
+    * the histogram bucketing contract, double form for mean/hash
+    * accumulation — both from the same coefficients. */
+  @inline private def lum601i(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000
+  @inline private def lum601d(rgb: Int): Double =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000.0
+
   /** Features from a decoded raster: [width, height, mean luminance,
     * (dim-3)-bucket luminance histogram (pixel fractions)]. Deterministic
     * for a given image; resolution comes from the REAL decode, so a
@@ -79,10 +91,7 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
-          // ITU-R BT.601 integer luma from the sRGB channels
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
+          val lum = lum601i(img.getRGB(x, y))
           lumSum += lum
           hist(math.min(lum * buckets / 256, buckets - 1)) += 1
           x += 1
@@ -226,25 +235,35 @@ object Multimodal {
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
     var microsPerFrame = 33333L // fallback ~30fps when avih is absent
     val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
-    // walk chunks in [from, until); descend into LIST payloads
-    def walk(from: Int, until: Int): Unit = {
+    // walk chunks in [from, until); descend into LIST payloads. ALL chunk
+    // arithmetic in Long: a corrupt size near 0x7FFFFFFF wraps Int
+    // addition negative, slipping past the bounds check and driving the
+    // cursor below zero (a confirmed StringIndexOutOfBounds crash) — the
+    // graceful-truncation contract depends on overflow-free comparisons
+    def walk(from: Long, until: Long): Unit = {
       var p = from
       while (p + 8 <= until && frames.length < maxFrames) {
-        val id = fourcc(p)
-        val size = u32(p + 4).toInt
+        val id = fourcc(p.toInt)
+        val size = u32(p.toInt + 4) // u32 is non-negative in Long
         val dataStart = p + 8
-        if (size < 0 || dataStart + size > until) return // truncated
+        if (dataStart + size > until) return // truncated / corrupt size
+        val dOff = dataStart.toInt
         id match {
           case "LIST" if size >= 4 =>
             walk(dataStart + 4, dataStart + size) // skip the list type
           case "avih" if size >= 4 =>
-            microsPerFrame = math.max(1L, u32(dataStart))
+            microsPerFrame = math.max(1L, u32(dOff))
           case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
-              size >= 2 && (bytes(dataStart) & 0xff) == 0xff &&
-              (bytes(dataStart + 1) & 0xff) == 0xd8 => // JPEG SOI
+              size >= 2 && (bytes(dOff) & 0xff) == 0xff &&
+              (bytes(dOff + 1) & 0xff) == 0xd8 => // JPEG SOI
             try {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes, dataStart, size))
+              // memory-cached stream: the bare InputStream overload routes
+              // through a DISK-backed cache (a tmpdir file per frame) —
+              // same rationale (and same NO-explicit-close contract: read
+              // closes the ImageInputStream itself) as decodeImage
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes, dOff, size.toInt))
+              val img = javax.imageio.ImageIO.read(iis)
               if (img != null) frames += img: Unit
             } catch { case scala.util.control.NonFatal(_) => }
           case _ => ()
@@ -252,7 +271,7 @@ object Multimodal {
         p = dataStart + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+    walk(12L, math.min(bytes.length.toLong, 8L + u32(4)))
     if (frames.isEmpty) None else Some(VideoClip(frames.toSeq, microsPerFrame))
   }
 
@@ -276,9 +295,7 @@ object Multimodal {
       while (y < f.getHeight) {
         var x = 0
         while (x < f.getWidth) {
-          val rgb = f.getRGB(x, y)
-          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000.0
+          sum += lum601d(f.getRGB(x, y))
           n += 1; x += 1
         }
         y += 1
@@ -344,10 +361,7 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val cx = math.min(x * 8 / w, 7)
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000.0
-        cells(cy * 8 + cx) += lum
+        cells(cy * 8 + cx) += lum601d(img.getRGB(x, y))
         counts(cy * 8 + cx) += 1
         x += 1
       }

@@ -654,6 +654,15 @@ class PipelineOpsSpec extends SparkSpec {
     val partial = Multimodal.decodeVideo(truncated)
     assert(partial.forall(_.frames.length < 6),
       "truncated container yields at most the whole frames before the cut")
+    // corrupt chunk size near Int.MaxValue: Int arithmetic would wrap the
+    // cursor negative and throw (confirmed crash) — must degrade to None
+    val evil = new Array[Byte](100)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, evil, 0, 4)
+    evil(4) = 0x58; evil(5) = 0; evil(6) = 0; evil(7) = 0 // riff size 88
+    System.arraycopy("AVI JUNK".getBytes("US-ASCII"), 0, evil, 8, 8)
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = 0x7f // size 0x7FFFFFFF
+    assert(Multimodal.decodeVideo(evil).isEmpty,
+      "overflowing chunk size must decode to None, not crash")
   }
 
   test("video near-dup: majority hash survives one edited frame, not a recut") {
