@@ -164,6 +164,84 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: chunk windows tile arbitrary docs — count, coverage, clamp") {
+    import graft.operators.Chunking
+    import spark.implicits._
+    val docGen = for {
+      n <- Gen.chooseNum(1, 120)
+      width <- Gen.chooseNum(2, 40)
+      stride <- Gen.chooseNum(1, width)
+    } yield (n, width, stride)
+    forAll(docGen, n = 8) { case (n, width, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = Chunking.chunkByTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", width, stride)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      // count law: starts are the multiples of stride below n
+      assert(chunks.length == (n - 1) / stride + 1,
+        s"n=$n width=$width stride=$stride got ${chunks.length}")
+      // coverage law: every token appears in at least one chunk, order kept
+      val covered = chunks.flatMap(_._3.split(" ")).toSet
+      assert(covered == (1 to n).map(i => s"t$i").toSet)
+      // clamp law: every chunk is full width except possibly the trailing
+      // ones that hit the document end
+      chunks.zipWithIndex.foreach { case ((idx, nt, _), i) =>
+        val start = i * stride
+        assert(idx == i && nt == math.min(width, n - start),
+          s"chunk $i of n=$n w=$width s=$stride has $nt tokens")
+      }
+    }
+  }
+
+  test("law: trailing count equals the brute-force window count") {
+    import graft.operators.Events
+    import spark.implicits._
+    val evGen = Gen.listOfN(40, for {
+      u <- Gen.chooseNum(1, 4)
+      t <- Gen.chooseNum(0, 10000) // seconds, within a few hours
+    } yield (u.toLong, t.toLong))
+    forAll(evGen, n = 4) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, new java.sql.Timestamp(t * 1000L))
+      }.toDF("event_id", "user_id", "ts")
+      val got = Events.trailingCount(df, widthSeconds = 600)
+        .select("event_id", "n_window").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force over the driver-side list: same user, ts in (t-600s, t]
+      evs.zipWithIndex.foreach { case ((u, t), i) =>
+        val expect = evs.count { case (u2, t2) =>
+          u2 == u && t2 <= t && t2 >= t - 600
+        }
+        assert(got(i.toLong) == expect,
+          s"event $i user $u t=$t: got ${got(i.toLong)} want $expect")
+      }
+    }
+  }
+
+  test("law: exactDelta equals the plain anti-join on arbitrary overlaps") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val wordGen = Gen.listOfN(4, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    val setGen = for {
+      corpus <- Gen.listOfN(8, wordGen)
+      delta <- Gen.listOfN(8, wordGen)
+    } yield (corpus.map(_.mkString(" ")), delta.map(_.mkString(" ")))
+    forAll(setGen, n = 4) { case (corpusTexts, deltaTexts) =>
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val delta = deltaTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val flagged = Dedup.exactDelta(corpus, delta, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val corpusSet = corpusTexts.toSet
+      deltaTexts.zipWithIndex.foreach { case (t, i) =>
+        val want = if (corpusSet.contains(t)) 1 else 0
+        assert(flagged(100L + i) == want, s"delta '$t' flag ${flagged(100L + i)}")
+      }
+    }
+  }
+
   test("sql: dot_product registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
