@@ -29,8 +29,13 @@ object Bench {
     // primed for the timed plans; data volume stays negligible.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // a warmup failure usually predicts a timed-section failure; name
+        // it now so the breakage is visible before the metrics line
+        try fn(spark, warmDir).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getClass.getName}")
+        }
       }
       // Drop the warm-dir cube + shingle caches before the timed section:
       // left pinned (uncompressed columnar) they compete for executor
@@ -49,7 +54,10 @@ object Bench {
     // are incomparable across rounds.
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => }
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getClass.getName}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2fs")
       name -> sec
@@ -72,7 +80,10 @@ object Bench {
       // time and would otherwise always win the min, reporting a transient
       // failure as the query's best time even when the retry succeeded
       val ok = runs.filter(_._2 >= 0)
-      val (sec, n) = (if (ok.nonEmpty) ok else runs).minBy(_._1)
+      // all runs failed: emit a -1 sentinel time rather than the near-zero
+      // failure latency, so a hard-broken query can't read as a speedup in
+      // cross-round bench comparisons
+      val (sec, n) = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, -1L)
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n")
       name -> sec
     }

@@ -35,6 +35,12 @@ object Chunking {
       s"stride must be in [1, width=$width], got $stride (stride > width " +
         "would silently drop the tokens between consecutive windows)")
     docs
+      // NULL text tokenizes to a NULL array whose size() is -1 under the
+      // non-ANSI default, turning the sequence stop bound negative and
+      // crashing the whole job ('Illegal sequence boundaries'). Drop such
+      // rows — the degrade-the-row convention, and what a SQL oracle's
+      // tokenizer join does implicitly.
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       // last start = greatest multiple of stride strictly below n_tokens;
       // integer arithmetic via floor-div (Column./ is floating division)

@@ -240,7 +240,13 @@ object Multimodal {
     // addition negative, slipping past the bounds check and driving the
     // cursor below zero (a confirmed StringIndexOutOfBounds crash) — the
     // graceful-truncation contract depends on overflow-free comparisons
-    def walk(from: Long, until: Long): Unit = {
+    // depth cap: a crafted blob of nested 12-byte LIST chunks would
+    // otherwise recurse once per level and StackOverflowError (fatal,
+    // kills the task past the NonFatal handlers). Real AVI nests 2-3
+    // deep; past 32 we stop descending — graceful truncation, like every
+    // other malformed-container case here
+    def walk(from: Long, until: Long, depth: Int): Unit = {
+      if (depth > 32) return
       var p = from
       while (p + 8 <= until && frames.length < maxFrames) {
         val id = fourcc(p.toInt)
@@ -250,7 +256,7 @@ object Multimodal {
         val dOff = dataStart.toInt
         id match {
           case "LIST" if size >= 4 =>
-            walk(dataStart + 4, dataStart + size) // skip the list type
+            walk(dataStart + 4, dataStart + size, depth + 1) // skip the list type
           case "avih" if size >= 4 =>
             microsPerFrame = math.max(1L, u32(dOff))
           case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
@@ -271,7 +277,7 @@ object Multimodal {
         p = dataStart + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12L, math.min(bytes.length.toLong, 8L + u32(4)))
+    walk(12L, math.min(bytes.length.toLong, 8L + u32(4)), 0)
     if (frames.isEmpty) None else Some(VideoClip(frames.toSeq, microsPerFrame))
   }
 

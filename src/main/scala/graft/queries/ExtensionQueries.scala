@@ -855,9 +855,13 @@ object ExtensionQueries {
   // q44 — image near-dup end-to-end (REAL PNG encode → decode → aHash →
   //       banding): a deterministic synthetic gallery where ids i and
   //       i+10000 carry the same block pattern with a small edit — the
-  //       planted near-dups. Binary decode is not SQL-expressible, so no
-  //       DuckDB oracle (driver records the rows-only check); the exact
-  //       pair semantics are pinned by PipelineOpsSpec.
+  //       planted near-dups. Binary decode is not SQL-expressible, but
+  //       the EXPECTED PAIR SET is pure id arithmetic {(i, i+10000)}, so
+  //       the output is the (i, j) set (hamming dropped — its bound is
+  //       pinned by PipelineOpsSpec) and the DuckDB oracle generates the
+  //       same set from range(): a golden check that the whole
+  //       encode→decode→hash→band pipeline finds exactly the plants,
+  //       with no false positives among the 100 avalanche-mixed decoys.
   // -------------------------------------------------------------------
   def q44(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -894,8 +898,14 @@ object ExtensionQueries {
       }
       Seq((id, png(false)), (id + 10000L, png(true)))
     }.toDF("media_id", "content")
-    sorted(graft.operators.Multimodal.imageNearDupPairs(gallery, maxHamming = 5))
+    sorted(graft.operators.Multimodal.imageNearDupPairs(gallery, maxHamming = 5)
+      .select("i", "j"))
   }
+
+  val q44Sql: String =
+    """SELECT CAST(i AS BIGINT) AS i, CAST(i + 10000 AS BIGINT) AS j
+      |FROM range(100) t(i)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
   // q45 — near-dup dedup END-TO-END: the actual deliverable of the dedup
@@ -1297,9 +1307,11 @@ object ExtensionQueries {
   // q57 — VIDEO near-dup end-to-end (REAL MJPEG-AVI encode → RIFF demux →
   //       per-frame aHash → majority hash → banding): q44's gallery
   //       construction lifted to video — ids i and i+10000 carry the same
-  //       3-frame block-pattern clip with one edited frame. Rows-only
-  //       driver check (binary demux is not SQL-expressible); pair
-  //       semantics pinned by PipelineOpsSpec.
+  //       3-frame block-pattern clip with one edited frame. As in q44,
+  //       the expected pair set is pure id arithmetic {(i, i+10000)}, so
+  //       the output is the (i, j) set and the oracle generates it from
+  //       range() — a golden check on the full demux→hash→band pipeline
+  //       (hamming bound pinned by PipelineOpsSpec).
   // -------------------------------------------------------------------
   def q57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1334,8 +1346,14 @@ object ExtensionQueries {
           (0 until 3).map(f => frame(f, edit && f == 1)), microsPerFrame = 40000L)
       Seq((id, avi(false)), (id + 10000L, avi(true)))
     }.toDF("media_id", "content")
-    sorted(graft.operators.Multimodal.videoNearDupPairs(gallery, maxHamming = 5))
+    sorted(graft.operators.Multimodal.videoNearDupPairs(gallery, maxHamming = 5)
+      .select("i", "j"))
   }
+
+  val q57Sql: String =
+    """SELECT CAST(i AS BIGINT) AS i, CAST(i + 10000 AS BIGINT) AS j
+      |FROM range(50) t(i)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -1367,7 +1385,7 @@ object ExtensionQueries {
     ("q41_funnel", q41 _, q41Sql),
     ("q42_redact_pii", q42 _, q42Sql),
     ("q43_top_terms", q43 _, q43Sql),
-    ("q44_image_near_dup", q44 _, null), // binary decode: rows-only check
+    ("q44_image_near_dup", q44 _, q44Sql), // golden planted-pair set
     ("q45_dedup_corpus", q45 _, q45Sql),
     ("q46_dup_ngram_share", q46 _, q46Sql),
     ("q47_chunking", q47 _, q47Sql),
@@ -1380,6 +1398,6 @@ object ExtensionQueries {
     ("q54_skew_report", q54 _, q54Sql),
     ("q55_dedup_delta", q55 _, q55Sql),
     ("q56_sample_to_budget", q56 _, q56Sql),
-    ("q57_video_near_dup", q57 _, null) // binary demux: rows-only check
+    ("q57_video_near_dup", q57 _, q57Sql) // golden planted-pair set
   )
 }

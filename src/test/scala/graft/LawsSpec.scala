@@ -174,8 +174,12 @@ class LawsSpec extends SparkSpec {
     } yield (n, width, stride)
     forAll(docGen, n = 8) { case (n, width, stride) =>
       val text = (1 to n).map(i => s"t$i").mkString(" ")
+      // a NULL-text row rides along every case: it must be dropped, never
+      // crash the sequence bound (size(NULL) = -1 under non-ANSI SQL)
       val chunks = Chunking.chunkByTokens(
-        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", width, stride)
+        Seq((1L, text), (2L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text", width, stride)
+        .filter(col("doc_id") === 1L)
         .orderBy("chunk_idx").collect()
         .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
       // count law: starts are the multiples of stride below n

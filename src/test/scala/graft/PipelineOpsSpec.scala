@@ -12,8 +12,21 @@ class PipelineOpsSpec extends SparkSpec {
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   test("minhash LSH finds every exact near-dup pair (recall = 1 here)") {
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
-      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactRows = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j", "jaccard").collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PRECONDITION PIN for the q20/q45 determinism gates: LSH at
+    // (k=32, bands=8, r=4) misses a true pair at jaccard ≈ 0.80 with
+    // ~1.5% probability, at 0.85 with ~3e-3, at 0.89 with ~4e-4. The
+    // oracle match is deterministic only because the fixture's planted
+    // pairs sit well above threshold (observed min 0.889 at sf0.001) —
+    // check that here so a fixture regeneration with near-threshold
+    // pairs fails THIS assertion loudly instead of flaking the hash
+    // gates.
+    val minJac = exactRows.map(_.getDouble(2)).min
+    assert(minJac >= 0.85,
+      f"fixture planted-pair similarity dropped to $minJac%.3f < 0.85 — " +
+        "q20/q45 LSH≡exact oracles are at risk of nondeterminism")
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.8)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
@@ -663,6 +676,31 @@ class PipelineOpsSpec extends SparkSpec {
     evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = 0x7f // size 0x7FFFFFFF
     assert(Multimodal.decodeVideo(evil).isEmpty,
       "overflowing chunk size must decode to None, not crash")
+    // deeply nested LIST chunks: an unbounded recursive walk would
+    // StackOverflowError (fatal, past NonFatal) — the depth cap must
+    // degrade gracefully instead
+    val levels = 200000
+    val nested = new Array[Byte](12 + 12 * levels)
+    def putU32(off: Int, v: Int): Unit = {
+      nested(off) = (v & 0xff).toByte
+      nested(off + 1) = ((v >> 8) & 0xff).toByte
+      nested(off + 2) = ((v >> 16) & 0xff).toByte
+      nested(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, nested, 0, 4)
+    putU32(4, nested.length - 8)
+    System.arraycopy("AVI ".getBytes("US-ASCII"), 0, nested, 8, 4)
+    var off = 12
+    var k = 0
+    while (k < levels) {
+      System.arraycopy("LIST".getBytes("US-ASCII"), 0, nested, off, 4)
+      putU32(off + 4, 4 + 12 * (levels - 1 - k)) // payload: type + inner LIST
+      System.arraycopy("mdat".getBytes("US-ASCII"), 0, nested, off + 8, 4)
+      off += 12
+      k += 1
+    }
+    assert(Multimodal.decodeVideo(nested).isEmpty,
+      "deeply nested LISTs must degrade to None, not StackOverflow")
   }
 
   test("video near-dup: majority hash survives one edited frame, not a recut") {
@@ -726,7 +764,8 @@ class PipelineOpsSpec extends SparkSpec {
     val d = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
       (2L, "a b c"), // shorter than one window
-      (3L, "solo")
+      (3L, "solo"),
+      (4L, null.asInstanceOf[String]) // NULL text: dropped, never a crash
     ).toDF("doc_id", "text")
     // overlapping windows: width 8, stride 5 -> starts 0,5,...,95
     val c = Chunking.chunkByTokens(d, "doc_id", "text", width = 8, stride = 5)
@@ -740,6 +779,9 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c0.takeRight(3).sameElements(c1.take(3)))
     assert(c.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
     assert(c.filter(_._1 == 3L).map(_._4).toSeq == Seq("solo"))
+    // NULL text degrades the row (size(NULL) is -1 under non-ANSI SQL and
+    // would otherwise crash the sequence bound), matching the oracle drop
+    assert(!c.exists(_._1 == 4L), "NULL-text doc yields zero chunks")
     // stride = width: disjoint chunks reconstruct the token stream exactly
     val parts = Chunking.chunkByTokens(d, "doc_id", "text", width = 8, stride = 8)
       .orderBy("doc_id", "chunk_idx")
