@@ -33,6 +33,38 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** One (score, id) candidate flowing into [[TopKByScore]]. */
+  final case class ScoredId(score: Double, id: Long)
+
+  /** Bounded-buffer contents of [[TopKByScore]] (a case-class wrapper so
+    * `Encoders.product` handles the nested Seq). */
+  final case class TopKBuf(items: Seq[ScoredId])
+
+  /** Bounded per-group top-k by (score desc, id asc) — the aggregation
+    * form of TakeOrdered for grouped data. As a `udaf` the planner gives
+    * it map-side partial aggregation (ObjectHashAggregate), so a shuffle
+    * carries at most k elements per (partition, group) instead of every
+    * scored row: ranking |Q|·|C| brute-force kNN candidates shuffles
+    * |Q|·k·partitions rows, not |Q|·|C| (the row_number-window form
+    * shuffles everything). The buffer is compacted to k whenever it
+    * reaches 2k, so per-row cost is amortized O(log k). */
+  final class TopKByScore(k: Int)
+      extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
+    require(k > 0, s"k must be positive, got $k")
+    private def ord: Ordering[ScoredId] =
+      Ordering.by((s: ScoredId) => (-s.score, s.id))
+    def zero: TopKBuf = TopKBuf(Vector.empty)
+    def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
+      val v = b.items :+ a
+      TopKBuf(if (v.size >= 2 * k) v.sorted(ord).take(k) else v)
+    }
+    def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+      TopKBuf((x.items ++ y.items).sorted(ord).take(k))
+    def finish(b: TopKBuf): TopKBuf = TopKBuf(b.items.sorted(ord).take(k))
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
   /** Geometric mean via log-space sums (stable + mergeable). */
   object GeoMean extends Aggregator[Double, (Double, Long), Double] {
     def zero: (Double, Long) = (0.0, 0L)

@@ -51,7 +51,14 @@ object Similarity {
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (ties broken by id — fully deterministic). Query
-    * side is expected small → broadcast; corpus is scanned once. */
+    * side is expected small → broadcast; corpus is scanned once.
+    *
+    * Ranking is a bounded per-partition top-k aggregation
+    * ([[graft.model.Aggregators.TopKByScore]], map-side partial combine):
+    * the shuffle after scoring carries at most |Q|·k rows per partition,
+    * never the full |Q|·|C| scored relation a row_number window would
+    * move. Non-integral neighbor ids (no encoder for the bounded buffer)
+    * fall back to the window form. */
   def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                qId: String = "vec_id", qVec: String = "embedding",
                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
@@ -59,12 +66,32 @@ object Similarity {
     val c = corpus.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    val integralId = corpus.schema(cId).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId) {
+      val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
+        org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
+      scored
+        .groupBy("query_id")
+        .agg(topk(col("cos"), col("neighbor_id").cast("long")).as("tk"))
+        .select(col("query_id"),
+          posexplode(col("tk.items")).as(Seq("idx", "it")))
+        .select(col("query_id"),
+          col("it.id").cast(corpus.schema(cId).dataType).as("neighbor_id"),
+          (col("idx") + 1).as("rank"), col("it.score").as("cos"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    }
   }
 
   /** Deterministic pseudo-random hyperplane for (table, plane): md5-derived
