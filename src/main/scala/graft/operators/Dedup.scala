@@ -425,4 +425,62 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Incremental NEAR-dup dedup — the [[exactDelta]] shape for MinHash/
+    * Jaccard near-duplication: dedup a DELTA of documents against a stored
+    * corpus shingle index (never re-deduping the corpus), first-arrival-
+    * wins. This is the micro-batch unit of streaming near-dup dedup
+    * ([[graft.streaming.DocStreaming.startNearDupDedup]]) and of any
+    * batch-ingest pipeline.
+    *
+    *  - CROSS edges (delta vs corpus) come from [[crossJaccardPairs]] over
+    *    the two prebuilt indexes — candidates via the inverted-index
+    *    equi-join, EXACT-verified (jaccard ≥ threshold), so precision
+    *    matches the batch operator.
+    *  - WITHIN edges (delta vs delta) come from [[minhashLsh]] over the
+    *    delta's index.
+    *  - Every corpus endpoint is collapsed to one sentinel node
+    *    (Long.MinValue) before the transitive closure: any delta doc whose
+    *    component touches the corpus is a dup (the corpus member already
+    *    won its cluster), and merging corpus nodes can only merge
+    *    components that would EACH drop all their delta members anyway —
+    *    so the collapse is lossless for the keep/drop decision while
+    *    keeping the closure's node set delta-sized.
+    *
+    * Chaining matches batch CC semantics when the store holds ALL seen
+    * docs' shingles (survivors and dups alike — append the returned
+    * `deltaIndex` regardless): a doc near a *dropped* doc is transitively
+    * near that doc's cluster and must drop too.
+    *
+    * Ids must be numeric (the sentinel is Long.MinValue). The maxDf cap
+    * applies per-side at index-build time — on a corpus where the cap
+    * actually bites, per-batch caps are a slightly weaker filter than one
+    * global cap (same contract as any incremental index).
+    *
+    * Returns (survivors, deltaIndex): the delta docs that survive, and the
+    * delta's capped shingle index to append to the store. */
+  def nearDupDelta(corpusIndex: Option[DataFrame], delta: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.8,
+                   maxDf: Option[Int] = Some(DefaultMaxDf)): (DataFrame, DataFrame) = {
+    // eager localCheckpoint: the index feeds cross-verification (sizes +
+    // intersection), LSH signatures, and within-verification — without
+    // materialization the tokenize+shingle+distinct pass replays per branch
+    val deltaIdx = buildShingleIndex(delta, idCol, textCol, n, maxDf)
+      .localCheckpoint(true)
+    val within = minhashLsh(delta, idCol, textCol, n, k, bands, threshold,
+      maxDf = None, shinglesDf = Some(deltaIdx))
+    val edges = corpusIndex match {
+      case None => within.select("i", "j")
+      case Some(corpusIdx) =>
+        val cross = crossJaccardPairs(delta, delta, idCol, textCol, n,
+          threshold, maxDf = None,
+          leftShinglesDf = Some(corpusIdx), rightShinglesDf = Some(deltaIdx))
+          // collapse every corpus endpoint to the sentinel (see scaladoc)
+          .select(lit(Long.MinValue).as("i"), col("j"))
+        within.select("i", "j").unionByName(cross)
+    }
+    (dropNearDups(delta, edges, idCol), deltaIdx)
+  }
 }

@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.TextFunctions.fingerprint
+import graft.operators.Dedup
 
 /** Streaming document-pipeline operators — the streaming twins of
   * [[graft.operators.Dedup]] (north-star extension; the reference has no
@@ -31,4 +33,64 @@ object DocStreaming {
       .select(col(idCol), col(tsCol), fingerprint(col(textCol)).as("fp"))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming NEAR-dup dedup — the streaming twin of
+    * [[graft.operators.Dedup.dropNearDups]], first-arrival-wins.
+    *
+    * Near-dup state is not a watermark-expirable key set (a new doc can be
+    * near a doc from arbitrarily long ago), it is the corpus's shingle
+    * index itself — so the right streaming shape is `foreachBatch` over a
+    * PERSISTENT index store, with each micro-batch running the incremental
+    * batch operator [[graft.operators.Dedup.nearDupDelta]]:
+    *
+    *  1. delta docs are exact-verified against the stored index
+    *     (inverted-index equi-join candidates, jaccard ≥ threshold);
+    *  2. within-batch near-dups are resolved with the FULL batch pipeline
+    *     (MinHash-LSH pairs → transitive closure → canonical winner);
+    *  3. the batch's own index rows are appended to the store — dups
+    *     included, so later arrivals chain through dropped docs exactly
+    *     like the batch operator's connected components.
+    *
+    * Survivors append to `survivorsDir`; the index store lives in
+    * `storeDir` (hive-compatible parquet appends — at scale both are
+    * table-format directories on the cluster DFS, and the store is
+    * additionally what a nightly full-corpus re-dedup would consume).
+    * Restart safety comes from the checkpoint: a replayed micro-batch
+    * re-runs its delta against a store that already holds its rows, drops
+    * everything, and appends duplicate index rows — shingle rows are
+    * (doc_id, s) DISTINCT pairs, so re-appending them only duplicates
+    * rows within one doc's index, which no consumer counts twice
+    * (intersections key on (doc, shingle) pairs after a distinct).
+    *
+    * Ids must be numeric ([[graft.operators.Dedup.nearDupDelta]]'s
+    * sentinel contract). */
+  def startNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
+                        storeDir: String, survivorsDir: String,
+                        checkpointDir: String,
+                        n: Int = 3, k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.8,
+                        maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      val spark = batch.sparkSession
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+      val store =
+        if (fs.exists(storePath) && fs.listStatus(storePath).nonEmpty)
+          Some(spark.read.parquet(storeDir))
+        else None
+      val (survivors, deltaIdx) =
+        Dedup.nearDupDelta(store, batch, idCol, textCol, n, k, bands,
+          threshold, maxDf)
+      // survivors FIRST: they are planned against the pre-append store
+      // snapshot; the index append lands after the decision is durable
+      survivors.write.mode("append").parquet(survivorsDir)
+      deltaIdx.write.mode("append").parquet(storeDir)
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
 }

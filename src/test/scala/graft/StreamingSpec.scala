@@ -112,6 +112,56 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0, "a fingerprint survived twice")
   }
 
+  test("streaming near-dup dedup across micro-batches equals batch dropNearDups") {
+    import graft.operators.Dedup
+    import graft.streaming.DocStreaming
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // wave 2, arriving in a LATER micro-batch: exact copies of every 4th
+    // doc (near-dups of wave-1 docs, including copies of docs wave 1
+    // itself drops — the cross-batch CHAIN case) plus genuinely fresh
+    // docs built from id-salted tokens (jaccard 0 with everything)
+    val copies = docsDf.filter(col("doc_id") % 4 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val fresh = spark.range(20).select(
+      (col("id") + 2000000L).as("doc_id"),
+      concat_ws(" ", (0 until 30).map(kk =>
+        concat(lit("w"), col("id"), lit(s"_$kk"))): _*).as("text"))
+    val wave2 = copies.unionByName(fresh)
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream").toString
+    docsDf.coalesce(1).write.mode("append").parquet(dir)
+    wave2.coalesce(1).write.mode("append").parquet(dir)
+
+    val store = java.nio.file.Files.createTempDirectory("neardup_store").toString
+    val surv = java.nio.file.Files.createTempDirectory("neardup_surv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStreaming.startNearDupDedup(stream, "doc_id", "text",
+      store, surv, ckpt)
+    q.awaitTermination(180000)
+
+    val streamed = spark.read.parquet(surv)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docsDf.unionByName(wave2)
+    val batch = Dedup.dropNearDups(all,
+        Dedup.minhashLsh(all, "doc_id", "text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ids arrive in id order (wave 2 carries the larger ids), so batch's
+    // min-id canonical winner IS the streaming first arrival: survivor
+    // sets must be identical — every copy dropped (even copies of docs
+    // wave 1 dropped), every fresh doc kept
+    assert(streamed == batch,
+      s"streaming survivors diverged from batch dropNearDups: " +
+        s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
+    assert(fresh.collect().map(_.getLong(0)).toSet.subsetOf(streamed),
+      "a genuinely fresh doc was dropped")
+    assert(streamed.forall(_ < 1000000L + 2000000L) &&
+      !copies.collect().map(_.getLong(0)).exists(streamed.contains),
+      "a cross-batch near-dup copy survived")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
