@@ -9,14 +9,25 @@ import org.apache.spark.sql.functions._
   * path should scale near-linearly in rows; anything superlinear here is
   * a 100 TB red flag long before a cluster run exposes it.
   *
-  * `sbt "runMain graft.ScaleProbe [factor] [sfDir]"` — prints one line
-  * per (step, scale) and the N×/1× ratio.
+  * `sbt "runMain graft.ScaleProbe [factor] [sfDir] [outJson]"` — prints one
+  * line per (step, scale) and the N×/1× ratio, writes the ratios to
+  * `outJson` (default `SCALE.json`), and FAILS (nonzero exit) when any
+  * gated step exceeds 1.5× linear — the committed `SCALE_r{N}.json` is the
+  * per-round scaling evidence, and a superlinear regression breaks the run
+  * loudly instead of hiding in a log.
+  *
+  * Steps whose 1× time is under a noise floor (0.3 s) are reported but not
+  * gated: at sub-second scale, JIT/scheduling jitter on a shared box can
+  * double a measurement, and the failure mode the gate exists for —
+  * accidental quadratic pair blowup — shows up as ~factor× OVER the bound,
+  * not 1.5×.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 8
     require(factor >= 1, s"replication factor must be >= 1, got $factor")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val outJson = if (args.length > 2) args(2) else "SCALE.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -129,12 +140,33 @@ object ScaleProbe {
     val aN = annSuite(s"${factor}x", embN(factor))
     val p1 = pipeSuite("1x", docsN(1))
     val pN = pipeSuite(s"${factor}x", docsN(factor))
-    println(f"[probe] RATIOS at ${factor}x rows (linear => ~$factor):")
-    (d1.keySet ++ a1.keySet ++ p1.keySet).toSeq.sorted.foreach { k =>
+
+    val bound = 1.5 * factor
+    val noiseFloorSec = 0.3
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(f"[probe] RATIOS at ${factor}x rows (linear => ~$factor, bound $bound%.1f):")
+    val steps = (d1.keySet ++ a1.keySet ++ p1.keySet).toSeq.sorted.map { k =>
       val r1 = d1.getOrElse(k, a1.getOrElse(k, p1(k)))
       val rN = dN.getOrElse(k, aN.getOrElse(k, pN(k)))
-      println(f"[probe]   $k%-10s ${rN / r1}%6.1fx")
+      val ratio = rN / r1
+      val gated = r1 >= noiseFloorSec
+      val pass = !gated || ratio <= bound
+      println(f"[probe]   $k%-10s $ratio%6.1fx" +
+        (if (!gated) "  (under noise floor, not gated)"
+         else if (pass) "  ok" else "  FAIL"))
+      (k, r1, rN, ratio, gated, pass)
     }
+    val allPass = steps.forall(_._6)
+    val json = steps.map { case (k, r1, rN, ratio, gated, pass) =>
+      s""""$k":{"t1_sec":${num(r1)},"tN_sec":${num(rN)},"ratio":${num(ratio)},"gated":$gated,"pass":$pass}"""
+    }.mkString(s"""{"factor":$factor,"sf":"$sfDir","bound_ratio":${num(bound)},"noise_floor_sec":${num(noiseFloorSec)},"docs_1x":$nDocs,"steps":{""", ",", s"""},"pass":$allPass}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes("UTF-8"))
+    println(s"[probe] wrote $outJson")
     spark.stop()
+    require(allPass,
+      s"scale probe exceeded ${bound}x on a gated step — superlinear " +
+        "scaling regression; see " + outJson)
   }
 }

@@ -214,6 +214,27 @@ object Multimodal {
     def durationMs: Long = frames.length * microsPerFrame / 1000L
   }
 
+  /** Pluggable video-decode seam: implement this to drop in an ffmpeg (or
+    * any other codec) binding without touching the operators —
+    * [[videoHashes]]/[[videoNearDupPairs]]/[[decodeFeatures]] take a
+    * decoder parameter defaulting to the zero-dependency
+    * [[MjpegAviDecoder]]. Contract: Serializable (instances ship to
+    * executors inside mapPartitions closures — parameter passing, not a
+    * global, so the choice survives executor JVM re-init on a real
+    * cluster); return None for bytes the codec can't read (the caller
+    * degrades the row, or falls through to the stub); never throw on
+    * malformed input. */
+  trait VideoDecoder extends Serializable {
+    def decode(bytes: Array[Byte], maxFrames: Int): Option[VideoClip]
+  }
+
+  /** The default zero-dependency decoder: [[decodeVideo]]'s MJPEG-in-AVI
+    * RIFF walk. */
+  object MjpegAviDecoder extends VideoDecoder {
+    def decode(bytes: Array[Byte], maxFrames: Int): Option[VideoClip] =
+      decodeVideo(bytes, maxFrames)
+  }
+
   /** REAL video decode for MJPEG-in-AVI — the one video codec the bare
     * JDK can handle (each frame is a JPEG, which ImageIO reads; the AVI
     * RIFF container is a ~60-line binary walk). Other codecs (H.264 etc.)
@@ -316,12 +337,13 @@ object Multimodal {
     * decodable image, real sampled-audio path when they are a decodable
     * PCM clip, REAL MJPEG/AVI path when they are a JDK-readable video,
     * deterministic fake otherwise (other video codecs — no ffmpeg here). */
-  def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+  def decodeFeatures(bytes: Array[Byte], dim: Int,
+                     videoDecoder: VideoDecoder = MjpegAviDecoder): Array[Float] =
     decodeImage(bytes) match {
       case Some(img) => imageFeatures(img, dim)
       case None => decodeAudio(bytes) match {
         case Some(clip) => audioFeatures(clip, dim)
-        case None => decodeVideo(bytes) match {
+        case None => videoDecoder.decode(bytes, maxFrames = 64) match {
           case Some(v) if dim >= 4 => videoFeatures(v, dim)
           case _                   => decodeStub(bytes, dim)
         }
@@ -436,15 +458,16 @@ object Multimodal {
     hash
   }
 
-  /** (media_id, vhash) for every decodable MJPEG/AVI row — same batch
+  /** (media_id, vhash) for every row `decoder` can read — same batch
     * shape as [[imageHashes]]; undecodable rows drop out. */
-  def videoHashes(media: DataFrame, maxFrames: Int = 16): DataFrame = {
+  def videoHashes(media: DataFrame, maxFrames: Int = 16,
+                  decoder: VideoDecoder = MjpegAviDecoder): DataFrame = {
     import media.sparkSession.implicits._
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeVideo(r.getAs[Array[Byte]](contentIdx), maxFrames)
+        decoder.decode(r.getAs[Array[Byte]](contentIdx), maxFrames)
           .map(clip => (r.getLong(idIdx), videoHash64(clip)))
       }
     }.toDF("media_id", "vhash")
@@ -454,9 +477,10 @@ object Multimodal {
     * hash — decode → hash → the same pigeonhole banding as every other
     * perceptual dedup here. */
   def videoNearDupPairs(media: DataFrame, maxHamming: Int = 5,
-                        maxFrames: Int = 16): DataFrame =
-    Dedup.hammingPairs(videoHashes(media, maxFrames), "media_id", "vhash",
-      bits = 64, maxHamming = maxHamming)
+                        maxFrames: Int = 16,
+                        decoder: VideoDecoder = MjpegAviDecoder): DataFrame =
+    Dedup.hammingPairs(videoHashes(media, maxFrames, decoder), "media_id",
+      "vhash", bits = 64, maxHamming = maxHamming)
 
   /** 64-bit audio envelope hash: RMS energy over 64 equal time windows,
     * bit k set when window k's energy is at least the clip mean — the

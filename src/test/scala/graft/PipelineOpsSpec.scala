@@ -923,4 +923,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t07("big") > t07("small") && t07("big") < 0.8,
       "temperature < 1 up-samples the small source")
   }
+
+  test("video decoder seam: a custom decoder is picked up; default still MJPEG-only") {
+    import spark.implicits._
+    def frame(v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val c = if ((x + y) % 2 == 0) v else 255 - v
+          img.setRGB(x, y, (c << 16) | (c << 8) | c); x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    val avi = Multimodal.encodeMjpegAvi(Seq(frame(30)), 40000L)
+    val magic = "XVID0".getBytes("US-ASCII") // only MagicVideoDecoder reads it
+    val media = Seq((1L, avi), (2L, magic), (3L, Array.fill[Byte](16)(0x2a)))
+      .toDF("media_id", "content")
+    val default = Multimodal.videoHashes(media)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(default == Set(1L),
+      s"default decoder must read exactly the AVI row: $default")
+    val custom = Multimodal.videoHashes(media, decoder = MagicVideoDecoder)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(custom == Set(2L),
+      s"custom decoder must be used instead of the default: $custom")
+  }
+}
+
+/** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]
+  * seam: reads only blobs starting with the "XVID" magic. Top-level (not
+  * nested in the suite) so the mapPartitions closure serializes it without
+  * dragging the ScalaTest outer class along. */
+private object MagicVideoDecoder extends Multimodal.VideoDecoder {
+  def decode(bytes: Array[Byte], maxFrames: Int): Option[Multimodal.VideoClip] =
+    if (bytes.length >= 5 && bytes.take(4).sameElements("XVID".getBytes("US-ASCII"))) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < 8) { img.setRGB(i, i, 0xffffff); i += 1 }
+      Some(Multimodal.VideoClip(Seq(img), 40000L))
+    } else None
 }
