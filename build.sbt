@@ -29,4 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = driver-only JVM; the box has 128 GiB — a roomy heap
   // avoids GC pressure and aggregation spills at bench scale
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++
+  // SPARK_GRAFT_GCLOG=/path.log turns on GC logging for a profiling run
+  // (used to bound GC overhead under the full bench; see BENCH_GC.md)
+  sys.env.get("SPARK_GRAFT_GCLOG").map(p => s"-Xlog:gc:$p").toSeq

@@ -12,8 +12,8 @@ import graft.functions.VectorExpressions.dotp
   *  - [[bruteKnn]]: exact cosine top-k. The join is a cartesian
   *    (queries × corpus) but the *query side is broadcast* — at 100 TB the
   *    corpus streams through executors once, no shuffle of the corpus at
-  *    all; per-partition top-k via the aggregation-pushdown of the window
-  *    would still shuffle, so for large k prefer the candidate cut first.
+  *    all — and ranking is a bounded per-partition top-k aggregation, so
+  *    the only shuffle moves ≤ k rows per (partition, query).
   *  - [[lshKnn]]: random-hyperplane sign-LSH bucketing — candidates share a
   *    bucket in at least one of `tables` hash tables; only candidates get
   *    the exact cosine. Hyperplanes are deterministic pseudo-random
@@ -66,7 +66,19 @@ object Similarity {
     val c = corpus.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")))
-    val integralId = corpus.schema(cId).dataType match {
+    rankTopK(scored, k, corpus.schema(cId).dataType)
+  }
+
+  /** Shared ranking tail of every kNN path: per query, the top-k scored
+    * neighbors as (query_id, neighbor_id, rank, cos), (cos desc, id asc).
+    * Integral ids rank via the bounded
+    * [[graft.model.Aggregators.TopKByScore]] aggregation (map-side
+    * partial combine — the shuffle carries ≤ k rows per (partition,
+    * query), never the full scored relation); other id types fall back to
+    * the row_number window. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val integralId = idType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
@@ -82,7 +94,7 @@ object Similarity {
         .select(col("query_id"),
           posexplode(col("tk.items")).as(Seq("idx", "it")))
         .select(col("query_id"),
-          col("it.id").cast(corpus.schema(cId).dataType).as("neighbor_id"),
+          col("it.id").cast(idType).as("neighbor_id"),
           (col("idx") + 1).as("rank"), col("it.score").as("cos"))
     } else {
       val w = Window.partitionBy("query_id")
@@ -166,13 +178,8 @@ object Similarity {
     val cands = cB.join(broadcast(qB), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv").distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("cos", dot(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(cands.withColumn("cos", dot(col("qv"), col("cv"))), k,
+      corpus.schema(cId).dataType)
   }
 
   /** IVF (inverted-file) approximate kNN — the cell-probe scale path:
@@ -218,16 +225,13 @@ object Similarity {
     val assigned = c.withColumn("cell",
       explode(topCells(col("cv"), refined, math.max(replicate, 1))))
     val probed = q.withColumn("cell", explode(topCells(col("qv"), refined, nprobe)))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probed.join(assigned, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dotp(col("qv"), col("cv")).as("cos"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(
+      probed.join(assigned, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotp(col("qv"), col("cv")).as("cos"))
+        .distinct(),
+      k, corpus.schema(cId).dataType)
   }
 
   /** Spherical k-means centroid training over a NORMALIZED corpus
@@ -340,16 +344,13 @@ object Similarity {
     val probed = q.withColumn("cell",
       explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
     val stored = spark.read.parquet(s"$path/corpus")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    stored.join(broadcast(probed), "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dotp(col("qv"), col("cv")).as("cos"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(
+      stored.join(broadcast(probed), "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotp(col("qv"), col("cv")).as("cos"))
+        .distinct(),
+      k, stored.schema("neighbor_id").dataType)
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥

@@ -246,6 +246,48 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: nearDupDelta over any corpus split equals one-shot dropNearDups") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // Construction keeps every true pair FAR from the 0.8 threshold so
+    // LSH == exact deterministically (the pinned-fixture precondition,
+    // re-created synthetically): bases have disjoint 100-token vocabs
+    // (cross-base jaccard 0); a copy edits ONE token of its base with a
+    // copy-unique word, so any base↔copy or copy↔copy pair of the same
+    // base has jaccard ≈ 0.94 (≥ 95/101) — LSH miss probability ~5e-6.
+    val gen = for {
+      nBase <- Gen.chooseNum(2, 5)
+      nCopy <- Gen.chooseNum(2, 8)
+      srcs <- Gen.listOfN(nCopy, Gen.chooseNum(0, nBase - 1))
+      cutFrac <- Gen.chooseNum(1, 9)
+    } yield (nBase, srcs, cutFrac)
+    forAll(gen, n = 4) { case (nBase, srcs, cutFrac) =>
+      def baseTokens(b: Int) = (0 until 100).map(kk => s"w${b}_$kk")
+      val docs: Seq[(Long, String)] =
+        (0 until nBase).map(b => (b.toLong, baseTokens(b).mkString(" "))) ++
+          srcs.zipWithIndex.map { case (b, c) =>
+            ((nBase + c).toLong,
+              baseTokens(b).updated(50, s"edit_$c").mkString(" "))
+          }
+      val cut = math.max(1L, (docs.length * cutFrac / 10).toLong)
+      val all = docs.toDF("doc_id", "text")
+      val waveA = all.filter(col("doc_id") < cut)
+      val waveB = all.filter(col("doc_id") >= cut)
+      // incremental: dedup wave A alone, then wave B as a delta against
+      // wave A's stored index (ids arrive in order, so batch's min-id
+      // winner IS the first arrival)
+      val (survA, idxA) = Dedup.nearDupDelta(None, waveA, "doc_id", "text")
+      val (survB, _) = Dedup.nearDupDelta(Some(idxA), waveB, "doc_id", "text")
+      val inc = (survA.select("doc_id").collect() ++
+        survB.select("doc_id").collect()).map(_.getLong(0)).toSet
+      val batch = Dedup.dropNearDups(all,
+          Dedup.minhashLsh(all, "doc_id", "text"), "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(inc == batch,
+        s"nBase=$nBase srcs=$srcs cut=$cut: incremental=$inc batch=$batch")
+    }
+  }
+
   test("sql: dot_product registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

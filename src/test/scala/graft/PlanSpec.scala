@@ -424,19 +424,23 @@ class PlanSpec extends SparkSpec {
       s"top-k must plan as TakeOrdered (per-partition top-k), got:\n$nodes")
   }
 
-  test("brute kNN ranks via bounded top-k aggregation, not a full-relation window") {
+  test("kNN paths rank via bounded top-k aggregation, not a full-relation window") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.limit(5)
-    val knn = graft.operators.Similarity.bruteKnn(q, e, k = 3)
-    knn.count() // materialize so AQE finalizes the runtime plan
-    val nodes = runtimeNodes(knn.queryExecution.executedPlan)
-    // a row_number window here would shuffle the full |Q|x|C| scored
-    // relation; the bounded aggregation shuffles at most k rows per
-    // (partition, query)
-    assert(!nodes.exists(_.contains("Window")),
-      s"bruteKnn must not window the full scored relation:\n$nodes")
-    assert(nodes.count(_.contains("ObjectHashAggregate")) >= 2,
-      s"bounded top-k must plan as partial+final ObjectHashAggregate:\n$nodes")
+    val paths = Seq(
+      "brute" -> graft.operators.Similarity.bruteKnn(q, e, k = 3),
+      "lsh" -> graft.operators.Similarity.lshKnn(q, e, k = 3),
+      "ivf" -> graft.operators.Similarity.ivfKnn(q, e, k = 3))
+    paths.foreach { case (name, knn) =>
+      knn.count() // materialize so AQE finalizes the runtime plan
+      val nodes = runtimeNodes(knn.queryExecution.executedPlan)
+      // a row_number window would shuffle every scored row; the bounded
+      // aggregation shuffles at most k rows per (partition, query)
+      assert(!nodes.exists(_.contains("Window")),
+        s"$name kNN must not window the scored relation:\n$nodes")
+      assert(nodes.count(_.contains("ObjectHashAggregate")) >= 2,
+        s"$name bounded top-k must plan as partial+final ObjectHashAggregate:\n$nodes")
+    }
   }
 
   test("pairwise similarity uses the native dot_product, HOFs only per-row") {
