@@ -457,13 +457,26 @@ object Dedup {
     * actually bites, per-batch caps are a slightly weaker filter than one
     * global cap (same contract as any incremental index).
     *
+    * The cross-verification join is Bloom-PREFILTERED (the [[exactDelta]]
+    * discipline): a filter over the corpus's shingle hashes cuts the
+    * delta-side join input to shingles that might exist in the corpus, so
+    * a mostly-fresh delta contributes almost nothing to the intersection
+    * join — false positives only enlarge the join input (the exact
+    * verification kills them); false negatives don't exist, so no
+    * candidate is ever missed. Per-doc shingle SIZES still come from the
+    * full per-side indexes (undercounted sizes would inflate jaccard).
+    * At 100 TB pass `expectedShingles` from the stored index's metadata
+    * instead of paying the count job.
+    *
     * Returns (survivors, deltaIndex): the delta docs that survive, and the
     * delta's capped shingle index to append to the store. */
   def nearDupDelta(corpusIndex: Option[DataFrame], delta: DataFrame,
                    idCol: String, textCol: String,
                    n: Int = 3, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.8,
-                   maxDf: Option[Int] = Some(DefaultMaxDf)): (DataFrame, DataFrame) = {
+                   maxDf: Option[Int] = Some(DefaultMaxDf),
+                   fpp: Double = 1e-6,
+                   expectedShingles: Option[Long] = None): (DataFrame, DataFrame) = {
     // eager localCheckpoint: the index feeds cross-verification (sizes +
     // intersection), LSH signatures, and within-verification — without
     // materialization the tokenize+shingle+distinct pass replays per branch
@@ -474,9 +487,24 @@ object Dedup {
     val edges = corpusIndex match {
       case None => within.select("i", "j")
       case Some(corpusIdx) =>
-        val cross = crossJaccardPairs(delta, delta, idCol, textCol, n,
-          threshold, maxDf = None,
-          leftShinglesDf = Some(corpusIdx), rightShinglesDf = Some(deltaIdx))
+        // distinct defensively: an at-least-once store (a replayed
+        // foreachBatch append) can hold duplicate (doc, s) rows, which
+        // would double-count intersections AND sizes; exactly-once stores
+        // pay one cheap pre-aggregated pass
+        val corpusDedup = corpusIdx.select("doc_id", "s").distinct()
+          .localCheckpoint(true) // feeds bloom build + sizes + inter join
+        val bloom = Decontaminate.serializeBloom(
+          corpusDedup.select("s"),
+          "s", expectedShingles.getOrElse(corpusDedup.count()), fpp)
+        val deltaHit = deltaIdx
+          .filter(Decontaminate.mightContain(bloom, col("s")))
+        val sizesL = corpusDedup.groupBy("doc_id")
+          .agg(count("*").as("sz_i")).toDF("i", "sz_i")
+        val sizesR = deltaIdx.groupBy("doc_id")
+          .agg(count("*").as("sz_j")).toDF("j", "sz_j")
+        val inter = corpusDedup.toDF("i", "s").join(deltaHit.toDF("j", "s"), "s")
+          .groupBy("i", "j").agg(count("*").as("inter"))
+        val cross = scorePairs(inter, sizesL, sizesR, threshold)
           // collapse every corpus endpoint to the sentinel (see scaladoc)
           .select(lit(Long.MinValue).as("i"), col("j"))
         within.select("i", "j").unionByName(cross)

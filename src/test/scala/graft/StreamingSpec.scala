@@ -162,6 +162,42 @@ class StreamingSpec extends SparkSpec {
       "a cross-batch near-dup copy survived")
   }
 
+  test("streaming near-dup dedup survives a restart between micro-batches") {
+    import graft.streaming.DocStreaming
+    import spark.implicits._
+    // 3 docs, each ~40 id-salted tokens; doc 11 is a 1-token-edited copy
+    // of doc 1 (jaccard ~0.92), doc 20 is fresh
+    def toks(b: Int) = (0 until 40).map(kk => s"r${b}_$kk")
+    val wave1 = Seq((1L, toks(1).mkString(" "))).toDF("doc_id", "text")
+    val wave2 = Seq(
+      (11L, toks(1).updated(20, "edited").mkString(" ")),
+      (20L, toks(20).mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("nd_restart").toString
+    val store = java.nio.file.Files.createTempDirectory("nd_restart_store").toString
+    val surv = java.nio.file.Files.createTempDirectory("nd_restart_surv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_restart_ckpt").toString
+    val schema = wave1.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = DocStreaming.startNearDupDedup(stream, "doc_id", "text",
+        store, surv, ckpt)
+      q.awaitTermination(120000)
+    }
+    // first lifetime: only wave 1 exists; the query drains it and STOPS
+    wave1.coalesce(1).write.mode("append").parquet(dir)
+    run()
+    // second lifetime: wave 2 lands, a NEW query resumes from the same
+    // checkpoint + store — the cross-batch near-dup state must persist
+    // across the restart
+    wave2.coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val survivors = spark.read.parquet(surv)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 20L),
+      s"restart must keep the store: copy 11 dropped, fresh 20 kept — $survivors")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
