@@ -463,10 +463,12 @@ object Dedup {
     * a mostly-fresh delta contributes almost nothing to the intersection
     * join — false positives only enlarge the join input (the exact
     * verification kills them); false negatives don't exist, so no
-    * candidate is ever missed. Per-doc shingle SIZES still come from the
-    * full per-side indexes (undercounted sizes would inflate jaccard).
-    * At 100 TB pass `expectedShingles` from the stored index's metadata
-    * instead of paying the count job.
+    * candidate is ever missed. Per-doc shingle sizes are computed over
+    * the FULL index rows of each pair endpoint (an undercounted size
+    * would inflate jaccard), restricted to candidate docs so the corpus
+    * is never shuffled — see [[crossPairsBloom]] for the full scale
+    * contract. At 100 TB pass `expectedShingles` from the stored index's
+    * metadata instead of paying the count job.
     *
     * Returns (survivors, deltaIndex): the delta docs that survive, and the
     * delta's capped shingle index to append to the store. */
@@ -476,7 +478,8 @@ object Dedup {
                    threshold: Double = 0.8,
                    maxDf: Option[Int] = Some(DefaultMaxDf),
                    fpp: Double = 1e-6,
-                   expectedShingles: Option[Long] = None): (DataFrame, DataFrame) = {
+                   expectedShingles: Option[Long] = None,
+                   distinctCorpus: Boolean = false): (DataFrame, DataFrame) = {
     // eager localCheckpoint: the index feeds cross-verification (sizes +
     // intersection), LSH signatures, and within-verification — without
     // materialization the tokenize+shingle+distinct pass replays per branch
@@ -487,28 +490,75 @@ object Dedup {
     val edges = corpusIndex match {
       case None => within.select("i", "j")
       case Some(corpusIdx) =>
-        // distinct defensively: an at-least-once store (a replayed
-        // foreachBatch append) can hold duplicate (doc, s) rows, which
-        // would double-count intersections AND sizes; exactly-once stores
-        // pay one cheap pre-aggregated pass
-        val corpusDedup = corpusIdx.select("doc_id", "s").distinct()
-          .localCheckpoint(true) // feeds bloom build + sizes + inter join
-        val bloom = Decontaminate.serializeBloom(
-          corpusDedup.select("s"),
-          "s", expectedShingles.getOrElse(corpusDedup.count()), fpp)
-        val deltaHit = deltaIdx
-          .filter(Decontaminate.mightContain(bloom, col("s")))
-        val sizesL = corpusDedup.groupBy("doc_id")
-          .agg(count("*").as("sz_i")).toDF("i", "sz_i")
-        val sizesR = deltaIdx.groupBy("doc_id")
-          .agg(count("*").as("sz_j")).toDF("j", "sz_j")
-        val inter = corpusDedup.toDF("i", "s").join(deltaHit.toDF("j", "s"), "s")
-          .groupBy("i", "j").agg(count("*").as("inter"))
-        val cross = scorePairs(inter, sizesL, sizesR, threshold)
+        val cross = crossPairsBloom(corpusIdx, deltaIdx, threshold, fpp,
+          expectedShingles, distinctCorpus)
           // collapse every corpus endpoint to the sentinel (see scaladoc)
           .select(lit(Long.MinValue).as("i"), col("j"))
         within.select("i", "j").unionByName(cross)
     }
     (dropNearDups(delta, edges, idCol), deltaIdx)
+  }
+
+  /** Bloom-prefiltered cross near-dup pairs between a STORED corpus
+    * shingle index and a delta index — the candidate+verify core of
+    * [[nearDupDelta]], also directly usable for index-vs-index
+    * decontamination. Returns (i ∈ corpus, j ∈ delta, jaccard ≥
+    * threshold), exact.
+    *
+    * Scale shape — the corpus index is only ever SCANNED, never shuffled:
+    * the bloom build is a tree aggregation; the intersection join's delta
+    * side is bloom-cut and small (broadcastable), so the corpus streams
+    * through it; and per-doc corpus sizes are computed AFTER restricting
+    * to the candidate docs that actually appear in `inter` (a semi-join
+    * against the materialized candidate ids — lossless, since scorePairs
+    * only reads sizes for pair endpoints). A full corpus groupBy here was
+    * the one per-batch corpus shuffle this design couldn't afford.
+    *
+    * `distinctCorpus = true` adds a defensive full dedup of the store
+    * (one corpus shuffle) — only needed when the store may hold duplicate
+    * (doc, s) rows; [[graft.streaming.DocStreaming.startNearDupDedup]]
+    * writes per-batch-id partitions idempotently, so its replays never
+    * duplicate and the default skips the shuffle. */
+  def crossPairsBloom(corpusIdx: DataFrame, deltaIdx: DataFrame,
+                      threshold: Double = 0.8, fpp: Double = 1e-6,
+                      expectedShingles: Option[Long] = None,
+                      distinctCorpus: Boolean = false): DataFrame = {
+    val corpus0 = corpusIdx.select("doc_id", "s")
+    val corpus =
+      if (distinctCorpus) corpus0.distinct().localCheckpoint(true)
+      else corpus0
+    val deltaHit = bloomPrefilteredDelta(corpus, deltaIdx, fpp,
+      expectedShingles)
+    // eager: inter feeds BOTH the candidate-size semi-join and the final
+    // score join — measured: the planner does NOT reuse the aggregation
+    // subplan across the two consumers (the semi-join branch canonicalizes
+    // differently), so without materialization the corpus scan and the
+    // hit-row shuffle run once per branch. It is small: one row per
+    // surviving candidate pair.
+    val inter = corpus.toDF("i", "s").join(deltaHit.toDF("j", "s"), "s")
+      .groupBy("i", "j").agg(count("*").as("inter"))
+      .localCheckpoint(true)
+    val sizesI = corpus
+      .join(inter.select(col("i").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count("*").as("sz_i")).toDF("i", "sz_i")
+    val sizesJ = deltaIdx.groupBy("doc_id")
+      .agg(count("*").as("sz_j")).toDF("j", "sz_j")
+    scorePairs(inter, sizesI, sizesJ, threshold)
+  }
+
+  /** The delta side of [[crossPairsBloom]]'s intersection join: delta
+    * index rows whose shingle might exist in the corpus (bloom probe —
+    * false positives pass through to exact verification, false negatives
+    * impossible). Package-visible so the plan-shape suite can assert the
+    * probe is really in the plan (the checkpoint inside crossPairsBloom
+    * truncates it out of the returned DataFrame's lineage). */
+  private[graft] def bloomPrefilteredDelta(corpusIdx: DataFrame,
+                                           deltaIdx: DataFrame,
+                                           fpp: Double = 1e-6,
+                                           expectedShingles: Option[Long] = None): DataFrame = {
+    val bloom = Decontaminate.serializeBloom(corpusIdx.select("s"), "s",
+      expectedShingles.getOrElse(corpusIdx.count()), fpp)
+    deltaIdx.filter(Decontaminate.mightContain(bloom, col("s")))
   }
 }

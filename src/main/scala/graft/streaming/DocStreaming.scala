@@ -51,16 +51,16 @@ object DocStreaming {
     *     included, so later arrivals chain through dropped docs exactly
     *     like the batch operator's connected components.
     *
-    * Survivors append to `survivorsDir`; the index store lives in
-    * `storeDir` (hive-compatible parquet appends — at scale both are
-    * table-format directories on the cluster DFS, and the store is
-    * additionally what a nightly full-corpus re-dedup would consume).
-    * Restart safety comes from the checkpoint: a replayed micro-batch
-    * re-runs its delta against a store that already holds its rows, drops
-    * everything, and appends duplicate index rows — shingle rows are
-    * (doc_id, s) DISTINCT pairs, so re-appending them only duplicates
-    * rows within one doc's index, which no consumer counts twice
-    * (intersections key on (doc, shingle) pairs after a distinct).
+    * Survivors and index rows are written to per-batch-id partitions
+    * (`.../batch=<id>`, dynamic overwrite) — a replayed micro-batch
+    * OVERWRITES its own partition instead of appending duplicates, so
+    * both the survivor sink and the store are idempotent under
+    * at-least-once foreachBatch delivery, and the store never needs the
+    * defensive (corpus-shuffling) distinct in
+    * [[graft.operators.Dedup.crossPairsBloom]]. At scale both
+    * directories are table-format tables on the cluster DFS, and the
+    * store is additionally what a nightly full-corpus re-dedup would
+    * consume.
     *
     * Ids must be numeric ([[graft.operators.Dedup.nearDupDelta]]'s
     * sentinel contract). */
@@ -71,21 +71,27 @@ object DocStreaming {
                         threshold: Double = 0.8,
                         maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val processBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
       val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+      // the store is hive-partitioned by batch id; a replayed batch must
+      // not see its OWN half-written rows as "the corpus", so prior
+      // batches only
       val store =
         if (fs.exists(storePath) && fs.listStatus(storePath).nonEmpty)
-          Some(spark.read.parquet(storeDir))
+          Some(spark.read.parquet(storeDir)
+            .filter(col("batch") < batchId).drop("batch"))
         else None
       val (survivors, deltaIdx) =
         Dedup.nearDupDelta(store, batch, idCol, textCol, n, k, bands,
           threshold, maxDf)
-      // survivors FIRST: they are planned against the pre-append store
-      // snapshot; the index append lands after the decision is durable
-      survivors.write.mode("append").parquet(survivorsDir)
-      deltaIdx.write.mode("append").parquet(storeDir)
+      // survivors FIRST: they are planned against the pre-write store
+      // snapshot; per-batch-id overwrite makes a replay rewrite the same
+      // partitions instead of duplicating them
+      survivors.write.mode("overwrite")
+        .parquet(s"$survivorsDir/batch=$batchId")
+      deltaIdx.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
