@@ -1355,6 +1355,83 @@ object ExtensionQueries {
       |FROM range(50) t(i)
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q58 — INCREMENTAL near-dup dedup end-to-end (the batch-ingest /
+  //       streaming micro-batch unit): even-id docs are the already-
+  //       ingested corpus, odd-id docs arrive as the delta; a delta doc
+  //       survives iff its transitive within-delta near-dup component
+  //       contains no corpus near-dup and it is the component's min id.
+  //       Exercises the Bloom-prefiltered cross verification, the
+  //       sentinel-collapsed closure, and per-side maxDf caps. Oracle:
+  //       per-side-capped cross + within jaccard in SQL, recursive-CTE
+  //       closure, tainted-component drop.
+  // -------------------------------------------------------------------
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val delta = d.filter(col("doc_id") % 2 === 1)
+    val corpusIdx = Dedup.buildShingleIndex(corpus, "doc_id", "text", n = 3)
+    val (surv, _) = Dedup.nearDupDelta(Some(corpusIdx), delta,
+      "doc_id", "text")
+    sorted(surv.select("doc_id", "source"))
+  }
+
+  val q58Sql: String =
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+      |), shc AS (
+      |  SELECT * FROM sh0 WHERE doc_id % 2 = 0
+      |    AND s IN (SELECT s FROM sh0 WHERE doc_id % 2 = 0
+      |              GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |), shd AS (
+      |  SELECT * FROM sh0 WHERE doc_id % 2 = 1
+      |    AND s IN (SELECT s FROM sh0 WHERE doc_id % 2 = 1
+      |              GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |), szc AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1
+      |), szd AS (SELECT doc_id, count(*) n FROM shd GROUP BY 1
+      |), crosshit AS (
+      |  SELECT DISTINCT x.j FROM (
+      |    SELECT c.doc_id i, dd.doc_id j, count(*) inter
+      |    FROM shc c JOIN shd dd ON c.s = dd.s GROUP BY 1, 2
+      |  ) x JOIN szc ON szc.doc_id = x.i JOIN szd ON szd.doc_id = x.j
+      |  WHERE x.inter * 1.0 / (szc.n + szd.n - x.inter) >= 0.8
+      |), wp AS (
+      |  SELECT x.i, x.j FROM (
+      |    SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |    FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2
+      |  ) x JOIN szd sa ON sa.doc_id = x.i JOIN szd sb ON sb.doc_id = x.j
+      |  WHERE x.inter * 1.0 / (sa.n + sb.n - x.inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM wp UNION SELECT j, i FROM wp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+      |), full_comp AS (
+      |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |), tainted AS (
+      |  SELECT DISTINCT component FROM full_comp
+      |  WHERE doc_id IN (SELECT j FROM crosshit)
+      |), losers AS (
+      |  SELECT doc_id FROM full_comp
+      |  WHERE component IN (SELECT component FROM tainted)
+      |     OR doc_id <> component
+      |)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1398,6 +1475,7 @@ object ExtensionQueries {
     ("q54_skew_report", q54 _, q54Sql),
     ("q55_dedup_delta", q55 _, q55Sql),
     ("q56_sample_to_budget", q56 _, q56Sql),
-    ("q57_video_near_dup", q57 _, q57Sql) // golden planted-pair set
+    ("q57_video_near_dup", q57 _, q57Sql), // golden planted-pair set
+    ("q58_neardup_delta", q58 _, q58Sql)
   )
 }
