@@ -103,6 +103,17 @@ object ScaleProbe {
         },
         s"simhash" -> timed(s"$tag simhash pairs") {
           graft.operators.Dedup.simhashPairs(d, "doc_id", "text").count()
+        },
+        // FIXED 500-doc delta (replica-0 ids exist at every factor, exact
+        // copies of corpus docs → hit-heavy cross verification) ingested
+        // against the 1x vs Nx corpus index: witnesses that incremental
+        // near-dup dedup scales in corpus SCANS, not shuffles — the
+        // per-micro-batch cost a streaming pipeline pays forever
+        s"delta" -> timed(s"$tag nearDup delta ingest") {
+          val delta = d.filter(col("doc_id") < 500)
+            .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+          graft.operators.Dedup.nearDupDelta(Some(idx), delta,
+            "doc_id", "text", maxDf = None)._1.count()
         })
       idx.unpersist()
       r

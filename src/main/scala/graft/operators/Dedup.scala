@@ -479,12 +479,18 @@ object Dedup {
                    maxDf: Option[Int] = Some(DefaultMaxDf),
                    fpp: Double = 1e-6,
                    expectedShingles: Option[Long] = None,
-                   distinctCorpus: Boolean = false): (DataFrame, DataFrame) = {
+                   distinctCorpus: Boolean = false,
+                   deltaShinglesDf: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // eager localCheckpoint: the index feeds cross-verification (sizes +
     // intersection), LSH signatures, and within-verification — without
-    // materialization the tokenize+shingle+distinct pass replays per branch
-    val deltaIdx = buildShingleIndex(delta, idCol, textCol, n, maxDf)
-      .localCheckpoint(true)
+    // materialization the tokenize+shingle+distinct pass replays per
+    // branch. A caller carving the delta index from an already-persisted
+    // shared index passes it via deltaShinglesDf (with the cap semantics
+    // it was built under — the buildShingleIndex contract) and skips the
+    // re-materialization.
+    val deltaIdx = deltaShinglesDf.getOrElse(
+      buildShingleIndex(delta, idCol, textCol, n, maxDf)
+        .localCheckpoint(true))
     val within = minhashLsh(delta, idCol, textCol, n, k, bands, threshold,
       maxDf = None, shinglesDf = Some(deltaIdx))
     val edges = corpusIndex match {

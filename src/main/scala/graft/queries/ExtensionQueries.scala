@@ -1361,18 +1361,22 @@ object ExtensionQueries {
   //       ingested corpus, odd-id docs arrive as the delta; a delta doc
   //       survives iff its transitive within-delta near-dup component
   //       contains no corpus near-dup and it is the component's min id.
-  //       Exercises the Bloom-prefiltered cross verification, the
-  //       sentinel-collapsed closure, and per-side maxDf caps. Oracle:
-  //       per-side-capped cross + within jaccard in SQL, recursive-CTE
-  //       closure, tainted-component drop.
+  //       Exercises the Bloom-prefiltered cross verification and the
+  //       sentinel-collapsed closure. Both side indexes are CARVED from
+  //       the shared persisted global-capped index (q19/q20/q39
+  //       doctrine — tokenization never re-runs; measured 9.6 s → ~2 s
+  //       at sf0.1), so the cap is the global corpus cap, mirrored by
+  //       the oracle. Oracle: globally-capped parity-split cross +
+  //       within jaccard in SQL, recursive-CTE closure,
+  //       tainted-component drop.
   // -------------------------------------------------------------------
   def q58(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val sh = shingles3(s, dir)
     val delta = d.filter(col("doc_id") % 2 === 1)
-    val corpusIdx = Dedup.buildShingleIndex(corpus, "doc_id", "text", n = 3)
-    val (surv, _) = Dedup.nearDupDelta(Some(corpusIdx), delta,
-      "doc_id", "text")
+    val (surv, _) = Dedup.nearDupDelta(
+      Some(sh.filter(col("doc_id") % 2 === 0)), delta, "doc_id", "text",
+      deltaShinglesDf = Some(sh.filter(col("doc_id") % 2 === 1)))
     sorted(surv.select("doc_id", "source"))
   }
 
@@ -1385,14 +1389,14 @@ object ExtensionQueries {
       |  WHERE len(t) >= 3
       |  UNION
       |  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+      |), shx AS (
+      |  SELECT * FROM sh0
+      |  WHERE s IN (SELECT s FROM sh0 GROUP BY s
+      |              HAVING count(*) <= ${Dedup.DefaultMaxDf})
       |), shc AS (
-      |  SELECT * FROM sh0 WHERE doc_id % 2 = 0
-      |    AND s IN (SELECT s FROM sh0 WHERE doc_id % 2 = 0
-      |              GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |  SELECT * FROM shx WHERE doc_id % 2 = 0
       |), shd AS (
-      |  SELECT * FROM sh0 WHERE doc_id % 2 = 1
-      |    AND s IN (SELECT s FROM sh0 WHERE doc_id % 2 = 1
-      |              GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDf})
+      |  SELECT * FROM shx WHERE doc_id % 2 = 1
       |), szc AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1
       |), szd AS (SELECT doc_id, count(*) n FROM shd GROUP BY 1
       |), crosshit AS (
