@@ -92,7 +92,10 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (sentinel -1) are excluded from the headline total —
+    // summing the negative sentinel would make a hard-broken query LOWER
+    // the total, reading as a speedup in cross-round comparisons
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

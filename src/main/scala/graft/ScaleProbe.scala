@@ -112,8 +112,12 @@ object ScaleProbe {
         s"delta" -> timed(s"$tag nearDup delta ingest") {
           val delta = d.filter(col("doc_id") < 500)
             .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+          // default maxDf on the delta side = the cap idx was built with:
+          // mismatched caps would deflate exact-copy jaccard and quietly
+          // turn the hit-heavy workload this step exists to time into a
+          // miss-heavy one
           graft.operators.Dedup.nearDupDelta(Some(idx), delta,
-            "doc_id", "text", maxDf = None)._1.count()
+            "doc_id", "text")._1.count()
         })
       idx.unpersist()
       r
@@ -161,7 +165,11 @@ object ScaleProbe {
       val r1 = d1.getOrElse(k, a1.getOrElse(k, p1(k)))
       val rN = dN.getOrElse(k, aN.getOrElse(k, pN(k)))
       val ratio = rN / r1
-      val gated = r1 >= noiseFloorSec
+      // gate when the 1x time clears the noise floor, OR when the Nx time
+      // is large in absolute terms even though the 1x was fast — a
+      // quadratic regression in a sub-floor step (r1 = 0.1 s, rN = 6.4 s
+      // at factor 8) must not slip through the jitter exemption
+      val gated = r1 >= noiseFloorSec || rN >= noiseFloorSec * bound
       val pass = !gated || ratio <= bound
       println(f"[probe]   $k%-10s $ratio%6.1fx" +
         (if (!gated) "  (under noise floor, not gated)"

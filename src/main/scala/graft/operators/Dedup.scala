@@ -488,8 +488,11 @@ object Dedup {
     // shared index passes it via deltaShinglesDf (with the cap semantics
     // it was built under — the buildShingleIndex contract) and skips the
     // re-materialization.
-    val deltaIdx = deltaShinglesDf.getOrElse(
-      buildShingleIndex(delta, idCol, textCol, n, maxDf)
+    // name-normalized: downstream renames are positional (capShingles
+    // contract), so a provided index must be coerced to (doc_id, s)
+    val deltaIdx = deltaShinglesDf
+      .map(_.select("doc_id", "s"))
+      .getOrElse(buildShingleIndex(delta, idCol, textCol, n, maxDf)
         .localCheckpoint(true))
     val within = minhashLsh(delta, idCol, textCol, n, k, bands, threshold,
       maxDf = None, shinglesDf = Some(deltaIdx))
@@ -525,10 +528,14 @@ object Dedup {
     * (doc, s) rows; [[graft.streaming.DocStreaming.startNearDupDedup]]
     * writes per-batch-id partitions idempotently, so its replays never
     * duplicate and the default skips the shuffle. */
-  def crossPairsBloom(corpusIdx: DataFrame, deltaIdx: DataFrame,
+  def crossPairsBloom(corpusIdx: DataFrame, deltaIdx0: DataFrame,
                       threshold: Double = 0.8, fpp: Double = 1e-6,
                       expectedShingles: Option[Long] = None,
                       distinctCorpus: Boolean = false): DataFrame = {
+    // normalize BOTH sides' column order by name before any positional
+    // toDF rename below — a caller-supplied index stored as (s, doc_id)
+    // would otherwise silently join doc ids against shingle hashes
+    val deltaIdx = deltaIdx0.select("doc_id", "s")
     val corpus0 = corpusIdx.select("doc_id", "s")
     val corpus =
       if (distinctCorpus) corpus0.distinct().localCheckpoint(true)

@@ -75,9 +75,17 @@ object Similarity {
     * [[graft.model.Aggregators.TopKByScore]] aggregation (map-side
     * partial combine — the shuffle carries ≤ k rows per (partition,
     * query), never the full scored relation); other id types fall back to
-    * the row_number window. */
-  private def rankTopK(scored: DataFrame, k: Int,
+    * the row_number window.
+    *
+    * Degenerate similarities are dropped up front: a NULL cos (null
+    * embedding) would crash the aggregation's non-nullable input encoder,
+    * and a NaN cos (zero vector → NaN normalization) orders differently
+    * under Spark's desc (largest) vs Scala's total ordering (smallest) —
+    * filtering both keeps the two paths identical and treats an undefined
+    * similarity as "not a neighbor" rather than rank 1. */
+  private def rankTopK(scored0: DataFrame, k: Int,
                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val scored = scored0.filter(col("cos").isNotNull && !isnan(col("cos")))
     val integralId = idType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |

@@ -71,8 +71,25 @@ object DocStreaming {
                         threshold: Double = 0.8,
                         maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // running store-size estimate so steady-state batches skip the
+    // full-store count job the bloom sizing would otherwise pay (one
+    // count on the first batch of a lifetime seeds it; replays can
+    // overcount, which only oversizes the filter — the safe direction)
+    val knownShingles = new java.util.concurrent.atomic.AtomicLong(-1L)
     val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
+      // explicit schema: a crash can leave the store with only an
+      // uncommitted _temporary dir, and schema INFERENCE over zero
+      // committed files throws on every replay — a permanent crash loop;
+      // with the schema supplied, an effectively-empty store just reads
+      // as zero rows and the batch proceeds
+      val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          batch.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType)))
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
       val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
       // the store is hive-partitioned by batch id; a replayed batch must
@@ -80,18 +97,25 @@ object DocStreaming {
       // batches only
       val store =
         if (fs.exists(storePath) && fs.listStatus(storePath).nonEmpty)
-          Some(spark.read.parquet(storeDir)
+          Some(spark.read.schema(storeSchema).parquet(storeDir)
             .filter(col("batch") < batchId).drop("batch"))
         else None
+      val expected = store.flatMap { s =>
+        if (knownShingles.get() >= 0) Some(knownShingles.get())
+        else { val c = s.count(); knownShingles.set(c); Some(c) }
+      }
       val (survivors, deltaIdx) =
         Dedup.nearDupDelta(store, batch, idCol, textCol, n, k, bands,
-          threshold, maxDf)
+          threshold, maxDf, expectedShingles = expected)
       // survivors FIRST: they are planned against the pre-write store
       // snapshot; per-batch-id overwrite makes a replay rewrite the same
       // partitions instead of duplicating them
       survivors.write.mode("overwrite")
         .parquet(s"$survivorsDir/batch=$batchId")
       deltaIdx.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      // deltaIdx is checkpoint-materialized inside nearDupDelta, so this
+      // count reads cached blocks, not the pipeline
+      knownShingles.set(math.max(knownShingles.get(), 0L) + deltaIdx.count())
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -924,6 +924,25 @@ class PipelineOpsSpec extends SparkSpec {
       "temperature < 1 up-samples the small source")
   }
 
+  test("kNN tolerates degenerate vectors: zero/null embeddings are not neighbors") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f)), // zero vector: NaN cosine
+      (4L, null.asInstanceOf[Array[Float]]) // null embedding: null cosine
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    // null cos would crash the bounded aggregation's non-nullable input
+    // encoder; NaN would rank FIRST under the window's desc but LAST
+    // under Scala's total ordering — both are filtered, identically on
+    // either path: an undefined similarity is not a neighbor
+    val res = Similarity.bruteKnn(q, corpus, k = 4).collect()
+    assert(res.map(_.getLong(1)).toSet == Set(1L, 2L),
+      s"degenerate vectors must not rank: ${res.toSeq}")
+    assert(res.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("video decoder seam: a custom decoder is picked up; default still MJPEG-only") {
     import spark.implicits._
     def frame(v: Int): java.awt.image.BufferedImage = {
