@@ -335,6 +335,40 @@ object Similarity {
     } finally cBuild.unpersist(): Unit
   }
 
+  /** Validated centroid read of a [[saveIvfIndex]] layout — fails fast
+    * with a named error (missing dir, empty table) instead of the bare
+    * Spark analysis error a consuming plan would otherwise surface. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Double]] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir),
+      s"$path/centroids does not exist — not a saveIvfIndex layout")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"$path/centroids is empty — not a saveIvfIndex layout")
+    cents
+  }
+
+  /** Validated corpus read of a [[saveIvfIndex]] layout: the corpus dir
+    * must exist and carry the `cell` hive-partition column — without it
+    * every downstream probe join would full-scan (or fail unresolved)
+    * instead of partition-pruning, so a malformed layout is an error, not
+    * a degradation. */
+  private def readIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir),
+      s"$path/corpus does not exist — not a saveIvfIndex layout")
+    val stored = spark.read.parquet(s"$path/corpus")
+    require(stored.columns.contains("cell"),
+      s"$path/corpus lacks the `cell` partition column — not a " +
+        "saveIvfIndex layout (written without partitionBy(\"cell\")?)")
+    stored
+  }
+
   /** Serve kNN from a [[saveIvfIndex]] layout: per query, probe the
     * `nprobe` nearest cells and join the PARTITIONED index on the cell id.
     * The probe side is broadcast, so dynamic partition pruning narrows the
@@ -344,14 +378,11 @@ object Similarity {
   def ivfKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, k: Int, nprobe: Int = 4,
                    qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, s"$path/centroids is empty — not a saveIvfIndex layout")
+    val cents = readCentroids(spark, path)
     val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
     val probed = q.withColumn("cell",
       explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
-    val stored = spark.read.parquet(s"$path/corpus")
+    val stored = readIvfCorpus(spark, path)
     rankTopK(
       stored.join(broadcast(probed), "cell")
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -360,6 +391,72 @@ object Similarity {
         .distinct(),
       k, stored.schema("neighbor_id").dataType)
   }
+
+  /** Incremental EMBEDDING near-dup dedup — the
+    * [[graft.operators.Dedup.nearDupDelta]] shape for vectors: dedup a
+    * DELTA of embeddings against a stored [[saveIvfIndex]] corpus (never
+    * re-scoring the corpus against itself), first-arrival-wins. This is
+    * the micro-batch unit of a batch-ingest embedding pipeline — the
+    * production twin q58 gave the text side.
+    *
+    *  - CROSS edges (delta vs corpus): each delta vector probes its
+    *    `nprobe` nearest cells via the SAVED centroids and equi-joins the
+    *    cell-partitioned index. The probe side is broadcast, so dynamic
+    *    partition pruning narrows the corpus scan to the probed cells
+    *    (~nprobe/nlist of the index) — the corpus is scanned, never
+    *    shuffled, and nothing is recomputed per delta. Candidates are
+    *    exact-verified (cosine ≥ threshold). An identical re-ingest ranks
+    *    cells exactly like its stored twin, so exact duplicates are found
+    *    with probability 1 whenever nprobe ≥ the index's replicate
+    *    factor; near-but-not-identical pairs have the standard IVF
+    *    boundary recall (gated ≥ 0.9 in PipelineOpsSpec).
+    *  - WITHIN edges (delta vs delta) come from [[nearDupPairs]].
+    *  - Every corpus endpoint is collapsed to one sentinel node
+    *    (Long.MinValue — ids must be numeric) before the transitive
+    *    closure, the same lossless argument as the text twin: a delta doc
+    *    whose component touches the corpus drops, and merging corpus
+    *    nodes only merges components that would each drop anyway.
+    *
+    * Returns (survivors, deltaAssign): the delta rows that survive, and
+    * the delta's normalized cell-assigned index rows (neighbor_id, cv,
+    * cell — the stored-corpus schema). Append deltaAssign to the index
+    * via [[appendToIvfIndex]] REGARDLESS of survival, so later deltas
+    * chain through dropped docs exactly like batch connected components.
+    * Centroids are not retrained per delta (standard IVF practice — the
+    * index drifts only when rebuilt); rebuild when the appended volume
+    * rivals the original corpus. */
+  def nearDupDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                   delta: DataFrame, threshold: Double,
+                   nprobe: Int = 4, replicate: Int = 2, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(threshold > -1 && threshold < 1, s"threshold $threshold not in (-1, 1)")
+    val cents = readCentroids(spark, path)
+    val stored = readIvfCorpus(spark, path)
+    val d = delta.select(col(idCol).as("j"), normalize(col(vecCol)).as("dv"))
+    val probed = d.withColumn("cell",
+      explode(topCells(col("dv"), cents, math.min(nprobe, cents.length))))
+    // any ≥-threshold corpus hit taints the delta doc — only the EXISTENCE
+    // matters downstream, so collapse to the sentinel immediately (the
+    // distinct then dedups sentinel edges, not (i, j, cos) triples)
+    val cross = stored.join(broadcast(probed), "cell")
+      .filter(dotp(col("cv"), col("dv")) >= threshold)
+      .select(lit(Long.MinValue).as("i"), col("j"))
+      .distinct()
+    val within = nearDupPairs(delta, threshold, idCol, vecCol, dim)
+      .select("i", "j")
+    val survivors = Dedup.dropNearDups(delta, within.unionByName(cross), idCol)
+    val assign = d.select(col("j").as("neighbor_id"), col("dv").as("cv"))
+      .withColumn("cell",
+        explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+    (survivors, assign)
+  }
+
+  /** Append [[nearDupDelta]]'s deltaAssign rows (neighbor_id, cv, cell)
+    * to a [[saveIvfIndex]] corpus — new files land inside the existing
+    * cell partitions, so probe-side partition pruning keeps working
+    * unchanged. */
+  def appendToIvfIndex(rows: DataFrame, path: String): Unit =
+    rows.write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
     * threshold. Default path is sign-LSH candidate generation + exact

@@ -1436,6 +1436,94 @@ object ExtensionQueries {
       |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM losers)
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q59 — INCREMENTAL embedding near-dup dedup against a STORED IVF
+  //       index (the vector twin of q58): the embeddings table is the
+  //       already-ingested corpus (saved as a cell-partitioned IVF
+  //       index); the delta plants all three behaviors deterministically
+  //       — vec_id%10==0 re-ingested verbatim (cross hit → drop),
+  //       %10==1 rotated by 13 positions (fresh → survive; rotation is
+  //       an isometry, so rotated-vs-rotated cosines equal the raw pair
+  //       cosines, and rotated-vs-raw cosines are empirically ≤ 0.57 at
+  //       every gate scale vs the 0.9 threshold), %10==2 rotated TWICE
+  //       under two ids (within-delta twin pair → min id survives).
+  //       Deterministic despite nprobe < nlist: an identical re-ingest
+  //       ranks cells exactly like its stored twin (nprobe 4 ≥ replicate
+  //       2 ⇒ guaranteed cell overlap), and cos-1.0 within twins collide
+  //       in every LSH table. Oracle: exact-cosine cross + within pairs,
+  //       recursive-CTE closure, tainted-component drop (q58's shape).
+  // -------------------------------------------------------------------
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q59_ivf_" +
+      Integer.toHexString(dir.hashCode)
+    Similarity.saveIvfIndex(e, path, nlist = 16, replicate = 2)
+    val rot = concat(slice(col("embedding"), 14, 51),
+      slice(col("embedding"), 1, 13))
+    val delta = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 10 === 1)
+        .select((col("vec_id") + 10000).as("vec_id"), rot.as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 10 === 2)
+        .select(explode(array(col("vec_id") + 10000, col("vec_id") + 20000))
+          .as("vec_id"), rot.as("embedding")))
+    val (surv, _) = Similarity.nearDupDelta(s, path, delta, threshold = 0.9)
+    sorted(surv.select("vec_id"))
+  }
+
+  val q59Sql: String =
+    """WITH RECURSIVE delta AS (
+      |  SELECT vec_id + 10000 AS vid, embedding AS v
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding[14:] || embedding[:13]
+      |  FROM embeddings WHERE vec_id % 10 = 1
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding[14:] || embedding[:13]
+      |  FROM embeddings WHERE vec_id % 10 = 2
+      |  UNION ALL
+      |  SELECT vec_id + 20000, embedding[14:] || embedding[:13]
+      |  FROM embeddings WHERE vec_id % 10 = 2
+      |), cp AS (
+      |  SELECT c.vec_id i, d.vid j, c.embedding va, d.v vb
+      |  FROM embeddings c, delta d
+      |), cex AS (SELECT i, j, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM cp
+      |), cd AS (
+      |  SELECT i, j, SUM(x*y)/sqrt(SUM(x*x))/sqrt(SUM(y*y)) cos
+      |  FROM cex GROUP BY 1, 2
+      |), crosshit AS (SELECT DISTINCT j FROM cd WHERE cos >= 0.9
+      |), wp0 AS (
+      |  SELECT a.vid i, b.vid j, a.v va, b.v vb
+      |  FROM delta a JOIN delta b ON a.vid < b.vid
+      |), wex AS (SELECT i, j, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM wp0
+      |), wp AS (
+      |  SELECT i, j FROM (
+      |    SELECT i, j, SUM(x*y)/sqrt(SUM(x*x))/sqrt(SUM(y*y)) cos
+      |    FROM wex GROUP BY 1, 2
+      |  ) WHERE cos >= 0.9
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM wp UNION SELECT j, i FROM wp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+      |), full_comp AS (
+      |  SELECT d.vid AS doc_id, coalesce(c.component, d.vid) AS component
+      |  FROM delta d LEFT JOIN comp c ON c.doc_id = d.vid
+      |), tainted AS (
+      |  SELECT DISTINCT component FROM full_comp
+      |  WHERE doc_id IN (SELECT j FROM crosshit)
+      |), losers AS (
+      |  SELECT doc_id FROM full_comp
+      |  WHERE component IN (SELECT component FROM tainted)
+      |     OR doc_id <> component
+      |)
+      |SELECT vid AS vec_id FROM delta
+      |WHERE vid NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY 1 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1480,6 +1568,7 @@ object ExtensionQueries {
     ("q55_dedup_delta", q55 _, q55Sql),
     ("q56_sample_to_budget", q56 _, q56Sql),
     ("q57_video_near_dup", q57 _, q57Sql), // golden planted-pair set
-    ("q58_neardup_delta", q58 _, q58Sql)
+    ("q58_neardup_delta", q58 _, q58Sql),
+    ("q59_vec_neardup_delta", q59 _, q59Sql)
   )
 }

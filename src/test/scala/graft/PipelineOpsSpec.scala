@@ -406,6 +406,92 @@ class PipelineOpsSpec extends SparkSpec {
       s"index scan is not partition-pruned:\n${scanLine.getOrElse("<no scan>")}")
   }
 
+  test("incremental embedding near-dup delta: re-ingests drop surely, recall >= 0.9 on perturbed, fresh survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_delta").toString
+    Similarity.saveIvfIndex(seeded10k, dir, nlist = 16, replicate = 2)
+    val rnd = new scala.util.Random(7)
+    val base = seeded10k.filter(col("vec_id") < 32).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // one perturbed copy per cluster (ids 0..31 hit all 32 clusters), so
+    // within-delta pairs are cross-cluster and stay far below threshold
+    val perturbed = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val exactCopies = seeded10k.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .collect().map(r => (r.getLong(0) + 300000L, r.getSeq[Float](1).toArray))
+    val fresh = (0 until 8).map(i =>
+      (200000L + i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val delta = (perturbed ++ exactCopies ++ fresh).toSeq
+      .toDF("vec_id", "embedding")
+    val (surv, assign) = Similarity.nearDupDelta(spark, dir, delta,
+      threshold = 0.95, nprobe = 4, replicate = 2, dim = 16)
+    val survIds = surv.select("vec_id").collect().map(_.getLong(0)).toSet
+    // exact cross ground truth: delta docs with ANY >= 0.95 corpus hit
+    val taintedTrue = delta.toDF("j", "dv").select(col("j"),
+        Similarity.normalize(col("dv")).as("dv"))
+      .crossJoin(seeded10k.toDF("i", "cv").select(col("i"),
+        Similarity.normalize(col("cv")).as("cv")))
+      .filter(Similarity.dot(col("dv"), col("cv")) >= 0.95)
+      .select("j").distinct().collect().map(_.getLong(0)).toSet
+    // identical re-ingests rank cells exactly like their stored twins:
+    // detection is guaranteed, not probabilistic
+    assert(exactCopies.map(_._1).toSet.subsetOf(taintedTrue))
+    assert(exactCopies.forall(c => !survIds.contains(c._1)),
+      "an exact re-ingest survived — the probability-1 guarantee is broken")
+    // perturbed copies: standard IVF boundary recall, gated at 0.9
+    val taintedPerturbed = perturbed.map(_._1).toSet & taintedTrue
+    assert(taintedPerturbed.nonEmpty, "fixture lost its perturbed near-dups")
+    val caught = taintedPerturbed.count(id => !survIds.contains(id))
+    val recall = caught.toDouble / taintedPerturbed.size
+    assert(recall >= 0.9, s"delta cross recall = $recall < 0.9")
+    // precision 1 by construction (exact verification): nothing untainted
+    // may drop
+    val untainted = delta.select("vec_id").collect().map(_.getLong(0)).toSet -- taintedTrue
+    assert(untainted.subsetOf(survIds),
+      s"untainted delta docs dropped: ${(untainted -- survIds).mkString(",")}")
+    // the returned index rows have the stored-corpus schema and replicate
+    // cell assignments, ready for appendToIvfIndex
+    assert(assign.columns.toSeq == Seq("neighbor_id", "cv", "cell"))
+    assert(assign.count() == delta.count() * 2)
+    // append + a follow-up delta: a re-ingest of a FIRST-delta doc (even a
+    // dropped one) must now hit the store — chaining through appended rows
+    Similarity.appendToIvfIndex(assign, dir)
+    val again = Seq((500000L, perturbed.head._2)).toDF("vec_id", "embedding")
+    val (surv2, _) = Similarity.nearDupDelta(spark, dir, again,
+      threshold = 0.95, nprobe = 4, replicate = 2, dim = 16)
+    assert(surv2.count() == 0,
+      "re-ingest of an appended delta doc survived — the store append is not chaining")
+  }
+
+  test("ivf layout validation: missing index dir and unpartitioned corpus fail fast with named errors") {
+    import spark.implicits._
+    val q = seeded10k.filter(col("vec_id") < 2)
+    val missing = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnStored(spark, "/tmp/graft_no_such_index", q, k = 5)
+    }
+    assert(missing.getMessage.contains("not a saveIvfIndex layout"))
+    val missingDelta = intercept[IllegalArgumentException] {
+      Similarity.nearDupDelta(spark, "/tmp/graft_no_such_index", q, 0.9,
+        dim = 16)
+    }
+    assert(missingDelta.getMessage.contains("not a saveIvfIndex layout"))
+    // corpus written WITHOUT partitionBy("cell"): centroids valid, corpus not
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bad").toString
+    Similarity.saveIvfIndex(seeded10k.limit(100), dir, nlist = 4, replicate = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus"), true)
+    seeded10k.limit(10)
+      .select(col("vec_id").as("neighbor_id"),
+        Similarity.normalize(col("embedding")).as("cv"))
+      .write.parquet(s"$dir/corpus")
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnStored(spark, dir, q, k = 5)
+    }
+    assert(bad.getMessage.contains("cell"))
+  }
+
   test("sequence packing honors the budget up to one straddling doc per pack") {
     import graft.operators.Packing
     import spark.implicits._
