@@ -191,6 +191,47 @@ object Dedup {
     scorePairs(inter, sizesL, sizesR, threshold)
   }
 
+  /** Hot-bucket guard cap for the LSH band joins ([[minhashLsh]],
+    * [[graft.operators.Similarity.nearDupPairs]]): an exact-duplicate
+    * cluster of d docs shares its FULL signature, so it collides in every
+    * band and an unguarded band self-join emits d²/2 candidates per band —
+    * the shingle maxDf cap cannot bound this (identical docs collide on
+    * whole signatures regardless of shingle df). Buckets up to the cap
+    * join all-pairs (semantics unchanged); a bucket above it degrades to
+    * CONNECTIVITY-PRESERVING star pairs (bucket-min id, member): d−1
+    * candidates, so the transitive closure still merges the cluster and
+    * [[dropNearDups]] keeps exactly one canonical member, while the
+    * candidate count stays linear in the bucket size. The trade: in a hot
+    * bucket of near-but-NOT-identical docs a star pair can fail exact
+    * verification where a non-star pair would have passed, so pair
+    * ENUMERATION in hot buckets can under-report — run [[exact]] dedup
+    * first (hot buckets are overwhelmingly exact-dup clusters) or raise
+    * the cap. Measured fixture buckets are ≤ 11 at every gate scale vs
+    * this cap, so the guard is inert until a corpus actually needs it. */
+  val DefaultMaxBucket = 256
+
+  /** Candidate (i, j) pairs from a bucketed relation: all-pairs within
+    * buckets of ≤ cap rows, star pairs (bucket min, member) above —
+    * see [[DefaultMaxBucket]]. `rows` columns: `id` + `keys`; both the
+    * size aggregation and the self-join shuffle on `keys`, so the guard
+    * adds one co-partitioned aggregation, not a new shuffle shape. */
+  private[operators] def guardedBucketPairs(rows: DataFrame, id: String,
+      keys: Seq[String], cap: Int): DataFrame = {
+    val sizes = rows.groupBy(keys.map(col): _*)
+      .agg(count("*").as("__bsz"), min(col(id)).as("__bmin"))
+    val tagged = rows.join(sizes, keys)
+    val small = tagged.filter(col("__bsz") <= cap)
+      .select((keys :+ id).map(col): _*)
+    val allPairs = small.toDF((keys :+ "i"): _*)
+      .join(small.toDF((keys :+ "j"): _*), keys)
+      .filter(col("i") < col("j"))
+      .select("i", "j")
+    // __bmin < id for every non-min member, so i < j holds by construction
+    val star = tagged.filter(col("__bsz") > cap && col(id) =!= col("__bmin"))
+      .select(col("__bmin").as("i"), col(id).as("j"))
+    allPairs.unionByName(star)
+  }
+
   /** k min-hashes per document: min over shingles of xxhash64(seed,
     * shingle), one grouped aggregation computing all k mins in a single
     * pass over the exploded shingles (map-side combine makes the shuffle k
@@ -221,7 +262,8 @@ object Dedup {
                  n: Int = 3, k: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8,
                  maxDf: Option[Int] = Some(DefaultMaxDf),
-                 shinglesDf: Option[DataFrame] = None): DataFrame = {
+                 shinglesDf: Option[DataFrame] = None,
+                 maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // build the shingle index once: signatures AND verification reuse it
@@ -240,10 +282,8 @@ object Dedup {
     }: _*)
     val bandRows = sig.select(col("doc_id"),
       posexplode(bandArr).as(Seq("band", "sig")))
-    val cands = bandRows.toDF("i", "band", "sig")
-      .join(bandRows.toDF("j", "band", "sig"), Seq("band", "sig"))
-      .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
+    val cands = guardedBucketPairs(bandRows, "doc_id", Seq("band", "sig"),
+      maxBucket.getOrElse(Int.MaxValue)).distinct()
 
     // exact verification of candidates only
     val sh = shIdx
@@ -284,7 +324,15 @@ object Dedup {
     * within distance maxHamming must agree EXACTLY on ≥1 band (pigeonhole
     * — the differing bits can't touch every band), so equi-joins on band
     * values find all of them with no cross join; exact-verify with
-    * bit_count(xor). Input columns: (idCol, sigCol: long). */
+    * bit_count(xor). Input columns: (idCol, sigCol: long).
+    *
+    * No hot-bucket guard here, deliberately: an identical-signature
+    * cluster of d docs is d²/2 hamming-0 pairs in the OUTPUT itself, so
+    * no output-preserving cap exists — the [[guardedBucketPairs]] star
+    * degradation would silently drop true ≤-maxHamming pairs that this
+    * operator's exact oracle enumerates. The scale discipline is the
+    * ordering contract: run [[exact]] dedup first, which removes
+    * identical docs (and with them identical signatures) before banding. */
   def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
                    bits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,

@@ -494,7 +494,8 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    dim: Int = 64, planes: Int = 0, tables: Int = 0,
-                   missProb: Double = 1e-4): DataFrame = {
+                   missProb: Double = 1e-4,
+                   maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame = {
     require(threshold > -1 && threshold < 1, s"threshold $threshold not in (-1, 1)")
     val pPlane = 1.0 - math.acos(threshold) / math.Pi
     def tablesFor(p: Int): Int = math.max(1,
@@ -518,9 +519,10 @@ object Similarity {
           normalize(col(vecCol)).as("va"))
         val bucketed = bucketRows(corpus, idCol, vecCol, "i", "va", t, p, dim)
           .select("i", "t", "b")
-        val cands = bucketed.join(bucketed.toDF("j", "t", "b"), Seq("t", "b"))
-          .filter(col("i") < col("j"))
-          .select("i", "j").distinct()
+        // hot-bucket guard: identical vectors share every (t, b) bucket —
+        // see Dedup.DefaultMaxBucket for the star-degradation contract
+        val cands = Dedup.guardedBucketPairs(bucketed, "i", Seq("t", "b"),
+          maxBucket.getOrElse(Int.MaxValue)).distinct()
         cands
           .join(normed, Seq("i"))
           .join(normed.toDF("j", "vb"), Seq("j"))

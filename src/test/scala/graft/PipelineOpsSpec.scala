@@ -492,6 +492,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("cell"))
   }
 
+  test("hot-bucket guard: 1k-identical clusters yield linear star candidates and still dedup to one") {
+    import spark.implicits._
+    val boiler = "the same boilerplate text repeated verbatim across every " +
+      "cluster member with enough tokens to shingle properly"
+    val d = ((0L until 1000L).map(i => (i, boiler)) ++ Seq(
+      (5000L, "a completely different document about ships harbors and tides"),
+      (5001L, "another unrelated text mentioning mountains valleys and rivers")))
+      .toDF("doc_id", "text")
+    // maxDf = None: the unguarded regime (prebuilt-index / small-corpus
+    // path) where identical docs keep their shingles and collide on every
+    // band — without the bucket guard this is 500k candidates per band
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", maxDf = None)
+    assert(pairs.count() == 999, "expected d-1 star pairs, not d²/2")
+    assert(pairs.filter(col("i") === 0).count() == 999,
+      "star pairs must all anchor at the bucket-min id")
+    val kept = Dedup.dropNearDups(d, pairs.select("i", "j"), "doc_id")
+    assert(kept.count() == 3) // cluster min + the two distinct docs
+    // below the cap the semantics are unchanged: full enumeration
+    val small = (0L until 100L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(small, "doc_id", "text", maxDf = None).count()
+      == 100L * 99 / 2)
+    // vector side: 1k identical embeddings through forced sign-LSH
+    // bucketing share every (table, bucket) — same star degradation
+    val vec = Array.tabulate(16)(i => (i + 1).toFloat)
+    val vecs = (0L until 1000L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val vpairs = Similarity.nearDupPairs(vecs, 0.9, dim = 16,
+      planes = 8, tables = 4)
+    assert(vpairs.count() == 999, "expected d-1 star pairs on the vector side")
+    assert(vpairs.filter(col("i") =!= 0).count() == 0)
+  }
+
   test("sequence packing honors the budget up to one straddling doc per pack") {
     import graft.operators.Packing
     import spark.implicits._
