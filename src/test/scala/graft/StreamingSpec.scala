@@ -198,6 +198,57 @@ class StreamingSpec extends SparkSpec {
       s"restart must keep the store: copy 11 dropped, fresh 20 kept — $survivors")
   }
 
+  test("store compaction merges committed batches and preserves restart dedup semantics") {
+    import graft.streaming.DocStreaming
+    import spark.implicits._
+    def toks(b: Int) = (0 until 40).map(kk => s"c${b}_$kk")
+    val dir = java.nio.file.Files.createTempDirectory("nd_compact").toString
+    val store = java.nio.file.Files.createTempDirectory("nd_compact_store").toString
+    val surv = java.nio.file.Files.createTempDirectory("nd_compact_surv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_compact_ckpt").toString
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = DocStreaming.startNearDupDedup(stream, "doc_id", "text",
+        store, surv, ckpt)
+      q.awaitTermination(120000)
+    }
+    // three single-doc micro-batches, then stop
+    Seq(1L, 2L, 3L).foreach { id =>
+      Seq((id, toks(id.toInt).mkString(" "))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    run()
+    def partitions() = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(partitions() == Set("batch=0", "batch=1", "batch=2"))
+    val rowsBefore = spark.read.parquet(store).select("doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DocStreaming.compactStore(spark, store)
+    // batches 0 and 1 merged into -1; the newest (replayable) one is kept
+    assert(partitions() == Set("batch=-1", "batch=2"),
+      s"unexpected layout after compaction: ${partitions()}")
+    val rowsAfter = spark.read.parquet(store).select("doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowsAfter == rowsBefore, "compaction changed the store's row set")
+    // idempotent: a second pass has a single source below max — no-op
+    DocStreaming.compactStore(spark, store)
+    assert(partitions() == Set("batch=-1", "batch=2"))
+    // second lifetime: near-dup copies of a COMPACTED doc (1) and the
+    // uncompacted doc (3), plus a fresh doc — cross-batch state must be
+    // intact through the compaction
+    Seq((11L, toks(1).updated(20, "edited").mkString(" ")),
+        (13L, toks(3).updated(20, "edited").mkString(" ")),
+        (20L, toks(20).mkString(" "))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val survivors = spark.read.parquet(surv)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 20L),
+      s"copies of compacted/uncompacted docs must drop, fresh kept — $survivors")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
