@@ -40,28 +40,72 @@ object Aggregators {
     * `Encoders.product` handles the nested Seq). */
   final case class TopKBuf(items: Seq[ScoredId])
 
+  /** Fixed-size primitive heap buffer of [[TopKByScore]]: parallel
+    * score/id arrays in binary-min-heap order (root = WEAKEST retained
+    * element under (score desc, id asc)), `n` live slots. A case class so
+    * `Encoders.product` codegens the (rare — spill/shuffle only)
+    * serialization; the arrays are mutated in place on the per-row path. */
+  final case class TopKHeap(scores: Array[Double], ids: Array[Long], n: Int)
+
   /** Bounded per-group top-k by (score desc, id asc) — the aggregation
     * form of TakeOrdered for grouped data. As a `udaf` the planner gives
     * it map-side partial aggregation (ObjectHashAggregate), so a shuffle
     * carries at most k elements per (partition, group) instead of every
     * scored row: ranking |Q|·|C| brute-force kNN candidates shuffles
     * |Q|·k·partitions rows, not |Q|·|C| (the row_number-window form
-    * shuffles everything). The buffer is compacted to k whenever it
-    * reaches 2k, so per-row cost is amortized O(log k). */
+    * shuffles everything). The buffer is a fixed-size primitive min-heap
+    * keyed weakest-at-root: each incoming row is one root comparison and
+    * at most O(log k) in-place sifts — no per-row allocation, no periodic
+    * re-sort (the previous Vector-append buffer re-sorted boxed elements
+    * every 2k appends, a measured ~0.6 s constant on q22's 12.5k rows).
+    * The retained set is the exact top-k under the total order, so the
+    * result is deterministic regardless of arrival order. */
   final class TopKByScore(k: Int)
-      extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
+      extends Aggregator[ScoredId, TopKHeap, TopKBuf] {
     require(k > 0, s"k must be positive, got $k")
-    private def ord: Ordering[ScoredId] =
-      Ordering.by((s: ScoredId) => (-s.score, s.id))
-    def zero: TopKBuf = TopKBuf(Vector.empty)
-    def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
-      val v = b.items :+ a
-      TopKBuf(if (v.size >= 2 * k) v.sorted(ord).take(k) else v)
+    /** (s1, i1) loses to (s2, i2) under (score desc, id asc)? */
+    private def weaker(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && i1 > i2)
+    private def swap(b: TopKHeap, i: Int, j: Int): Unit = {
+      val s = b.scores(i); b.scores(i) = b.scores(j); b.scores(j) = s
+      val d = b.ids(i); b.ids(i) = b.ids(j); b.ids(j) = d
     }
-    def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
-      TopKBuf((x.items ++ y.items).sorted(ord).take(k))
-    def finish(b: TopKBuf): TopKBuf = TopKBuf(b.items.sorted(ord).take(k))
-    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    private def insert(b: TopKHeap, s: Double, id: Long): TopKHeap =
+      if (b.n < k) { // filling: place at the end, sift up
+        var pos = b.n
+        b.scores(pos) = s; b.ids(pos) = id
+        while (pos > 0 && {
+          val p = (pos - 1) >> 1
+          weaker(b.scores(pos), b.ids(pos), b.scores(p), b.ids(p))
+        }) { val p = (pos - 1) >> 1; swap(b, pos, p); pos = p }
+        b.copy(n = b.n + 1) // arrays shared; only the live count changes
+      } else if (weaker(b.scores(0), b.ids(0), s, id)) {
+        // stronger than the weakest retained: replace the root, sift down
+        b.scores(0) = s; b.ids(0) = id
+        var pos = 0
+        var done = false
+        while (!done) {
+          val l = 2 * pos + 1
+          val r = l + 1
+          var m = pos
+          if (l < b.n && weaker(b.scores(l), b.ids(l), b.scores(m), b.ids(m))) m = l
+          if (r < b.n && weaker(b.scores(r), b.ids(r), b.scores(m), b.ids(m))) m = r
+          if (m == pos) done = true else { swap(b, pos, m); pos = m }
+        }
+        b
+      } else b
+    def zero: TopKHeap = TopKHeap(new Array[Double](k), new Array[Long](k), 0)
+    def reduce(b: TopKHeap, a: ScoredId): TopKHeap = insert(b, a.score, a.id)
+    def merge(x: TopKHeap, y: TopKHeap): TopKHeap = {
+      var acc = x
+      var i = 0
+      while (i < y.n) { acc = insert(acc, y.scores(i), y.ids(i)); i += 1 }
+      acc
+    }
+    def finish(b: TopKHeap): TopKBuf =
+      TopKBuf(Array.tabulate(b.n)(i => ScoredId(b.scores(i), b.ids(i)))
+        .sortBy(s => (-s.score, s.id)).toSeq)
+    def bufferEncoder: Encoder[TopKHeap] = Encoders.product[TopKHeap]
     def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
