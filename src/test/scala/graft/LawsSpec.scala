@@ -288,6 +288,83 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: per-batch maxDf caps drop a subset of the global cap's rows; survivor drift quantified") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // Quantifies the scaladoc claim at Dedup.nearDupDelta: "per-batch
+    // caps are a slightly weaker filter than one global cap". Provable
+    // direction (hard assertion): df_batch(s) <= df_global(s), so every
+    // (doc, s) row a per-batch cap drops is also dropped by the global
+    // cap — the per-batch index SUPERSETS the globally-capped one. The
+    // survivor-set drift that weaker filtering induces is measured and
+    // printed, not asserted (it is corpus-dependent by nature).
+    // Both chains run the SAME nearDupDelta algorithm — per-batch-built
+    // vs globally-carved indexes is the only difference — so any
+    // divergence is attributable to cap provenance alone.
+    val cap = 4
+    val gen = Gen.chooseNum(0, 1000)
+    var sawDrift = false
+    val rates = scala.collection.mutable.ArrayBuffer.empty[Double]
+    forAll(gen, n = 2) { salt =>
+      val rnd = new scala.util.Random(7000 + salt)
+      val vocab = Array.tabulate(40)(i => s"v${salt}_$i")
+      // phrase-templated docs: each phrase recurs in ~13 docs, so its
+      // bigrams exceed the global cap but often fit under a batch's
+      val phrases = Array.fill(8)(
+        Array.fill(4)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      def mkDoc() = (0 until 3).map(_ => phrases(rnd.nextInt(phrases.length)))
+        .mkString(" ") + " " + vocab(rnd.nextInt(vocab.length))
+      val base = (0 until 36).map(i => (i.toLong, mkDoc()))
+      val dups = base.filter(_._1 % 6 == 0).map { case (id, t) =>
+        (id + 1000L, t.split(" ").updated(1, s"edited$salt").mkString(" ")) }
+      val all = (base ++ dups).sortBy(_._1)
+      val batches = all.grouped((all.size + 2) / 3).toSeq
+        .map(_.toDF("doc_id", "text"))
+      val allDf = all.toDF("doc_id", "text")
+
+      // chain A: indexes built (and capped) per batch — the real
+      // incremental flow when no global index exists
+      var storeA: Option[org.apache.spark.sql.DataFrame] = None
+      val survA = scala.collection.mutable.Set.empty[Long]
+      batches.foreach { b =>
+        val (s, idx) = Dedup.nearDupDelta(storeA, b, "doc_id", "text",
+          n = 2, maxDf = Some(cap))
+        survA ++= s.select("doc_id").collect().map(_.getLong(0))
+        storeA = Some(storeA.map(_.unionByName(idx)).getOrElse(idx)
+          .localCheckpoint(true))
+      }
+      // chain B: one globally-capped index, carved per batch (q58 flow)
+      val globalIdx = Dedup.buildShingleIndex(allDf, "doc_id", "text", 2,
+        Some(cap)).localCheckpoint(true)
+      var prevIds = Set.empty[Long]
+      val survB = scala.collection.mutable.Set.empty[Long]
+      batches.foreach { b =>
+        val ids = b.select("doc_id").collect().map(_.getLong(0)).toSet
+        val corpus = if (prevIds.isEmpty) None
+          else Some(globalIdx.filter(col("doc_id").isInCollection(prevIds)))
+        val (s, _) = Dedup.nearDupDelta(corpus, b, "doc_id", "text",
+          n = 2, maxDf = Some(cap),
+          deltaShinglesDf = Some(globalIdx.filter(col("doc_id").isInCollection(ids))))
+        survB ++= s.select("doc_id").collect().map(_.getLong(0))
+        prevIds ++= ids
+      }
+
+      // hard containment: globally-capped rows ⊆ per-batch-capped rows
+      val gRows = globalIdx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val aRows = storeA.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gRows.subsetOf(aRows),
+        s"global-capped index kept rows the per-batch caps dropped: " +
+          s"${(gRows -- aRows).take(5)}")
+      if (aRows != gRows) sawDrift = true
+      val sym = (survA -- survB) ++ (survB -- survA)
+      rates += sym.size.toDouble / math.max(survB.size, 1)
+    }
+    assert(sawDrift,
+      "cap never bit differently per batch — the generator lost its hot phrases")
+    info(f"per-batch vs global cap survivor divergence rates: " +
+      rates.map(r => f"$r%.3f").mkString(", "))
+  }
+
   test("sql: dot_product registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
