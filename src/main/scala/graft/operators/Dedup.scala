@@ -212,22 +212,48 @@ object Dedup {
 
   /** Candidate (i, j) pairs from a bucketed relation: all-pairs within
     * buckets of ≤ cap rows, star pairs (bucket min, member) above —
-    * see [[DefaultMaxBucket]]. `rows` columns: `id` + `keys`; both the
-    * size aggregation and the self-join shuffle on `keys`, so the guard
-    * adds one co-partitioned aggregation, not a new shuffle shape. */
+    * see [[DefaultMaxBucket]]. `rows` columns: `id` + `keys`.
+    *
+    * Plan shape: the bucketed rows are hash-repartitioned on the keys
+    * and EAGERLY materialized (localCheckpoint) before fanning out to
+    * the size aggregation, both self-join sides, and the hot-star join.
+    * Measured necessity, not caution: exchange reuse does NOT dedupe
+    * these branches when the upstream projection carries a large typed
+    * literal (the tables×planes hyperplane tensor in
+    * [[graft.operators.Similarity.nearDupPairs]] defeats plan
+    * canonicalization), so without materialization the projection ran
+    * once per branch — 28 s vs 11 s unguarded on the sf0.1 embedding
+    * step; WITH it the guarded path is 4.5-7 s, faster than the
+    * unguarded join (whose two sides pay the projection twice for the
+    * same reason). The materialized relation is (id, keys) only — the
+    * same bytes the shuffle itself moves. The hot-bucket set is tiny by
+    * construction (only buckets > cap) and is broadcast, so neither the
+    * anti-join nor the star join adds a shuffle. */
   private[operators] def guardedBucketPairs(rows: DataFrame, id: String,
       keys: Seq[String], cap: Int): DataFrame = {
-    val sizes = rows.groupBy(keys.map(col): _*)
+    if (cap == Int.MaxValue) { // unguarded: exactly the plain self-join plan
+      val side = rows.select((keys :+ id).map(col): _*)
+      return side.toDF((keys :+ "i"): _*)
+        .join(side.toDF((keys :+ "j"): _*), keys)
+        .filter(col("i") < col("j"))
+        .select("i", "j")
+    }
+    val parted = rows.repartition(keys.map(col): _*).localCheckpoint(true)
+    val sizes = parted.groupBy(keys.map(col): _*)
       .agg(count("*").as("__bsz"), min(col(id)).as("__bmin"))
-    val tagged = rows.join(sizes, keys)
-    val small = tagged.filter(col("__bsz") <= cap)
-      .select((keys :+ id).map(col): _*)
+    // size-guarded broadcast: the hot set is tiny by contract (only
+    // buckets above cap survive the filter), but a pathological corpus
+    // could mint millions of them — the guard degrades to a shuffle join
+    // instead of forcing an executor-OOM broadcast
+    val hot = graft.model.Joins.maybeBroadcast(sizes.filter(col("__bsz") > cap))
+    val small = parted.join(hot.select(keys.map(col): _*), keys, "left_anti")
     val allPairs = small.toDF((keys :+ "i"): _*)
       .join(small.toDF((keys :+ "j"): _*), keys)
       .filter(col("i") < col("j"))
       .select("i", "j")
     // __bmin < id for every non-min member, so i < j holds by construction
-    val star = tagged.filter(col("__bsz") > cap && col(id) =!= col("__bmin"))
+    val star = parted.join(hot, keys)
+      .filter(col(id) =!= col("__bmin"))
       .select(col("__bmin").as("i"), col(id).as("j"))
     allPairs.unionByName(star)
   }

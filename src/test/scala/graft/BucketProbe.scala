@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
 object BucketProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -41,6 +43,17 @@ object BucketProbe {
       graft.operators.Similarity.normalize(col("embedding")), 0, 12, 64)
     println("[probe] signlsh max bucket: " + emb.select(b59.as("b"))
       .groupBy("b").count().agg(max("count")).head().getLong(0))
+
+    // timing: the bucketed embedding near-dup path (ScaleProbe's 1x step),
+    // guarded vs unguarded to isolate the hot-bucket guard's cost
+    (1 to 2).foreach { rep =>
+      val t0 = System.nanoTime()
+      val n = graft.operators.Similarity.nearDupPairs(emb, 0.9).count()
+      println(f"[probe] neardup guarded   rep$rep ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      val t1 = System.nanoTime()
+      val m = graft.operators.Similarity.nearDupPairs(emb, 0.9, maxBucket = None).count()
+      println(f"[probe] neardup unguarded rep$rep ${(System.nanoTime() - t1) / 1e9}%.2fs rows=$m")
+    }
     spark.stop()
   }
 }
