@@ -65,13 +65,16 @@ object Bench {
     val builds = Seq(
       timed("build_cube") { graft.builders.Tpch.warm(spark, sfDir) },
       timed("build_shingles") { graft.queries.ExtensionQueries.warmShingles(spark, sfDir) })
-    // Each query line is the MIN of two runs: ambient machine load swings
-    // single-shot wall times 30-50% on this shared box, and the minimum is
-    // the standard least-noise estimator of the plan's actual cost. The
-    // build lines stay single-shot (a second run would measure the warm
-    // cache, not the build).
+    // Each query line is the MIN of `SPARK_GRAFT_BENCH_REPS` runs
+    // (default 3): ambient machine load swings single-shot wall times
+    // 30-50% on this shared box, the minimum is the standard least-noise
+    // estimator of the plan's actual cost, and two rounds of verdict time
+    // went to re-adjudicating 2-run minima — the third rep is the cheap
+    // fix. The build lines stay single-shot (a second run would measure
+    // the warm cache, not the build).
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
@@ -94,9 +97,13 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (sentinel -1) are excluded from the headline total —
     // summing the negative sentinel would make a hard-broken query LOWER
-    // the total, reading as a speedup in cross-round comparisons
+    // the total, reading as a speedup in cross-round comparisons — and
+    // NAMED in a "failed" array so a comparer that only reads the total
+    // cannot mistake a breakage (whose runtime the total now omits) for
+    // a speedup
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
