@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * per-round scaling evidence, and a superlinear regression breaks the run
   * loudly instead of hiding in a log.
   *
-  * Steps whose 1× time is under a noise floor (0.3 s) are reported but not
-  * gated: at sub-second scale, JIT/scheduling jitter on a shared box can
-  * double a measurement, and the failure mode the gate exists for —
-  * accidental quadratic pair blowup — shows up as ~factor× OVER the bound,
-  * not 1.5×.
+  * Noise handling: the ratio denominator is clamped to a floor (0.3 s) —
+  * at sub-second scale, JIT/scheduling jitter on a shared box can double
+  * a 1× measurement, and dividing by jitter manufactures huge ratios —
+  * and a step is gated whenever its N× time clears the floor, so a
+  * genuinely superlinear step can never hide behind a fast 1× run. The
+  * failure mode the gate exists for — accidental quadratic pair blowup —
+  * shows up as ~factor× over the bound, not 1.5×.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -110,8 +112,13 @@ object ScaleProbe {
         // near-dup dedup scales in corpus SCANS, not shuffles — the
         // per-micro-batch cost a streaming pipeline pays forever
         s"delta" -> timed(s"$tag nearDup delta ingest") {
+          // delta ids sit one replica-stride ABOVE the highest replica
+          // (a fixed offset collided with replica-90's id range once the
+          // factor reached 90 — only factor < embDim is required, which
+          // can exceed 90)
           val delta = d.filter(col("doc_id") < 500)
-            .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+            .select((col("doc_id") + (factor + 1) * 10000000L).as("doc_id"),
+              col("text"))
           // default maxDf on the delta side = the cap idx was built with:
           // mismatched caps would deflate exact-copy jaccard and quietly
           // turn the hit-heavy workload this step exists to time into a
@@ -164,12 +171,15 @@ object ScaleProbe {
     val steps = (d1.keySet ++ a1.keySet ++ p1.keySet).toSeq.sorted.map { k =>
       val r1 = d1.getOrElse(k, a1.getOrElse(k, p1(k)))
       val rN = dN.getOrElse(k, aN.getOrElse(k, pN(k)))
-      val ratio = rN / r1
-      // gate when the 1x time clears the noise floor, OR when the Nx time
-      // is large in absolute terms even though the 1x was fast — a
-      // quadratic regression in a sub-floor step (r1 = 0.1 s, rN = 6.4 s
-      // at factor 8) must not slip through the jitter exemption
-      val gated = r1 >= noiseFloorSec || rN >= noiseFloorSec * bound
+      // ratio against max(t1, floor): sub-floor 1x times are jitter, and
+      // dividing by them manufactures huge ratios — clamping the
+      // denominator absorbs the jitter WITHOUT exempting any step whose
+      // Nx time is real. Gate whenever the Nx time itself clears the
+      // floor: the old escape (tN >= floor*bound) left a window where a
+      // genuinely quadratic sub-floor step with tN of 1-3 s passed
+      // ungated
+      val ratio = rN / math.max(r1, noiseFloorSec)
+      val gated = rN >= noiseFloorSec
       val pass = !gated || ratio <= bound
       println(f"[probe]   $k%-10s $ratio%6.1fx" +
         (if (!gated) "  (under noise floor, not gated)"
