@@ -65,6 +65,49 @@ def compare(name, spark_df, oracle_df):
     return issues
 
 
+MAX_DF = 256  # Dedup.DefaultMaxDf — mirrored by the q58 oracle cap
+
+
+def pin_q58_margins(con):
+    """q58's within-delta edges come from MinHash-LSH while its oracle
+    enumerates exact Jaccard pairs; the hash match is deterministic only
+    while every true pair sits comfortably above the 0.8 threshold (LSH
+    miss prob ~1.5% at 0.80, ~3e-3 at 0.85). PipelineOpsSpec pins that at
+    the spec fixture; this pins it at THIS gate-scale dataset, so a
+    regenerated fixture with near-threshold pairs fails loudly here."""
+    q = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+  WHERE len(t) >= 3
+  UNION
+  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+), shx AS (
+  SELECT * FROM sh0
+  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MAX_DF})
+), shd AS (SELECT * FROM shx WHERE doc_id % 2 = 1
+), szd AS (SELECT doc_id, count(*) n FROM shd GROUP BY 1)
+SELECT min(x.inter * 1.0 / (sa.n + sb.n - x.inter)) FROM (
+  SELECT a.doc_id i, b.doc_id j, count(*) inter
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+) x JOIN szd sa ON sa.doc_id = x.i JOIN szd sb ON sb.doc_id = x.j
+WHERE x.inter * 1.0 / (sa.n + sb.n - x.inter) >= 0.8"""
+    m = con.execute(q).fetchone()[0]
+    if m is None:
+        print("pin  q58 within-delta margins: no above-threshold pairs")
+        return True
+    print(f"pin  q58 within-delta min jaccard among true pairs: {m:.3f}")
+    if m < 0.85:
+        print(f"FAIL q58 margin pin: a true within-delta pair at jaccard "
+              f"{m:.3f} < 0.85 — the LSH==exact oracle hash match is at "
+              f"risk at this dataset")
+        return False
+    return True
+
+
 def main():
     if "--no-run" not in sys.argv:
         run_verify()
@@ -75,6 +118,8 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     ok = fail = 0
+    if not pin_q58_margins(con):
+        fail += 1
     for name in sorted(oracle):
         d = OUT / name
         if not d.exists():
