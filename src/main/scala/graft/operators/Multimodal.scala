@@ -235,6 +235,89 @@ object Multimodal {
       decodeVideo(bytes, maxFrames)
   }
 
+  /** Second zero-dependency decoder, proving the [[VideoDecoder]] seam
+    * with a NON-default codec: uncompressed bottom-up 24-bit DIB frames
+    * in AVI ('00db' chunks, BI_RGB), dimensions from the 'strf'
+    * BITMAPINFOHEADER — the other container the bare JDK can fully
+    * decode, and (being uncompressed) the one whose pixels round-trip
+    * EXACTLY through [[encodeDibAvi]]. [[MjpegAviDecoder]] returns None
+    * on these bytes (no JPEG SOI in any frame chunk), so routing through
+    * this decoder is observable end-to-end. */
+  object DibAviDecoder extends VideoDecoder {
+    def decode(bytes: Array[Byte], maxFrames: Int): Option[VideoClip] =
+      decodeDibAvi(bytes, maxFrames)
+  }
+
+  /** Uncompressed-DIB AVI walk: same RIFF chunk discipline (Long
+    * arithmetic, depth cap, graceful truncation) as [[decodeVideo]];
+    * 'strf' supplies width/height/bpp (only BI_RGB 24-bit bottom-up is
+    * accepted), '##db' payloads are raw BGR rows padded to 4 bytes. */
+  def decodeDibAvi(bytes: Array[Byte], maxFrames: Int = 64): Option[VideoClip] = {
+    if (bytes.length < 12 ||
+      new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "AVI ") return None
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    var microsPerFrame = 33333L
+    var w = 0
+    var h = 0
+    var ok = false // a BI_RGB 24-bit strf was seen (hdrl precedes movi)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+    def walk(from: Long, until: Long, depth: Int): Unit = {
+      if (depth > 32) return
+      var p = from
+      while (p + 8 <= until && frames.length < maxFrames) {
+        val id = fourcc(p.toInt)
+        val size = u32(p.toInt + 4)
+        val dataStart = p + 8
+        if (dataStart + size > until) return
+        val dOff = dataStart.toInt
+        id match {
+          case "LIST" if size >= 4 =>
+            walk(dataStart + 4, dataStart + size, depth + 1)
+          case "avih" if size >= 4 =>
+            microsPerFrame = math.max(1L, u32(dOff))
+          case "strf" if size >= 40 =>
+            val bw = u32(dOff + 4).toInt
+            val bh = u32(dOff + 8).toInt // negative = top-down, rejected
+            val bpp = u16(dOff + 14)
+            val compression = u32(dOff + 16)
+            if (bw > 0 && bh > 0 && bpp == 24 && compression == 0) {
+              w = bw; h = bh; ok = true
+            }
+          case _ if ok && id.length == 4 &&
+              (id.endsWith("db") || id.endsWith("dc")) =>
+            val stride = ((w * 3) + 3) & ~3
+            if (size >= stride.toLong * h) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                val rowOff = dOff + (h - 1 - y) * stride // bottom-up rows
+                var x = 0
+                while (x < w) {
+                  val b = bytes(rowOff + 3 * x) & 0xff
+                  val g = bytes(rowOff + 3 * x + 1) & 0xff
+                  val r = bytes(rowOff + 3 * x + 2) & 0xff
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              frames += img: Unit
+            }
+          case _ => ()
+        }
+        p = dataStart + size + (size & 1)
+      }
+    }
+    walk(12L, math.min(bytes.length.toLong, 8L + u32(4)), 0)
+    if (frames.isEmpty) None else Some(VideoClip(frames.toSeq, microsPerFrame))
+  }
+
   /** REAL video decode for MJPEG-in-AVI — the one video codec the bare
     * JDK can handle (each frame is a JPEG, which ImageIO reads; the AVI
     * RIFF container is a ~60-line binary walk). Other codecs (H.264 etc.)
@@ -642,6 +725,61 @@ object Multimodal {
     val avih = chunk("avih", le32(microsPerFrame) ++ Array.fill[Byte](52)(0))
     val hdrl = list("hdrl", avih)
     val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Encode frames as an uncompressed 24-bit DIB AVI — the lossless twin
+    * of [[encodeMjpegAvi]] and the fixture generator for
+    * [[DibAviDecoder]]: a proper 'strl'/'strf' (BITMAPINFOHEADER,
+    * BI_RGB) carries the dimensions, '00db' chunks carry raw bottom-up
+    * BGR rows padded to 4 bytes, so decode → encode → decode round-trips
+    * pixels EXACTLY (no JPEG quantization). */
+  def encodeDibAvi(frames: Seq[java.awt.image.BufferedImage],
+                   microsPerFrame: Long = 33333L): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++ pad
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val stride = ((w * 3) + 3) & ~3
+    val dibs = frames.map { f =>
+      require(f.getWidth == w && f.getHeight == h, "frames must share dims")
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val rowOff = (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val rgb = f.getRGB(x, y)
+          out(rowOff + 3 * x) = (rgb & 0xff).toByte
+          out(rowOff + 3 * x + 1) = ((rgb >> 8) & 0xff).toByte
+          out(rowOff + 3 * x + 2) = ((rgb >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val avih = chunk("avih", le32(microsPerFrame) ++ Array.fill[Byte](52)(0))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+        Array.fill[Byte](48)(0))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(stride.toLong * h) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", dibs.flatMap(d => chunk("00db", d)).toArray)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }

@@ -1089,6 +1089,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(custom == Set(2L),
       s"custom decoder must be used instead of the default: $custom")
   }
+
+  test("DIB-in-AVI: a real non-MJPEG codec round-trips exactly through the seam") {
+    import spark.implicits._
+    def frame(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        10, 6, java.awt.image.BufferedImage.TYPE_INT_RGB) // stride padding exercised (10*3 = 30 -> 32)
+      var y = 0
+      while (y < 6) {
+        var x = 0
+        while (x < 10) {
+          img.setRGB(x, y, ((x * 41 + seed) % 256 << 16) |
+            ((y * 73 + seed) % 256 << 8) | ((x * y + seed) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    val frames = (0 until 3).map(f => frame(f * 17))
+    val avi = Multimodal.encodeDibAvi(frames, microsPerFrame = 40000L)
+    // the default decoder cannot read it: no JPEG SOI in any frame chunk
+    assert(Multimodal.MjpegAviDecoder.decode(avi, 16).isEmpty,
+      "MJPEG decoder unexpectedly read a DIB AVI")
+    // the DIB decoder reads every frame with EXACT pixels (uncompressed)
+    val clip = Multimodal.DibAviDecoder.decode(avi, 16).get
+    assert(clip.frames.length == 3 && clip.microsPerFrame == 40000L)
+    clip.frames.zip(frames).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got.getWidth == 10 && got.getHeight == 6)
+      for (y <- 0 until 6; x <- 0 until 10)
+        assert((got.getRGB(x, y) & 0xffffff) == (want.getRGB(x, y) & 0xffffff),
+          s"pixel ($x,$y) of frame $i diverged")
+    }
+    // end-to-end through the operators: a DIB gallery with an edited copy
+    // pairs up under videoNearDupPairs once the decoder is swapped in
+    def gallery(edit: Boolean): Array[Byte] =
+      Multimodal.encodeDibAvi((0 until 3).map { f =>
+        val img = frame(f * 17)
+        if (edit && f == 1) { var i = 0; while (i < 4) { img.setRGB(i, 0, 0xffffff); i += 1 } }
+        img
+      }, 40000L)
+    val media = Seq((1L, gallery(false)), (2L, gallery(true)),
+      (3L, Multimodal.encodeMjpegAvi(frames, 40000L)))
+      .toDF("media_id", "content")
+    // default decoder sees only the MJPEG row -> no pairs at all
+    assert(Multimodal.videoNearDupPairs(media, maxHamming = 5).count() == 0)
+    val pairs = Multimodal.videoNearDupPairs(media, maxHamming = 5,
+      decoder = Multimodal.DibAviDecoder)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the planted DIB near-dup pair, got $pairs")
+    // feature routing: decodeFeatures falls to the stub by default, real
+    // video features through the seam
+    val viaSeam = Multimodal.decodeFeatures(avi, 8, Multimodal.DibAviDecoder)
+    assert(viaSeam(0) == 3.0f && viaSeam(2) == 10.0f && viaSeam(3) == 6.0f,
+      s"n_frames/width/height must come from the real DIB decode: ${viaSeam.toSeq}")
+    assert(!Multimodal.decodeFeatures(avi, 8).sameElements(viaSeam),
+      "default routing must not accidentally equal the real decode")
+  }
 }
 
 /** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]
