@@ -428,7 +428,8 @@ object Similarity {
   def nearDupDelta(spark: org.apache.spark.sql.SparkSession, path: String,
                    delta: DataFrame, threshold: Double,
                    nprobe: Int = 4, replicate: Int = 2, dim: Int = 64,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   planes: Int = 0, tables: Int = 0): (DataFrame, DataFrame) = {
     require(threshold > -1 && threshold < 1, s"threshold $threshold not in (-1, 1)")
     val cents = readCentroids(spark, path)
     val stored = readIvfCorpus(spark, path)
@@ -442,7 +443,10 @@ object Similarity {
       .filter(dotp(col("cv"), col("dv")) >= threshold)
       .select(lit(Long.MinValue).as("i"), col("j"))
       .distinct()
-    val within = nearDupPairs(delta, threshold, idCol, vecCol, dim)
+    // planes/tables forward to the within-delta pair generation
+    // ([[nearDupPairs]] semantics: 0 = derive from the threshold)
+    val within = nearDupPairs(delta, threshold, idCol, vecCol, dim,
+        planes, tables)
       .select("i", "j")
     val survivors = Dedup.dropNearDups(delta, within.unionByName(cross), idCol)
     val assign = d.select(col("j").as("neighbor_id"), col("dv").as("cv"))

@@ -54,6 +54,26 @@ object BucketProbe {
       val m = graft.operators.Similarity.nearDupPairs(emb, 0.9, maxBucket = None).count()
       println(f"[probe] neardup unguarded rep$rep ${(System.nanoTime() - t1) / 1e9}%.2fs rows=$m")
     }
+
+    // q59 decomposition: index build vs delta dedup
+    val path = s"/tmp/graft_probe_ivf"
+    (1 to 2).foreach { rep =>
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.saveIvfIndex(emb, path, nlist = 16,
+        replicate = 2, kmeansIters = 1)
+      println(f"[probe] q59 saveIvfIndex  rep$rep ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val rot = concat(slice(col("embedding"), 14, 51), slice(col("embedding"), 1, 13))
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 10000).as("vec_id"), rot.as("embedding")))
+      val t1 = System.nanoTime()
+      val (surv, _) = graft.operators.Similarity.nearDupDelta(spark, path, delta, 0.9)
+      println(f"[probe] q59 construct     rep$rep ${(System.nanoTime() - t1) / 1e9}%.2fs")
+      val t2 = System.nanoTime()
+      val c = surv.count()
+      println(f"[probe] q59 execute       rep$rep ${(System.nanoTime() - t2) / 1e9}%.2fs rows=$c")
+    }
     spark.stop()
   }
 }
