@@ -72,7 +72,10 @@ object Bench {
     // went to re-adjudicating 2-run minima — the third rep is the cheap
     // fix. The build lines stay single-shot (a second run would measure
     // the warm cache, not the build).
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // parsed defensively: a malformed env value must not abort the run
+    // after the builds have already spent their minutes
+    val reps = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt).getOrElse(3))
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * Noise handling: the ratio denominator is clamped to a floor (0.3 s) —
   * at sub-second scale, JIT/scheduling jitter on a shared box can double
   * a 1× measurement, and dividing by jitter manufactures huge ratios —
-  * and a step is gated whenever its N× time clears the floor, so a
-  * genuinely superlinear step can never hide behind a fast 1× run. The
+  * and a step is gated whenever its N× time clears the floor. For a
+  * sub-floor 1× step this means the N× time is bounded by
+  * floor × 1.5 × factor in ABSOLUTE terms (3.6 s at factor 8): a
+  * quadratic step whose N× time stays under that cannot be told apart
+  * from jitter with a sub-floor 1× measurement, which is why such steps
+  * print a "(clamped)" marker instead of a trustworthy ratio. The
   * failure mode the gate exists for — accidental quadratic pair blowup —
   * shows up as ~factor× over the bound, not 1.5×.
   */
@@ -173,22 +177,23 @@ object ScaleProbe {
       val rN = dN.getOrElse(k, aN.getOrElse(k, pN(k)))
       // ratio against max(t1, floor): sub-floor 1x times are jitter, and
       // dividing by them manufactures huge ratios — clamping the
-      // denominator absorbs the jitter WITHOUT exempting any step whose
-      // Nx time is real. Gate whenever the Nx time itself clears the
-      // floor: the old escape (tN >= floor*bound) left a window where a
-      // genuinely quadratic sub-floor step with tN of 1-3 s passed
-      // ungated
+      // denominator absorbs the jitter. For sub-floor steps the gate is
+      // therefore an ABSOLUTE cap (floor × bound on tN), honestly weaker
+      // than a ratio — the "(clamped)" marker says the printed ratio is
+      // a lower bound on the true one, not a measurement
+      val clamped = r1 < noiseFloorSec
       val ratio = rN / math.max(r1, noiseFloorSec)
       val gated = rN >= noiseFloorSec
       val pass = !gated || ratio <= bound
       println(f"[probe]   $k%-10s $ratio%6.1fx" +
-        (if (!gated) "  (under noise floor, not gated)"
-         else if (pass) "  ok" else "  FAIL"))
-      (k, r1, rN, ratio, gated, pass)
+        (if (!gated) "  (both under noise floor, not gated)"
+         else if (pass) (if (clamped) "  ok (clamped)" else "  ok")
+         else "  FAIL"))
+      (k, r1, rN, ratio, gated, pass, clamped)
     }
     val allPass = steps.forall(_._6)
-    val json = steps.map { case (k, r1, rN, ratio, gated, pass) =>
-      s""""$k":{"t1_sec":${num(r1)},"tN_sec":${num(rN)},"ratio":${num(ratio)},"gated":$gated,"pass":$pass}"""
+    val json = steps.map { case (k, r1, rN, ratio, gated, pass, clamped) =>
+      s""""$k":{"t1_sec":${num(r1)},"tN_sec":${num(rN)},"ratio":${num(ratio)},"gated":$gated,"pass":$pass,"denominator_clamped":$clamped}"""
     }.mkString(s"""{"factor":$factor,"sf":"$sfDir","bound_ratio":${num(bound)},"noise_floor_sec":${num(noiseFloorSec)},"docs_1x":$nDocs,"steps":{""", ",", s"""},"pass":$allPass}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))

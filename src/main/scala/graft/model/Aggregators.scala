@@ -59,7 +59,8 @@ object Aggregators {
     * re-sort (the previous Vector-append buffer re-sorted boxed elements
     * every 2k appends, a measured ~0.6 s constant on q22's 12.5k rows).
     * The retained set is the exact top-k under the total order, so the
-    * result is deterministic regardless of arrival order. */
+    * result is deterministic regardless of arrival order; NaN scores are
+    * dropped as unrankable (never retained, never block retention). */
   final class TopKByScore(k: Int)
       extends Aggregator[ScoredId, TopKHeap, TopKBuf] {
     require(k > 0, s"k must be positive, got $k")
@@ -71,7 +72,11 @@ object Aggregators {
       val d = b.ids(i); b.ids(i) = b.ids(j); b.ids(j) = d
     }
     private def insert(b: TopKHeap, s: Double, id: Long): TopKHeap =
-      if (b.n < k) { // filling: place at the end, sift up
+      // NaN is unrankable and would poison the heap (a NaN root loses
+      // every `weaker` comparison, permanently blocking real elements) —
+      // treat it as "not a candidate", matching rankTopK's pre-filter
+      if (s.isNaN) b
+      else if (b.n < k) { // filling: place at the end, sift up
         var pos = b.n
         b.scores(pos) = s; b.ids(pos) = id
         while (pos > 0 && {

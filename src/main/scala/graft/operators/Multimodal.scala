@@ -285,29 +285,39 @@ object Multimodal {
             val bh = u32(dOff + 8).toInt // negative = top-down, rejected
             val bpp = u16(dOff + 14)
             val compression = u32(dOff + 16)
-            if (bw > 0 && bh > 0 && bpp == 24 && compression == 0) {
+            // dimension sanity bound (64k per side): a crafted biWidth
+            // near 2^31/3 would wrap the Int stride arithmetic negative,
+            // turning the size guard into a no-op and the pixel loop into
+            // an out-of-bounds read — malformed headers must degrade to
+            // "no frames", like every other corrupt-container case
+            if (bw > 0 && bh > 0 && bw <= 65535 && bh <= 65535 &&
+                bpp == 24 && compression == 0) {
               w = bw; h = bh; ok = true
             }
           case _ if ok && id.length == 4 &&
               (id.endsWith("db") || id.endsWith("dc")) =>
             val stride = ((w * 3) + 3) & ~3
             if (size >= stride.toLong * h) {
-              val img = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < h) {
-                val rowOff = dOff + (h - 1 - y) * stride // bottom-up rows
-                var x = 0
-                while (x < w) {
-                  val b = bytes(rowOff + 3 * x) & 0xff
-                  val g = bytes(rowOff + 3 * x + 1) & 0xff
-                  val r = bytes(rowOff + 3 * x + 2) & 0xff
-                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
-                  x += 1
+              // per-frame degradation, not task failure — the same
+              // contract as the MJPEG path's ImageIO catch
+              try {
+                val img = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < h) {
+                  val rowOff = dOff + (h - 1 - y) * stride // bottom-up rows
+                  var x = 0
+                  while (x < w) {
+                    val b = bytes(rowOff + 3 * x) & 0xff
+                    val g = bytes(rowOff + 3 * x + 1) & 0xff
+                    val r = bytes(rowOff + 3 * x + 2) & 0xff
+                    img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
-              }
-              frames += img: Unit
+                frames += img: Unit
+              } catch { case scala.util.control.NonFatal(_) => }
             }
           case _ => ()
         }
@@ -700,21 +710,31 @@ object Multimodal {
     }
   }
 
+  // --- shared RIFF writer primitives (both AVI encoders) — one home for
+  // the byte-level invariants (LE sizes, odd-payload word padding) so a
+  // container-rule fix can never drift between codecs ---
+  private def riffLe32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def riffLe16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ riffLe32(payload.length.toLong) ++ payload ++ pad
+  }
+  private def riffList(listType: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ children)
+  private def riffAvi(hdrl: Array[Byte], movi: Array[Byte]): Array[Byte] = {
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ riffLe32(body.length.toLong) ++ body
+  }
+
   /** Encode frames as an MJPEG AVI — the test/demo twin of
     * [[decodeVideo]] (JPEG frames via ImageIO inside a hand-built RIFF
     * container), so video round-trips with zero native dependencies. */
   def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
                      microsPerFrame: Long = 33333L): Array[Byte] = {
     require(frames.nonEmpty, "need at least one frame")
-    def le32(v: Long): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
-      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
-      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++ pad
-    }
-    def list(listType: String, children: Array[Byte]): Array[Byte] =
-      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
     val jpegs = frames.map { f =>
       val bos = new java.io.ByteArrayOutputStream()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -722,11 +742,10 @@ object Multimodal {
       finally ios.close()
       bos.toByteArray
     }
-    val avih = chunk("avih", le32(microsPerFrame) ++ Array.fill[Byte](52)(0))
-    val hdrl = list("hdrl", avih)
-    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    val avih = riffChunk("avih", riffLe32(microsPerFrame) ++ Array.fill[Byte](52)(0))
+    val hdrl = riffList("hdrl", avih)
+    val movi = riffList("movi", jpegs.flatMap(j => riffChunk("00dc", j)).toArray)
+    riffAvi(hdrl, movi)
   }
 
   /** Encode frames as an uncompressed 24-bit DIB AVI — the lossless twin
@@ -740,17 +759,6 @@ object Multimodal {
     require(frames.nonEmpty, "need at least one frame")
     val w = frames.head.getWidth
     val h = frames.head.getHeight
-    def le32(v: Long): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def le16(v: Int): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
-      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
-      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++ pad
-    }
-    def list(listType: String, children: Array[Byte]): Array[Byte] =
-      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
     val stride = ((w * 3) + 3) & ~3
     val dibs = frames.map { f =>
       require(f.getWidth == w && f.getHeight == h, "frames must share dims")
@@ -770,18 +778,18 @@ object Multimodal {
       }
       out
     }
-    val avih = chunk("avih", le32(microsPerFrame) ++ Array.fill[Byte](52)(0))
-    val strh = chunk("strh",
+    val avih = riffChunk("avih", riffLe32(microsPerFrame) ++ Array.fill[Byte](52)(0))
+    val strh = riffChunk("strh",
       "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
         Array.fill[Byte](48)(0))
-    val strf = chunk("strf",
-      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
-        le32(0) ++ le32(stride.toLong * h) ++ le32(0) ++ le32(0) ++
-        le32(0) ++ le32(0))
-    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi", dibs.flatMap(d => chunk("00db", d)).toArray)
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    val strf = riffChunk("strf",
+      riffLe32(40) ++ riffLe32(w.toLong) ++ riffLe32(h.toLong) ++
+        riffLe16(1) ++ riffLe16(24) ++ riffLe32(0) ++
+        riffLe32(stride.toLong * h) ++ riffLe32(0) ++ riffLe32(0) ++
+        riffLe32(0) ++ riffLe32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi", dibs.flatMap(d => riffChunk("00db", d)).toArray)
+    riffAvi(hdrl, movi)
   }
 
   /** Frame sampling plumbing for video blobs: emits `n` (frame_no, offset

@@ -1445,8 +1445,13 @@ object ExtensionQueries {
   //       %10==1 rotated by 13 positions (fresh → survive; rotation is
   //       an isometry, so rotated-vs-rotated cosines equal the raw pair
   //       cosines, and rotated-vs-raw cosines are empirically ≤ 0.57 at
-  //       every gate scale vs the 0.9 threshold), %10==2 rotated TWICE
+  //       every gate scale vs the 0.9 threshold — pinned per-dataset by
+  //       check_correctness.py's q59 margin pin), %10==2 rotated TWICE
   //       under two ids (within-delta twin pair → min id survives).
+  //       Delta ids are MULTIPLICATIVELY encoded (vec_id*4+1, *4+2):
+  //       collision-free within the delta for ANY corpus id set, unlike
+  //       a fixed additive offset (which collides once ids span it —
+  //       the ScaleProbe lesson from this same round).
   //       Deterministic despite nprobe < nlist: an identical re-ingest
   //       ranks cells exactly like its stored twin (nprobe 4 ≥ replicate
   //       2 ⇒ guaranteed cell overlap), and cos-1.0 within twins collide
@@ -1466,11 +1471,11 @@ object ExtensionQueries {
     val rot = concat(slice(col("embedding"), 14, 51),
       slice(col("embedding"), 1, 13))
     val delta = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      .select((col("vec_id") * 4 + 1).as("vec_id"), col("embedding"))
       .unionByName(e.filter(col("vec_id") % 10 === 1)
-        .select((col("vec_id") + 10000).as("vec_id"), rot.as("embedding")))
+        .select((col("vec_id") * 4 + 1).as("vec_id"), rot.as("embedding")))
       .unionByName(e.filter(col("vec_id") % 10 === 2)
-        .select(explode(array(col("vec_id") + 10000, col("vec_id") + 20000))
+        .select(explode(array(col("vec_id") * 4 + 1, col("vec_id") * 4 + 2))
           .as("vec_id"), rot.as("embedding")))
     // explicit light banding (16 planes × 8 tables): every true pair in
     // this fixture is an identical-vector pair (cos 1.0 — the margin pin
@@ -1484,16 +1489,16 @@ object ExtensionQueries {
 
   val q59Sql: String =
     """WITH RECURSIVE delta AS (
-      |  SELECT vec_id + 10000 AS vid, embedding AS v
+      |  SELECT vec_id * 4 + 1 AS vid, embedding AS v
       |  FROM embeddings WHERE vec_id % 10 = 0
       |  UNION ALL
-      |  SELECT vec_id + 10000, embedding[14:] || embedding[:13]
+      |  SELECT vec_id * 4 + 1, embedding[14:] || embedding[:13]
       |  FROM embeddings WHERE vec_id % 10 = 1
       |  UNION ALL
-      |  SELECT vec_id + 10000, embedding[14:] || embedding[:13]
+      |  SELECT vec_id * 4 + 1, embedding[14:] || embedding[:13]
       |  FROM embeddings WHERE vec_id % 10 = 2
       |  UNION ALL
-      |  SELECT vec_id + 20000, embedding[14:] || embedding[:13]
+      |  SELECT vec_id * 4 + 2, embedding[14:] || embedding[:13]
       |  FROM embeddings WHERE vec_id % 10 = 2
       |), cp AS (
       |  SELECT c.vec_id i, d.vid j, c.embedding va, d.v vb

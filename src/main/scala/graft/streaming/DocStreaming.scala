@@ -92,6 +92,11 @@ object DocStreaming {
           org.apache.spark.sql.types.LongType)))
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
       val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+      // finish any compaction that crashed between source-deletion and
+      // rename BEFORE trusting the store: without this, a restart in that
+      // window would dedup every batch against a store missing all
+      // compacted shingles until an operator manually re-ran compactStore
+      recoverCompaction(fs, storePath)
       // the store is hive-partitioned by batch id; a replayed batch must
       // not see its OWN half-written rows as "the corpus", so prior
       // batches only
@@ -148,9 +153,12 @@ object DocStreaming {
     * the source partitions is recorded INSIDE it, and only then are
     * sources deleted and the tmp renamed to `batch=-1`. A crash before
     * the manifest exists leaves the store untouched (the half-written tmp
-    * is discarded on the next run); a crash after it is finished by the
-    * next run from the manifest — the tmp is a complete superset of every
-    * listed source, so finishing is always lossless. */
+    * is discarded on the next run); a crash after it is finished from the
+    * manifest — the tmp is a complete superset of every listed source, so
+    * finishing is always lossless — by the next compaction AND by the
+    * next [[startNearDupDedup]] micro-batch ([[recoverCompaction]] runs
+    * before every store read, so a restarted stream never dedups against
+    * a store missing its compacted shingles). */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    storeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -167,30 +175,8 @@ object DocStreaming {
             .map(_ -> st.getPath)
         else None
       }
-    // rename tmp -> batch=-1 WITH the manifest still inside (deleting it
-    // first would re-open a loss window: a crash between that delete and
-    // the rename leaves a manifest-less tmp holding the only copy of the
-    // already-deleted sources, which the next run would discard as
-    // incomplete); the leftover `_`-prefixed file is hidden from Spark
-    // reads and removed as the last, purely cosmetic step
-    def finishRename(): Unit = {
-      fs.rename(tmp, new Path(root, "batch=-1"))
-      fs.delete(new Path(root, "batch=-1/_compact_manifest"), false): Unit
-    }
     // recover an interrupted compaction before looking at the partitions
-    if (fs.exists(tmp)) {
-      if (fs.exists(manifest)) {
-        val in = fs.open(manifest)
-        val names =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        names.foreach { n =>
-          val p = new Path(root, n)
-          if (fs.exists(p)) fs.delete(p, true): Unit
-        }
-        finishRename()
-      } else fs.delete(tmp, true): Unit // incomplete write — store untouched
-    }
+    recoverCompaction(fs, root)
     val dirs = batchDirs()
     val numeric = dirs.map(_._1).filter(_ >= 0)
     if (numeric.isEmpty) return
@@ -207,6 +193,56 @@ object DocStreaming {
       .getBytes("UTF-8"))
     finally out.close()
     sources.foreach(s => fs.delete(s._2, true): Unit)
-    finishRename()
+    finishRename(fs, root)
+  }
+
+  /** Rename `.compact_tmp` -> `batch=-1` WITH the manifest still inside
+    * (deleting it first would re-open a loss window: a crash between that
+    * delete and the rename leaves a manifest-less tmp holding the only
+    * copy of the already-deleted sources, which recovery would discard as
+    * incomplete); the leftover `_`-prefixed file is hidden from Spark
+    * reads and removed as the last, purely cosmetic step. The rename
+    * result is CHECKED: a false return here means the snapshot holding
+    * the only copy of deleted sources did not land — silent success
+    * would leave the store gutted. */
+  private def finishRename(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, ".compact_tmp")
+    if (!fs.rename(tmp, new Path(root, "batch=-1")))
+      throw new java.io.IOException(
+        s"compaction rename $tmp -> $root/batch=-1 failed — the compacted " +
+          "snapshot holds the only copy of the deleted source partitions; " +
+          "re-run compaction recovery before trusting the store")
+    fs.delete(new Path(root, "batch=-1/_compact_manifest"), false): Unit
+  }
+
+  /** Finish or discard an interrupted [[compactStore]]: a tmp WITH a
+    * manifest is a complete superset snapshot of every listed source —
+    * delete the listed sources (losslessly; they may be partially gone)
+    * and rename it into place; a tmp WITHOUT one is a half-written
+    * snapshot from a crash mid-write — discard it, store untouched.
+    * Called both by [[compactStore]] itself and by every
+    * [[startNearDupDedup]] micro-batch before reading the store, so a
+    * crash between source-deletion and rename is healed on the next
+    * stream restart, not only on the next manual compaction. */
+  private[streaming] def recoverCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, ".compact_tmp")
+    val manifest = new Path(tmp, "_compact_manifest")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val names =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      names.foreach { n =>
+        val p = new Path(root, n)
+        if (fs.exists(p)) fs.delete(p, true): Unit
+      }
+      finishRename(fs, root)
+    } else fs.delete(tmp, true): Unit // incomplete write — store untouched
   }
 }

@@ -108,6 +108,55 @@ WHERE x.inter * 1.0 / (sa.n + sb.n - x.inter) >= 0.8"""
     return True
 
 
+def pin_q59_margins(con):
+    """q59's determinism rests on every true (>= 0.9 cosine) pair being an
+    IDENTICAL-vector pair (found by any LSH banding with probability 1)
+    and everything else sitting far below threshold. Pin both at THIS
+    dataset: no cross or within-delta pair may fall in [0.85, 0.999) —
+    a near-threshold pair would make the 16x8-banded Spark side diverge
+    from the exact-cosine oracle on a regenerated fixture."""
+    q = """
+WITH delta AS (
+  SELECT vec_id * 4 + 1 AS vid, embedding AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id * 4 + 1, embedding[14:] || embedding[:13]
+  FROM embeddings WHERE vec_id % 10 = 1
+  UNION ALL
+  SELECT vec_id * 4 + 1, embedding[14:] || embedding[:13]
+  FROM embeddings WHERE vec_id % 10 = 2
+  UNION ALL
+  SELECT vec_id * 4 + 2, embedding[14:] || embedding[:13]
+  FROM embeddings WHERE vec_id % 10 = 2
+), cp AS (
+  -- src tag kept through the grouping: delta vids overlap corpus ids
+  -- (multiplicative encoding), so a cross and a within pair can share
+  -- the numeric (i, j) — grouping without the tag would merge their
+  -- unnested vectors into one garbage cosine
+  SELECT 'c' src, c.vec_id i, d.vid j, c.embedding va, d.v vb
+  FROM embeddings c, delta d
+  UNION ALL
+  SELECT 'w', a.vid, b.vid, a.v, b.v FROM delta a JOIN delta b ON a.vid < b.vid
+), ex AS (SELECT src, i, j, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM cp),
+d AS (SELECT src, i, j, SUM(x*y)/sqrt(SUM(x*x))/sqrt(SUM(y*y)) cos
+      FROM ex GROUP BY 1, 2, 3)
+SELECT count(*) FILTER (cos >= 0.85 AND cos < 0.999) near_threshold,
+       max(cos) FILTER (cos < 0.999) max_other,
+       count(*) FILTER (cos >= 0.999) planted
+FROM d"""
+    near, max_other, planted = con.execute(q).fetchone()
+    print(f"pin  q59 margins: planted={planted} (all >= 0.999), "
+          f"max non-planted cos={max_other:.3f}, near-threshold pairs={near}")
+    if near and near > 0:
+        print(f"FAIL q59 margin pin: {near} pair(s) with cosine in "
+              f"[0.85, 0.999) — LSH==exact determinism at risk at this dataset")
+        return False
+    if not planted:
+        print("FAIL q59 margin pin: no planted identical pairs found")
+        return False
+    return True
+
+
 def main():
     if "--no-run" not in sys.argv:
         run_verify()
@@ -119,6 +168,8 @@ def main():
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     ok = fail = 0
     if not pin_q58_margins(con):
+        fail += 1
+    if not pin_q59_margins(con):
         fail += 1
     for name in sorted(oracle):
         d = OUT / name
