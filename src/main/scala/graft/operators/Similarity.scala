@@ -429,10 +429,16 @@ object Similarity {
                    delta: DataFrame, threshold: Double,
                    nprobe: Int = 4, replicate: Int = 2, dim: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   planes: Int = 0, tables: Int = 0): (DataFrame, DataFrame) = {
+                   planes: Int = 0, tables: Int = 0,
+                   extraCorpus: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(threshold > -1 && threshold < 1, s"threshold $threshold not in (-1, 1)")
     val cents = readCentroids(spark, path)
-    val stored = readIvfCorpus(spark, path)
+    // extraCorpus: additional cell-assigned index rows in the stored
+    // schema (neighbor_id, cv, cell) — the streaming twin passes prior
+    // micro-batches' appends here so the probe sees docs ingested after
+    // the index was built
+    val stored = extraCorpus.foldLeft(readIvfCorpus(spark, path))(
+      (s, e) => s.unionByName(e.select("neighbor_id", "cv", "cell")))
     val d = delta.select(col(idCol).as("j"), normalize(col(vecCol)).as("dv"))
     val probed = d.withColumn("cell",
       explode(topCells(col("dv"), cents, math.min(nprobe, cents.length))))

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+
+/** Streaming near-dup dedup for EMBEDDINGS — the vector twin of
+  * [[DocStreaming.startNearDupDedup]] (which covers text), completing the
+  * incremental story: batch delta op ([[Similarity.nearDupDelta]]) +
+  * streaming wrapper for both modalities.
+  */
+object VecStreaming {
+
+  /** Streaming embedding near-dup dedup over a PERSISTENT
+    * [[Similarity.saveIvfIndex]] layout, first-arrival-wins: each
+    * micro-batch runs the incremental batch operator
+    * [[Similarity.nearDupDelta]] against the stored index PLUS every
+    * prior micro-batch's appended vectors, then appends its own
+    * cell-assigned rows so later batches chain through dropped docs —
+    * the same contract as the text twin's shingle store.
+    *
+    * Idempotence under at-least-once foreachBatch delivery: appends land
+    * in per-batch-id partitions (`<indexDir>/appends/batch=<id>/cell=…`,
+    * overwrite mode), so a replayed micro-batch overwrites its own
+    * partition instead of duplicating rows, and the corpus filter
+    * `batch < batchId` keeps a replay from seeing its own half-written
+    * rows. The base `corpus` dir written by [[Similarity.saveIvfIndex]]
+    * is never touched. Centroids are never retrained per batch (standard
+    * IVF practice): rebuild the index offline when the appended volume
+    * rivals the original corpus, then restart the stream against it.
+    *
+    * The appends are read with an explicit schema: a crash can leave the
+    * appends dir holding only an uncommitted `_temporary` dir, and schema
+    * inference over zero committed files throws on every replay — a
+    * permanent crash loop (the same hazard the text twin guards).
+    *
+    * Ids must be numeric ([[Similarity.nearDupDelta]]'s sentinel
+    * contract). */
+  def startNearDupDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                        indexDir: String, survivorsDir: String,
+                        checkpointDir: String,
+                        threshold: Double, nprobe: Int = 4,
+                        replicate: Int = 2, dim: Int = 64,
+                        planes: Int = 0, tables: Int = 0,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val appendsDir = s"$indexDir/appends"
+      val appendsPath = new org.apache.hadoop.fs.Path(appendsDir)
+      val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val appendSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          batch.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType)))
+      val appends =
+        if (fs.exists(appendsPath) && fs.listStatus(appendsPath).nonEmpty)
+          Some(spark.read.schema(appendSchema).parquet(appendsDir)
+            .filter(col("batch") < batchId).drop("batch"))
+        else None
+      val (survivors, assign) = Similarity.nearDupDelta(spark, indexDir,
+        batch.toDF(), threshold, nprobe, replicate, dim, idCol, vecCol,
+        planes, tables, extraCorpus = appends)
+      // survivors FIRST (planned against the pre-write appends snapshot);
+      // both writes are per-batch-id overwrites — replay-idempotent
+      survivors.write.mode("overwrite")
+        .parquet(s"$survivorsDir/batch=$batchId")
+      assign.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$appendsDir/batch=$batchId")
+    }
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
+}

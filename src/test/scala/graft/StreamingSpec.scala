@@ -249,6 +249,56 @@ class StreamingSpec extends SparkSpec {
       s"copies of compacted/uncompacted docs must drop, fresh kept — $survivors")
   }
 
+  test("streaming EMBEDDING near-dup dedup chains through appends across restarts") {
+    import graft.operators.Similarity
+    import graft.streaming.VecStreaming
+    import spark.implicits._
+    // deterministic decorrelated vectors: per-seed Gaussian fill (a trig
+    // fill is rank-2 — every sinusoid is a combination of the same two
+    // basis vectors, making ALL pairs near-duplicates)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val indexDir = java.nio.file.Files.createTempDirectory("vec_stream_idx").toString
+    Similarity.saveIvfIndex(corpus, indexDir, nlist = 4, replicate = 2)
+    val dir = java.nio.file.Files.createTempDirectory("vec_stream_in").toString
+    val surv = java.nio.file.Files.createTempDirectory("vec_stream_surv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vec_stream_ckpt").toString
+    val schema = corpus.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = VecStreaming.startNearDupDedup(stream, "vec_id", "embedding",
+        indexDir, surv, ckpt, threshold = 0.95, nprobe = 4, dim = 16)
+      q.awaitTermination(120000)
+    }
+    // lifetime 1 — wave 1: a re-ingest of corpus vec 3 (drop), a fresh
+    // vector (survive), and an identical twin pair (min id survives)
+    Seq((100L, vec(3)), (101L, vec(300)),
+        (110L, vec(400)), (111L, vec(400)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(dir)
+    run()
+    // lifetime 2 — wave 2 in a RESTARTED stream: a copy of wave-1's
+    // fresh survivor 101 (must drop via the APPENDS, not the base index),
+    // a copy of wave-1's DROPPED twin 111 (chains through appended dups),
+    // and a fresh vector
+    Seq((200L, vec(300)), (201L, vec(400)), (202L, vec(500)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val survivors = spark.read.parquet(surv)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(101L, 110L, 202L),
+      s"expected fresh 101/110 + fresh 202 only (100 re-ingest, 111 twin, " +
+        s"200/201 append-chained copies all drop) — got $survivors")
+    // appends layout: per-batch-id partitions, cell-partitioned within
+    val batches = new java.io.File(s"$indexDir/appends").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batches == Set("batch=0", "batch=1"), s"unexpected appends layout: $batches")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
