@@ -125,4 +125,48 @@ object Joins {
     val s = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Interval (range) join — `fact.valueCol ∈ [band.lo, band.hi)` — rewritten
+    * as an EQUI-join on fixed-width buckets. The reference has no range
+    * joins at all (SURVEY §2.4); the naive Spark plan for a pure inequality
+    * join is BroadcastNestedLoopJoin (every fact row × every band — a
+    * scale-killer the moment the band table isn't tiny, and a driver OOM
+    * when it isn't broadcastable). Bucket decomposition restores a hashable
+    * key: each band explodes into the `ceil(width/bucketWidth)+1` buckets it
+    * overlaps, each fact row computes its single bucket, and the join is a
+    * plain equi-join on the bucket id with the exact `[lo, hi)` check as a
+    * residual filter — hash-partitionable, AQE-skew-splittable, broadcast
+    * only when [[maybeBroadcast]]'s size estimate says so.
+    *
+    * Overlapping bands are fine (a fact row matches each band covering it);
+    * half-open `[lo, hi)` semantics; negative values are fine (floor on a
+    * DOUBLE division — `Long./` would truncate toward zero and send
+    * negative values to the wrong bucket).
+    *
+    * Pick `bucketWidth` near the typical band width: much smaller multiplies
+    * the band-side explode; much larger widens the residual filter's
+    * false-candidate window. Both only cost work, never correctness.
+    *
+    * Output: every fact column, then every band column. */
+  def rangeJoin(fact: DataFrame, bands: DataFrame, valueCol: String,
+                loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!fact.columns.contains("__bucket") && !bands.columns.contains("__bucket"),
+      "__bucket column name collision")
+    import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence}
+    val w = lit(bucketWidth)
+    val b = bands.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol).cast("double") / w).cast("long"),
+        // hi is exclusive, so floor(hi/w) is the last bucket any value
+        // < hi can land in (a band ending exactly on a bucket boundary
+        // costs one empty bucket — the residual filter drops it)
+        floor(col(hiCol).cast("double") / w).cast("long"))))
+    val f = fact.withColumn("__bucket",
+      floor(col(valueCol).cast("double") / w).cast("long"))
+    f.join(maybeBroadcast(b), Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+      .select((fact.columns ++ bands.columns).map(col): _*)
+  }
 }

@@ -149,4 +149,63 @@ object Events {
       .groupBy("event_id", "user_id", "to_ts")
       .agg(max("from_ts").as("from_ts"))
   }
+
+  /** As-of (point-in-time) join: attach to every left row the single most
+    * recent right row for the same key with `right.ts <= left.ts`
+    * (`<` when `strict`), NULLs when no right row precedes it — the classic
+    * trades-to-quotes / event-to-state lookup. The reference has no
+    * theta/as-of join at all (SURVEY §2.4); this is the Spark-native
+    * extension, built by composition rather than a custom physical plan:
+    * union both sides with a side tag, then one `last(_, ignoreNulls)`
+    * window per payload column keyed on `keys` and ordered by
+    * `(ts, side)` — at equal timestamps the right row sorts before the
+    * left row exactly when non-strict semantics make it visible.
+    *
+    * Scale shape: ONE shuffle on `keys` (the union is shuffle-free), a
+    * keyed — never global — running window, and no range-join fan-out:
+    * each left row costs O(1) regardless of how far back its match lies,
+    * where the equi-join + time-bound formulation ([[attribution]]) pays
+    * views×conversions per user and cannot express "unboundedly far back".
+    *
+    * Determinism contract: the right side must be unique per
+    * `(keys, tsCol)` — pre-aggregate with `max_by` otherwise; with
+    * duplicate right timestamps the window's `last` pick is
+    * partition-order-dependent.
+    *
+    * Output: every left column, then `prefix+tsCol` (the matched right
+    * timestamp) and `prefix+c` for each payload column. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payloadCols: Seq[String],
+               prefix: String = "asof_", strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    require(!left.columns.contains("__side"), "input already has a __side column")
+    val rPay = (tsCol +: payloadCols).map(prefix + _)
+    require(rPay.forall(c => !left.columns.contains(c)),
+      s"left already has a ${rPay.find(left.columns.contains).get} column")
+    // non-strict: right (0) sorts before left (1) at equal ts, so the
+    // running `last` sees a same-timestamp match; strict flips the tags
+    val (lTag, rTag) = if (strict) (0, 1) else (1, 0)
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val l2 = left.select(
+      (keys :+ tsCol).map(col) ++ Seq(lit(lTag).as("__side")) ++
+        leftOnly.map(col) ++
+        ((tsCol +: payloadCols) zip rPay).map { case (c, p) =>
+          lit(null).cast(right.schema(c).dataType).as(p)
+        }: _*)
+    val r2 = right.select(
+      (keys :+ tsCol).map(col) ++ Seq(lit(rTag).as("__side")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        ((tsCol +: payloadCols) zip rPay).map { case (c, p) => col(c).as(p) }: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .select(
+        (keys :+ tsCol).map(col) ++ Seq(col("__side")) ++ leftOnly.map(col) ++
+          rPay.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col("__side") === lTag)
+      .drop("__side")
+      .select((left.columns ++ rPay).map(col): _*)
+  }
 }

@@ -1540,6 +1540,142 @@ object ExtensionQueries {
       |WHERE vid NOT IN (SELECT doc_id FROM losers)
       |ORDER BY 1 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q60 — AS-OF JOIN: every purchase joined to the user's most recent
+  //       click at-or-before it (NULLs when none) — the point-in-time
+  //       lookup the reference cannot express (SURVEY §2.4: equi-joins
+  //       only). Union + keyed running window: ONE user-keyed shuffle,
+  //       O(1) per row however far back the match lies. The right side
+  //       is pre-aggregated to unique (user, ts) with max_by — the
+  //       operator's determinism contract. Oracle: DuckDB's native
+  //       ASOF LEFT JOIN, an independent implementation of the same
+  //       semantics.
+  // -------------------------------------------------------------------
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    sorted(Events.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+      payloadCols = Seq("click_id", "click_value")))
+  }
+
+  val q60Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id,
+      |         arg_max(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       c.ts AS asof_ts, c.click_id AS asof_click_id,
+      |       c.click_value AS asof_click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q61 — RANGE (interval) JOIN: lineitem quantities against OVERLAPPING
+  //       price-band intervals [lo, hi), bucket-decomposed into an
+  //       equi-join (graft.model.Joins.rangeJoin) — no
+  //       BroadcastNestedLoopJoin, no cartesian (PlanSpec pins it).
+  //       Money summed as exact cents (BIGINT) so the hash compare never
+  //       rides on float summation order.
+  // -------------------------------------------------------------------
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val bands = Seq(
+      ("low", 0.0, 15.0), ("mid", 10.0, 30.0),
+      ("high", 25.0, 51.0), ("all", 0.0, 51.0)
+    ).toDF("band", "lo", "hi")
+    val joined = graft.model.Joins.rangeJoin(
+      li, bands, "l_quantity", "lo", "hi", bucketWidth = 5.0)
+    sorted(joined.groupBy("band", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents")))
+  }
+
+  val q61Sql: String =
+    """SELECT b.band, l.l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM lineitem l
+      |JOIN (VALUES ('low', 0, 15), ('mid', 10, 30),
+      |             ('high', 25, 51), ('all', 0, 51)) b(band, lo, hi)
+      |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q62 — INCREMENTAL CUBE REFRESH end-to-end: build a stored star from
+  //       the orders fact pre-1998 partitioned by year, then ingest a
+  //       raw delta (everything from 1997-07-01 on) with
+  //       CubeIO.ingestIntoStar — the delta merges INTO existing 1997
+  //       grain rows AND opens new 1998–2001 partitions, and only the
+  //       touched partitions are rewritten (RoundTripSpec pins the
+  //       byte-identical untouched files; this query oracle-checks the
+  //       merged VALUES against a from-scratch recompute). Money as
+  //       exact cents: additive longs keep the stored schema stable
+  //       across re-ingests.
+  // -------------------------------------------------------------------
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact}
+    import graft.io.CubeIO
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val base = orders.filter(col("o_orderdate") < "1998-01-01")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("one", lit(1L))
+    val delta = orders.filter(col("o_orderdate") >= "1997-07-01")
+      .select(col("o_year"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("sum_cents"),
+        lit(1L).as("n_orders"))
+    // dimensions span the FULL key domain (base + delta years): loadStar
+    // conforms the fact to its dimensions, so a delta-opened 1999
+    // partition must already have a matching dimension row
+    val cube = DataCube.build(
+      Fact.build(base, Seq("o_year", "o_orderpriority"),
+        Seq(Measure.sum("cents", "sum_cents"), Measure.sum("one", "n_orders"))),
+      Seq(
+        Dimension.build("year", "o_year", ListMap.empty,
+          orders.select("o_year").distinct()),
+        Dimension.build("priority", "o_orderpriority", ListMap.empty,
+          orders.select("o_orderpriority").distinct())))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q62_star_" +
+      Integer.toHexString(dir.hashCode)
+    // full overwrite each call: ingest is (by design) not idempotent, so
+    // the query rebuilds its fixture star rather than double-ingesting
+    // across bench reps
+    CubeIO.saveStar(cube, path, partitionFact = Seq("o_year"))
+    CubeIO.ingestIntoStar(s, path, delta)
+    sorted(CubeIO.loadStar(s, path).fact.data
+      .select("o_year", "o_orderpriority", "n_orders", "sum_cents"))
+  }
+
+  val q62Sql: String =
+    """WITH merged AS (
+      |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |)
+      |SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM merged GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1585,6 +1721,9 @@ object ExtensionQueries {
     ("q56_sample_to_budget", q56 _, q56Sql),
     ("q57_video_near_dup", q57 _, q57Sql), // golden planted-pair set
     ("q58_neardup_delta", q58 _, q58Sql),
-    ("q59_vec_neardup_delta", q59 _, q59Sql)
+    ("q59_vec_neardup_delta", q59 _, q59Sql),
+    ("q60_asof_join", q60 _, q60Sql),
+    ("q61_range_join", q61 _, q61Sql),
+    ("q62_star_ingest", q62 _, q62Sql)
   )
 }

@@ -572,6 +572,67 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected view=3, click=2 (user 2's click precedes their view), purchase=1; got $f")
   }
 
+  test("asofJoin attaches the latest at-or-before right row; strict excludes ties") {
+    import graft.operators.Events
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val left = Seq(
+      (1L, ts(2), "p0"), // ties right rid=100 exactly
+      (1L, ts(5), "p1"), // after rid=101, before rid=103
+      (2L, ts(1), "p2"), // BEFORE the key's only right row
+      (3L, ts(4), "p3")  // key with no right rows at all
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(2), 100L, 1.0),
+      (1L, ts(4), 101L, 2.0),
+      (1L, ts(7), 103L, 4.0),
+      (2L, ts(3), 102L, 3.0)
+    ).toDF("user_id", "ts", "rid", "rv")
+    def picks(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select("tag", "asof_rid").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val out = Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("rid", "rv"))
+    assert(out.columns.toSeq ==
+      Seq("user_id", "ts", "tag", "asof_ts", "asof_rid", "asof_rv"))
+    assert(picks(out) == Map("p0" -> 100L, "p1" -> 101L, "p2" -> -1L, "p3" -> -1L))
+    // the matched right TIMESTAMP travels with its payload row
+    val m = out.filter(col("tag") === "p1").select("asof_ts", "asof_rv").head
+    assert(m.getTimestamp(0) == ts(4) && m.getDouble(1) == 2.0)
+    // strict: the equal-timestamp right row becomes invisible
+    val strict =
+      Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("rid", "rv"),
+        strict = true)
+    assert(picks(strict) == Map("p0" -> -1L, "p1" -> 101L, "p2" -> -1L, "p3" -> -1L))
+    // every left row survives exactly once (left-outer semantics)
+    assert(out.count() == 4 && strict.count() == 4)
+  }
+
+  test("rangeJoin: half-open bands, overlaps, boundaries, negative values") {
+    import graft.model.Joins
+    import spark.implicits._
+    val fact = Seq((1L, -0.5), (2L, 0.0), (3L, 9.99), (4L, 10.0), (5L, 25.0))
+      .toDF("id", "v")
+    val bands = Seq(
+      ("neg", -5.0, 0.0), ("a", 0.0, 10.0), ("b", 10.0, 26.0),
+      ("wide", 5.0, 26.0)
+    ).toDF("band", "lo", "hi")
+    val got = Joins.rangeJoin(fact, bands, "v", "lo", "hi", bucketWidth = 4.0)
+      .select("id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "neg"),                 // negative value, negative band
+      (2L, "a"),                   // lo is INCLUSIVE (0 ∉ [-5,0))
+      (3L, "a"), (3L, "wide"),     // overlapping bands both match
+      (4L, "b"), (4L, "wide"),     // hi is EXCLUSIVE (10 ∉ [0,10))
+      (5L, "b"), (5L, "wide")))
+    // a band narrower than one bucket still matches exactly
+    val narrow = Seq(("tiny", 9.5, 10.5)).toDF("band", "lo", "hi")
+    val got2 = Joins.rangeJoin(fact, narrow, "v", "lo", "hi", bucketWidth = 100.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(3L, 4L))
+  }
+
   test("hash split is deterministic, exhaustive, and weight-proportional") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val a = Sampling.assignSplit(docs, "doc_id", splits)

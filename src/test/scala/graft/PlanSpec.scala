@@ -397,6 +397,46 @@ class PlanSpec extends SparkSpec {
       s"attribution degenerated to an all-pairs join:\n$nodes")
   }
 
+  test("as-of join shuffles once on the key, never a global window") {
+    import graft.operators.Events
+    import org.apache.spark.sql.functions.col
+    val ev = eventsDf
+    val left = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("rid"))
+    val out = Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("rid"))
+    out.count()
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    assert(nodes.count(_.contains("Exchange")) <= 1,
+      s"as-of join should shuffle once on the key:\n$nodes")
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SinglePartition"),
+      s"as-of join funnels through one task:\n$planStr")
+    assert(!nodes.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+        n.contains("CartesianProduct")),
+      s"as-of join degenerated to an all-pairs join:\n$nodes")
+  }
+
+  test("range join is a bucket equi-join, never nested-loop — even unhinted") {
+    import graft.model.Joins
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val bands = Seq(("low", 0.0, 15.0), ("mid", 10.0, 30.0), ("high", 25.0, 51.0))
+      .toDF("band", "lo", "hi")
+    val j = Joins.rangeJoin(li, bands, "l_quantity", "lo", "hi", 5.0)
+    j.count()
+    val nodes = runtimeNodes(j.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+        n.contains("CartesianProduct")),
+      s"range join degenerated to an all-pairs join:\n$nodes")
+    // the residual [lo, hi) check must ride the join, not vanish: a row
+    // in a shared bucket but outside the band is filtered
+    assert(j.filter(col("l_quantity") < col("lo") ||
+      col("l_quantity") >= col("hi")).count() == 0)
+  }
+
   test("trailing-count window shuffles once on the key, never a global sort") {
     import graft.operators.Events
     val ev = eventsDf
