@@ -147,6 +147,31 @@ object ScaleProbe {
           e, 5, nlist = 32, nprobe = 4).count()
       })
 
+    // events: replicas get fresh event ids but the SAME users/timestamps,
+    // so per-user activity densifies factor× — the worst direction for
+    // keyed windows (per-partition sort grows superlinearly only if the
+    // operator leaks a global sort or a range fan-out)
+    val ev1 = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "user_id", "event_type", "ts")
+    }
+    def evN(n: Int): DataFrame =
+      spark.range(n).toDF("rep").crossJoin(ev1)
+        .select((col("event_id") + col("rep") * lit(10000000L)).as("event_id"),
+          col("user_id"), col("event_type"), col("ts"))
+
+    def eventsSuite(tag: String, ev: DataFrame): Map[String, Double] = Map(
+      "asof" -> timed(s"$tag as-of join") {
+        val l = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("rid"))
+        graft.operators.Events.asofJoin(l, r, Seq("user_id"), "ts",
+          Seq("rid")).count()
+      })
+
     // per-row / indexed text-pipeline ops: chunking is shuffle-free and
     // must scale ~linearly; dup-share's df join-back is 1:1 on index rows
     // (any superlinear growth here means the uncapped-index claim is wrong)
@@ -166,15 +191,17 @@ object ScaleProbe {
     val aN = annSuite(s"${factor}x", embN(factor))
     val p1 = pipeSuite("1x", docsN(1))
     val pN = pipeSuite(s"${factor}x", docsN(factor))
+    val e1 = eventsSuite("1x", evN(1))
+    val eN = eventsSuite(s"${factor}x", evN(factor))
 
     val bound = 1.5 * factor
     val noiseFloorSec = 0.3
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(f"[probe] RATIOS at ${factor}x rows (linear => ~$factor, bound $bound%.1f):")
-    val steps = (d1.keySet ++ a1.keySet ++ p1.keySet).toSeq.sorted.map { k =>
-      val r1 = d1.getOrElse(k, a1.getOrElse(k, p1(k)))
-      val rN = dN.getOrElse(k, aN.getOrElse(k, pN(k)))
+    val steps = (d1.keySet ++ a1.keySet ++ p1.keySet ++ e1.keySet).toSeq.sorted.map { k =>
+      val r1 = d1.getOrElse(k, a1.getOrElse(k, p1.getOrElse(k, e1(k))))
+      val rN = dN.getOrElse(k, aN.getOrElse(k, pN.getOrElse(k, eN(k))))
       // ratio against max(t1, floor): sub-floor 1x times are jitter, and
       // dividing by them manufactures huge ratios — clamping the
       // denominator absorbs the jitter. For sub-floor steps the gate is

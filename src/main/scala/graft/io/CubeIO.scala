@@ -318,7 +318,7 @@ object CubeIO {
     }.reduce(_ || _)
     val existing = readFact(spark, path, meta)
       .filter(touchedFilter)
-      .select(delta.data.columns.map(col): _*) // align column order for union
+      .select(delta.data.columns.map(col).toSeq: _*) // align column order for union
     val merged = Fact.aggregate(
       existing.unionByName(delta.data), meta.idVars, stored)
       .localCheckpoint(true)

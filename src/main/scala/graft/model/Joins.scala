@@ -167,6 +167,6 @@ object Joins {
     f.join(maybeBroadcast(b), Seq("__bucket"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
-      .select((fact.columns ++ bands.columns).map(col): _*)
+      .select((fact.columns ++ bands.columns).map(col).toSeq: _*)
   }
 }

@@ -152,14 +152,17 @@ object Events {
 
   /** As-of (point-in-time) join: attach to every left row the single most
     * recent right row for the same key with `right.ts <= left.ts`
-    * (`<` when `strict`), NULLs when no right row precedes it — the classic
+    * (`<` when `strict`; the NEXT right row at-or-after when `forward`),
+    * NULLs when no right row qualifies — the classic
     * trades-to-quotes / event-to-state lookup. The reference has no
     * theta/as-of join at all (SURVEY §2.4); this is the Spark-native
     * extension, built by composition rather than a custom physical plan:
     * union both sides with a side tag, then one `last(_, ignoreNulls)`
     * window per payload column keyed on `keys` and ordered by
     * `(ts, side)` — at equal timestamps the right row sorts before the
-    * left row exactly when non-strict semantics make it visible.
+    * left row exactly when non-strict semantics make it visible, and
+    * `forward` just reverses the time ordering (the nearest-at-or-after
+    * match is the running-last in descending time).
     *
     * Scale shape: ONE shuffle on `keys` (the union is shuffle-free), a
     * keyed — never global — running window, and no range-join fan-out:
@@ -176,7 +179,8 @@ object Events {
     * timestamp) and `prefix+c` for each payload column. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String],
-               prefix: String = "asof_", strict: Boolean = false): DataFrame = {
+               prefix: String = "asof_", strict: Boolean = false,
+               forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     require(!left.columns.contains("__side"), "input already has a __side column")
@@ -197,8 +201,9 @@ object Events {
       (keys :+ tsCol).map(col) ++ Seq(lit(rTag).as("__side")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         ((tsCol +: payloadCols) zip rPay).map { case (c, p) => col(c).as(p) }: _*)
+    val tsOrd = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .select(
@@ -206,6 +211,6 @@ object Events {
           rPay.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
       .filter(col("__side") === lTag)
       .drop("__side")
-      .select((left.columns ++ rPay).map(col): _*)
+      .select((left.columns ++ rPay).map(col).toSeq: _*)
   }
 }

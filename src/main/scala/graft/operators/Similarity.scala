@@ -271,7 +271,7 @@ object Similarity {
     // nearest-centroid cell id as one codegen'd expression: argmax over
     // literal centroid dot products (struct max orders by sim, then id)
     def cellExpr(vec: Column, cents: Array[Array[Double]]): Column =
-      array_max(array(cents.zipWithIndex.map { case (cent, id) =>
+      array_max(array(cents.zipWithIndex.toSeq.map { case (cent, id) =>
         struct(dotp(vec, lit(cent)).as("sim"), lit(id).as("cid"))
       }: _*)).getField("cid")
 
@@ -302,7 +302,7 @@ object Similarity {
   /** Top-n nearest cells as one codegen'd expression: array sort of
     * (-sim, cid) structs — driver-free, no join, no window shuffle. */
   private def topCells(vec: Column, cents: Array[Array[Double]], top: Int): Column = {
-    val scored = array(cents.zipWithIndex.map { case (cent, id) =>
+    val scored = array(cents.zipWithIndex.toSeq.map { case (cent, id) =>
       struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
     }: _*)
     slice(transform(array_sort(scored), _.getField("cid")), 1, top)

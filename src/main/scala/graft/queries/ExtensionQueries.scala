@@ -1676,6 +1676,50 @@ object ExtensionQueries {
       |FROM merged GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q63 — TEMPORAL DIMENSION (SCD2 + point-in-time lookup): signup
+  //       events become a versioned user-state dimension
+  //       (Sources.scd2: [valid_from, valid_to) intervals via one keyed
+  //       lead window), then every purchase joins to the version valid
+  //       AT ITS OWN TIMESTAMP via Events.asofJoin. The oracle is an
+  //       INDEPENDENT formulation — an interval-containment join on the
+  //       LEAD-derived intervals — so a hash match proves the scd2
+  //       intervals tile gap- and overlap-free AND the as-of pick
+  //       equals interval membership.
+  // -------------------------------------------------------------------
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sources
+    val ev = events(s, dir)
+    val changes = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("state"))
+    val versions = Sources.scd2(changes, Seq("user_id"), "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    sorted(Events.asofJoin(purchases,
+      versions.select("user_id", "ts", "state"),
+      Seq("user_id"), "ts", payloadCols = Seq("state")))
+  }
+
+  val q63Sql: String =
+    """WITH ch AS (
+      |  SELECT user_id, ts, arg_max(value, event_id) AS state
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+      |), v AS (
+      |  SELECT user_id, ts, state,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      |  FROM ch
+      |), p AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |       v.ts AS asof_ts, v.state AS asof_state
+      |FROM p LEFT JOIN v ON p.user_id = v.user_id
+      |  AND p.ts >= v.ts AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1724,6 +1768,7 @@ object ExtensionQueries {
     ("q59_vec_neardup_delta", q59 _, q59Sql),
     ("q60_asof_join", q60 _, q60Sql),
     ("q61_range_join", q61 _, q61Sql),
-    ("q62_star_ingest", q62 _, q62Sql)
+    ("q62_star_ingest", q62 _, q62Sql),
+    ("q63_scd2_dimension", q63 _, q63Sql)
   )
 }

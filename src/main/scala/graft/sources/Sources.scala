@@ -80,4 +80,31 @@ object Sources {
       dim.select((key +: cols).map(col): _*)
         .dropDuplicates(Seq(key))), Seq(key), "left")
   }
+
+  /** Slowly-changing-dimension (SCD type 2) versioning: turn a change log
+    * (one row per attribute change, unique per `(keys, tsCol)`) into
+    * versioned dimension rows with `[valid_from, valid_to)` intervals —
+    * `valid_to` is the NEXT change's timestamp (NULL for the current
+    * version), so per key the intervals tile `[first_change, ∞)` with no
+    * gaps or overlaps by construction. The reference's dimensions are
+    * timeless snapshots; this is the warehouse-standard temporal
+    * extension, and [[graft.operators.Events.asofJoin]] against the
+    * result is the point-in-time dimension lookup (a fact row joined to
+    * the version valid at its own timestamp).
+    *
+    * Scale shape: ONE key shuffle + a keyed `lead` window (no global
+    * sort, no self-join — the naive formulation joins the change log to
+    * itself to find "the next change" and pays per-key fan-out²). */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+           fromCol: String = "valid_from",
+           toCol: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val collisions = Set(fromCol, toCol) & changes.columns.toSet
+    require(collisions.isEmpty,
+      s"scd2 would overwrite existing columns: ${collisions.mkString(", ")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    changes
+      .withColumn(fromCol, col(tsCol))
+      .withColumn(toCol, lead(col(tsCol), 1).over(w))
+  }
 }

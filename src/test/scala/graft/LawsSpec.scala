@@ -223,6 +223,49 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: asofJoin in all four directions equals the brute-force pick") {
+    import graft.operators.Events
+    import spark.implicits._
+    val side = Gen.listOfN(25, for {
+      u <- Gen.chooseNum(1, 4)
+      t <- Gen.chooseNum(0, 40) // coarse: forces plenty of exact ts ties
+    } yield (u.toLong, t.toLong))
+    forAll(Gen.zip(side, side), n = 4) { case (lrows, rrows) =>
+      val left = lrows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, new java.sql.Timestamp(t * 1000L))
+      }.toDF("lid", "user_id", "ts")
+      // right deduped per (user, ts) keeping max rid — the operator's
+      // determinism contract
+      val rd = rrows.zipWithIndex
+        .groupBy { case ((u, t), _) => (u, t) }
+        .map { case ((u, t), rs) => (u, t, 100L + rs.map(_._2).max) }.toSeq
+      val right = rd.map { case (u, t, rid) =>
+        (u, new java.sql.Timestamp(t * 1000L), rid)
+      }.toDF("user_id", "ts", "rid")
+      for (strict <- Seq(false, true); forward <- Seq(false, true)) {
+        val got = Events.asofJoin(left, right, Seq("user_id"), "ts",
+            Seq("rid"), strict = strict, forward = forward)
+          .select("lid", "asof_rid").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .toMap
+        assert(got.size == lrows.size, "every left row exactly once")
+        lrows.zipWithIndex.foreach { case ((u, t), i) =>
+          val cand = rd.filter { case (u2, t2, _) =>
+            u2 == u && (if (forward) { if (strict) t2 > t else t2 >= t }
+                        else { if (strict) t2 < t else t2 <= t })
+          }
+          val want =
+            if (cand.isEmpty) -1L
+            else if (forward) cand.minBy(_._2)._3
+            else cand.maxBy(_._2)._3
+          assert(got(i.toLong) == want,
+            s"lid=$i u=$u t=$t strict=$strict forward=$forward: " +
+              s"got ${got(i.toLong)} want $want")
+        }
+      }
+    }
+  }
+
   test("law: exactDelta equals the plain anti-join on arbitrary overlaps") {
     import graft.operators.Dedup
     import spark.implicits._

@@ -604,6 +604,14 @@ class PipelineOpsSpec extends SparkSpec {
       Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("rid", "rv"),
         strict = true)
     assert(picks(strict) == Map("p0" -> -1L, "p1" -> 101L, "p2" -> -1L, "p3" -> -1L))
+    // forward: the NEXT right row at-or-after; strict skips the tie
+    val fwd = Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("rid", "rv"),
+      forward = true)
+    assert(picks(fwd) == Map("p0" -> 100L, "p1" -> 103L, "p2" -> 102L, "p3" -> -1L))
+    val fwdStrict = Events.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("rid", "rv"), strict = true, forward = true)
+    assert(picks(fwdStrict) ==
+      Map("p0" -> 101L, "p1" -> 103L, "p2" -> 102L, "p3" -> -1L))
     // every left row survives exactly once (left-outer semantics)
     assert(out.count() == 4 && strict.count() == 4)
   }

@@ -93,6 +93,36 @@ class SourcesAggregatorsSpec extends SparkSpec {
     assert(ids.head == 1 && ids.last == 1000 && ids.distinct.length == 1000)
   }
 
+  test("scd2 intervals tile per key: no gaps, no overlaps, one open version") {
+    import graft.sources.Sources
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val changes = Seq(
+      (1L, ts(1), "a"), (1L, ts(3), "b"), (1L, ts(7), "c"), // three versions
+      (2L, ts(5), "x")                                      // single version
+    ).toDF("user_id", "ts", "state")
+    val v = Sources.scd2(changes, Seq("user_id"), "ts")
+      .select("user_id", "valid_from", "valid_to", "state").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getString(3)))
+    assert(v.length == 4, "one version per change row")
+    // each non-final version closes exactly at the next version's start
+    val byUser = v.groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime))
+    byUser.foreach { case (u, vs) =>
+      vs.sliding(2).foreach {
+        case Array((_, _, Some(to), _), (_, from, _, _)) =>
+          assert(to == from, s"user $u: gap/overlap between $to and $from")
+        case _ =>
+      }
+      assert(vs.last._3.isEmpty, s"user $u: current version must stay open")
+      assert(vs.init.forall(_._3.nonEmpty), s"user $u: only the last is open")
+    }
+    // column collisions are rejected, not silently overwritten
+    intercept[IllegalArgumentException] {
+      Sources.scd2(changes.withColumn("valid_to", lit(1)), Seq("user_id"), "ts")
+    }
+  }
+
   test("streaming sessionizeAll emits every closed session") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_all").toString
