@@ -130,119 +130,20 @@ object DocStreaming {
   }
 
   /** Compact a [[startNearDupDedup]] shingle store: merge every batch
-    * partition EXCEPT the newest into one `batch=-1` partition. The store
-    * accumulates one directory per micro-batch, and at production trigger
-    * rates that is the classic small-files/partition-explosion problem —
-    * [[graft.operators.Dedup.crossPairsBloom]]'s per-batch corpus scan
-    * pays the listing+open cost of every partition, forever. Run this
-    * periodically (stream STOPPED — it is an offline maintenance op, like
-    * any table compaction).
-    *
-    * Replay-idempotence contract, preserved: only the newest batch can be
-    * replayed by foreachBatch (earlier ones are committed in the
-    * checkpoint), and it is exactly the partition compaction leaves
-    * untouched, so a post-restart replay still overwrites its own
-    * partition and never collides with compacted data; `batch=-1` sorts
-    * below every real batch id, so the corpus filter `batch < batchId`
-    * keeps including it. Store rows are globally unique (a doc arrives in
-    * exactly one batch; replays overwrite), so merging partitions cannot
-    * create duplicates — the distinct below is defense in depth.
-    *
-    * Crash safety: the merged snapshot is first written to a hidden
-    * `.compact_tmp` dir (invisible to partition discovery), a manifest of
-    * the source partitions is recorded INSIDE it, and only then are
-    * sources deleted and the tmp renamed to `batch=-1`. A crash before
-    * the manifest exists leaves the store untouched (the half-written tmp
-    * is discarded on the next run); a crash after it is finished from the
-    * manifest — the tmp is a complete superset of every listed source, so
-    * finishing is always lossless — by the next compaction AND by the
-    * next [[startNearDupDedup]] micro-batch ([[recoverCompaction]] runs
-    * before every store read, so a restarted stream never dedups against
-    * a store missing its compacted shingles). */
+    * partition EXCEPT the newest into one `batch=-1` partition — see
+    * [[StoreCompaction]] for the replay-idempotence and crash-safety
+    * contract (shared with the IVF-appends twin,
+    * [[VecStreaming.compactStore]]). Run with the stream STOPPED; an
+    * interrupted run is healed by the next [[startNearDupDedup]]
+    * micro-batch ([[recoverCompaction]] runs before every store read),
+    * so a restarted stream never dedups against a store missing its
+    * compacted shingles. */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
-                   storeDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    val tmp = new Path(root, ".compact_tmp")
-    val manifest = new Path(tmp, "_compact_manifest")
-    def batchDirs(): Seq[(Long, Path)] =
-      fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("batch="))
-          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
-            .map(_ -> st.getPath)
-        else None
-      }
-    // recover an interrupted compaction before looking at the partitions
-    recoverCompaction(fs, root)
-    val dirs = batchDirs()
-    val numeric = dirs.map(_._1).filter(_ >= 0)
-    if (numeric.isEmpty) return
-    val maxBatch = numeric.max
-    val sources = dirs.filter(_._1 < maxBatch)
-    if (sources.size < 2) return // nothing worth merging
-    spark.read.parquet(storeDir)
-      .filter(col("batch") < maxBatch)
-      .select("doc_id", "s").distinct()
-      .write.mode("overwrite").parquet(tmp.toString)
-    // manifest LAST: its existence certifies the tmp snapshot is complete
-    val out = fs.create(manifest, true)
-    try out.write(sources.map(s => s"batch=${s._1}").mkString("\n")
-      .getBytes("UTF-8"))
-    finally out.close()
-    sources.foreach(s => fs.delete(s._2, true): Unit)
-    finishRename(fs, root)
-  }
+                   storeDir: String): Unit =
+    StoreCompaction.compact(spark, storeDir, Seq("doc_id", "s"))
 
-  /** Rename `.compact_tmp` -> `batch=-1` WITH the manifest still inside
-    * (deleting it first would re-open a loss window: a crash between that
-    * delete and the rename leaves a manifest-less tmp holding the only
-    * copy of the already-deleted sources, which recovery would discard as
-    * incomplete); the leftover `_`-prefixed file is hidden from Spark
-    * reads and removed as the last, purely cosmetic step. The rename
-    * result is CHECKED: a false return here means the snapshot holding
-    * the only copy of deleted sources did not land — silent success
-    * would leave the store gutted. */
-  private def finishRename(fs: org.apache.hadoop.fs.FileSystem,
-                           root: org.apache.hadoop.fs.Path): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = new Path(root, ".compact_tmp")
-    if (!fs.rename(tmp, new Path(root, "batch=-1")))
-      throw new java.io.IOException(
-        s"compaction rename $tmp -> $root/batch=-1 failed — the compacted " +
-          "snapshot holds the only copy of the deleted source partitions; " +
-          "re-run compaction recovery before trusting the store")
-    fs.delete(new Path(root, "batch=-1/_compact_manifest"), false): Unit
-  }
-
-  /** Finish or discard an interrupted [[compactStore]]: a tmp WITH a
-    * manifest is a complete superset snapshot of every listed source —
-    * delete the listed sources (losslessly; they may be partially gone)
-    * and rename it into place; a tmp WITHOUT one is a half-written
-    * snapshot from a crash mid-write — discard it, store untouched.
-    * Called both by [[compactStore]] itself and by every
-    * [[startNearDupDedup]] micro-batch before reading the store, so a
-    * crash between source-deletion and rename is healed on the next
-    * stream restart, not only on the next manual compaction. */
   private[streaming] def recoverCompaction(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = new Path(root, ".compact_tmp")
-    val manifest = new Path(tmp, "_compact_manifest")
-    if (!fs.exists(tmp)) return
-    if (fs.exists(manifest)) {
-      val in = fs.open(manifest)
-      val names =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      names.foreach { n =>
-        val p = new Path(root, n)
-        if (fs.exists(p)) fs.delete(p, true): Unit
-      }
-      finishRename(fs, root)
-    } else fs.delete(tmp, true): Unit // incomplete write — store untouched
-  }
+      root: org.apache.hadoop.fs.Path): Unit =
+    StoreCompaction.recover(fs, root)
 }

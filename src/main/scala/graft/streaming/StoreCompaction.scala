@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Crash-safe compaction shared by the per-batch-id streaming stores
+  * ([[DocStreaming]]'s shingle store, [[VecStreaming]]'s IVF appends).
+  * Both layouts are `root/batch=<id>/…` hive partitions written by
+  * replay-idempotent `foreachBatch` overwrites, and both accumulate one
+  * directory per micro-batch — the classic small-files/partition-
+  * explosion problem, because every later batch re-scans the whole store.
+  *
+  * `compact` merges every batch partition EXCEPT the newest into one
+  * `batch=-1` partition (stream STOPPED — an offline maintenance op,
+  * like any table compaction). The replay-idempotence contract is
+  * preserved: only the newest batch can be replayed by foreachBatch
+  * (earlier ones are committed in the checkpoint), and it is exactly the
+  * partition compaction leaves untouched, so a post-restart replay still
+  * overwrites its own partition and never collides with compacted data;
+  * `batch=-1` sorts below every real batch id, so the corpus filter
+  * `batch < batchId` keeps including it. Store rows are globally unique
+  * (a row arrives in exactly one batch; replays overwrite), so merging
+  * cannot create duplicates — the `distinct` is defense in depth.
+  *
+  * Crash safety: the merged snapshot is first written to a hidden
+  * `.compact_tmp` dir (invisible to partition discovery), a manifest of
+  * the source partitions is recorded INSIDE it, and only then are the
+  * sources deleted and the tmp renamed to `batch=-1`. A crash before the
+  * manifest exists leaves the store untouched (the half-written tmp is
+  * discarded on the next run); a crash after it is finished from the
+  * manifest — the tmp is a complete superset of every listed source, so
+  * finishing is always lossless. `recover` runs before every store read
+  * in both streaming twins, so a crash between source-deletion and
+  * rename is healed on the next stream restart, not only on the next
+  * manual compaction. */
+private[streaming] object StoreCompaction {
+
+  /** Merge all committed batch partitions below the newest into
+    * `batch=-1`, keeping `dataCols` (distinct) and re-partitioning the
+    * snapshot by `partCols` (e.g. the IVF store's `cell`) so downstream
+    * partition pruning keeps working on the compacted data. */
+  def compact(spark: SparkSession, storeDir: String, dataCols: Seq[String],
+              partCols: Seq[String] = Nil): Unit = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val tmp = new Path(root, ".compact_tmp")
+    val manifest = new Path(tmp, "_compact_manifest")
+    def batchDirs(): Seq[(Long, Path)] =
+      fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch="))
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+            .map(_ -> st.getPath)
+        else None
+      }
+    // recover an interrupted compaction before looking at the partitions
+    recover(fs, root)
+    val dirs = batchDirs()
+    val numeric = dirs.map(_._1).filter(_ >= 0)
+    if (numeric.isEmpty) return
+    val maxBatch = numeric.max
+    val sources = dirs.filter(_._1 < maxBatch)
+    if (sources.size < 2) return // nothing worth merging
+    val snap = spark.read.parquet(storeDir)
+      .filter(col("batch") < maxBatch)
+      .select((dataCols ++ partCols).map(col): _*).distinct()
+    val w = snap.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(tmp.toString)
+    // manifest LAST: its existence certifies the tmp snapshot is complete
+    val out = fs.create(manifest, true)
+    try out.write(sources.map(s => s"batch=${s._1}").mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    sources.foreach(s => fs.delete(s._2, true): Unit)
+    finishRename(fs, root)
+  }
+
+  /** Rename `.compact_tmp` -> `batch=-1` WITH the manifest still inside
+    * (deleting it first would re-open a loss window: a crash between that
+    * delete and the rename leaves a manifest-less tmp holding the only
+    * copy of the already-deleted sources, which recovery would discard as
+    * incomplete); the leftover `_`-prefixed file is hidden from Spark
+    * reads and removed as the last, purely cosmetic step. The rename
+    * result is CHECKED: a false return here means the snapshot holding
+    * the only copy of deleted sources did not land — silent success
+    * would leave the store gutted. */
+  private def finishRename(fs: FileSystem, root: Path): Unit = {
+    val tmp = new Path(root, ".compact_tmp")
+    if (!fs.rename(tmp, new Path(root, "batch=-1")))
+      throw new java.io.IOException(
+        s"compaction rename $tmp -> $root/batch=-1 failed — the compacted " +
+          "snapshot holds the only copy of the deleted source partitions; " +
+          "re-run compaction recovery before trusting the store")
+    fs.delete(new Path(root, "batch=-1/_compact_manifest"), false): Unit
+  }
+
+  /** Finish or discard an interrupted [[compact]]: a tmp WITH a manifest
+    * is a complete superset snapshot of every listed source — delete the
+    * listed sources (losslessly; they may be partially gone) and rename
+    * it into place; a tmp WITHOUT one is a half-written snapshot from a
+    * crash mid-write — discard it, store untouched. */
+  def recover(fs: FileSystem, root: Path): Unit = {
+    val tmp = new Path(root, ".compact_tmp")
+    val manifest = new Path(tmp, "_compact_manifest")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val names =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      names.foreach { n =>
+        val p = new Path(root, n)
+        if (fs.exists(p)) fs.delete(p, true): Unit
+      }
+      finishRename(fs, root)
+    } else fs.delete(tmp, true): Unit // incomplete write — store untouched
+  }
+}

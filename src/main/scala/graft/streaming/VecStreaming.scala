@@ -50,6 +50,11 @@ object VecStreaming {
       val appendsDir = s"$indexDir/appends"
       val appendsPath = new org.apache.hadoop.fs.Path(appendsDir)
       val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      // finish any compaction that crashed between source-deletion and
+      // rename BEFORE trusting the appends: without this, a restart in
+      // that window would dedup every batch against an appends dir
+      // missing all compacted vectors until compactStore was re-run
+      StoreCompaction.recover(fs, appendsPath)
       val appendSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("neighbor_id",
           batch.schema(idCol).dataType),
@@ -81,4 +86,19 @@ object VecStreaming {
       .trigger(trigger)
       .start()
   }
+
+  /** Compact a [[startNearDupDedup]] appends store
+    * (`<indexDir>/appends/batch=<id>/cell=…`): merge every batch
+    * partition EXCEPT the newest into one `batch=-1` partition,
+    * RE-PARTITIONED BY `cell` so the probe-side pruning that makes
+    * [[Similarity.nearDupDelta]]'s corpus scan cheap keeps working on
+    * the compacted rows. See [[StoreCompaction]] for the shared
+    * replay-idempotence and crash-safety contract (the text twin is
+    * [[DocStreaming.compactStore]]). Run with the stream STOPPED; an
+    * interrupted run is healed by the next micro-batch's recovery
+    * pass. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Unit =
+    StoreCompaction.compact(spark, s"$indexDir/appends",
+      Seq("neighbor_id", "cv"), partCols = Seq("cell"))
 }

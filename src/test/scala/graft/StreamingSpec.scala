@@ -299,6 +299,66 @@ class StreamingSpec extends SparkSpec {
     assert(batches == Set("batch=0", "batch=1"), s"unexpected appends layout: $batches")
   }
 
+  test("IVF appends compaction preserves cell pruning and restart dedup semantics") {
+    import graft.operators.Similarity
+    import graft.streaming.VecStreaming
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val indexDir = java.nio.file.Files.createTempDirectory("vec_compact_idx").toString
+    Similarity.saveIvfIndex(corpus, indexDir, nlist = 4, replicate = 2)
+    val dir = java.nio.file.Files.createTempDirectory("vec_compact_in").toString
+    val surv = java.nio.file.Files.createTempDirectory("vec_compact_surv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vec_compact_ckpt").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = VecStreaming.startNearDupDedup(stream, "vec_id", "embedding",
+        indexDir, surv, ckpt, threshold = 0.95, nprobe = 4, dim = 16)
+      q.awaitTermination(120000)
+    }
+    // three single-vector micro-batches of fresh vectors, then stop
+    Seq(100L -> vec(300), 101L -> vec(400), 102L -> vec(500)).foreach {
+      case (id, v) => Seq((id, v)).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    run()
+    val appends = s"$indexDir/appends"
+    def partitions() = new java.io.File(appends).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(partitions() == Set("batch=0", "batch=1", "batch=2"))
+    def rows() = spark.read.parquet(appends)
+      .select("neighbor_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = rows()
+    VecStreaming.compactStore(spark, indexDir)
+    // batches 0 and 1 merged into -1; the newest (replayable) one is kept
+    assert(partitions() == Set("batch=-1", "batch=2"),
+      s"unexpected layout after compaction: ${partitions()}")
+    assert(rows() == before, "compaction changed the appends row set")
+    // the merged partition keeps the cell= hive layout the DPP pruning needs
+    val cells = new java.io.File(s"$appends/batch=-1").listFiles()
+      .map(_.getName).filter(_.startsWith("cell=")).toSet
+    assert(cells.nonEmpty, "compacted partition lost its cell partitioning")
+    // idempotent: a second pass has a single source below max — no-op
+    VecStreaming.compactStore(spark, indexDir)
+    assert(partitions() == Set("batch=-1", "batch=2"))
+    // second lifetime: copies of a COMPACTED vector (100) and the
+    // uncompacted one (102), plus a fresh vector — cross-batch state must
+    // be intact through the compaction
+    Seq((200L, vec(300)), (201L, vec(500)), (202L, vec(600)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val survivors = spark.read.parquet(surv)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(100L, 101L, 102L, 202L),
+      s"copies of compacted/uncompacted vectors must drop, fresh kept — $survivors")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
