@@ -2,6 +2,7 @@ package graft.io
 
 import scala.collection.immutable.ListMap
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -329,4 +330,97 @@ object CubeIO {
       .parquet(s"$path/fact")
     touched.length
   }
+
+  /** Retraction — the DELETE half of incremental star maintenance
+    * ([[ingestIntoStar]] is the upsert half): aggregate `rawRetraction`
+    * (the same star-schema shape as an ingest delta) to the stored
+    * grain, NEGATE every measure, and merge into only the touched
+    * partitions, exactly like an ingest. `supportCol` names the stored
+    * row-count measure (a `lit(1)` SUM like q62's `n_orders`): it
+    * defines row existence, so grain rows whose support reaches zero are
+    * DROPPED rather than kept as all-zero rows, and partitions left with
+    * no surviving rows are REMOVED from the filesystem — dynamic
+    * partition overwrite alone cannot delete them (an empty partition
+    * writes no files, which would leave the old files live as stale
+    * data). Support going NEGATIVE means the caller retracted rows that
+    * were never ingested: the job fails with the offending keys BEFORE
+    * any write, star untouched.
+    *
+    * Like ingest, retraction is not idempotent (re-running subtracts
+    * again) and not atomic across partitions (the dynamic overwrite
+    * commits per partition; directory removal follows it). Callers that
+    * can replay need a journaling layer on top, same as ingest.
+    *
+    * @return the number of fact partitions rewritten or removed */
+  def retractFromStar(spark: SparkSession, path: String,
+                      rawRetraction: DataFrame, supportCol: String): Int = {
+    val meta = readMeta(spark, path)
+    require(meta.factPartitions.nonEmpty,
+      "incremental retraction needs a partitioned fact " +
+        "(saveStar(..., partitionFact = ...)); rebuild unpartitioned stars")
+    require(meta.measures.exists(_.name == supportCol),
+      s"supportCol '$supportCol' is not a stored measure " +
+        s"(have: ${meta.measures.map(_.name).mkString(", ")})")
+    val pCols = meta.factPartitions
+    val ingestMeasures = meta.measures.map(m => Measure.sum(m.vr, m.name))
+    val delta = Fact.build(rawRetraction, meta.idVars, ingestMeasures)
+    val stored = meta.measures.map(m => Measure.sum(m.name, m.name))
+    val negated = delta.data.select(
+      (delta.data.columns.toSeq.filterNot(c => meta.measures.exists(_.name == c))
+        .map(col) ++
+        meta.measures.map(m => (-col(m.name)).as(m.name))): _*)
+    val touched = delta.data.select(pCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return 0
+    val touchedFilter = touched.map { r =>
+      pCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = readFact(spark, path, meta)
+      .filter(touchedFilter)
+      .select(negated.columns.map(col).toSeq: _*) // align column order for union
+    val merged = Fact.aggregate(
+      existing.unionByName(negated), meta.idVars, stored)
+      .localCheckpoint(true)
+    val overdrawn = merged.filter(col(supportCol) < 0)
+      .select(meta.idVars.map(col): _*).limit(5).collect()
+    if (overdrawn.nonEmpty)
+      throw new IllegalStateException(
+        s"retraction exceeds ingested rows ($supportCol < 0) at grain keys " +
+          overdrawn.mkString("[", ", ", "]") + " — star left untouched")
+    val survivors = merged.filter(col(supportCol) > 0)
+    survivors.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(pCols: _*)
+      .parquet(s"$path/fact")
+    // remove partitions whose every grain row died: they were touched but
+    // appear nowhere in the survivors, so the overwrite wrote nothing
+    // into them and their old files are stale
+    val alive = survivors.select(pCols.map(col): _*).distinct().collect()
+      .map(_.toSeq).toSet
+    val dead = touched.filterNot(r => alive.contains(r.toSeq))
+    if (dead.nonEmpty) {
+      val factRoot = new Path(s"$path/fact")
+      val fs = factRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      dead.foreach { r =>
+        val dir = pCols.zipWithIndex.map { case (c, i) =>
+          s"$c=${escapePartitionValue(if (r.isNullAt(i)) null else String.valueOf(r.get(i)))}"
+        }.mkString("/")
+        fs.delete(new Path(factRoot, dir), true): Unit
+      }
+    }
+    touched.length
+  }
+
+  /** Hive partition-directory value escaping (the convention Spark's
+    * writers use): special/control characters become %XX, null becomes
+    * the default-partition marker — so the directory we delete is the
+    * directory the writer created. */
+  private def escapePartitionValue(v: String): String =
+    if (v == null || v.isEmpty) "__HIVE_DEFAULT_PARTITION__"
+    else v.flatMap { c =>
+      val special = "\"#%'*/:=?\\{[]^"
+      if (c < ' ' || special.contains(c)) f"%%${c.toInt}%02X" else c.toString
+    }
 }

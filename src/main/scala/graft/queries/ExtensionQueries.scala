@@ -1720,6 +1720,62 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q64 — STAR RETRACTION (the delete half of incremental maintenance,
+  //       q62 being the upsert half): build the full-history star, then
+  //       retract (a) EVERY 1992 order — the o_year=1992 partition must
+  //       physically disappear, which dynamic partition overwrite alone
+  //       cannot do — and (b) only the 1-URGENT slice of 1996 — a
+  //       partial merge inside a surviving partition. The post-retraction
+  //       star is read back via loadStar, so stale files from an
+  //       un-deleted partition would resurface as extra rows and fail
+  //       the hash. Oracle: from-scratch recompute over the non-retracted
+  //       raw rows.
+  // -------------------------------------------------------------------
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact}
+    import graft.io.CubeIO
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val base = orders
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("one", lit(1L))
+    val retraction = orders
+      .filter(col("o_year") === 1992 ||
+        (col("o_year") === 1996 && col("o_orderpriority") === "1-URGENT"))
+      .select(col("o_year"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("sum_cents"),
+        lit(1L).as("n_orders"))
+    val cube = DataCube.build(
+      Fact.build(base, Seq("o_year", "o_orderpriority"),
+        Seq(Measure.sum("cents", "sum_cents"), Measure.sum("one", "n_orders"))),
+      Seq(
+        Dimension.build("year", "o_year", ListMap.empty,
+          orders.select("o_year").distinct()),
+        Dimension.build("priority", "o_orderpriority", ListMap.empty,
+          orders.select("o_orderpriority").distinct())))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q64_star_" +
+      Integer.toHexString(dir.hashCode)
+    // full overwrite each call: retraction is (by design) not idempotent,
+    // so the query rebuilds its fixture star rather than double-retracting
+    // across bench reps
+    CubeIO.saveStar(cube, path, partitionFact = Seq("o_year"))
+    CubeIO.retractFromStar(s, path, retraction, supportCol = "n_orders")
+    sorted(CubeIO.loadStar(s, path).fact.data
+      .select("o_year", "o_orderpriority", "n_orders", "sum_cents"))
+  }
+
+  val q64Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM orders
+      |WHERE NOT (year(o_orderdate) = 1992
+      |           OR (year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'))
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1769,6 +1825,7 @@ object ExtensionQueries {
     ("q60_asof_join", q60 _, q60Sql),
     ("q61_range_join", q61 _, q61Sql),
     ("q62_star_ingest", q62 _, q62Sql),
-    ("q63_scd2_dimension", q63 _, q63Sql)
+    ("q63_scd2_dimension", q63 _, q63Sql),
+    ("q64_star_retract", q64 _, q64Sql)
   )
 }

@@ -150,6 +150,52 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("retraction drops dead rows, removes empty partitions, rejects over-retraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.model._
+    import scala.collection.immutable.ListMap
+    // grain rows: (1,d1) n=1, (2,d1) n=1, (1,d2) n=2, (3,d3) n=1
+    val base = Seq((1, "d1", 2.0), (2, "d1", 3.0), (1, "d2", 5.0),
+      (1, "d2", 1.0), (3, "d3", 4.0)).toDF("k", "d", "v")
+    val dimK = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "attr")
+    val c1 = DataCube.build(
+      Fact.build(base.withColumn("one", lit(1L)), Seq("k", "d"),
+        Seq(Measure.sum("v", "sum_v"), Measure.sum("one", "n"))),
+      Seq(Dimension.build("kd", "k", ListMap.empty, dimK),
+        Dimension.build("dd", "d", ListMap.empty, base.select("d").distinct())))
+    val dir = java.nio.file.Files.createTempDirectory("star_retract").toString
+    CubeIO.saveStar(c1, dir, partitionFact = Seq("d"))
+    val untouched = new java.io.File(s"$dir/fact/d=d3")
+    val before = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // retract ALL of d2 (its one grain row dies -> the partition dies)
+    // and only (2,d1) inside d1 (partial merge in a surviving partition)
+    val retraction = Seq(("d2", 1, 6.0, 2L), ("d1", 2, 3.0, 1L))
+      .toDF("d", "k", "sum_v", "n")
+    val rewritten = CubeIO.retractFromStar(spark, dir, retraction, "n")
+    assert(rewritten == 2, s"expected 2 touched partitions, got $rewritten")
+    assert(!new java.io.File(s"$dir/fact/d=d2").exists(),
+      "fully-retracted partition directory must be removed")
+    val after = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "untouched partition was rewritten")
+    def read() = CubeIO.loadStar(spark, dir).fact.data
+      .collect().map(r => (r.getInt(r.fieldIndex("k")), r.getAs[String]("d")) ->
+        (r.getDouble(r.fieldIndex("sum_v")), r.getLong(r.fieldIndex("n")))).toMap
+    assert(read() == Map((1, "d1") -> ((2.0, 1L)), (3, "d3") -> ((4.0, 1L))))
+    // over-retraction fails loudly BEFORE any write — star unchanged
+    intercept[IllegalStateException] {
+      CubeIO.retractFromStar(spark, dir,
+        Seq(("d1", 1, 99.0, 5L)).toDF("d", "k", "sum_v", "n"), "n")
+    }
+    assert(read() == Map((1, "d1") -> ((2.0, 1L)), (3, "d3") -> ((4.0, 1L))),
+      "failed retraction must leave the star untouched")
+    // empty retraction is a no-op; unknown support measure is rejected
+    assert(CubeIO.retractFromStar(spark, dir, retraction.limit(0), "n") == 0)
+    intercept[IllegalArgumentException] {
+      CubeIO.retractFromStar(spark, dir, retraction, "nope")
+    }
+  }
+
   test("format applies measure formatting and sorts NA-last") {
     val small = star.aggregate(Seq("curr_type"))
     val f = CubeIO.format(small,
