@@ -83,6 +83,39 @@ object EventsStreaming {
     * window start (year/date/hour hierarchy) and whose other dimension is
     * the event type. The returned query handle drives ingestion; call
     * [[cubeFromSink]] any time for the current cube. */
+  /** Stream-static POINT-IN-TIME enrichment: every streamed fact row is
+    * joined to the dimension version valid at its own timestamp — the
+    * streaming twin of the q63 batch path
+    * ([[graft.sources.Sources.scd2]] +
+    * [[graft.operators.Events.asofJoin]]). Structured Streaming's
+    * stream-static join supports only equi-joins, so the as-of runs
+    * per micro-batch in foreachBatch, against the dimension AS OF the
+    * batch — correct for SCD2 dimensions, which are append-only in
+    * version history (a new version affects only facts after its
+    * `valid_from`, and a fact that arrived before the version existed
+    * was correctly joined to the then-current one).
+    *
+    * Output lands in per-batch-id partitions (overwrite mode), so an
+    * at-least-once foreachBatch replay rewrites its own partition
+    * instead of duplicating rows — the same idempotence contract as the
+    * dedup stores. `dim` is re-read per batch when it is a lazily-read
+    * DataFrame over storage, picking up dimension versions appended
+    * between batches. */
+  def startPointInTimeEnrich(stream: DataFrame, dim: DataFrame,
+                             keys: Seq[String], tsCol: String,
+                             payloadCols: Seq[String],
+                             outDir: String, checkpointDir: String,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Events.asofJoin(batch.toDF(), dim, keys, tsCol,
+            payloadCols)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(trigger)
+      .start()
+
   def startToCubeSink(agg: DataFrame, sinkDir: String,
                       checkpointDir: String): StreamingQuery =
     agg.writeStream

@@ -359,6 +359,46 @@ class StreamingSpec extends SparkSpec {
       s"copies of compacted/uncompacted vectors must drop, fresh kept — $survivors")
   }
 
+  test("streaming point-in-time enrichment equals the batch as-of join") {
+    import graft.sources.Sources
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val changes = ev.filter($"event_type" === "signup")
+      .groupBy("user_id", "ts")
+      .agg(max_by($"value", $"event_id").as("state"))
+    val versions = Sources.scd2(changes, Seq("user_id"), "ts")
+      .select("user_id", "ts", "state")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts")
+    // three files -> three micro-batches at maxFilesPerTrigger=1
+    val in = java.nio.file.Files.createTempDirectory("pit_in").toString
+    (0 until 3).foreach { k =>
+      purchases.filter(pmod($"event_id", lit(3)) === k)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val out = java.nio.file.Files.createTempDirectory("pit_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pit_ckpt").toString
+    val stream = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventsStreaming.startPointInTimeEnrich(stream, versions,
+      Seq("user_id"), "ts", Seq("state"), out, ckpt)
+    q.awaitTermination(120000)
+    val batches = new java.io.File(out).listFiles()
+      .map(_.getName).count(_.startsWith("batch="))
+    assert(batches == 3, s"expected 3 micro-batch partitions, got $batches")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_ts", "asof_state").collect()
+        .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(Events.asofJoin(purchases, versions,
+      Seq("user_id"), "ts", payloadCols = Seq("state")))
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} / " +
+        s"${(batch diff streamed).take(3)}")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
