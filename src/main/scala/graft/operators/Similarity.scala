@@ -468,6 +468,37 @@ object Similarity {
   def appendToIvfIndex(rows: DataFrame, path: String): Unit =
     rows.write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
 
+  /** Offline retrain of a [[saveIvfIndex]] layout — the maintenance op
+    * the append paths defer to: [[appendToIvfIndex]] and the streaming
+    * twin's per-batch appends assign new vectors to the ORIGINAL
+    * centroids, so once the appended volume rivals the corpus the cells
+    * drift away from the data distribution (recall decays; hot cells
+    * grow unbounded). Rebuild gathers every distinct stored vector —
+    * the base corpus (including appended-in-place rows) plus the
+    * streaming `appends/` partitions when present — retrains centroids
+    * from scratch, and writes a fresh layout at `newPath` (never in
+    * place: a crash mid-rebuild must not corrupt the only index; swap
+    * paths and restart consumers once it lands). Replicated cell copies
+    * collapse via distinct on (id, vector) before training, so a
+    * vector's replicate count doesn't bias k-means. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, newPath: String, nlist: Int = 16,
+                      kmeansIters: Int = 3, replicate: Int = 2): Unit = {
+    require(newPath != path,
+      "rebuild writes a fresh layout — newPath must differ from path " +
+        "(an in-place rebuild would corrupt the index on a mid-run crash)")
+    val base = readIvfCorpus(spark, path).select("neighbor_id", "cv")
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
+    val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val all =
+      if (fs.exists(appendsPath) && fs.listStatus(appendsPath).nonEmpty)
+        base.unionByName(spark.read.parquet(s"$path/appends")
+          .select("neighbor_id", "cv"))
+      else base
+    saveIvfIndex(all.distinct(), newPath, nlist, kmeansIters, replicate,
+      cId = "neighbor_id", cVec = "cv")
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
     * threshold. Default path is sign-LSH candidate generation + exact
     * verification (the MinHash-LSH pattern from [[Dedup.minhashLsh]]):

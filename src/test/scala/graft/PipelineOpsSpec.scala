@@ -464,6 +464,47 @@ class PipelineOpsSpec extends SparkSpec {
       "re-ingest of an appended delta doc survived — the store append is not chaining")
   }
 
+  test("ivf rebuild retrains on corpus + appends and keeps appended vectors findable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    Similarity.saveIvfIndex(seeded10k.filter(col("vec_id") < 200), dir,
+      nlist = 8, replicate = 2)
+    // batch-path append: ten relabeled vectors land inside the corpus dir
+    val batchVecs = seeded10k.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+      .select((col("vec_id") + 699700L).as("vec_id"), col("embedding"))
+    val (_, assign1) = Similarity.nearDupDelta(spark, dir, batchVecs,
+      threshold = 0.95, nprobe = 4, replicate = 2, dim = 16)
+    Similarity.appendToIvfIndex(assign1, dir)
+    // streaming-path append: five more in an appends/batch=0 partition
+    val streamVecs = seeded10k.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+      .select((col("vec_id") + 799600L).as("vec_id"), col("embedding"))
+    val (_, assign2) = Similarity.nearDupDelta(spark, dir, streamVecs,
+      threshold = 0.95, nprobe = 4, replicate = 2, dim = 16)
+    assign2.write.partitionBy("cell").parquet(s"$dir/appends/batch=0")
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_rebuild2").toString
+    Similarity.rebuildIvfIndex(spark, dir, dir2, nlist = 8, replicate = 2)
+    // fresh layout: 8 retrained centroids; every distinct vector exactly
+    // twice (replicate collapse before training, re-replication after)
+    assert(spark.read.parquet(s"$dir2/centroids").count() == 8)
+    val ids = spark.read.parquet(s"$dir2/corpus").select("neighbor_id")
+    assert(ids.distinct().count() == 215, "rebuild lost or invented vectors")
+    assert(ids.count() == 430, "replicate=2 should store each vector twice")
+    // an exact re-ingest of a STREAMING-appended vector must drop against
+    // the rebuilt index (probability-1 re-ingest contract) — proving the
+    // appends/ partitions made it through the rebuild
+    val again = streamVecs.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val (surv, _) = Similarity.nearDupDelta(spark, dir2, again,
+      threshold = 0.95, nprobe = 4, replicate = 2, dim = 16)
+    assert(surv.count() == 0,
+      "re-ingest of an appended vector survived against the rebuilt index")
+    // in-place rebuild is refused
+    val inPlace = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(spark, dir, dir, nlist = 8)
+    }
+    assert(inPlace.getMessage.contains("newPath"))
+  }
+
   test("ivf layout validation: missing index dir and unpartitioned corpus fail fast with named errors") {
     import spark.implicits._
     val q = seeded10k.filter(col("vec_id") < 2)
