@@ -94,6 +94,37 @@ object Sampling {
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** EXACT-quota stratified sample: exactly `min(quota_s, |stratum_s|)`
+    * rows per stratum, strata without a quota dropped — the exact
+    * counterpart of [[stratifiedHashSample]]'s Bernoulli rates, for when
+    * the budget is a row COUNT that must be hit exactly (eval-set
+    * construction, per-source caps in a training mix). Selection is the
+    * quota-prefix of the per-stratum ranking by ([[hashUniform]], id):
+    * deterministic, engine-portable (the oracle reproduces it in SQL),
+    * and PREFIX-MONOTONE — raising a quota only ADDS rows, so nested
+    * sample sizes nest as subsets, the property repeated-Bernoulli
+    * sampling gives up.
+    *
+    * Scale shape: one shuffle on the stratum key + a keyed rank window —
+    * no global sort, no driver-side quota loop; the quota lookup is a
+    * map literal, evaluated per-row in codegen. Per-stratum row counts
+    * can be huge, but the window only ranks — state is O(1) per row.
+    * A skew-heavy stratum is one partition's sort: acceptable for quota
+    * sampling (the output is quota-bounded), but pre-aggregate if a
+    * single stratum exceeds an executor's spill budget. */
+  def stratifiedExactSample(df: DataFrame, idCol: String, strataCol: String,
+                            quotas: Map[String, Int],
+                            salt: String = ""): DataFrame = {
+    require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
+    val quota = element_at(typedLit(quotas), col(strataCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= coalesce(quota, lit(0)))
+      .drop("__rank")
+  }
+
   /** Sample a temperature-weighted training MIX to a token budget — the
     * corpus-mix constructor: per-source keep rates
     * `r_s = min(1, budget·w_s / tokens_s)` with `w_s ∝ tokens_s^T`

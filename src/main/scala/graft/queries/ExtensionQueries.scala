@@ -1776,6 +1776,32 @@ object ExtensionQueries {
       |GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q65 — EXACT-quota stratified sample: exactly N rows per source,
+  //       membership = the quota-prefix of the per-source ranking by
+  //       the portable md5 hash (Sampling.stratifiedExactSample). The
+  //       ORACLE REPRODUCES MEMBERSHIP row-for-row (same md5-derived
+  //       ordering in DuckDB), so a changed hash, ordering, or tiebreak
+  //       fails the row hash — not just the counts.
+  // -------------------------------------------------------------------
+  def q65(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.stratifiedExactSample(docs(s, dir), "doc_id", "source",
+        Map("src1" -> 40, "src2" -> 10, "src3" -> 7))
+      .select("doc_id", "source"))
+
+  val q65Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY
+      |           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |             AS BIGINT) / 1152921504606846976.0, doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT doc_id, source FROM ranked
+      |WHERE rn <= CASE source WHEN 'src1' THEN 40 WHEN 'src2' THEN 10
+      |                        WHEN 'src3' THEN 7 ELSE 0 END
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1826,6 +1852,7 @@ object ExtensionQueries {
     ("q61_range_join", q61 _, q61Sql),
     ("q62_star_ingest", q62 _, q62Sql),
     ("q63_scd2_dimension", q63 _, q63Sql),
-    ("q64_star_retract", q64 _, q64Sql)
+    ("q64_star_retract", q64 _, q64Sql),
+    ("q65_stratified_exact", q65 _, q65Sql)
   )
 }

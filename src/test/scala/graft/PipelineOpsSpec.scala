@@ -723,6 +723,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!planStr.contains("Exchange"), s"sampling must not shuffle:\n$planStr")
   }
 
+  test("exact stratified sample hits quotas exactly and nests across quota sizes") {
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (small, big) = (bySource.keys.toSeq.sorted.head, bySource.keys.toSeq.sorted.last)
+    val quotas = Map(small -> 7, big -> (bySource(big).toInt + 100))
+    val out = Sampling.stratifiedExactSample(docs, "doc_id", "source", quotas)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly the quota where the stratum is big enough, the whole
+    // stratum where it isn't, nothing at all for unlisted strata
+    assert(counts == Map(small -> 7L, big -> bySource(big)),
+      s"quota violation: $counts")
+    // deterministic and prefix-monotone: a larger quota only ADDS rows
+    val ids7 = out.filter(col("source") === small)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids12 = Sampling.stratifiedExactSample(docs, "doc_id", "source",
+        Map(small -> 12)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids7.subsetOf(ids12), "quota growth must nest the sample")
+    assert(ids12.size == 12)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedExactSample(docs, "doc_id", "source", Map(small -> -1))
+    }
+  }
+
   test("16-bit PCM decode honors signedness and endianness") {
     // unsigned midpoint 0x8000 is SILENCE: two's-complement decoding would
     // map it to -1.0 (the round-6 advice bug). Little-endian bytes.
