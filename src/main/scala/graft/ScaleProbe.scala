@@ -182,6 +182,15 @@ object ScaleProbe {
       },
       "dupshare" -> timed(s"$tag dup-ngram share") {
         graft.operators.Corpus.duplicateNgramShare(d, "doc_id", "text").count()
+      },
+      // derived 20-way strata: replication densifies every stratum
+      // factor×, the worst direction for the per-stratum rank window
+      // (a leaked global sort or unbounded state would show superlinear)
+      "stratsample" -> timed(s"$tag stratified exact sample") {
+        graft.operators.Sampling.stratifiedExactSample(
+          d.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
+          "doc_id", "source",
+          (0 until 20).map(i => i.toString -> 50).toMap).count()
       })
 
     println(s"[probe] corpus 1x = $nDocs docs; factor = $factor")
