@@ -366,6 +366,53 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     }
   }
 
+  /** Drill-across (the Kimball multi-fact pattern; beyond the
+    * single-fact reference): merge this cube with `other` at the grain
+    * of their CONFORMED dimensions — each fact aggregates to the shared
+    * grain independently, the two grain tables full-outer-join on the
+    * conformed keys, and the measures sit side by side in one cube. A
+    * grain cell present in either fact appears once; the absent side's
+    * measures stay NULL ("no facts", not zero), which later
+    * re-aggregation ignores (the na.rm default) — so region-level
+    * totals over a customer×supplier drill-across are correct even for
+    * nations with customers but no suppliers.
+    *
+    * `on` selects the conformed dimension NAMES (default: every
+    * dimension name the cubes share); non-shared dimensions are
+    * aggregated away — drill-across is only defined at the conformed
+    * grain. Measure names must be disjoint.
+    *
+    * Scale shape: two independent partial-aggregations (each shuffles
+    * once, map-side combined) + one equi-join on the grain keys —
+    * at-grain tables are the small end of each cube, and the join is
+    * broadcastable whenever one side's grain is; never a fact×fact
+    * join. */
+  def drillAcross(other: DataCube, on: Seq[String] = Seq.empty): DataCube = {
+    val sharedNames =
+      if (on.nonEmpty) on
+      else dimensions.keys.toSeq.filter(other.dimensions.contains)
+    require(sharedNames.nonEmpty,
+      "drillAcross needs at least one conformed dimension " +
+        s"(this: ${dimensions.keys.mkString(", ")}; " +
+        s"other: ${other.dimensions.keys.mkString(", ")})")
+    val dims = sharedNames.map { n =>
+      require(dimensions.contains(n) && other.dimensions.contains(n),
+        s"dimension '$n' is not shared by both cubes")
+      Dimension.conformUnion(dimension(n), other.dimension(n))
+    }
+    val collisions =
+      fact.measures.map(_.name).toSet & other.fact.measures.map(_.name).toSet
+    require(collisions.isEmpty,
+      s"measure name collision across cubes: ${collisions.mkString(", ")} " +
+        "— rename one side before drilling across")
+    val keys = dims.map(_.key)
+    val a = Fact.aggregate(fact.data, keys, fact.measures)
+    val b = Fact.aggregate(other.fact.data, keys, other.fact.measures)
+    val merged = a.join(b, keys, "full_outer")
+    DataCube.build(
+      Fact(merged, keys, fact.measures ++ other.fact.measures), dims)
+  }
+
   /** The cube as one flat DataFrame (as.data.table.data.cube,
     * R/as.data.cube.R:193-197). */
   def toDF: DataFrame = denormalize()

@@ -171,6 +171,32 @@ final case class Dimension(
 }
 
 object Dimension {
+
+  /** Union-merge two CONFORMED instances of the same dimension (same
+    * name, key, hierarchy structure, and column schema) — the dimension
+    * half of a drill-across: the merged member set must cover every key
+    * either fact carries, so base and level tables union-distinct. For
+    * genuinely conformed dimensions (both sides loaded from the same
+    * master table, the Kimball discipline) this is a semantic no-op that
+    * exists to keep the merged cube self-contained. */
+  def conformUnion(a: Dimension, b: Dimension): Dimension = {
+    require(a.name == b.name && a.key == b.key,
+      s"dimensions are not conformed: '${a.name}'/${a.key} vs '${b.name}'/${b.key}")
+    require(a.levels.keySet == b.levels.keySet &&
+        a.data.columns.toSeq == b.data.columns.toSeq,
+      s"dimension '${a.name}' has mismatched structure across the cubes")
+    a.copy(
+      data = a.data.unionByName(b.data).distinct(),
+      levels = a.levels.map { case (lk, lvl) =>
+        val other = b.levels(lk)
+        require(lvl.fields.toSet == other.fields.toSet,
+          s"level '$lk' of dimension '${a.name}' differs across the cubes")
+        lk -> lvl.copy(data =
+          lvl.data.unionByName(other.data.select(lvl.data.columns.map(col): _*))
+            .distinct())
+      })
+  }
+
   /** Build a dimension from a flat attribute table + hierarchy specs —
     * the reference's `as.dimension`/`dimension$new` (R/as.dimension.R:33-64,
     * R/dimension.R:14-48): derive merged levels, project the base table to

@@ -1802,6 +1802,79 @@ object ExtensionQueries {
       |                        WHEN 'src3' THEN 7 ELSE 0 END
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q66 — DRILL-ACROSS (Kimball multi-fact): a customer cube and a
+  //       supplier cube, both on the conformed nation dimension, merged
+  //       at nation grain (full-outer: nations with customers but no
+  //       suppliers keep NULL supplier measures) and then re-aggregated
+  //       BY REGION through the merged cube's dimension — proving both
+  //       the fact merge and that the conformed dimension still answers
+  //       queries afterwards. Oracle: FULL JOIN of two GROUP BYs, then
+  //       the region rollup.
+  // -------------------------------------------------------------------
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact, Hierarchy}
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val region = s.read.parquet(s"$dir/region.parquet")
+    val nd = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("nationkey"), col("n_name"), col("r_name"))
+    def nationDim = Dimension.build("nation", "nationkey",
+      ListMap("geo" -> Hierarchy(
+        "r_name" -> Seq.empty,
+        "nationkey" -> Seq("n_name"))), nd)
+    val custCube = DataCube.build(
+      Fact.build(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_nationkey").as("nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("cbal"),
+            lit(1L).as("one")),
+        Seq("nationkey"),
+        Seq(Measure.sum("cbal", "cust_bal_cents"), Measure.sum("one", "n_cust"))),
+      Seq(nationDim))
+    val suppCube = DataCube.build(
+      Fact.build(
+        s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_nationkey").as("nationkey"),
+            round(col("s_acctbal") * 100).cast("long").as("sbal"),
+            lit(1L).as("one")),
+        Seq("nationkey"),
+        Seq(Measure.sum("sbal", "supp_bal_cents"), Measure.sum("one", "n_supp"))),
+      Seq(nationDim))
+    sorted(custCube.drillAcross(suppCube)
+      .aggregate(Seq("r_name")).fact.data
+      .select("r_name", "n_cust", "cust_bal_cents", "n_supp", "supp_bal_cents"))
+  }
+
+  val q66Sql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey,
+      |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |           AS cust_bal_cents,
+      |         CAST(count(*) AS BIGINT) AS n_cust
+      |  FROM customer GROUP BY 1
+      |), s AS (
+      |  SELECT s_nationkey AS nationkey,
+      |         CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |           AS supp_bal_cents,
+      |         CAST(count(*) AS BIGINT) AS n_supp
+      |  FROM supplier GROUP BY 1
+      |), merged AS (
+      |  SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |         cust_bal_cents, n_cust, supp_bal_cents, n_supp
+      |  FROM c FULL JOIN s ON c.nationkey = s.nationkey
+      |)
+      |SELECT r_name,
+      |       CAST(sum(n_cust) AS BIGINT) AS n_cust,
+      |       CAST(sum(cust_bal_cents) AS BIGINT) AS cust_bal_cents,
+      |       CAST(sum(n_supp) AS BIGINT) AS n_supp,
+      |       CAST(sum(supp_bal_cents) AS BIGINT) AS supp_bal_cents
+      |FROM merged
+      |JOIN nation ON n_nationkey = nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1853,6 +1926,7 @@ object ExtensionQueries {
     ("q62_star_ingest", q62 _, q62Sql),
     ("q63_scd2_dimension", q63 _, q63Sql),
     ("q64_star_retract", q64 _, q64Sql),
-    ("q65_stratified_exact", q65 _, q65Sql)
+    ("q65_stratified_exact", q65 _, q65Sql),
+    ("q66_drill_across", q66 _, q66Sql)
   )
 }

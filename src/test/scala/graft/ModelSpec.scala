@@ -293,4 +293,46 @@ class ModelSpec extends SparkSpec {
       s"dim line: '${lines(5)}'")
     assert(lines(6).matches("""total size: \d+\.\d\d MB"""), s"total line: '${lines(6)}'")
   }
+
+  test("drillAcross merges conformed cubes, keeps one-sided cells as NULL") {
+    import spark.implicits._
+    val dim = Dimension.build("one", "k",
+      ListMap("h" -> Hierarchy("attr" -> Seq.empty, "k" -> Seq.empty)),
+      Seq((1, "x"), (2, "y"), (3, "y")).toDF("k", "attr"))
+    val sales = DataCube.build(
+      Fact.build(Seq((1, 10.0), (1, 5.0), (2, 7.0)).toDF("k", "v"),
+        Seq("k"), Seq(Measure.sum("v", "sum_sales"))),
+      Seq(dim))
+    val returns = DataCube.build(
+      Fact.build(Seq((2, 1.0), (3, 4.0)).toDF("k", "v"),
+        Seq("k"), Seq(Measure.sum("v", "sum_returns"))),
+      Seq(dim))
+    val merged = sales.drillAcross(returns)
+    val rows = merged.fact.data.collect()
+      .map(r => r.getInt(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // k=1 sales-only, k=3 returns-only: the absent side stays NULL
+    assert(rows == Map(
+      1 -> ((Some(15.0), None)),
+      2 -> ((Some(7.0), Some(1.0))),
+      3 -> ((None, Some(4.0)))))
+    // the conformed dimension still answers attribute queries: attr=y
+    // covers k=2,3 and the NULL sales of k=3 must not poison the sum
+    val byAttr = merged.aggregate(Seq("attr")).fact.data.collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(byAttr("y") == ((7.0, 5.0)) && byAttr("x") == ((15.0, null)))
+    // measure name collision is refused
+    intercept[IllegalArgumentException] {
+      sales.drillAcross(DataCube.build(
+        Fact.build(Seq((1, 1.0)).toDF("k", "v"),
+          Seq("k"), Seq(Measure.sum("v", "sum_sales"))), Seq(dim)))
+    }
+    // no conformed dimension -> refused
+    intercept[IllegalArgumentException] {
+      sales.drillAcross(DataCube.build(
+        Fact.build(Seq(("a", 1.0)).toDF("g", "v"),
+          Seq("g"), Seq(Measure.sum("v", "m2"))),
+        Seq(Dimension.build("other", "g", ListMap.empty,
+          Seq(("a", "A")).toDF("g", "grp")))))
+    }
+  }
 }
