@@ -53,6 +53,22 @@ object Measure {
   def count(vr: String, name: String = null): Measure =
     Measure(vr, Option(name).getOrElse(vr), functions.count)
 
+  /** SEMI-ADDITIVE building block: the value of `vr` on the row where
+    * `order` is greatest within each group — `max_by` with a
+    * deterministic composite order (pass `struct(ts, id)` to break
+    * timestamp ties). This is the "last balance in the period" aggregate
+    * of semi-additive warehouse measures (balances, inventory levels):
+    * aggregate a balance fact to (entity, period) grain with `lastBy`,
+    * then re-aggregate entity-out with [[sum]] — additive across every
+    * dimension EXCEPT time, last-along-time. One grouped aggregation per
+    * stage, no window. */
+  def lastBy(vr: String, name: String, order: Column): Measure =
+    Measure(vr, name, c => max_by(c, order))
+
+  /** First-along-time twin of [[lastBy]] (`min_by`): opening balance. */
+  def firstBy(vr: String, name: String, order: Column): Measure =
+    Measure(vr, name, c => min_by(c, order))
+
   /** R semantics `sum(x)` with na.rm=FALSE: one NA poisons the aggregate.
     * Spark aggregates skip nulls, so wrap: if any input row had a null,
     * return null (SURVEY §7.3's expression wrapper — no custom Expression). */

@@ -1875,6 +1875,55 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q67 — SEMI-ADDITIVE MEASURE (monthly balance): events.value as a
+  //       per-user balance reading — the monthly figure per event_type
+  //       is the sum over users of each user's LAST reading in the month
+  //       (additive across users, last-along-time). Two grouped stages
+  //       through the cube API: Measure.lastBy at (type, user, month)
+  //       ingest grain, Measure.sum entity-out — no window. Oracle:
+  //       row_number()-picked last reading, then the same sum.
+  // -------------------------------------------------------------------
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact}
+    val base = events(s, dir)
+      .withColumn("month", date_trunc("month", col("ts")))
+    val fact = Fact.build(base, Seq("event_type", "user_id", "month"),
+      Seq(Measure.lastBy("value", "last_value",
+        struct(col("ts"), col("event_id")))))
+    val cube = DataCube.build(fact, Seq(
+      Dimension.build("etype", "event_type", ListMap.empty,
+        base.select("event_type").distinct()),
+      Dimension.build("user", "user_id", ListMap.empty,
+        base.select("user_id").distinct()),
+      Dimension.build("month", "month", ListMap.empty,
+        base.select("month").distinct())))
+    // exact cents at the additive stage: double summation order differs
+    // across engines at the 1e-12 level, cents are engine-portable
+    sorted(cube.aggregate(Seq("event_type", "month"),
+        measures = Seq(
+          Measure("last_value", "balance_cents",
+            c => sum(round(c * 100).cast("long"))),
+          Measure.count("last_value", "n_users")))
+      .fact.data.select("event_type", "month", "n_users", "balance_cents"))
+  }
+
+  val q67Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, user_id, date_trunc('month', ts) AS month, value,
+      |         row_number() OVER (
+      |           PARTITION BY event_type, user_id, date_trunc('month', ts)
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT event_type, month,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS balance_cents
+      |FROM g WHERE rn = 1
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1927,6 +1976,7 @@ object ExtensionQueries {
     ("q63_scd2_dimension", q63 _, q63Sql),
     ("q64_star_retract", q64 _, q64Sql),
     ("q65_stratified_exact", q65 _, q65Sql),
-    ("q66_drill_across", q66 _, q66Sql)
+    ("q66_drill_across", q66 _, q66Sql),
+    ("q67_semi_additive", q67 _, q67Sql)
   )
 }

@@ -294,6 +294,29 @@ class ModelSpec extends SparkSpec {
     assert(lines(6).matches("""total size: \d+\.\d\d MB"""), s"total line: '${lines(6)}'")
   }
 
+  test("semi-additive lastBy/firstBy pick deterministically under order ties") {
+    import spark.implicits._
+    val readings = Seq(
+      (1L, 10L, 1L, 5.0), (1L, 10L, 2L, 7.0), // exact ts tie -> id breaks it
+      (1L, 20L, 3L, 2.0),
+      (2L, 15L, 4L, 9.0)
+    ).toDF("user", "t", "id", "v")
+    val got = Fact.aggregate(readings, Seq("user"), Seq(
+        Measure.lastBy("v", "closing", struct(col("t"), col("id"))),
+        Measure.firstBy("v", "opening", struct(col("t"), col("id")))))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> ((2.0, 5.0)), 2L -> ((9.0, 9.0))),
+      s"semi-additive picks wrong: $got")
+    // the two-stage semi-additive contract: last per (user, period), then
+    // additive across users — never a window
+    val monthly = Fact.aggregate(
+      Fact.aggregate(readings.withColumn("p", lit("m1")), Seq("user", "p"),
+        Seq(Measure.lastBy("v", "bal", struct(col("t"), col("id"))))),
+      Seq("p"), Seq(Measure.sum("bal", "total")))
+      .collect().map(_.getDouble(1))
+    assert(monthly.toSeq == Seq(11.0)) // 2.0 (user 1 closing) + 9.0
+  }
+
   test("drillAcross merges conformed cubes, keeps one-sided cells as NULL") {
     import spark.implicits._
     val dim = Dimension.build("one", "k",
