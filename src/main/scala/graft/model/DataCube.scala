@@ -413,6 +413,35 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
       Fact(merged, keys, fact.measures ++ other.fact.measures), dims)
   }
 
+  /** Time intelligence over the at-grain fact (beyond the reference):
+    * running period-to-date totals and prior-period comparison along an
+    * ordered grain key. For every measure `m` the result adds
+    * `cum_<m>` (running sum), `prev_<m>` (the value `periods` back) and
+    * `delta_<m>` (current − prev). Partitioned by every OTHER id.var —
+    * one keyed window shuffle, never a global sort over fact-scale data
+    * (when the order key is the only id.var the window is a single
+    * partition, but an at-grain single-series fact is one row per
+    * period by definition). Returns a DataFrame, NOT a cube: running
+    * totals are non-additive, so re-aggregating them through cube ops
+    * would double-count by construction. */
+  def timeIntelligence(orderKey: String, periods: Int = 1): DataFrame = {
+    require(fact.idVars.contains(orderKey),
+      s"'$orderKey' is not a grain column (${fact.idVars.mkString(", ")})")
+    require(periods >= 1, s"periods must be >= 1, got $periods")
+    import org.apache.spark.sql.expressions.Window
+    val parts = fact.idVars.filterNot(_ == orderKey)
+    val base =
+      if (parts.isEmpty) Window.orderBy(col(orderKey).asc)
+      else Window.partitionBy(parts.map(col): _*).orderBy(col(orderKey).asc)
+    val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fact.measures.foldLeft(fact.data) { (df, m) =>
+      val prev = lag(col(m.name), periods).over(base)
+      df.withColumn(s"cum_${m.name}", sum(col(m.name)).over(cum))
+        .withColumn(s"prev_${m.name}", prev)
+        .withColumn(s"delta_${m.name}", col(m.name) - prev)
+    }
+  }
+
   /** The cube as one flat DataFrame (as.data.table.data.cube,
     * R/as.data.cube.R:193-197). */
   def toDF: DataFrame = denormalize()

@@ -1924,6 +1924,49 @@ object ExtensionQueries {
       |GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q68 — TIME INTELLIGENCE: monthly order revenue per priority with
+  //       period-to-date running totals and month-over-month deltas
+  //       (DataCube.timeIntelligence: one keyed window partitioned by
+  //       the non-time grain, exact cents). Oracle: the same grouped
+  //       base + window SUM/LAG in DuckDB.
+  // -------------------------------------------------------------------
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact}
+    val base = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val cube = DataCube.build(
+      Fact.build(base, Seq("month", "o_orderpriority"),
+        Seq(Measure.sum("cents", "sum_cents"))),
+      Seq(
+        Dimension.build("month", "month", ListMap.empty,
+          base.select("month").distinct()),
+        Dimension.build("priority", "o_orderpriority", ListMap.empty,
+          base.select("o_orderpriority").distinct())))
+    sorted(cube.timeIntelligence("month")
+      .select("month", "o_orderpriority", "sum_cents",
+        "cum_sum_cents", "prev_sum_cents", "delta_sum_cents"))
+  }
+
+  val q68Sql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS sum_cents
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT month, o_orderpriority, sum_cents,
+      |       CAST(sum(sum_cents) OVER (PARTITION BY o_orderpriority
+      |         ORDER BY month) AS BIGINT) AS cum_sum_cents,
+      |       lag(sum_cents) OVER (PARTITION BY o_orderpriority
+      |         ORDER BY month) AS prev_sum_cents,
+      |       sum_cents - lag(sum_cents) OVER (PARTITION BY o_orderpriority
+      |         ORDER BY month) AS delta_sum_cents
+      |FROM m
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -1977,6 +2020,7 @@ object ExtensionQueries {
     ("q64_star_retract", q64 _, q64Sql),
     ("q65_stratified_exact", q65 _, q65Sql),
     ("q66_drill_across", q66 _, q66Sql),
-    ("q67_semi_additive", q67 _, q67Sql)
+    ("q67_semi_additive", q67 _, q67Sql),
+    ("q68_time_intelligence", q68 _, q68Sql)
   )
 }

@@ -317,6 +317,35 @@ class ModelSpec extends SparkSpec {
     assert(monthly.toSeq == Seq(11.0)) // 2.0 (user 1 closing) + 9.0
   }
 
+  test("timeIntelligence running totals, lags, and guards") {
+    import spark.implicits._
+    val fact = Seq((1, "a", 10.0), (2, "a", 5.0), (3, "a", 7.0),
+      (1, "b", 1.0)).toDF("t", "g", "v")
+    val cube = DataCube.build(
+      Fact.build(fact, Seq("t", "g"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(
+        Dimension.build("time", "t", ListMap.empty, fact.select("t").distinct()),
+        Dimension.build("grp", "g", ListMap.empty, fact.select("g").distinct())))
+    val out = cube.timeIntelligence("t").collect()
+      .map(r => (r.getInt(r.fieldIndex("t")), r.getString(r.fieldIndex("g"))) ->
+        (r.getDouble(r.fieldIndex("cum_sum_v")),
+          Option(r.get(r.fieldIndex("prev_sum_v"))),
+          Option(r.get(r.fieldIndex("delta_sum_v"))))).toMap
+    assert(out((1, "a")) == ((10.0, None, None)))
+    assert(out((2, "a")) == ((15.0, Some(10.0), Some(-5.0))))
+    assert(out((3, "a")) == ((22.0, Some(5.0), Some(2.0))))
+    assert(out((1, "b")) == ((1.0, None, None))) // series are independent
+    // single-series cube: the order key is the only id.var
+    val solo = DataCube.build(
+      Fact.build(fact, Seq("t"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(Dimension.build("time", "t", ListMap.empty, fact.select("t").distinct())))
+    val cum = solo.timeIntelligence("t").orderBy("t")
+      .select("cum_sum_v").collect().map(_.getDouble(0)).toSeq
+    assert(cum == Seq(11.0, 16.0, 23.0))
+    intercept[IllegalArgumentException] { cube.timeIntelligence("nope") }
+    intercept[IllegalArgumentException] { cube.timeIntelligence("t", periods = 0) }
+  }
+
   test("drillAcross merges conformed cubes, keeps one-sided cells as NULL") {
     import spark.implicits._
     val dim = Dimension.build("one", "k",
