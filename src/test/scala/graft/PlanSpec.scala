@@ -520,6 +520,77 @@ class PlanSpec extends SparkSpec {
       s"only the copy's shingles may survive the bloom cut: $hitDocs")
   }
 
+  test("scd2 versioning shuffles once on the key, never a global sort") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.functions.col
+    val changes = eventsDf.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "value")
+    val v = Sources.scd2(changes, Seq("user_id"), "ts")
+    val nodes = runtimeNodes(v.queryExecution.executedPlan)
+    assert(nodes.count(_.contains("Exchange")) <= 1,
+      s"scd2 should shuffle once on the key:\n$nodes")
+    assert(!v.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      s"scd2 funnels through one task")
+  }
+
+  test("drill-across joins at grain with partial aggregation, never all-pairs") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val a = graft.model.DataCube.build(
+      graft.model.Fact.build(li.select(col("l_suppkey"), col("l_quantity")),
+        Seq("l_suppkey"), Seq(graft.model.Measure.sum("l_quantity", "qty_a"))),
+      Seq(graft.model.Dimension.build("supp", "l_suppkey",
+        scala.collection.immutable.ListMap.empty,
+        li.select("l_suppkey").distinct())))
+    val b = graft.model.DataCube.build(
+      graft.model.Fact.build(li.select(col("l_suppkey"), col("l_extendedprice")),
+        Seq("l_suppkey"), Seq(graft.model.Measure.sum("l_extendedprice", "price_b"))),
+      Seq(graft.model.Dimension.build("supp", "l_suppkey",
+        scala.collection.immutable.ListMap.empty,
+        li.select("l_suppkey").distinct())))
+    val merged = a.drillAcross(b).fact.data
+    merged.count()
+    val nodes = runtimeNodes(merged.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.contains("CartesianProduct") ||
+        n.contains("BroadcastNestedLoopJoin")),
+      s"drill-across degenerated to an all-pairs join:\n$nodes")
+    // both facts partial-aggregate before the exchange (map-side combine)
+    val planStr = merged.queryExecution.executedPlan.toString
+    assert(planStr.contains("partial_sum") || planStr.contains("partial_"),
+      s"drill-across lost map-side combine:\n$planStr")
+  }
+
+  test("timeIntelligence windows stay keyed, never a single partition") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val cube = graft.model.DataCube.build(
+      graft.model.Fact.build(orders, Seq("month", "o_orderpriority"),
+        Seq(graft.model.Measure.sum("cents", "sum_cents"))),
+      Seq(
+        graft.model.Dimension.build("month", "month",
+          scala.collection.immutable.ListMap.empty,
+          orders.select("month").distinct()),
+        graft.model.Dimension.build("priority", "o_orderpriority",
+          scala.collection.immutable.ListMap.empty,
+          orders.select("o_orderpriority").distinct())))
+    val ti = cube.timeIntelligence("month")
+    assert(!ti.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "multi-series time intelligence funnels through one task")
+  }
+
+  test("exact stratified sample shuffles once on the stratum, never globally sorts") {
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.stratifiedExactSample(d, "doc_id", "source",
+      Map("src1" -> 5, "src2" -> 5))
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    assert(nodes.count(_.contains("Exchange")) <= 1,
+      s"stratified exact sample should shuffle once on the stratum:\n$nodes")
+    assert(!out.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "stratified exact sample funnels through one task")
+  }
+
   test("pairwise similarity uses the native dot_product, HOFs only per-row") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Similarity.nearDupPairs(e, 0.9)
