@@ -442,6 +442,56 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     }
   }
 
+  /** Ratio-to-parent (share-of-total): for every measure add
+    * `share_<m>` = value / parent-group total, where the parent group is
+    * every id.var EXCEPT `alongKey` — "each priority's share within its
+    * year". One keyed window over the at-grain fact (a grand-total share
+    * with a single id.var is one tiny partition by definition, same
+    * argument as [[timeIntelligence]]); NULL share where the parent
+    * total is zero or NULL (a 0/0 share is meaningless, not 0). Returns
+    * a DataFrame: shares are non-additive. */
+  def shareAlong(alongKey: String): DataFrame = {
+    require(fact.idVars.contains(alongKey),
+      s"'$alongKey' is not a grain column (${fact.idVars.mkString(", ")})")
+    import org.apache.spark.sql.expressions.Window
+    val parts = fact.idVars.filterNot(_ == alongKey)
+    val w = Window.partitionBy(parts.map(col): _*)
+    fact.measures.foldLeft(fact.data) { (df, m) =>
+      val total = sum(col(m.name)).over(w)
+      df.withColumn(s"share_${m.name}",
+        when(total === 0, lit(null))
+          .otherwise(col(m.name).cast("double") / total))
+    }
+  }
+
+  /** Top-k members of `alongKey` within each parent group, ranked by
+    * `rankMeasure` (descending, key-ascending tiebreak), with the tail
+    * collapsed into ONE `otherLabel` row per group — the standard
+    * report shape ("top 3 priorities + OTHER"). Every measure
+    * re-aggregates with its own captured function over the relabeled
+    * grain, so the OTHER row is a true aggregate of the tail members.
+    * `alongKey` is cast to string to admit the label. One keyed
+    * rank window + one grouped aggregation. */
+  def topKOther(alongKey: String, k: Int, rankMeasure: String,
+                otherLabel: String = "OTHER"): DataFrame = {
+    require(fact.idVars.contains(alongKey),
+      s"'$alongKey' is not a grain column (${fact.idVars.mkString(", ")})")
+    require(fact.measures.exists(_.name == rankMeasure),
+      s"'$rankMeasure' is not a measure (${fact.measures.map(_.name).mkString(", ")})")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val parts = fact.idVars.filterNot(_ == alongKey)
+    val w = Window.partitionBy(parts.map(col): _*)
+      .orderBy(col(rankMeasure).desc, col(alongKey).asc)
+    val relabeled = fact.data
+      .withColumn("__rank", row_number().over(w))
+      .withColumn(alongKey,
+        when(col("__rank") <= k, col(alongKey).cast("string"))
+          .otherwise(lit(otherLabel)))
+      .drop("__rank")
+    Fact.aggregate(relabeled, fact.idVars, fact.measures)
+  }
+
   /** The cube as one flat DataFrame (as.data.table.data.cube,
     * R/as.data.cube.R:193-197). */
   def toDF: DataFrame = denormalize()

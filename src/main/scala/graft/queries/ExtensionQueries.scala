@@ -1967,6 +1967,88 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q69 — RATIO-TO-PARENT: each priority's share of its year's revenue
+  //       (DataCube.shareAlong — one keyed window over the at-grain
+  //       fact). Exact-cents numerators/denominators make the single
+  //       double division engine-portable. Oracle: value / window SUM.
+  // -------------------------------------------------------------------
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact}
+    val base = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val cube = DataCube.build(
+      Fact.build(base, Seq("o_year", "o_orderpriority"),
+        Seq(Measure.sum("cents", "sum_cents"))),
+      Seq(
+        Dimension.build("year", "o_year", ListMap.empty,
+          base.select("o_year").distinct()),
+        Dimension.build("priority", "o_orderpriority", ListMap.empty,
+          base.select("o_orderpriority").distinct())))
+    sorted(cube.shareAlong("o_orderpriority")
+      .select("o_year", "o_orderpriority", "sum_cents", "share_sum_cents"))
+  }
+
+  val q69Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS sum_cents
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_year, o_orderpriority, sum_cents,
+      |       CAST(sum_cents AS DOUBLE) /
+      |         CAST(sum(sum_cents) OVER (PARTITION BY o_year) AS DOUBLE)
+      |         AS share_sum_cents
+      |FROM m
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q70 — TOP-K + OTHER: per year, the top-3 priorities by revenue and
+  //       one OTHER row aggregating the tail (DataCube.topKOther: keyed
+  //       rank window + one grouped re-aggregation with the measures'
+  //       own functions). Oracle: row_number + CASE relabel + group.
+  // -------------------------------------------------------------------
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact}
+    val base = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("one", lit(1L))
+    val cube = DataCube.build(
+      Fact.build(base, Seq("o_year", "o_orderpriority"),
+        Seq(Measure.sum("cents", "sum_cents"), Measure.sum("one", "n_orders"))),
+      Seq(
+        Dimension.build("year", "o_year", ListMap.empty,
+          base.select("o_year").distinct()),
+        Dimension.build("priority", "o_orderpriority", ListMap.empty,
+          base.select("o_orderpriority").distinct())))
+    sorted(cube.topKOther("o_orderpriority", k = 3, rankMeasure = "sum_cents")
+      .select("o_year", "o_orderpriority", "n_orders", "sum_cents"))
+  }
+
+  val q70Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS sum_cents,
+      |         CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_year
+      |    ORDER BY sum_cents DESC, o_orderpriority ASC) AS rn
+      |  FROM m
+      |)
+      |SELECT o_year,
+      |       CASE WHEN rn <= 3 THEN o_orderpriority ELSE 'OTHER' END
+      |         AS o_orderpriority,
+      |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |       CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+      |FROM ranked
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2021,6 +2103,8 @@ object ExtensionQueries {
     ("q65_stratified_exact", q65 _, q65Sql),
     ("q66_drill_across", q66 _, q66Sql),
     ("q67_semi_additive", q67 _, q67Sql),
-    ("q68_time_intelligence", q68 _, q68Sql)
+    ("q68_time_intelligence", q68 _, q68Sql),
+    ("q69_share_of_parent", q69 _, q69Sql),
+    ("q70_topk_other", q70 _, q70Sql)
   )
 }

@@ -346,6 +346,34 @@ class ModelSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cube.timeIntelligence("t", periods = 0) }
   }
 
+  test("shareAlong and topKOther reporting semantics") {
+    import spark.implicits._
+    val fact = Seq(
+      ("y1", "a", 6.0), ("y1", "b", 3.0), ("y1", "c", 1.0), ("y1", "d", 0.0),
+      ("y2", "a", 0.0), ("y2", "b", 0.0) // zero-total parent group
+    ).toDF("y", "p", "v")
+    val cube = DataCube.build(
+      Fact.build(fact, Seq("y", "p"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(
+        Dimension.build("year", "y", ListMap.empty, fact.select("y").distinct()),
+        Dimension.build("prio", "p", ListMap.empty, fact.select("p").distinct())))
+    val shares = cube.shareAlong("p").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(r.fieldIndex("share_sum_v")))).toMap
+    assert(shares(("y1", "a")) == Some(0.6) && shares(("y1", "c")) == Some(0.1))
+    // zero parent total -> NULL share, not NaN/zero
+    assert(shares(("y2", "a")).isEmpty && shares(("y2", "b")).isEmpty)
+    val top = cube.topKOther("p", k = 2, rankMeasure = "sum_v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // y1: a,b kept; c+d collapse into OTHER; y2 has only 2 members -> no OTHER
+    assert(top == Map(
+      ("y1", "a") -> 6.0, ("y1", "b") -> 3.0, ("y1", "OTHER") -> 1.0,
+      ("y2", "a") -> 0.0, ("y2", "b") -> 0.0), s"topKOther wrong: $top")
+    intercept[IllegalArgumentException] { cube.shareAlong("nope") }
+    intercept[IllegalArgumentException] { cube.topKOther("p", 0, "sum_v") }
+    intercept[IllegalArgumentException] { cube.topKOther("p", 2, "nope") }
+  }
+
   test("drillAcross merges conformed cubes, keeps one-sided cells as NULL") {
     import spark.implicits._
     val dim = Dimension.build("one", "k",
