@@ -175,12 +175,21 @@ object Events {
     * duplicate right timestamps the window's `last` pick is
     * partition-order-dependent.
     *
+    * `tolerance` (an SQL interval string, e.g. `"15 minutes"`) bounds
+    * the match distance: a running match farther back (ahead, when
+    * `forward`) than the tolerance is nulled out AFTER the window — the
+    * trades-to-quotes staleness guard ("use the last quote, but never
+    * one older than 15 minutes"). The O(1)-per-row shape is unchanged:
+    * the bound is a post-filter on the matched timestamp the output
+    * already carries, not a range-join fan-out.
+    *
     * Output: every left column, then `prefix+tsCol` (the matched right
     * timestamp) and `prefix+c` for each payload column. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String],
                prefix: String = "asof_", strict: Boolean = false,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               tolerance: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     require(!left.columns.contains("__side"), "input already has a __side column")
@@ -205,12 +214,25 @@ object Events {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    val joined = l2.unionByName(r2)
       .select(
         (keys :+ tsCol).map(col) ++ Seq(col("__side")) ++ leftOnly.map(col) ++
           rPay.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
       .filter(col("__side") === lTag)
       .drop("__side")
-      .select((left.columns ++ rPay).map(col).toSeq: _*)
+    val bounded = tolerance.fold(joined) { tol =>
+      val matched = col(prefix + tsCol)
+      val stale =
+        if (forward) matched > col(tsCol) + expr(s"INTERVAL $tol")
+        else matched < col(tsCol) - expr(s"INTERVAL $tol")
+      // one select: every nulling evaluates `stale` against the ORIGINAL
+      // matched timestamp (a column-by-column fold would null the
+      // matched-ts column first and blind the later comparisons)
+      joined.select(joined.columns.toSeq.map { c =>
+        if (rPay.contains(c)) when(stale, lit(null)).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+    }
+    bounded.select((left.columns ++ rPay).map(col).toSeq: _*)
   }
 }

@@ -2049,6 +2049,44 @@ object ExtensionQueries {
       |GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q71 — TOLERANCE-BOUNDED AS-OF: every purchase joins to the latest
+  //       same-user click, but only if it happened within the last 15
+  //       minutes (the trades-to-quotes staleness guard). The oracle is
+  //       an INDEPENDENT formulation — arg_max over an interval-bounded
+  //       join — while the operator is the O(1)-per-row running window
+  //       with a post-filter on the matched timestamp.
+  // -------------------------------------------------------------------
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+    sorted(Events.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+      payloadCols = Seq("click_id"), tolerance = Some("15 minutes")))
+  }
+
+  val q71Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), matched AS (
+      |  SELECT p.event_id, arg_max(c.ts, c.ts) AS asof_ts,
+      |         arg_max(c.click_id, c.ts) AS asof_click_id
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 15 MINUTE
+      |  GROUP BY 1
+      |)
+      |SELECT p.event_id, p.user_id, p.ts, m.asof_ts, m.asof_click_id
+      |FROM p LEFT JOIN matched m ON p.event_id = m.event_id
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2105,6 +2143,7 @@ object ExtensionQueries {
     ("q67_semi_additive", q67 _, q67Sql),
     ("q68_time_intelligence", q68 _, q68Sql),
     ("q69_share_of_parent", q69 _, q69Sql),
-    ("q70_topk_other", q70 _, q70Sql)
+    ("q70_topk_other", q70 _, q70Sql),
+    ("q71_asof_tolerance", q71 _, q71Sql)
   )
 }

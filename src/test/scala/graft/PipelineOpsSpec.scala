@@ -649,6 +649,23 @@ class PipelineOpsSpec extends SparkSpec {
     val fwd = Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("rid", "rv"),
       forward = true)
     assert(picks(fwd) == Map("p0" -> 100L, "p1" -> 103L, "p2" -> 102L, "p3" -> -1L))
+    // tolerance: p1's match (rid=101, 1 min back) survives a 1-minute
+    // bound; a tie (0 back) always survives; EVERY asof_ column of a
+    // too-stale match nulls together (ts included)
+    val tol = Events.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("rid", "rv"), tolerance = Some("1 minutes"))
+    assert(picks(tol) == Map("p0" -> 100L, "p1" -> 101L, "p2" -> -1L, "p3" -> -1L))
+    val tolTight = Events.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("rid", "rv"), tolerance = Some("30 seconds"))
+    assert(picks(tolTight) == Map("p0" -> 100L, "p1" -> -1L, "p2" -> -1L, "p3" -> -1L))
+    val staleRow = tolTight.filter(col("tag") === "p1")
+      .select("asof_ts", "asof_rv").head
+    assert(staleRow.isNullAt(0) && staleRow.isNullAt(1),
+      "stale match must null every asof_ column, not just the rank payload")
+    // forward tolerance: p1 -> rid=103 is 2 min ahead, dropped at 1 min
+    val tolFwd = Events.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("rid", "rv"), forward = true, tolerance = Some("1 minutes"))
+    assert(picks(tolFwd) == Map("p0" -> 100L, "p1" -> -1L, "p2" -> -1L, "p3" -> -1L))
     val fwdStrict = Events.asofJoin(left, right, Seq("user_id"), "ts",
       Seq("rid", "rv"), strict = true, forward = true)
     assert(picks(fwdStrict) ==
