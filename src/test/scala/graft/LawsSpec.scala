@@ -59,6 +59,35 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: drillAcross commutes with rollup (aggregate-then-drill ≡ drill-then-aggregate)") {
+    // two independent facts on the same conformed (k, g) grain, one
+    // measure each; marginalizing g then drilling across must equal
+    // drilling across at (k, g) and re-aggregating to k — including the
+    // NULL cells of one-sided grain rows (SUM ignores them both ways)
+    def renamed(rows: List[(Int, String, Double)], m: String): DataCube = {
+      val c = cubeOf(rows)
+      c.copy(fact = c.fact.copy(
+        data = c.fact.data.withColumnRenamed("sum_v", m),
+        measures = Seq(Measure.sum(m, m))))
+    }
+    forAll(Gen.zip(rowsGen, rowsGen), n = 4) { case (ra, rb) =>
+      if (ra.nonEmpty && rb.nonEmpty) {
+        val a = renamed(ra, "ma")
+        val b = renamed(rb, "mb")
+        val drillThenAgg = a.drillAcross(b)
+          .aggregate(Seq("k")).fact.data
+          .select("k", "ma", "mb").collect()
+          .map(r => r.getInt(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+        val aggThenDrill = a.applyMargin(Seq("one")).drillAcross(
+            b.applyMargin(Seq("one")))
+          .fact.data.select("k", "ma", "mb").collect()
+          .map(r => r.getInt(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+        assert(drillThenAgg == aggThenDrill,
+          s"drill/rollup do not commute:\n$drillThenAgg\nvs\n$aggThenDrill")
+      }
+    }
+  }
+
   test("law: filter-then-collapse ≡ collapse-with-prefilter") {
     forAll(rowsGen) { rows =>
       if (rows.nonEmpty) {
