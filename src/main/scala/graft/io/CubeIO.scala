@@ -413,6 +413,35 @@ object CubeIO {
     touched.length
   }
 
+  /** Apply a delta to a stored star AT MOST ONCE per `batchId` — the
+    * idempotence wrapper that makes [[ingestIntoStar]] safe under
+    * at-least-once delivery (Structured Streaming foreachBatch replays
+    * the last uncommitted micro-batch after a crash; a bare re-ingest
+    * would double-add). A journal marker directory
+    * (`<path>/_ingest_journal/batch=<id>`, `_`-prefixed so fact reads
+    * never see it) is written AFTER the merge commits; a replay that
+    * finds the marker skips the merge entirely and returns false.
+    *
+    * Guarantee: exactly-once in every case except a crash INSIDE the
+    * window between the dynamic-overwrite commit and the marker write —
+    * there a replay double-applies that one batch (the same class of
+    * window [[retractFromStar]] documents for its directory removals;
+    * closing it needs a transactional table format, which plain parquet
+    * does not offer). The journal accumulates one empty directory per
+    * batch — prune it whenever the streaming checkpoint is compacted.
+    *
+    * @return true when the delta was applied, false when the journal
+    *         already had the batch */
+  def ingestIntoStarOnce(spark: SparkSession, path: String,
+                         rawDelta: DataFrame, batchId: Long): Boolean = {
+    val marker = new Path(s"$path/_ingest_journal/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    ingestIntoStar(spark, path, rawDelta)
+    fs.mkdirs(marker)
+    true
+  }
+
   /** Hive partition-directory value escaping (the convention Spark's
     * writers use): special/control characters become %XX, null becomes
     * the default-partition marker — so the directory we delete is the

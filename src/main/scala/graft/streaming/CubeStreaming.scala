@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.io.CubeIO
+
+/** Streaming maintenance of a stored star ([[CubeIO.saveStar]] layout) —
+  * the capstone of the incremental story: raw delta rows arrive on a
+  * stream and merge into the partitioned fact continuously, so the cube a
+  * dashboard reads is at most one trigger behind the data. The reference
+  * is batch-only; this is the Spark-native extension, and it is ALL
+  * composition: Structured Streaming drives [[CubeIO.ingestIntoStarOnce]]
+  * per micro-batch.
+  *
+  * Delivery semantics: foreachBatch is at-least-once, and a star merge is
+  * not naturally idempotent (re-adding a delta double-counts) — the
+  * batch-id journal inside `ingestIntoStarOnce` closes that: a replayed
+  * micro-batch finds its marker and skips. Cost per trigger scales with
+  * the batch's partition footprint, not the star size (the
+  * [[CubeIO.ingestIntoStar]] contract).
+  */
+object CubeStreaming {
+
+  /** Start merging a stream of raw delta rows (star schema: id.vars +
+    * measure-name columns) into the stored star at `path`. One merge per
+    * micro-batch, journal-deduplicated under replay. */
+  def startIngestIntoStar(deltas: DataFrame, path: String,
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      CubeIO.ingestIntoStarOnce(batch.sparkSession, path, batch.toDF(), batchId): Unit
+    }
+    deltas.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -399,6 +399,54 @@ class StreamingSpec extends SparkSpec {
         s"${(batch diff streamed).take(3)}")
   }
 
+  test("streaming star ingest merges each batch once, replays skip via the journal") {
+    import graft.io.CubeIO
+    import graft.model._
+    import graft.streaming.CubeStreaming
+    import scala.collection.immutable.ListMap
+    import spark.implicits._
+    val base = Seq((1, "d1", 2.0), (2, "d1", 3.0)).toDF("k", "d", "v")
+    val dimK = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "attr")
+    val dimD = Seq("d1", "d2", "d3").toDF("d")
+    val cube = DataCube.build(
+      Fact.build(base, Seq("k", "d"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(Dimension.build("kd", "k", ListMap.empty, dimK),
+        Dimension.build("dd", "d", ListMap.empty, dimD)))
+    val star = java.nio.file.Files.createTempDirectory("star_stream").toString
+    CubeIO.saveStar(cube, star, partitionFact = Seq("d"))
+    // three single-file micro-batches: merge into existing grain, open a
+    // new partition, merge into the just-opened partition
+    val in = java.nio.file.Files.createTempDirectory("star_stream_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("star_stream_ck").toString
+    Seq(Seq((1, "d1", 5.0)), Seq((3, "d2", 1.0)), Seq((3, "d2", 2.0)))
+      .foreach { rows =>
+        rows.toDF("k", "d", "sum_v").coalesce(1).write.mode("append").parquet(in)
+      }
+    val stream = spark.readStream
+      .schema(Seq((1, "d", 1.0)).toDF("k", "d", "sum_v").schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = CubeStreaming.startIngestIntoStar(stream, star, ckpt)
+    q.awaitTermination(120000)
+    def fact() = CubeIO.loadStar(spark, star).fact.data.collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getAs[String]("d")) ->
+        r.getDouble(r.fieldIndex("sum_v"))).toMap
+    val expected = Map((1, "d1") -> 7.0, (2, "d1") -> 3.0, (3, "d2") -> 3.0)
+    assert(fact() == expected, s"streamed star diverged: ${fact()}")
+    // journal markers exist for every applied batch
+    val journal = new java.io.File(s"$star/_ingest_journal").listFiles()
+      .map(_.getName).toSet
+    assert(journal == Set("batch=0", "batch=1", "batch=2"),
+      s"unexpected journal: $journal")
+    // a foreachBatch replay re-delivers an APPLIED batch id: skipped
+    val replay = Seq((1, "d1", 99.0)).toDF("k", "d", "sum_v")
+    assert(!CubeIO.ingestIntoStarOnce(spark, star, replay, batchId = 2L),
+      "replayed batch id must be skipped")
+    assert(fact() == expected, "replay mutated the star")
+    // a NEW batch id applies normally
+    assert(CubeIO.ingestIntoStarOnce(spark, star, replay, batchId = 3L))
+    assert(fact() == expected + ((1, "d1") -> 106.0))
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
