@@ -442,6 +442,23 @@ object CubeIO {
     true
   }
 
+  /** Retraction twin of [[ingestIntoStarOnce]]: at most one
+    * [[retractFromStar]] per `batchId`, journaled under
+    * `<path>/_retract_journal` (a separate namespace — an ingest and a
+    * retraction may legitimately share a batch id when driven by two
+    * streams). Same guarantee and same documented commit-to-marker
+    * window. */
+  def retractFromStarOnce(spark: SparkSession, path: String,
+                          rawRetraction: DataFrame, supportCol: String,
+                          batchId: Long): Boolean = {
+    val marker = new Path(s"$path/_retract_journal/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    retractFromStar(spark, path, rawRetraction, supportCol)
+    fs.mkdirs(marker)
+    true
+  }
+
   /** Hive partition-directory value escaping (the convention Spark's
     * writers use): special/control characters become %XX, null becomes
     * the default-partition marker — so the directory we delete is the

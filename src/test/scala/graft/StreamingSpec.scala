@@ -445,6 +445,12 @@ class StreamingSpec extends SparkSpec {
     // a NEW batch id applies normally
     assert(CubeIO.ingestIntoStarOnce(spark, star, replay, batchId = 3L))
     assert(fact() == expected + ((1, "d1") -> 106.0))
+    // retraction journal is an independent namespace: batch id 3 is free
+    // there, and a replay of the same retraction id is skipped
+    val retr = Seq((1, "d1", 99.0)).toDF("k", "d", "sum_v")
+    assert(CubeIO.retractFromStarOnce(spark, star, retr, "sum_v", batchId = 3L))
+    assert(!CubeIO.retractFromStarOnce(spark, star, retr, "sum_v", batchId = 3L),
+      "replayed retraction id must be skipped")
   }
 
   test("stateful sessionization emits valid closed sessions") {
