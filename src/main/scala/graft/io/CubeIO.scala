@@ -299,19 +299,37 @@ object CubeIO {
     *
     * @return the number of fact partitions rewritten */
   def ingestIntoStar(spark: SparkSession, path: String,
-                     rawDelta: DataFrame): Int = {
+                     rawDelta: DataFrame): Int =
+    mergeTouched(spark, path, rawDelta, "ingest", identity) match {
+      case None => 0
+      case Some(m) => writeFactPartitions(m.merged, m.pCols, path); m.nTouched
+    }
+
+  /** The merge protocol shared by the upsert ([[ingestIntoStar]]) and
+    * delete ([[retractFromStar]]) halves of incremental maintenance:
+    * aggregate the raw delta to grain, apply `transform` (identity /
+    * negation), collect the delta's partition footprint (small by
+    * construction — days, not rows) into a pruning filter, read ONLY the
+    * touched partitions, and merge at grain. The merged rows are
+    * materialized (eager localCheckpoint) BEFORE any overwrite so the
+    * write cannot lazily re-read the files it replaces. */
+  private final case class TouchedMerge(pCols: Seq[String], nTouched: Int,
+                                        deltaData: DataFrame, merged: DataFrame)
+
+  private def mergeTouched(spark: SparkSession, path: String,
+                           rawDelta: DataFrame, op: String,
+                           transform: DataFrame => DataFrame): Option[TouchedMerge] = {
     val meta = readMeta(spark, path)
     require(meta.factPartitions.nonEmpty,
-      "incremental ingest needs a partitioned fact " +
+      s"incremental $op needs a partitioned fact " +
         "(saveStar(..., partitionFact = ...)); rebuild unpartitioned stars")
     val pCols = meta.factPartitions
     val ingestMeasures = meta.measures.map(m => Measure.sum(m.vr, m.name))
     val delta = Fact.build(rawDelta, meta.idVars, ingestMeasures)
     val stored = meta.measures.map(m => Measure.sum(m.name, m.name))
-    // the delta's partition footprint — small by construction (days, not
-    // rows); collected to build a pruning filter for the existing scan
+    val deltaData = transform(delta.data)
     val touched = delta.data.select(pCols.map(col): _*).distinct().collect()
-    if (touched.isEmpty) return 0
+    if (touched.isEmpty) return None
     val touchedFilter = touched.map { r =>
       pCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }
@@ -319,17 +337,20 @@ object CubeIO {
     }.reduce(_ || _)
     val existing = readFact(spark, path, meta)
       .filter(touchedFilter)
-      .select(delta.data.columns.map(col).toSeq: _*) // align column order for union
+      .select(deltaData.columns.map(col).toSeq: _*) // align column order for union
     val merged = Fact.aggregate(
-      existing.unionByName(delta.data), meta.idVars, stored)
+      existing.unionByName(deltaData), meta.idVars, stored)
       .localCheckpoint(true)
-    merged.write
+    Some(TouchedMerge(pCols, touched.length, deltaData, merged))
+  }
+
+  private def writeFactPartitions(rows: DataFrame, pCols: Seq[String],
+                                  path: String): Unit =
+    rows.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(pCols: _*)
       .parquet(s"$path/fact")
-    touched.length
-  }
 
   /** Retraction — the DELETE half of incremental star maintenance
     * ([[ingestIntoStar]] is the upsert half): aggregate `rawRetraction`
@@ -355,33 +376,16 @@ object CubeIO {
   def retractFromStar(spark: SparkSession, path: String,
                       rawRetraction: DataFrame, supportCol: String): Int = {
     val meta = readMeta(spark, path)
-    require(meta.factPartitions.nonEmpty,
-      "incremental retraction needs a partitioned fact " +
-        "(saveStar(..., partitionFact = ...)); rebuild unpartitioned stars")
     require(meta.measures.exists(_.name == supportCol),
       s"supportCol '$supportCol' is not a stored measure " +
         s"(have: ${meta.measures.map(_.name).mkString(", ")})")
-    val pCols = meta.factPartitions
-    val ingestMeasures = meta.measures.map(m => Measure.sum(m.vr, m.name))
-    val delta = Fact.build(rawRetraction, meta.idVars, ingestMeasures)
-    val stored = meta.measures.map(m => Measure.sum(m.name, m.name))
-    val negated = delta.data.select(
-      (delta.data.columns.toSeq.filterNot(c => meta.measures.exists(_.name == c))
+    val negate = (d: DataFrame) => d.select(
+      (d.columns.toSeq.filterNot(c => meta.measures.exists(_.name == c))
         .map(col) ++
         meta.measures.map(m => (-col(m.name)).as(m.name))): _*)
-    val touched = delta.data.select(pCols.map(col): _*).distinct().collect()
-    if (touched.isEmpty) return 0
-    val touchedFilter = touched.map { r =>
-      pCols.zipWithIndex
-        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-        .reduce(_ && _)
-    }.reduce(_ || _)
-    val existing = readFact(spark, path, meta)
-      .filter(touchedFilter)
-      .select(negated.columns.map(col).toSeq: _*) // align column order for union
-    val merged = Fact.aggregate(
-      existing.unionByName(negated), meta.idVars, stored)
-      .localCheckpoint(true)
+    val m = mergeTouched(spark, path, rawRetraction, "retraction", negate)
+      .getOrElse(return 0)
+    val (pCols, merged) = (m.pCols, m.merged)
     val overdrawn = merged.filter(col(supportCol) < 0)
       .select(meta.idVars.map(col): _*).limit(5).collect()
     if (overdrawn.nonEmpty)
@@ -389,28 +393,30 @@ object CubeIO {
         s"retraction exceeds ingested rows ($supportCol < 0) at grain keys " +
           overdrawn.mkString("[", ", ", "]") + " — star left untouched")
     val survivors = merged.filter(col(supportCol) > 0)
-    survivors.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(pCols: _*)
-      .parquet(s"$path/fact")
+    writeFactPartitions(survivors, pCols, path)
     // remove partitions whose every grain row died: they were touched but
     // appear nowhere in the survivors, so the overwrite wrote nothing
-    // into them and their old files are stale
-    val alive = survivors.select(pCols.map(col): _*).distinct().collect()
+    // into them and their old files are stale. Directory names use the
+    // SAME cast-to-string Spark's partition writer applies (collected as
+    // an extra projection) — String.valueOf of the JVM value diverges for
+    // timestamps (trailing ".0") and would silently miss the delete.
+    val aliveStr = survivors
+      .select(pCols.map(c => col(c).cast("string")): _*).distinct().collect()
       .map(_.toSeq).toSet
-    val dead = touched.filterNot(r => alive.contains(r.toSeq))
-    if (dead.nonEmpty) {
+    val deadStr = m.deltaData
+      .select(pCols.map(c => col(c).cast("string")): _*).distinct().collect()
+      .map(_.toSeq).filterNot(aliveStr.contains)
+    if (deadStr.nonEmpty) {
       val factRoot = new Path(s"$path/fact")
       val fs = factRoot.getFileSystem(spark.sessionState.newHadoopConf())
-      dead.foreach { r =>
-        val dir = pCols.zipWithIndex.map { case (c, i) =>
-          s"$c=${escapePartitionValue(if (r.isNullAt(i)) null else String.valueOf(r.get(i)))}"
+      deadStr.foreach { vals =>
+        val dir = pCols.zip(vals).map { case (c, v) =>
+          s"$c=${escapePartitionValue(if (v == null) null else v.toString)}"
         }.mkString("/")
         fs.delete(new Path(factRoot, dir), true): Unit
       }
     }
-    touched.length
+    m.nTouched
   }
 
   /** Apply a delta to a stored star AT MOST ONCE per `batchId` — the
@@ -467,6 +473,8 @@ object CubeIO {
     if (v == null || v.isEmpty) "__HIVE_DEFAULT_PARTITION__"
     else v.flatMap { c =>
       val special = "\"#%'*/:=?\\{[]^"
-      if (c < ' ' || special.contains(c)) f"%%${c.toInt}%02X" else c.toString
+      if (c < ' ' || c == '\u007F' || special.contains(c))
+        f"%%${c.toInt}%02X"
+      else c.toString
     }
 }

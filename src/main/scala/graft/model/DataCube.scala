@@ -470,7 +470,9 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     * report shape ("top 3 priorities + OTHER"). Every measure
     * re-aggregates with its own captured function over the relabeled
     * grain, so the OTHER row is a true aggregate of the tail members.
-    * `alongKey` is cast to string to admit the label. One keyed
+    * `alongKey` is cast to string to admit the label — pick `otherLabel`
+    * OUTSIDE the key domain: a real member whose string value equals it
+    * would be fused into the tail bucket. One keyed
     * rank window + one grouped aggregation. */
   def topKOther(alongKey: String, k: Int, rankMeasure: String,
                 otherLabel: String = "OTHER"): DataFrame = {

@@ -153,6 +153,10 @@ object Joins {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(!fact.columns.contains("__bucket") && !bands.columns.contains("__bucket"),
       "__bucket column name collision")
+    val shared = fact.columns.toSet & bands.columns.toSet
+    require(shared.isEmpty,
+      s"fact and bands share column name(s) ${shared.mkString(", ")} — " +
+        "rename one side; the join would resolve them ambiguously")
     import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence}
     val w = lit(bucketWidth)
     val b = bands.withColumn("__bucket",

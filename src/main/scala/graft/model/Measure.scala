@@ -61,7 +61,15 @@ object Measure {
     * aggregate a balance fact to (entity, period) grain with `lastBy`,
     * then re-aggregate entity-out with [[sum]] — additive across every
     * dimension EXCEPT time, last-along-time. One grouped aggregation per
-    * stage, no window. */
+    * stage, no window.
+    *
+    * INGEST-STAGE ONLY: the captured `order` references raw-input columns
+    * that no longer exist at the stored grain, so default re-aggregation
+    * paths (`aggregate` with no measures override, `applyMargin`,
+    * collapse) would fail to resolve it — always re-aggregate a
+    * lastBy-built cube with explicit replacement measures (the q67
+    * pattern: `aggregate(by, measures = Seq(Measure.sum(...)))`), which
+    * is also the only semantically meaningful rollup of a picked value. */
   def lastBy(vr: String, name: String, order: Column): Measure =
     Measure(vr, name, c => max_by(c, order))
 

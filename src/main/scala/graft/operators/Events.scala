@@ -192,7 +192,8 @@ object Events {
                tolerance: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
-    require(!left.columns.contains("__side"), "input already has a __side column")
+    require(!left.columns.contains("__side") && !left.columns.contains("__asof"),
+      "input already has a __side/__asof column")
     val rPay = (tsCol +: payloadCols).map(prefix + _)
     require(rPay.forall(c => !left.columns.contains(c)),
       s"left already has a ${rPay.find(left.columns.contains).get} column")
@@ -200,16 +201,24 @@ object Events {
     // running `last` sees a same-timestamp match; strict flips the tags
     val (lTag, rTag) = if (strict) (0, 1) else (1, 0)
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    // the matched row travels as ONE struct (never null for right rows),
+    // so `last(ignoreNulls)` skips only the left rows' null placeholders —
+    // a genuine NULL inside a matched payload field stays NULL instead of
+    // being backfilled from an older right row (per-column running lasts
+    // tear rows exactly that way)
+    val payStruct = org.apache.spark.sql.types.StructType(
+      ((tsCol +: payloadCols) zip rPay).map { case (c, p) =>
+        right.schema(c).copy(name = p)
+      })
     val l2 = left.select(
       (keys :+ tsCol).map(col) ++ Seq(lit(lTag).as("__side")) ++
         leftOnly.map(col) ++
-        ((tsCol +: payloadCols) zip rPay).map { case (c, p) =>
-          lit(null).cast(right.schema(c).dataType).as(p)
-        }: _*)
+        Seq(lit(null).cast(payStruct).as("__asof")): _*)
     val r2 = right.select(
       (keys :+ tsCol).map(col) ++ Seq(lit(rTag).as("__side")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        ((tsCol +: payloadCols) zip rPay).map { case (c, p) => col(c).as(p) }: _*)
+        Seq(struct(((tsCol +: payloadCols) zip rPay)
+          .map { case (c, p) => col(c).as(p) }: _*).as("__asof")): _*)
     val tsOrd = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrd, col("__side").asc)
@@ -217,22 +226,20 @@ object Events {
     val joined = l2.unionByName(r2)
       .select(
         (keys :+ tsCol).map(col) ++ Seq(col("__side")) ++ leftOnly.map(col) ++
-          rPay.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+          Seq(last(col("__asof"), ignoreNulls = true).over(w).as("__asof")): _*)
       .filter(col("__side") === lTag)
       .drop("__side")
     val bounded = tolerance.fold(joined) { tol =>
-      val matched = col(prefix + tsCol)
+      val matched = col("__asof").getField(prefix + tsCol)
       val stale =
         if (forward) matched > col(tsCol) + expr(s"INTERVAL $tol")
         else matched < col(tsCol) - expr(s"INTERVAL $tol")
-      // one select: every nulling evaluates `stale` against the ORIGINAL
-      // matched timestamp (a column-by-column fold would null the
-      // matched-ts column first and blind the later comparisons)
-      joined.select(joined.columns.toSeq.map { c =>
-        if (rPay.contains(c)) when(stale, lit(null)).otherwise(col(c)).as(c)
-        else col(c)
-      }: _*)
+      // nulling the whole struct nulls every asof_ column together,
+      // evaluated against the original matched timestamp
+      joined.withColumn("__asof",
+        when(stale, lit(null).cast(payStruct)).otherwise(col("__asof")))
     }
-    bounded.select((left.columns ++ rPay).map(col).toSeq: _*)
+    bounded.select(left.columns.toSeq.map(col) ++
+      rPay.map(p => col("__asof").getField(p).as(p)): _*)
   }
 }

@@ -490,6 +490,11 @@ object Similarity {
     val base = readIvfCorpus(spark, path).select("neighbor_id", "cv")
     val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
     val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // heal an interrupted compaction BEFORE reading: a crash between its
+    // source-deletion and rename would otherwise hide every compacted
+    // vector from the rebuild (the hidden tmp dir is invisible to the
+    // read), and the new index would silently lose them
+    graft.streaming.StoreCompaction.recover(fs, appendsPath)
     val all =
       if (fs.exists(appendsPath) && fs.listStatus(appendsPath).nonEmpty)
         base.unionByName(spark.read.parquet(s"$path/appends")

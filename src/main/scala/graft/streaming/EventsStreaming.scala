@@ -83,6 +83,16 @@ object EventsStreaming {
     * window start (year/date/hour hierarchy) and whose other dimension is
     * the event type. The returned query handle drives ingestion; call
     * [[cubeFromSink]] any time for the current cube. */
+  def startToCubeSink(agg: DataFrame, sinkDir: String,
+                      checkpointDir: String): StreamingQuery =
+    agg.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-static POINT-IN-TIME enrichment: every streamed fact row is
     * joined to the dimension version valid at its own timestamp — the
     * streaming twin of the q63 batch path
@@ -114,16 +124,6 @@ object EventsStreaming {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .trigger(trigger)
-      .start()
-
-  def startToCubeSink(agg: DataFrame, sinkDir: String,
-                      checkpointDir: String): StreamingQuery =
-    agg.writeStream
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
       .start()
 
   def cubeFromSink(spark: SparkSession, sinkDir: String): graft.model.DataCube = {

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   * in both streaming twins, so a crash between source-deletion and
   * rename is healed on the next stream restart, not only on the next
   * manual compaction. */
-private[streaming] object StoreCompaction {
+private[graft] object StoreCompaction {
 
   /** Merge all committed batch partitions below the newest into
     * `batch=-1`, keeping `dataCols` (distinct) and re-partitioning the

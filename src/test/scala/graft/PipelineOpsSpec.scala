@@ -672,6 +672,18 @@ class PipelineOpsSpec extends SparkSpec {
       Map("p0" -> 101L, "p1" -> 103L, "p2" -> 102L, "p3" -> -1L))
     // every left row survives exactly once (left-outer semantics)
     assert(out.count() == 4 && strict.count() == 4)
+    // a genuine NULL inside the MATCHED row must stay NULL — per-column
+    // running lasts would backfill it from an older right row (row tear)
+    val rightN = Seq(
+      (1L, ts(1), Option(200L)),
+      (1L, ts(3), Option.empty[Long]) // the matched row carries NULL rid
+    ).toDF("user_id", "ts", "rid")
+    val torn = Events.asofJoin(
+      Seq((1L, ts(5), "x")).toDF("user_id", "ts", "tag"),
+      rightN, Seq("user_id"), "ts", Seq("rid")).head
+    assert(torn.getTimestamp(torn.fieldIndex("asof_ts")) == ts(3) &&
+        torn.isNullAt(torn.fieldIndex("asof_rid")),
+      s"NULL payload field was backfilled from an older right row: $torn")
   }
 
   test("rangeJoin: half-open bands, overlaps, boundaries, negative values") {

@@ -196,6 +196,36 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("retraction removes TIMESTAMP-partitioned directories (writer path parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.model._
+    import scala.collection.immutable.ListMap
+    // timestamp partition values: the writer's directory name comes from
+    // cast-to-string ("2026-01-01 00:00:00"), NOT Timestamp.toString
+    // (trailing ".0") — the delete must target the writer's path
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val base = Seq((1, t1, 2.0), (1, t2, 3.0)).toDF("k", "m", "v")
+    val cube = DataCube.build(
+      Fact.build(base.withColumn("one", lit(1L)), Seq("k", "m"),
+        Seq(Measure.sum("v", "sum_v"), Measure.sum("one", "n"))),
+      Seq(Dimension.build("kd", "k", ListMap.empty, Seq(1 -> "a").toDF("k", "attr")),
+        Dimension.build("md", "m", ListMap.empty, base.select("m").distinct())))
+    val dir = java.nio.file.Files.createTempDirectory("star_retract_ts").toString
+    CubeIO.saveStar(cube, dir, partitionFact = Seq("m"))
+    val parts = () => new java.io.File(s"$dir/fact").listFiles()
+      .map(_.getName).filter(_.startsWith("m=")).toSet
+    assert(parts().size == 2, s"fixture should have 2 month partitions: ${parts().toSeq}")
+    // retract ALL of t1's partition
+    CubeIO.retractFromStar(spark, dir,
+      Seq((1, t1, 2.0, 1L)).toDF("k", "m", "sum_v", "n"), "n")
+    assert(parts().size == 1 && !parts().exists(_.contains("2026-01")),
+      s"timestamp partition must be physically removed: ${parts().toSeq}")
+    val left = CubeIO.loadStar(spark, dir).fact.data.collect()
+    assert(left.length == 1 && left.head.getTimestamp(left.head.fieldIndex("m")) == t2)
+  }
+
   test("format applies measure formatting and sorts NA-last") {
     val small = star.aggregate(Seq("curr_type"))
     val f = CubeIO.format(small,
