@@ -172,6 +172,47 @@ object ScaleProbe {
           Seq("rid")).count()
       })
 
+    // incremental star maintenance: replicate the orders fact n× (fresh
+    // orderkeys, same year/priority grain) into a year-partitioned star,
+    // then time ONE fixed single-year delta ingest. The contract under
+    // test is "cost scales with the delta's partition footprint, not the
+    // star size": at n× the touched partition itself is n× bigger, so the
+    // honest bound is linear-in-touched-partition — the gate catches a
+    // leaked full-star scan (which would also be linear… in ALL
+    // partitions, i.e. ~7n× here with 7 years versus the one touched).
+    val orders1 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("o_totalprice"))
+    def ingestStep(tag: String, n: Int): Map[String, Double] = {
+      val on = spark.range(n).toDF("rep").crossJoin(orders1)
+        .select((col("o_orderkey") + col("rep") * lit(100000000L)).as("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("one", lit(1L))
+      val cube = graft.model.DataCube.build(
+        graft.model.Fact.build(on, Seq("o_year", "o_orderpriority"),
+          Seq(graft.model.Measure.sum("cents", "sum_cents"),
+            graft.model.Measure.sum("one", "n_orders"))),
+        Seq(
+          graft.model.Dimension.build("year", "o_year",
+            scala.collection.immutable.ListMap.empty,
+            on.select("o_year").distinct()),
+          graft.model.Dimension.build("priority", "o_orderpriority",
+            scala.collection.immutable.ListMap.empty,
+            on.select("o_orderpriority").distinct())))
+      val star = s"/tmp/graft_probe_star_$n"
+      graft.io.CubeIO.saveStar(cube, star, partitionFact = Seq("o_year"))
+      // the DELTA is the same 1× single-year slice at both scales
+      val delta = orders1.filter(year(col("o_orderdate")) === 1995)
+        .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("sum_cents"),
+          lit(1L).as("n_orders"))
+      Map("ingest" -> timed(s"$tag star ingest (1-year delta)") {
+        graft.io.CubeIO.ingestIntoStar(spark, star, delta)
+      })
+    }
+
     // per-row / indexed text-pipeline ops: chunking is shuffle-free and
     // must scale ~linearly; dup-share's df join-back is 1:1 on index rows
     // (any superlinear growth here means the uncapped-index claim is wrong)
@@ -200,8 +241,9 @@ object ScaleProbe {
     val aN = annSuite(s"${factor}x", embN(factor))
     val p1 = pipeSuite("1x", docsN(1))
     val pN = pipeSuite(s"${factor}x", docsN(factor))
-    val e1 = eventsSuite("1x", evN(1))
-    val eN = eventsSuite(s"${factor}x", evN(factor))
+    val e1 = eventsSuite("1x", evN(1)) ++ ingestStep("1x", 1)
+    val eN = eventsSuite(s"${factor}x", evN(factor)) ++
+      ingestStep(s"${factor}x", factor)
 
     val bound = 1.5 * factor
     val noiseFloorSec = 0.3
