@@ -274,6 +274,39 @@ object CubeIO {
     DataCube.build(Fact(factDf, meta.idVars, measures.map(m => m.copy(vr = m.name))), dims)
   }
 
+  /** SCD TYPE-1 dimension update: overwrite ONE dimension's attribute
+    * table in a stored star in place — the history-free correction path
+    * ("fix the misspelled nation name everywhere, retroactively"); the
+    * versioned alternative is [[graft.sources.Sources.scd2]] plus an
+    * as-of lookup (q63). Validates BEFORE writing: the new table must
+    * carry every hierarchy column the stored metadata names
+    * ([[graft.model.Dimension.build]] enforces it), and every fact key
+    * value must still resolve in the new members (fact ⊆ dim) — an
+    * update that would orphan fact rows fails with the orphan count,
+    * star untouched. The write is the same small-table overwrite commit
+    * [[saveStar]] uses; metadata is unchanged (name/key/hierarchies must
+    * not change in a type-1 update — that is a rebuild). */
+  def updateDimensionInStar(spark: SparkSession, path: String,
+                            dimName: String, newFlat: DataFrame): Unit = {
+    val meta = readMeta(spark, path)
+    val dm = meta.dimensions.find(_.name == dimName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no dimension '$dimName' in this star " +
+          s"(have: ${meta.dimensions.map(_.name).mkString(", ")})"))
+    val hs = dm.hierarchies.map(h =>
+      h.name -> Hierarchy(ListMap(h.levels.map(l => l.key -> l.props): _*)))
+    // Dimension.build validates the hierarchy columns against newFlat
+    val dim = Dimension.build(dm.name, dm.key, ListMap(hs: _*), newFlat)
+    val orphans = readFact(spark, path, meta)
+      .select(col(dm.key)).distinct()
+      .join(dim.keyValues, Seq(dm.key), "left_anti").count()
+    require(orphans == 0,
+      s"$orphans fact key value(s) of '${dm.key}' missing from the new " +
+        s"'$dimName' members — the update would orphan fact rows; " +
+        "star left untouched")
+    dim.denormalized.write.mode("overwrite").parquet(s"$path/${dm.dir}")
+  }
+
   /** Batch-incremental maintenance of a PARTITIONED star fact
     * (`saveStar(..., partitionFact = ...)`): aggregate `rawDelta` to the
     * stored grain, read ONLY the partitions the delta touches (the filter

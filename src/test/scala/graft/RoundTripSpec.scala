@@ -196,6 +196,48 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("SCD1 dimension update corrects attributes in place and guards orphans") {
+    import spark.implicits._
+    import graft.model._
+    import scala.collection.immutable.ListMap
+    val fact = Seq((1, 2.0), (2, 3.0)).toDF("k", "v")
+    val dimK = Seq((1, "alise", "emea"), (2, "bob", "apac"))
+      .toDF("k", "name", "region")
+    val cube = DataCube.build(
+      Fact.build(fact, Seq("k"), Seq(Measure.sum("v", "sum_v"))),
+      Seq(Dimension.build("who", "k",
+        ListMap("h" -> Hierarchy("region" -> Seq.empty, "k" -> Seq("name"))),
+        dimK)))
+    val dir = java.nio.file.Files.createTempDirectory("star_scd1").toString
+    CubeIO.saveStar(cube, dir)
+    // type-1 correction: fix the misspelled name, move member 2's region
+    CubeIO.updateDimensionInStar(spark, dir, "who",
+      Seq((1, "alice", "emea"), (2, "bob", "emea"), (3, "carol", "apac"))
+        .toDF("k", "name", "region"))
+    val loaded = CubeIO.loadStar(spark, dir)
+    val byRegion = loaded.aggregate(Seq("region")).fact.data.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byRegion == Map("emea" -> 5.0), s"updated region grouping: $byRegion")
+    val names = loaded.denormalize().select("name").collect()
+      .map(_.getString(0)).toSet
+    assert(names == Set("alice", "bob"), s"corrected attributes: $names")
+    // an update missing fact key 2 would orphan its rows: refused
+    val err = intercept[IllegalArgumentException] {
+      CubeIO.updateDimensionInStar(spark, dir, "who",
+        Seq((1, "alice", "emea")).toDF("k", "name", "region"))
+    }
+    assert(err.getMessage.contains("orphan"))
+    assert(CubeIO.loadStar(spark, dir).denormalize().count() == 2,
+      "failed update must leave the star intact")
+    // unknown dimension and missing hierarchy columns are named errors
+    intercept[IllegalArgumentException] {
+      CubeIO.updateDimensionInStar(spark, dir, "nope", dimK)
+    }
+    intercept[IllegalArgumentException] {
+      CubeIO.updateDimensionInStar(spark, dir, "who", Seq((1, "x")).toDF("k", "name"))
+    }
+  }
+
   test("retraction removes TIMESTAMP-partitioned directories (writer path parity)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
