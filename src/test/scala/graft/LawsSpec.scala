@@ -88,6 +88,33 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: timeIntelligence cum/prev equal the brute-force prefix per series") {
+    forAll(rowsGen, n = 4) { rows =>
+      if (rows.nonEmpty) {
+        val c = cubeOf(rows)
+        val got = c.timeIntelligence("k").collect().map { r =>
+          (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("g"))) ->
+            ((r.getDouble(r.fieldIndex("cum_sum_v")),
+              Option(r.get(r.fieldIndex("prev_sum_v")))))
+        }.toMap
+        // brute force from the generated rows: per-series sorted prefix
+        val grain = rows.groupBy(r => (r._1, r._2))
+          .view.mapValues(_.map(_._3).sum).toMap
+        grain.foreach { case ((k, g), v) =>
+          val series = grain.collect { case ((k2, g2), v2) if g2 == g => (k2, v2) }
+            .toSeq.sortBy(_._1)
+          val cum = series.filter(_._1 <= k).map(_._2).sum
+          val prev = series.filter(_._1 < k).lastOption.map(_._2)
+          val (gc, gp) = got((k, g))
+          assert(math.abs(gc - cum) < 1e-9,
+            s"cum at ($k,$g): got $gc want $cum")
+          assert(gp == prev, s"prev at ($k,$g): got $gp want $prev")
+          val _ = v
+        }
+      }
+    }
+  }
+
   test("law: filter-then-collapse ≡ collapse-with-prefilter") {
     forAll(rowsGen) { rows =>
       if (rows.nonEmpty) {

@@ -579,6 +579,28 @@ class PlanSpec extends SparkSpec {
       "multi-series time intelligence funnels through one task")
   }
 
+  test("shareAlong and topKOther windows stay keyed, never a single partition") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val cube = graft.model.DataCube.build(
+      graft.model.Fact.build(orders, Seq("o_year", "o_orderpriority"),
+        Seq(graft.model.Measure.sum("cents", "sum_cents"))),
+      Seq(
+        graft.model.Dimension.build("year", "o_year",
+          scala.collection.immutable.ListMap.empty,
+          orders.select("o_year").distinct()),
+        graft.model.Dimension.build("priority", "o_orderpriority",
+          scala.collection.immutable.ListMap.empty,
+          orders.select("o_orderpriority").distinct())))
+    for (df <- Seq(cube.shareAlong("o_orderpriority"),
+        cube.topKOther("o_orderpriority", 3, "sum_cents"))) {
+      assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"),
+        "reporting window funnels through one task")
+    }
+  }
+
   test("exact stratified sample shuffles once on the stratum, never globally sorts") {
     import graft.operators.Sampling
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
