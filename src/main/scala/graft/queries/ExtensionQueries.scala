@@ -2087,6 +2087,58 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q72 — SCD1 DIMENSION UPDATE end-to-end: save a customer star on the
+  //       nation dimension, correct the dimension IN PLACE (merge the
+  //       regions of nationkeys 0-9 into one 'MERGED' region —
+  //       CubeIO.updateDimensionInStar, orphan-guarded), reload, and
+  //       aggregate by the UPDATED region attribute. Oracle recomputes
+  //       with the same CASE mapping from the raw tables — a stale or
+  //       partially-written dimension fails the hash.
+  // -------------------------------------------------------------------
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Dimension, Fact, Hierarchy}
+    import graft.io.CubeIO
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val region = s.read.parquet(s"$dir/region.parquet")
+    val flat = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("nationkey"), col("n_name"), col("r_name"))
+    def dimOf(d: DataFrame) = Dimension.build("nation", "nationkey",
+      ListMap("geo" -> Hierarchy(
+        "r_name" -> Seq.empty,
+        "nationkey" -> Seq("n_name"))), d)
+    val cube = DataCube.build(
+      Fact.build(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_nationkey").as("nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal"),
+            lit(1L).as("one")),
+        Seq("nationkey"),
+        Seq(Measure.sum("bal", "bal_cents"), Measure.sum("one", "n_cust"))),
+      Seq(dimOf(flat)))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q72_star_" +
+      Integer.toHexString(dir.hashCode)
+    // rebuild per call so bench reps don't double-apply the correction
+    CubeIO.saveStar(cube, path)
+    val corrected = flat.withColumn("r_name",
+      when(col("nationkey") < 10, lit("MERGED")).otherwise(col("r_name")))
+    CubeIO.updateDimensionInStar(s, path, "nation", corrected)
+    sorted(CubeIO.loadStar(s, path).aggregate(Seq("r_name")).fact.data
+      .select("r_name", "n_cust", "bal_cents"))
+  }
+
+  val q72Sql: String =
+    """SELECT CASE WHEN n_nationkey < 10 THEN 'MERGED' ELSE r_name END
+      |         AS r_name,
+      |       CAST(count(*) AS BIGINT) AS n_cust,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |         AS bal_cents
+      |FROM customer
+      |JOIN nation ON n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2144,6 +2196,7 @@ object ExtensionQueries {
     ("q68_time_intelligence", q68 _, q68Sql),
     ("q69_share_of_parent", q69 _, q69Sql),
     ("q70_topk_other", q70 _, q70Sql),
-    ("q71_asof_tolerance", q71 _, q71Sql)
+    ("q71_asof_tolerance", q71 _, q71Sql),
+    ("q72_scd1_update", q72 _, q72Sql)
   )
 }
