@@ -2139,6 +2139,38 @@ object ExtensionQueries {
       |GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q73 — MERGEABLE SKETCH CUBE: distinct customers per year answered
+  //       from STORED per-(year, priority) HLL sketches by union
+  //       (Sketches.distinctSketchAtGrain + rollupDistinct — the fact
+  //       is scanned once for the sketch table, never for the rollup;
+  //       COUNT DISTINCT is otherwise the one non-additive aggregate a
+  //       cube can't roll up). Emits the exact count plus a 5% sketch
+  //       verdict, q31-style; oracle = exact + verdict 1.
+  // -------------------------------------------------------------------
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val sketches = Sketches.distinctSketchAtGrain(orders,
+      Seq("o_year", "o_orderpriority"), "o_custkey")
+    val approx = Sketches.rollupDistinct(sketches, Seq("o_year"),
+      "o_custkey_sketch")
+    val exact = orders.groupBy("o_year")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    sorted(exact.join(approx, Seq("o_year"))
+      .select(col("o_year"), col("n_cust"),
+        (abs(col("approx_distinct") - col("n_cust"))
+          <= col("n_cust") * lit(0.05)).cast("int").as("approx_ok")))
+  }
+
+  val q73Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |       COUNT(DISTINCT o_custkey) AS n_cust,
+      |       1 AS approx_ok
+      |FROM orders GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2197,6 +2229,7 @@ object ExtensionQueries {
     ("q69_share_of_parent", q69 _, q69Sql),
     ("q70_topk_other", q70 _, q70Sql),
     ("q71_asof_tolerance", q71 _, q71Sql),
-    ("q72_scd1_update", q72 _, q72Sql)
+    ("q72_scd1_update", q72 _, q72Sql),
+    ("q73_sketch_cube", q73 _, q73Sql)
   )
 }

@@ -464,6 +464,31 @@ class PipelineOpsSpec extends SparkSpec {
       "re-ingest of an appended delta doc survived — the store append is not chaining")
   }
 
+  test("sketch cube: union of split sketches equals the whole-table sketch") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val rows = (0 until 5000).map(i => (i % 7, (i % 997).toLong))
+      .toDF("g", "v")
+    val whole = Sketches.rollupDistinct(
+      Sketches.distinctSketchAtGrain(rows, Seq("g"), "v"),
+      Seq.empty, "v_sketch").head.getLong(0)
+    // the same data sketched in two halves at a FINER grain, then unioned
+    // across both the split and the grain — mergeability is exact
+    val halves = Sketches.distinctSketchAtGrain(
+        rows.filter($"v" % 2 === 0), Seq("g"), "v")
+      .unionByName(Sketches.distinctSketchAtGrain(
+        rows.filter($"v" % 2 =!= 0), Seq("g"), "v"))
+    val merged = Sketches.rollupDistinct(halves, Seq.empty, "v_sketch")
+      .head.getLong(0)
+    assert(merged == whole, s"sketch merge not exact: $merged vs $whole")
+    // and the estimate lands within the HLL bound of the true distinct
+    assert(math.abs(whole - 997) <= 997 * 0.05,
+      s"estimate $whole too far from exact 997")
+    intercept[IllegalArgumentException] {
+      Sketches.distinctSketchAtGrain(rows, Seq.empty, "v")
+    }
+  }
+
   test("ivf rebuild retrains on corpus + appends and keeps appended vectors findable") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
