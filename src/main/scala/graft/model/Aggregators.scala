@@ -114,6 +114,61 @@ object Aggregators {
     def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
+  /** Misra-Gries heavy-hitters summary buffer: candidate item → count
+    * lower bound, at most k entries (case-class wrapper so
+    * `Encoders.product` handles the Map). */
+  final case class MgBuf(counts: Map[String, Long])
+
+  /** Bounded-memory frequent-items sketch (Misra-Gries): tracks at most
+    * `k` candidate items; any item with true count > n/(k+1) over n
+    * observations is GUARANTEED present in the summary, and every
+    * reported count is a lower bound within n/(k+1) of the truth — the
+    * mergeable-summaries form (Agarwal et al., PODS'12), so map-side
+    * partial aggregation preserves the bound. The point at 100 TB: a
+    * full `groupBy(term)` must materialize the whole vocabulary
+    * (unbounded memory / shuffle); MG holds O(k) per partition and
+    * shuffles at most k rows per partition, turning "top terms of a
+    * corpus" into a candidate-generation pass that a tiny exact
+    * second pass over ≤ k candidates then confirms
+    * ([[graft.operators.Corpus.frequentTerms]]).
+    *
+    * The summary CONTENTS (which sub-threshold candidates survive, and
+    * the exact lower bounds) depend on arrival/merge order — only the
+    * guarantees above are deterministic. Callers wanting deterministic
+    * output must re-verify candidates exactly, as frequentTerms does. */
+  final class MisraGries(k: Int) extends Aggregator[String, MgBuf, MgBuf] {
+    require(k > 0, s"k must be positive, got $k")
+    def zero: MgBuf = MgBuf(Map.empty)
+    def reduce(b: MgBuf, item: String): MgBuf = {
+      val m = b.counts
+      m.get(item) match {
+        case Some(c) => MgBuf(m.updated(item, c + 1))
+        case None if m.size < k => MgBuf(m.updated(item, 1L))
+        // summary full: decrement every counter (the classic step — one
+        // "vote" from each of k+1 distinct items cancels), dropping zeros
+        case None => MgBuf(m.collect { case (t, c) if c > 1 => t -> (c - 1) })
+      }
+    }
+    def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val combined = y.counts.foldLeft(x.counts) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (combined.size <= k) MgBuf(combined)
+      else {
+        // subtract the (k+1)-th largest count from everything and drop
+        // non-positives — at most k survive, error grows by that count,
+        // staying within the summed n/(k+1) bound (mergeable-summaries)
+        val cs = combined.values.toArray
+        java.util.Arrays.sort(cs)
+        val cut = cs(cs.length - (k + 1))
+        MgBuf(combined.collect { case (t, c) if c > cut => t -> (c - cut) })
+      }
+    }
+    def finish(b: MgBuf): MgBuf = b
+    def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    def outputEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+  }
+
   /** Geometric mean via log-space sums (stable + mergeable). */
   object GeoMean extends Aggregator[Double, (Double, Long), Double] {
     def zero: (Double, Long) = (0.0, 0L)

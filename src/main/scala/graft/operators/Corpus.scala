@@ -65,6 +65,58 @@ object Corpus {
         round(col("n_dup").cast("double") / col("n_distinct").cast("double"), 6))
   }
 
+  /** Corpus-wide frequent terms with EXACT counts in bounded memory — the
+    * sketch-prune + exact-verify pattern: a Misra-Gries pass
+    * ([[graft.model.Aggregators.MisraGries]]) narrows the vocabulary to
+    * ≤ `k` candidates (O(k) memory per partition, ≤ k rows shuffled per
+    * partition — a full `groupBy(term)` would materialize the entire
+    * vocabulary, which at 100 TB exceeds executor memory), then ONE tiny
+    * exact pass counts ONLY the candidates (an `isin` literal filter the
+    * scan can evaluate row-by-row, then a hash agg over ≤ k keys whose
+    * map-side combine makes the shuffle negligible).
+    *
+    * `minShare` is the frequency threshold as a fraction of total tokens
+    * (scale-invariant). Requiring `minShare > 1/(k+1)` makes the result
+    * EXACT AND DETERMINISTIC despite the sketch: MG guarantees every item
+    * with count > n/(k+1) survives pass 1 (zero false negatives at the
+    * threshold), and pass 2's exact counts remove all false positives —
+    * the output is precisely the terms with count ≥ ceil(n · minShare),
+    * independent of arrival order.
+    *
+    * Output: (term, n_term), exact counts. */
+  def frequentTerms(docs: DataFrame, textCol: String,
+                    k: Int = 32768, minShare: Double = 5e-5): DataFrame = {
+    require(minShare > 0 && minShare < 1,
+      s"minShare must be in (0,1), got $minShare")
+    require(minShare > 1.0 / (k + 1),
+      s"minShare=$minShare must exceed 1/(k+1)=${1.0 / (k + 1)} for the " +
+        "Misra-Gries pass to guarantee zero false negatives — raise k")
+    val tok = docs.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val mg = udaf(new graft.model.Aggregators.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    // one global aggregation: per-partition MG summaries (bounded k)
+    // merge to a single ≤k-entry candidate map + the exact token total
+    val row = tok.agg(mg(col("term")).as("cands"), count(lit(1)).as("n"))
+      .select(col("cands.counts").as("counts"), col("n"))
+      .head() // driver sees ≤ k candidate terms + one long — tiny
+    val cands = row.getMap[String, Long](0).keys.toSeq
+    val n = row.getLong(1)
+    val minCount = math.ceil(n * minShare).toLong
+    // small candidate sets go in as a scan-evaluable isin; big ones as a
+    // broadcast semi-join (a 32k-string literal In would bloat the plan)
+    val candTok =
+      if (cands.size <= 256) tok.filter(col("term").isin(cands: _*))
+      else {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        tok.join(broadcast(cands.toDF("term")), Seq("term"), "left_semi")
+      }
+    candTok.groupBy("term")
+      .agg(count(lit(1)).as("n_term"))
+      .filter(col("n_term") >= minCount)
+  }
+
   /** Temperature-weighted corpus mixing (the multi-source sampling recipe:
     * sample source s with probability ∝ tokens_s^T). T=1 is proportional
     * (big sources dominate); T→0 flattens toward uniform (up-samples small

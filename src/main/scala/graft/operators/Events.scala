@@ -150,6 +150,57 @@ object Events {
       .agg(max("from_ts").as("from_ts"))
   }
 
+  /** Cohort-retention matrix: group users by the period of their FIRST
+    * event (their cohort), then count how many of each cohort are still
+    * active 0, 1, 2, … periods later — the standard growth/retention
+    * triangle. Periods are calendar-truncated (`date_trunc(period)`), so
+    * offsets are exact period multiples.
+    *
+    * Scale shape: ONE user-keyed shuffle builds, per user, the first
+    * period AND the distinct-period set in the same aggregation
+    * (`collect_set` over calendar periods is bounded by the dataset's
+    * calendar span — weeks-per-year, not events-per-user — so the buffer
+    * is small by construction, unlike collecting events). The explode +
+    * (cohort, offset) count is a second shuffle over the user-period
+    * relation, and the cohort-size window runs on the AGGREGATED result
+    * (cells = cohorts × offsets, grain-sized), partitioned by cohort —
+    * never a data-sized or global window. No self-join of events against
+    * events, which is the naive formulation's cost.
+    *
+    * Output: (cohort_period DATE, offset_periods INT, n_active, cohort_size)
+    * — n_active(offset 0) = cohort_size by construction (a user is active
+    * in their own first period), so retention rate = n_active/cohort_size
+    * is left to the caller as an exact division. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       period: String = "week"): DataFrame = {
+    val daysPer = period match {
+      case "week" => 7
+      case "day"  => 1
+      case other => throw new IllegalArgumentException(
+        s"retention period must be 'week' or 'day' (calendar-regular), got $other")
+    }
+    val perUser = events
+      .select(col(userCol).as("__u"),
+        date_trunc(period, col(tsCol)).cast("date").as("__p"))
+      .groupBy("__u")
+      .agg(min(col("__p")).as("cohort_period"),
+        collect_set(col("__p")).as("__ps"))
+    // both endpoints are period-truncated, so datediff is an exact
+    // multiple of daysPer and the cast is exact (no floor semantics to
+    // disagree on across engines)
+    val matrix = perUser
+      .select(col("cohort_period"), explode(col("__ps")).as("__p"))
+      .select(col("cohort_period"),
+        (datediff(col("__p"), col("cohort_period")) / daysPer)
+          .cast("int").as("offset_periods"))
+      .groupBy("cohort_period", "offset_periods")
+      .agg(count(lit(1)).as("n_active"))
+    val byCohort = Window.partitionBy("cohort_period")
+    matrix.withColumn("cohort_size",
+      max(when(col("offset_periods") === 0, col("n_active"))).over(byCohort))
+  }
+
   /** As-of (point-in-time) join: attach to every left row the single most
     * recent right row for the same key with `right.ts <= left.ts`
     * (`<` when `strict`; the NEXT right row at-or-after when `forward`),

@@ -43,4 +43,150 @@ object Sketches {
     if (by.isEmpty) sketches.agg(est)
     else sketches.groupBy(by.map(col): _*).agg(est)
   }
+
+  /** Persist a distinct-count sketch cube: one HLL cell per `grain` row,
+    * hive-partitioned by `partitionBy` (one of the grain columns — the
+    * ingest unit, typically the time key) so incremental maintenance
+    * ([[ingestSketchCube]]) touches only the delta's partitions. */
+  def saveSketchCube(df: DataFrame, path: String, grain: Seq[String],
+                     valueCol: String, partitionBy: String,
+                     lgConfigK: Int = 12): Unit = {
+    require(grain.contains(partitionBy),
+      s"partition column $partitionBy must be part of the grain $grain")
+    distinctSketchAtGrain(df, grain, valueCol, lgConfigK)
+      .write.mode("overwrite").partitionBy(partitionBy)
+      .parquet(path)
+  }
+
+  /** Incremental maintenance of a stored sketch cube — the
+    * [[graft.io.CubeIO.ingestIntoStar]] protocol applied to the one
+    * aggregate additive merges can't maintain: sketch the raw delta at
+    * grain (ONE scan of the delta, never of history), collect its
+    * partition footprint (small by construction), read ONLY the touched
+    * partitions of the store, merge cell-wise by HLL union, and rewrite
+    * just those partitions via dynamic partition overwrite. HLL union is
+    * LOSSLESS at equal lgConfigK: the incrementally-maintained store
+    * yields bit-identical estimates to re-sketching the full fact, so
+    * incremental correctness is testable as equality, not tolerance.
+    *
+    * Per-ingest cost scales with the delta's partition footprint, not
+    * the store or fact size. NOT idempotent under replay at the sketch
+    * level in general — but re-unioning the SAME delta IS a no-op for
+    * distinct counts (HLL union is idempotent on identical inputs), a
+    * forgiving property additive ingest lacks. The merged cells are
+    * materialized (eager localCheckpoint) before the overwrite so the
+    * write cannot lazily re-read the files it replaces.
+    *
+    * @return number of partitions rewritten */
+  def ingestSketchCube(spark: org.apache.spark.sql.SparkSession,
+                       path: String, delta: DataFrame, grain: Seq[String],
+                       valueCol: String, partitionBy: String,
+                       lgConfigK: Int = 12): Int = {
+    require(grain.contains(partitionBy),
+      s"partition column $partitionBy must be part of the grain $grain")
+    val sketchCol = s"${valueCol}_sketch"
+    val deltaCells = distinctSketchAtGrain(delta, grain, valueCol, lgConfigK)
+    val touched = deltaCells.select(col(partitionBy)).distinct().collect()
+      .map(_.get(0))
+    if (touched.isEmpty) return 0
+    val touchedFilter = touched.map(v => col(partitionBy) <=> lit(v))
+      .reduce(_ || _)
+    val existing = spark.read.parquet(path)
+      .filter(touchedFilter)
+      .select(deltaCells.columns.map(col).toSeq: _*)
+    val merged = existing.unionByName(deltaCells)
+      .groupBy(grain.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy)
+      .parquet(path)
+    touched.length
+  }
+
+  /** Equi-width histogram of `valueCol` per `grain` cell, as a fixed
+    * `nBins`-length count array `<valueCol>_hist` — the distribution
+    * analog of [[distinctSketchAtGrain]]: fixed bin edges make the cells
+    * mergeable BY CONSTRUCTION (element-wise add), so any coarser
+    * grouping's distribution — and an approximate quantile from it
+    * ([[histogramQuantile]]) — is answered from the stored cells without
+    * re-scanning the fact. Out-of-range values clamp into the edge bins
+    * (bin 0 / bin nBins-1 are "≤ lo" / "≥ hi" sentinels); NULLs are not
+    * counted.
+    *
+    * ONE grain-keyed shuffle: the array is built as `nBins` conditional
+    * sums inside a single hash aggregation (the simhash-bit pattern —
+    * codegen'd, map-side combined), never a per-bin union or a second
+    * pass. */
+  def histogramAtGrain(df: DataFrame, grain: Seq[String], valueCol: String,
+                       lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(grain.nonEmpty, "histogram grain needs at least one column")
+    require(width > 0 && nBins > 0, s"need width > 0 and nBins > 0")
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("int"), lit(0)),
+      lit(nBins - 1))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__bin", bin)
+      .groupBy(grain.map(col): _*)
+      .agg(array((0 until nBins).map(b =>
+        sum(when(col("__bin") === b, 1L).otherwise(0L))): _*)
+        .as(s"${valueCol}_hist"))
+  }
+
+  /** Merge stored histogram cells to a coarser grouping: element-wise sum
+    * of the count arrays per `by` cell (empty `by` = grand total). Input
+    * is the grain-sized cell table, not the fact — the explode +
+    * (by, bin) re-aggregation shuffles cells × nBins pre-aggregated
+    * counts, and `collect_list` on the way back is bounded by nBins per
+    * group. */
+  def rollupHistogram(hists: DataFrame, by: Seq[String],
+                      histCol: String): DataFrame = {
+    val wide = hists.select(
+      (by.map(col) :+ posexplode(col(histCol)).as(Seq("__bin", "__n"))): _*)
+    val agged =
+      if (by.isEmpty) wide.groupBy(col("__bin")).agg(sum("__n").as("__n"))
+      else wide.groupBy((by.map(col) :+ col("__bin")): _*)
+        .agg(sum("__n").as("__n"))
+    val assemble = transform(
+      sequence(lit(0), array_max(map_keys(col("__m")))),
+      i => coalesce(element_at(col("__m"), i), lit(0L))).as(histCol)
+    val grouped =
+      if (by.isEmpty) agged.agg(
+        map_from_entries(collect_list(struct(col("__bin"), col("__n"))))
+          .as("__m"))
+      else agged.groupBy(by.map(col): _*).agg(
+        map_from_entries(collect_list(struct(col("__bin"), col("__n"))))
+          .as("__m"))
+    grouped.select((by.map(col) :+ assemble): _*)
+  }
+
+  /** Approximate `q`-quantile read off a histogram cell (or merged
+    * rollup): linear interpolation within the first bin whose cumulative
+    * count reaches q × total — error bounded by one bin `width`. Pure
+    * Column expression (no action, no UDF): the cumulative array is built
+    * with `aggregate`, the target bin found with `filter`/`size`. NULL on
+    * an empty histogram. */
+  def histogramQuantile(histCol: Column, lo: Double, width: Double,
+                        q: Double): Column = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
+    val total = aggregate(histCol, lit(0L), (acc, x) => acc + x)
+    // try_element_at: -1 on the still-empty accumulator and idx+1 past the
+    // end must yield NULL, not an ANSI out-of-bounds error
+    val cum = aggregate(histCol, array().cast("array<bigint>"),
+      (acc, x) => concat(acc,
+        array(coalesce(try_element_at(acc, lit(-1)), lit(0L)) + x)))
+    val target = lit(q) * total.cast("double")
+    // bins with cumulative count strictly below the target = index of the
+    // bin the target falls in
+    val idx = size(filter(cum, c => c.cast("double") < target))
+    // element_at is 1-based and index 0 is INVALID (not just out of
+    // bounds) — guard with a lazily-evaluated branch instead
+    val cumBefore = when(idx > 0, try_element_at(cum, idx))
+      .otherwise(lit(0L)).cast("double")
+    val inBin = try_element_at(histCol, idx + 1).cast("double")
+    val frac = when(inBin > 0, (target - cumBefore) / inBin).otherwise(lit(0.0))
+    when(total > 0,
+      lit(lo) + lit(width) * (idx.cast("double") + frac))
+  }
 }

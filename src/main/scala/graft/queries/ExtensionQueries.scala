@@ -2171,6 +2171,220 @@ object ExtensionQueries {
       |FROM orders GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q74 — RETENTION COHORTS: users grouped by first-event week, distinct
+  //       active users per (cohort, week offset) — the growth triangle
+  //       (Events.retentionCohorts: one user-keyed shuffle building first
+  //       period + distinct-period set in the same agg, window only on
+  //       the aggregated matrix). Exact counts, exact oracle.
+  // -------------------------------------------------------------------
+  def q74(s: SparkSession, dir: String): DataFrame =
+    sorted(Events.retentionCohorts(events(s, dir)))
+
+  val q74Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_period
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |m AS (
+      |  -- both endpoints are week-truncated Mondays, so the day diff is an
+      |  -- exact multiple of 7 and the division is exact in either engine
+      |  SELECT cohort_period,
+      |         CAST(date_diff('day', cohort_period, wk) / 7 AS INT)
+      |           AS offset_periods,
+      |         count(*) AS n_active
+      |  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_period, offset_periods, n_active,
+      |       CAST(max(CASE WHEN offset_periods = 0 THEN n_active END)
+      |            OVER (PARTITION BY cohort_period) AS BIGINT) AS cohort_size
+      |FROM m
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q75 — MERGEABLE HISTOGRAM CUBE: per-(event_type, month) equi-width
+  //       value histograms (Sketches.histogramAtGrain — ONE grain-keyed
+  //       shuffle, nBins conditional sums), merged to event_type by
+  //       element-wise cell addition (rollupHistogram — fact never
+  //       re-scanned), emitted as nonzero (type, bin, n) rows plus a
+  //       histogram-median verdict (histogramQuantile within one bin
+  //       width of the exact percentile, q73-style). Counts are exact —
+  //       fixed bin edges make the cells mergeable by construction.
+  // -------------------------------------------------------------------
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = events(s, dir)
+      .withColumn("month", date_trunc("month", col("ts")))
+    val cells = Sketches.histogramAtGrain(ev, Seq("event_type", "month"),
+      "value", lo = 0.0, width = 25.0, nBins = 20)
+    val rolled = Sketches.rollupHistogram(cells, Seq("event_type"),
+      "value_hist")
+    val est = rolled.select(col("event_type"),
+      Sketches.histogramQuantile(col("value_hist"), 0.0, 25.0, 0.5)
+        .as("p50_est"))
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50_exact"))
+    val verdict = est.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        (abs(col("p50_est") - col("p50_exact")) <= lit(25.0))
+          .cast("int").as("p50_ok"))
+    sorted(rolled
+      .select(col("event_type"),
+        posexplode(col("value_hist")).as(Seq("bin", "n")))
+      .filter(col("n") > 0)
+      .join(verdict, Seq("event_type")))
+  }
+
+  val q75Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |         LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) AS bin
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, bin, count(*) AS n, 1 AS p50_ok
+      |FROM b GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q76 — FREQUENT TERMS via sketch-prune + exact-verify: a Misra-Gries
+  //       bounded-memory pass narrows the vocabulary to ≤ k candidates,
+  //       a tiny exact pass confirms counts (Corpus.frequentTerms). With
+  //       minShare > 1/(k+1) the result is EXACT and order-independent
+  //       (MG guarantees zero false negatives at the threshold; the
+  //       exact pass kills false positives) — so the oracle is a plain
+  //       GROUP BY ... HAVING over the full vocabulary, which is
+  //       precisely the unbounded-memory plan the operator avoids.
+  // -------------------------------------------------------------------
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    sorted(Corpus.frequentTerms(docs(s, dir), "text"))
+  }
+
+  val q76Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT term FROM tok WHERE term <> ''),
+      |tot AS (SELECT count(*) AS n FROM t2)
+      |SELECT term, count(*) AS n_term
+      |FROM t2, tot
+      |GROUP BY term, tot.n
+      |HAVING count(*) >= CEIL(tot.n * 0.00005)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q77 — DATA-QUALITY AUDIT: declarative constraint checks (Quality
+  //       .audit) — completeness, key uniqueness, range, accepted
+  //       values — ALL computed in one aggregation over one scan of
+  //       orders (rules 3 and 4 differ only in bound so the report
+  //       shows both a passing and a failing range rule). Exact counts;
+  //       oracle = the same metrics as a UNION ALL of plain aggregates.
+  // -------------------------------------------------------------------
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    sorted(Quality.audit(orders, Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 600000.0),
+      InRange("o_totalprice", 0.0, 100000.0),
+      AcceptedValues("o_orderpriority", Seq(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))))
+  }
+
+  val q77Sql: String =
+    """SELECT 1 AS rule_no, 'not_null' AS rule, 'o_custkey' AS target,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS violations,
+      |       CASE WHEN sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+      |            THEN 1 ELSE 0 END AS pass
+      |FROM orders
+      |UNION ALL
+      |SELECT 2, 'unique', 'o_orderkey', count(*),
+      |       CAST(count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+      |            - count(DISTINCT o_orderkey) AS BIGINT),
+      |       CASE WHEN count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+      |                 = count(DISTINCT o_orderkey) THEN 1 ELSE 0 END
+      |FROM orders
+      |UNION ALL
+      |SELECT 3, 'in_range', 'o_totalprice', count(*),
+      |       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 600000)
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       CASE WHEN sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 600000)
+      |                     THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM orders
+      |UNION ALL
+      |SELECT 4, 'in_range', 'o_totalprice', count(*),
+      |       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 100000)
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       CASE WHEN sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 100000)
+      |                     THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM orders
+      |UNION ALL
+      |SELECT 5, 'accepted_values', 'o_orderpriority', count(*),
+      |       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+      |                     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+      |                       '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       CASE WHEN sum(CASE WHEN o_orderpriority IS NOT NULL
+      |                     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+      |                       '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+      |                     THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM orders
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q78 — INCREMENTAL SKETCH-CUBE MAINTENANCE: a stored per-(year,
+  //       priority) HLL cube built from history, then two delta ingests
+  //       (one merging INTO existing year partitions, one opening new
+  //       years) via Sketches.ingestSketchCube — only touched partitions
+  //       rewritten, fact history never re-scanned. HLL union is
+  //       lossless, so the maintained store answers the per-year
+  //       distinct-customer rollup exactly as a from-scratch sketch
+  //       would; emitted q73-style (exact + 5% sketch verdict).
+  // -------------------------------------------------------------------
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val grain = Seq("o_year", "o_orderpriority")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q78_skcube_" +
+      Integer.toHexString(dir.hashCode)
+    // rebuild per call so bench reps don't re-merge the same deltas
+    Sketches.saveSketchCube(
+      orders.filter(col("o_orderdate") < "1996-07-01"),
+      path, grain, "o_custkey", "o_year")
+    Sketches.ingestSketchCube(s, path,
+      orders.filter(col("o_orderdate") >= "1996-07-01" &&
+        col("o_orderdate") < "1997-01-01"),
+      grain, "o_custkey", "o_year")
+    Sketches.ingestSketchCube(s, path,
+      orders.filter(col("o_orderdate") >= "1997-01-01"),
+      grain, "o_custkey", "o_year")
+    val approx = Sketches.rollupDistinct(
+      s.read.parquet(path), Seq("o_year"), "o_custkey_sketch")
+    val exact = orders.groupBy("o_year")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    sorted(exact.join(approx, Seq("o_year"))
+      .select(col("o_year"), col("n_cust"),
+        (abs(col("approx_distinct") - col("n_cust"))
+          <= col("n_cust") * lit(0.05)).cast("int").as("approx_ok")))
+  }
+
+  val q78Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |       COUNT(DISTINCT o_custkey) AS n_cust,
+      |       1 AS approx_ok
+      |FROM orders GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2230,6 +2444,11 @@ object ExtensionQueries {
     ("q70_topk_other", q70 _, q70Sql),
     ("q71_asof_tolerance", q71 _, q71Sql),
     ("q72_scd1_update", q72 _, q72Sql),
-    ("q73_sketch_cube", q73 _, q73Sql)
+    ("q73_sketch_cube", q73 _, q73Sql),
+    ("q74_retention_cohorts", q74 _, q74Sql),
+    ("q75_histogram_cube", q75 _, q75Sql),
+    ("q76_frequent_terms", q76 _, q76Sql),
+    ("q77_quality_audit", q77 _, q77Sql),
+    ("q78_sketch_ingest", q78 _, q78Sql)
   )
 }

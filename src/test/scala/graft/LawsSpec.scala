@@ -464,6 +464,45 @@ class LawsSpec extends SparkSpec {
       rates.map(r => f"$r%.3f").mkString(", "))
   }
 
+  test("law: Misra-Gries keeps every item above n/(k+1) under any split/merge order") {
+    import graft.model.Aggregators.{MgBuf, MisraGries}
+    val streamGen = for {
+      // zipf-ish: item i drawn with weight ~ 1/(i+1) from a 40-item domain
+      n <- Gen.chooseNum(200, 600)
+      items <- Gen.listOfN(n, Gen.frequency(
+        (1 to 40).map(i => (41 - i) -> Gen.const(s"t$i")): _*))
+      k <- Gen.chooseNum(5, 12)
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, n))
+    } yield (items, k, cuts)
+    forAll(streamGen, n = 8) { case (items, k, cuts) =>
+      val mg = new MisraGries(k)
+      // split the stream at arbitrary points, reduce each slice
+      // independently, merge in a shuffled order — the distributed shape
+      val bounds = (0 +: cuts.sorted :+ items.length).distinct.sorted
+      val slices = bounds.zip(bounds.tail).map { case (a, b) =>
+        items.slice(a, b).foldLeft(mg.zero)(mg.reduce)
+      }
+      val merged = scala.util.Random.shuffle(slices) match {
+        case head :: tail => tail.foldLeft(head)(mg.merge)
+        case Nil => mg.zero
+      }
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val bound = n.toDouble / (k + 1)
+      assert(merged.counts.size <= k, s"summary exceeded k=$k")
+      exact.foreach { case (t, c) =>
+        if (c > bound)
+          assert(merged.counts.contains(t),
+            s"item $t with count $c > n/(k+1)=$bound missing from summary")
+      }
+      merged.counts.foreach { case (t, est) =>
+        val c = exact.getOrElse(t, 0L)
+        assert(est <= c && c - est <= bound,
+          s"estimate $est for $t (true $c) outside [c - n/(k+1), c]")
+      }
+    }
+  }
+
   test("sql: dot_product registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -489,6 +489,104 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality audit: rule-local violation semantics, NULLs only fail not_null") {
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    import spark.implicits._
+    val d = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "a"),
+      (1L, 200.0, "b"),   // duplicate key; out of range
+      (null, null, "c"),  // null key + null value: not_null only
+      (3L, -5.0, "zz")    // below range; not an accepted value
+    ).toDF("k", "v", "s")
+    val rep = Quality.audit(d, Seq(
+      NotNull("k"), Unique(Seq("k")), InRange("v", 0.0, 100.0),
+      AcceptedValues("s", Seq("a", "b", "c"))))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(rep(("not_null", "k")) == ((4L, 1L, 0)))
+    // unique: complete rows 3, distinct keys 2 -> 1 excess; the NULL key
+    // row is the not_null rule's problem, not a duplicate
+    assert(rep(("unique", "k")) == ((4L, 1L, 0)))
+    // range: 200 and -5 violate; the NULL value is skipped
+    assert(rep(("in_range", "v")) == ((4L, 2L, 0)))
+    assert(rep(("accepted_values", "s")) == ((4L, 1L, 0)))
+    // empty input: zero violations everywhere, all rules pass
+    val empty = Quality.audit(d.filter(lit(false)),
+      Seq(NotNull("k"), Unique(Seq("k"))))
+      .collect().map(r => r.getString(1) -> ((r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(empty == Map("not_null" -> ((0L, 0L, 1)), "unique" -> ((0L, 0L, 1))))
+    // multi-column uniqueness: (k, s) pairs are all distinct here
+    val multi = Quality.audit(d, Seq(Unique(Seq("k", "s")))).head
+    assert(multi.getLong(4) == 0L && multi.getInt(5) == 1)
+  }
+
+  test("frequentTerms: exact threshold set, invariant to partitioning") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // 60 docs: "hot" in every doc, "warm" in half, long unique tail
+    val docsDf = (0 until 60).map { i =>
+      val warm = if (i % 2 == 0) " warm" else ""
+      (i.toLong, s"hot$warm unique_${i}_a unique_${i}_b unique_${i}_c")
+    }.toDF("doc_id", "text")
+    // n = 60 + 30 + 180 = 270 tokens; minShare 0.1 -> minCount 27:
+    // hot (60) and warm (30) qualify, the tail never does
+    def run(parts: Int) =
+      Corpus.frequentTerms(docsDf.repartition(parts), "text",
+        k = 16, minShare = 0.1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map("hot" -> 60L, "warm" -> 30L)
+    assert(run(1) == expected, s"got ${run(1)}")
+    assert(run(7) == expected, "result must not depend on partitioning")
+    // threshold below the MG guarantee is a contract violation, not junk
+    intercept[IllegalArgumentException] {
+      Corpus.frequentTerms(docsDf, "text", k = 4, minShare = 0.1)
+    }
+  }
+
+  test("histogram cube: rollup of fine-grain cells equals the direct coarse histogram") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val rows = (0 until 5000)
+      .map(i => (i % 7, i % 3, (i % 113) * 1.7 - 20.0)) // spans below lo=0
+      .toDF("g", "h", "v")
+    val fine = Sketches.histogramAtGrain(rows, Seq("g", "h"), "v",
+      lo = 0.0, width = 10.0, nBins = 16)
+    val rolled = Sketches.rollupHistogram(fine, Seq("g"), "v_hist")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val direct = Sketches.histogramAtGrain(rows, Seq("g"), "v",
+      lo = 0.0, width = 10.0, nBins = 16)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(rolled == direct,
+      "element-wise merge of stored cells must equal recomputing at the coarse grain")
+    // every value lands in exactly one bin (clamping loses nothing)
+    assert(direct.values.map(_.sum).sum == 5000L)
+
+    // NULLs are not counted
+    val withNull = Sketches.histogramAtGrain(
+      Seq(Some(5.0), None, Some(200.0)).toDF("v").withColumn("g", lit(1)),
+      Seq("g"), "v", 0.0, 10.0, 4)
+      .head.getSeq[Long](1)
+    assert(withNull == Seq(1L, 0L, 0L, 1L),
+      s"expected in-range + clamped-high only, got $withNull")
+
+    // quantile estimate within one bin width of the exact percentile
+    val uni = (0 until 10000).map(i => (1, i.toDouble)).toDF("g", "v")
+    val hist = Sketches.histogramAtGrain(uni, Seq("g"), "v", 0.0, 100.0, 100)
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = hist.select(
+        Sketches.histogramQuantile(col("v_hist"), 0.0, 100.0, q))
+        .head.getDouble(0)
+      val exact = q * 9999.0
+      assert(math.abs(est - exact) <= 100.0,
+        f"q=$q: histogram estimate $est%.1f vs exact $exact%.1f off by more than one bin")
+    }
+    // empty histogram -> NULL estimate
+    val empty = spark.sql("SELECT array(0L, 0L) AS h")
+      .select(Sketches.histogramQuantile(col("h"), 0.0, 1.0, 0.5))
+    assert(empty.head.isNullAt(0))
+  }
+
   test("ivf rebuild retrains on corpus + appends and keeps appended vectors findable") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
@@ -636,6 +734,34 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(f == Map(1 -> 3L, 2 -> 2L, 3 -> 1L),
       s"expected view=3, click=2 (user 2's click precedes their view), purchase=1; got $f")
+  }
+
+  test("retentionCohorts: first-period cohorts, distinct-user offsets, size at offset 0") {
+    import graft.operators.Events
+    import spark.implicits._
+    // weeks (Mondays): 2026-01-05, -12, -19
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.valueOf(f"2026-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // cohort W0: users 1,2. user1 active W0,W1,W2; user2 only W0 (twice —
+      // multiple events in one period must count once)
+      (1L, ts(5, 9)), (1L, ts(13, 9)), (1L, ts(20, 9)),
+      (2L, ts(6, 9)), (2L, ts(7, 9)),
+      // cohort W1: user 3, active W1 and W2
+      (3L, ts(12, 9)), (3L, ts(21, 9))
+    ).toDF("user_id", "ts")
+    val m = Events.retentionCohorts(ev)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m == Map(
+      ("2026-01-05", 0) -> ((2L, 2L)),
+      ("2026-01-05", 1) -> ((1L, 2L)),
+      ("2026-01-05", 2) -> ((1L, 2L)),
+      ("2026-01-12", 0) -> ((1L, 1L)),
+      ("2026-01-12", 1) -> ((1L, 1L))), s"unexpected matrix $m")
+    // law: offset 0 always equals cohort_size (a user is active in the
+    // period that defines their cohort)
+    assert(m.collect { case ((_, 0), (n, sz)) => n == sz }.forall(identity))
   }
 
   test("asofJoin attaches the latest at-or-before right row; strict excludes ties") {
