@@ -151,12 +151,8 @@ object ScaleProbe {
     // so per-user activity densifies factor× — the worst direction for
     // keyed windows (per-partition sort grows superlinearly only if the
     // operator leaks a global sort or a range fan-out)
-    val ev1 = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("event_id", "user_id", "event_type", "ts")
-    }
+    val ev1 = graft.sources.Sources.readEvents(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts")
     def evN(n: Int): DataFrame =
       spark.range(n).toDF("rep").crossJoin(ev1)
         .select((col("event_id") + col("rep") * lit(10000000L)).as("event_id"),

@@ -77,15 +77,10 @@ object ExtensionQueries {
     }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  /** The events fixture carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark has no native type for — read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to a micros
-    * timestamp with integer division (matching DuckDB's ns→µs truncation). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Fixture-generation-robust events reader — see Sources.readEvents
+    * (handles both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)/NTZ). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.readEvents(s, dir)
 
   // -------------------------------------------------------------------
   // q16 — text statistics (token count, punct, quality scoring)
@@ -2233,6 +2228,7 @@ object ExtensionQueries {
       .select(col("event_type"),
         posexplode(col("value_hist")).as(Seq("bin", "n")))
       .filter(col("n") > 0)
+      .withColumn("bin", col("bin").cast("long"))
       .join(verdict, Seq("event_type")))
   }
 
@@ -2385,6 +2381,86 @@ object ExtensionQueries {
       |FROM orders GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q79 — AGGREGATE NAVIGATOR (Kimball aggregate navigation): build two
+  //       stored summaries of lineitem in ONE grouping-sets pass —
+  //       (returnflag, linestatus, ship_year) and (returnflag,
+  //       linestatus) — then answer a returnflag-only request. The
+  //       navigator routes to the SMALLER covering summary (rf_ls) and
+  //       re-aggregates its stored partials (sum of sums, sum of
+  //       counts); the base fact is never rescanned (PlanSpec pins the
+  //       scan path). The oracle recomputes from the raw table, and the
+  //       routed_via literal pins the routing decision itself.
+  // -------------------------------------------------------------------
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator
+    import graft.operators.AggregateNavigator.NavMeasure
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    val measures = Seq(
+      NavMeasure("sum", "l_quantity", "sum_qty"),
+      NavMeasure("count", "*", "n_rows"),
+      NavMeasure("min", "l_quantity", "min_qty"),
+      NavMeasure("max", "l_quantity", "max_qty"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q79_nav_" +
+      Integer.toHexString(dir.hashCode)
+    val sums = AggregateNavigator.buildSummaries(li, Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, root)
+    val (ans, via) = AggregateNavigator.query(s, li, sums,
+      Seq("l_returnflag"), measures)
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q79Sql: String =
+    """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+      |       count(*) AS n_rows,
+      |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |       'rf_ls' AS routed_via
+      |FROM lineitem GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q80 — NAVIGATOR INCREMENTAL REFRESH end-to-end: summaries built
+  //       from the pre-1996 fact only, then the 1996+ delta is folded
+  //       in WITHOUT rescanning the base (one grouping-sets pass over
+  //       the delta, cell-wise partial merge: sums/counts add, min/max
+  //       take the extreme — q62's ingest doctrine applied to the
+  //       summary store). The routed answer after refresh must equal
+  //       the full-corpus oracle exactly — including 1996+ cells the
+  //       build never saw.
+  // -------------------------------------------------------------------
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator
+    import graft.operators.AggregateNavigator.NavMeasure
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    val measures = Seq(
+      NavMeasure("sum", "l_quantity", "sum_qty"),
+      NavMeasure("count", "*", "n_rows"),
+      NavMeasure("max", "l_extendedprice", "max_price"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q80_nav_" +
+      Integer.toHexString(dir.hashCode)
+    AggregateNavigator.buildSummaries(li.filter(col("ship_year") < 1996),
+      Seq(
+        "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+        "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, root)
+    val refreshed = AggregateNavigator.refreshSummaries(
+      li.filter(col("ship_year") >= 1996), root)
+    val (ans, via) = AggregateNavigator.query(s, li, refreshed,
+      Seq("l_returnflag", "l_linestatus"), measures)
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q80Sql: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |       count(*) AS n_rows, max(l_extendedprice) AS max_price,
+      |       'rf_ls' AS routed_via
+      |FROM lineitem GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2449,6 +2525,8 @@ object ExtensionQueries {
     ("q75_histogram_cube", q75 _, q75Sql),
     ("q76_frequent_terms", q76 _, q76Sql),
     ("q77_quality_audit", q77 _, q77Sql),
-    ("q78_sketch_ingest", q78 _, q78Sql)
+    ("q78_sketch_ingest", q78 _, q78Sql),
+    ("q79_agg_navigator", q79 _, q79Sql),
+    ("q80_nav_refresh", q80 _, q80Sql)
   )
 }

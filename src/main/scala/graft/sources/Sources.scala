@@ -22,6 +22,31 @@ object Sources {
     schema.fold(r)(s => r.schema(s)).load(path)
   }
 
+  /** Read the events fixture robustly across fixture generations. Older
+    * fixtures carried parquet TIMESTAMP(NANOS) — no native Spark type, so
+    * it arrives as long (spark.sql.legacy.parquet.nanosAsLong) and is
+    * truncated to a micros timestamp with integer division (matching
+    * DuckDB's ns→µs truncation). Newer fixtures carry TIMESTAMP(MICROS),
+    * which Spark may read as TIMESTAMP_NTZ (inferTimestampNTZ) — cast to
+    * the session-local TimestampType so every downstream operator
+    * (windows, watermarks, java.sql.Timestamp encoders) sees one type.
+    * Session timezone is pinned to UTC by every entrypoint, so the
+    * NTZ→LTZ cast is wall-clock-identity. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** ts-column normalization used by [[readEvents]]; exposed separately
+    * for streaming readers that must apply it after `readStream`. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   def readCsv(spark: SparkSession, path: String,
               schema: Option[StructType] = None,
               header: Boolean = true, delimiter: String = ","): DataFrame =

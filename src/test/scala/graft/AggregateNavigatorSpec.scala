@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.AggregateNavigator
+import graft.operators.AggregateNavigator.{NavMeasure, Summary}
+
+/** Aggregate navigation: one-pass multi-grain summary build, smallest-
+  * covering-summary routing, partial re-aggregation correctness, base
+  * fallback, and the scan-path pin (a routed query must never touch the
+  * base fact's files). */
+class AggregateNavigatorSpec extends SparkSpec {
+
+  private val measures = Seq(
+    NavMeasure("sum", "l_quantity", "sum_qty"),
+    NavMeasure("count", "*", "n_rows"),
+    NavMeasure("min", "l_quantity", "min_qty"),
+    NavMeasure("max", "l_quantity", "max_qty"))
+
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    .withColumn("ship_year", year(col("l_shipdate")))
+
+  private lazy val root = {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav").toString
+    AggregateNavigator.buildSummaries(li, Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, d)
+    d
+  }
+
+  private lazy val sums = AggregateNavigator.loadSummaries(spark, root)
+
+  test("routing picks the smallest covering summary; base when none covers") {
+    assert(sums.size == 2)
+    val byName = sums.map(s => s.name -> s).toMap
+    assert(byName("rf_ls").rows < byName("rf_ls_year").rows)
+    assert(AggregateNavigator.route(sums, Seq("l_returnflag")).map(_.name)
+      .contains("rf_ls"))
+    assert(AggregateNavigator.route(sums, Seq("ship_year")).map(_.name)
+      .contains("rf_ls_year"))
+    // not covered by any stored grain -> fall back to base
+    assert(AggregateNavigator.route(sums, Seq("l_partkey")).isEmpty)
+  }
+
+  test("every grain's routed answer equals direct base aggregation") {
+    for (dims <- Seq(Seq("l_returnflag"), Seq("l_linestatus", "ship_year"),
+      Seq("l_returnflag", "l_linestatus", "ship_year"))) {
+      val (ans, via) = AggregateNavigator.query(spark, li, sums, dims, measures)
+      assert(via != "base", s"expected summary routing for $dims")
+      val direct = li.groupBy(dims.map(col): _*)
+        .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
+      assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+        s"summary answer diverged for dims=$dims via=$via")
+    }
+  }
+
+  test("uncovered dims fall back to the base fact and stay correct") {
+    val dims = Seq("l_returnflag", "l_partkey")
+    val (ans, via) = AggregateNavigator.query(spark, li, sums, dims, measures)
+    assert(via == "base")
+    val direct = li.groupBy(dims.map(col): _*)
+      .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
+    assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty)
+  }
+
+  test("a routed query scans ONLY the summary store, never the base fact") {
+    val (ans, _) = AggregateNavigator.query(spark, li, sums,
+      Seq("l_returnflag"), measures)
+    ans.count()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val paths = scans(ans.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(paths.nonEmpty && paths.forall(_.contains("agg_nav")),
+      s"unexpected scan paths: $paths")
+    assert(!paths.exists(_.contains("lineitem")), s"base fact scanned: $paths")
+  }
+
+  test("incremental refresh equals a from-scratch rebuild, all grains") {
+    val pre = li.filter(col("ship_year") < 1996)
+    val delta = li.filter(col("ship_year") >= 1996)
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_inc").toString
+    AggregateNavigator.buildSummaries(pre, Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, d)
+    val refreshed = AggregateNavigator.refreshSummaries(delta, d)
+    assert(AggregateNavigator.storedMeasures(spark, d).toSet == measures.toSet)
+    // refreshed store answers == full-data answers at every grain (and
+    // the coarser routed request), including fresh cells (1996+ years
+    // never seen at build time)
+    for (dims <- Seq(Seq("l_returnflag"), Seq("ship_year"),
+      Seq("l_returnflag", "l_linestatus", "ship_year"))) {
+      val (ans, via) = AggregateNavigator.query(spark, li, refreshed, dims, measures)
+      assert(via != "base")
+      val direct = li.groupBy(dims.map(col): _*)
+        .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
+      assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+        s"refresh diverged from rebuild for dims=$dims")
+    }
+  }
+
+  test("manifest round-trips grains, paths, and row counts") {
+    val rebuilt = AggregateNavigator.loadSummaries(spark, root)
+    assert(rebuilt.toSet == sums.toSet)
+    rebuilt.foreach { s: Summary =>
+      assert(spark.read.parquet(s.path).count() == s.rows)
+    }
+  }
+}

@@ -982,8 +982,7 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("session_window and gaps-and-islands sessionization agree on counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Sources.readEvents(spark, sfDir)
     val a = Events.sessions(ev, "30 minutes").count()
     val b = Events.sessionsSql(ev, 30).count()
     assert(a == b)

@@ -172,7 +172,11 @@ class PlanSpec extends SparkSpec {
     val allowed = Set(
       "graft/model/Joins.scala",        // the guard itself
       "graft/builders/Tpch.scala",      // nation/region constants (audited)
-      "graft/operators/Similarity.scala" // query side small by contract
+      "graft/operators/Similarity.scala", // query side small by contract
+      // frequentTerms candidate semi-join: the broadcast side is the
+      // driver-materialized Misra-Gries candidate set, ≤ k strings by
+      // the sketch's bound (k is the caller's memory budget) — audited
+      "graft/operators/Corpus.scala"
     )
     val root = Paths.get("src/main/scala")
     val offenders = Files.walk(root).iterator().asScala
@@ -376,13 +380,8 @@ class PlanSpec extends SparkSpec {
       s"chunking must be embarrassingly parallel (no shuffle):\n$nodes")
   }
 
-  /** The events fixture carries TIMESTAMP(NANOS) — read ns as long and
-    * truncate to micros, same as the query layer's events() helper. */
-  private def eventsDf = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
-  }
+  /** Fixture-generation-robust events reader (same as the query layer). */
+  private def eventsDf = graft.sources.Sources.readEvents(spark, sfDir)
 
   test("attribution is a hash/merge equi-join on the user key, never nested-loop") {
     import graft.operators.Events

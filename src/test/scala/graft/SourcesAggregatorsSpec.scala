@@ -142,8 +142,7 @@ class SourcesAggregatorsSpec extends SparkSpec {
     val emitted = spark.table("sess_all")
       .as[graft.streaming.EventsStreaming.Session].collect()
     val batch = graft.operators.Events.sessionsSql(
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), 30)
+      graft.sources.Sources.readEvents(spark, sfDir), 30)
     val users = batch.select("user_id").distinct().count()
     val total = batch.count()
     // single input batch: every session except each user's open last one

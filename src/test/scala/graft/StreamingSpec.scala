@@ -29,9 +29,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("win_test")
       .groupBy("window_start", "event_type")
       .agg(max("n_events").as("n_events")) // Update mode: keep last emission
-    val batchEv = spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEv = graft.sources.Sources.readEvents(spark, sfDir)
     val batch = Events.tumbling(batchEv, "1 hour")
       .select("window_start", "event_type", "n_events")
 
@@ -57,16 +55,14 @@ class StreamingSpec extends SparkSpec {
     assert(counts.values.sum > 0)
     // cube totals match the batch aggregation over the same closed windows
     val batch = Events.tumbling(
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "1 hour")
+      graft.sources.Sources.readEvents(spark, sfDir), "1 hour")
     val sinkWindows = spark.read.parquet(sink)
       .select("window_start").distinct().count()
     assert(sinkWindows > 0 && sinkWindows <= batch.select("window_start").distinct().count())
   }
 
   test("sliding windows produce width/slide overlapping windows") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Sources.readEvents(spark, sfDir)
     val slid = EventsStreaming.slidingCounts(ev, "1 hour", "30 minutes")
     val tumb = EventsStreaming.windowedCounts(ev, "1 hour")
     // each event lands in 2 sliding windows -> total events double
@@ -363,8 +359,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.Sources
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Sources.readEvents(spark, sfDir)
     val changes = ev.filter($"event_type" === "signup")
       .groupBy("user_id", "ts")
       .agg(max_by($"value", $"event_id").as("state"))
@@ -472,8 +467,7 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(s => !s.session_end.before(s.session_start)))
     assert(out.forall(_.n_events > 0))
     val batch = Events.sessionsSql(
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), 30)
+      graft.sources.Sources.readEvents(spark, sfDir), 30)
       .select($"user_id", $"session_start", $"n_events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     out.foreach { s =>
@@ -551,8 +545,7 @@ class StreamingSpec extends SparkSpec {
       .start()
     q.awaitTermination(120000)
 
-    val batchEv = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEv = graft.sources.Sources.readEvents(spark, sfDir)
     // the batch op's pair set BEFORE its per-conversion max (inner join
     // rows) — the streaming join's exact contract
     val from = batchEv.filter(col("event_type") === "view")
