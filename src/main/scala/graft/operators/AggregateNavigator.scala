@@ -76,6 +76,19 @@ object AggregateNavigator {
     spark.read.json(s"$root/manifest").as[Manifest].head()
   }
 
+  /** The single-pass all-grains plan shared by build and refresh: one
+    * GROUP BY GROUPING SETS (one Expand feeding one partial+final hash
+    * aggregate over one scan of `input` — AggregateNavigatorSpec pins
+    * exactly this shape). Public so the plan pin tests the REAL plan,
+    * not a reconstruction. */
+  def flatPlan(input: DataFrame, grainSets: Seq[Seq[String]],
+               measures: Seq[NavMeasure]): DataFrame = {
+    val gcols = grainSets.flatten.distinct
+    input.groupingSets(grainSets.map(_.map(col)), gcols.map(col): _*)
+      .agg(grouping_id().as("gid"),
+        measures.map(_.fromBase): _*)
+  }
+
   /** Build every summary in ONE pass over `base`:  a single
     * GROUP BY GROUPING SETS computes all grains (one Expand feeding one
     * hash aggregate — PlanSpec pins a single base scan), the result is
@@ -99,14 +112,13 @@ object AggregateNavigator {
     // duplicate grain SETS would double rows under one gid; forbid them
     require(grains.map(g => gidOf(g._2)).distinct.size == grains.size,
       "two summaries share one grain set")
-    val flat = base
-      .groupingSets(grains.map(_._2.map(col)), gcols.map(col): _*)
-      .agg(grouping_id().as("gid"),
-        measures.map(_.fromBase): _*)
+    val flat = flatPlan(base, grains.map(_._2), measures)
     flat.write.mode("overwrite").partitionBy("gid").parquet(s"$root/data")
     // row counts per grain: read back the (small) summary store once —
-    // parquet footers only, no base re-scan
-    val counts = spark.read.parquet(s"$root/data")
+    // parquet footers only, no base re-scan. Explicit schema: an empty
+    // store (declaration-only build, streaming-maintained later) has no
+    // files to infer from
+    val counts = spark.read.schema(flat.schema).parquet(s"$root/data")
       .groupBy("gid").count()
       .collect().map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1)).toMap
     val out = grains.map { case (nm, g) =>
@@ -150,11 +162,10 @@ object AggregateNavigator {
     val m = readMeta(spark, root)
     val measures = m.aggs.indices.map(i =>
       NavMeasure(m.aggs(i), m.srcs(i), m.outs(i)))
-    val deltaFlat = delta
-      .groupingSets(grains.map(_._2.map(col)), gcols.map(col): _*)
-      .agg(grouping_id().as("gid"),
-        measures.map(_.fromBase): _*)
-    val stored = spark.read.parquet(s"$root/data")
+    val deltaFlat = flatPlan(delta, grains.map(_._2), measures)
+    // explicit schema: an empty store (declaration-only build) has no
+    // files to infer from, and it pins gid to long on the partition col
+    val stored = spark.read.schema(deltaFlat.schema).parquet(s"$root/data")
     val merged = stored.unionByName(deltaFlat)
       .groupBy((gcols.map(col) :+ col("gid")): _*)
       .agg(measures.head.fromSummary, measures.tail.map(_.fromSummary): _*)
@@ -166,7 +177,7 @@ object AggregateNavigator {
     val dataP = new org.apache.hadoop.fs.Path(s"$root/data")
     fs.delete(dataP, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dataP)
-    val counts = spark.read.parquet(s"$root/data")
+    val counts = spark.read.schema(deltaFlat.schema).parquet(s"$root/data")
       .groupBy("gid").count()
       .collect().map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1)).toMap
     val out = grains.map { case (nm, g) =>
@@ -175,6 +186,26 @@ object AggregateNavigator {
     }
     writeMeta(spark, root, out, measures)
     out
+  }
+
+  /** Apply a delta to the summary store AT MOST ONCE per `batchId` —
+    * the foreachBatch building block (CubeIO.ingestIntoStarOnce's
+    * doctrine applied to summaries): at-least-once replay of a
+    * micro-batch would double-add sums/counts, so each applied batch
+    * leaves a journal marker and a replay that finds its marker skips
+    * the merge and returns false. Same documented crash window between
+    * the store swap and the marker write — closing it needs a
+    * transactional table format. */
+  def refreshSummariesOnce(delta: DataFrame, root: String,
+                           batchId: Long): Boolean = {
+    val spark = delta.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$root/_refresh_journal/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    refreshSummaries(delta, root)
+    fs.mkdirs(marker)
+    true
   }
 
   /** Load the summary inventory written by [[buildSummaries]]. */

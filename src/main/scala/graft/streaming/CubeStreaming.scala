@@ -37,4 +37,24 @@ object CubeStreaming {
       .trigger(trigger)
       .start()
   }
+
+  /** Streaming maintenance of an [[graft.operators.AggregateNavigator]]
+    * summary store: each micro-batch of raw fact rows folds into every
+    * stored summary grain (one grouping-sets pass over the batch, never
+    * a base re-scan), journal-deduplicated under at-least-once replay —
+    * the dashboards reading routed summaries are at most one trigger
+    * behind the stream while the base fact can stay cold storage. */
+  def startRefreshSummaries(deltas: DataFrame, root: String,
+                            checkpointDir: String,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      graft.operators.AggregateNavigator
+        .refreshSummariesOnce(batch.toDF(), root, batchId): Unit
+    }
+    deltas.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
 }

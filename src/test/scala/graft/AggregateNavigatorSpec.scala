@@ -107,6 +107,65 @@ class AggregateNavigatorSpec extends SparkSpec {
     }
   }
 
+  test("the build computes ALL grains in one pass: one base scan, one Expand") {
+    val flat = AggregateNavigator.flatPlan(li,
+      Seq(Seq("l_returnflag", "l_linestatus", "ship_year"),
+        Seq("l_returnflag", "l_linestatus")), measures)
+    flat.count()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+    val ns = nodes(flat.queryExecution.executedPlan)
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) == 1,
+      "multi-grain build must scan the base fact exactly once")
+    assert(ns.count(_.nodeName.contains("Expand")) == 1,
+      "grouping sets must be one Expand, not a union of per-grain aggregations")
+  }
+
+  test("streaming refresh maintains the store; replayed batches are skipped") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = java.nio.file.Files.createTempDirectory("nav_streaming").toString
+    // store starts EMPTY (grain/measure declaration only) — every cell
+    // arrives via the stream
+    AggregateNavigator.buildSummaries(li.filter(lit(false)), Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, s"$d/store")
+    // two files -> two micro-batches under maxFilesPerTrigger=1
+    li.filter(col("ship_year") < 1996).coalesce(1)
+      .write.mode("append").parquet(s"$d/in")
+    li.filter(col("ship_year") >= 1996).coalesce(1)
+      .write.mode("append").parquet(s"$d/in")
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/in")
+    val q = graft.streaming.CubeStreaming.startRefreshSummaries(
+      stream, s"$d/store", s"$d/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val sums2 = AggregateNavigator.loadSummaries(spark, s"$d/store")
+    for (dims <- Seq(Seq("l_returnflag"),
+      Seq("l_returnflag", "l_linestatus", "ship_year"))) {
+      val (ans, via) = AggregateNavigator.query(spark, li, sums2, dims, measures)
+      assert(via != "base")
+      val direct = li.groupBy(dims.map(col): _*)
+        .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
+      assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+        s"streamed store diverged from batch for dims=$dims")
+    }
+    // at-least-once replay: both batch ids are journaled -> skipped
+    assert(!AggregateNavigator.refreshSummariesOnce(
+      li.limit(5), s"$d/store", 0L))
+    assert(!AggregateNavigator.refreshSummariesOnce(
+      li.limit(5), s"$d/store", 1L))
+    val (after, _) = AggregateNavigator.query(spark, li, sums2,
+      Seq("l_returnflag"), measures)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
+    assert(after.except(direct).isEmpty && direct.except(after).isEmpty,
+      "replayed batches must not change the store")
+  }
+
   test("manifest round-trips grains, paths, and row counts") {
     val rebuilt = AggregateNavigator.loadSummaries(spark, root)
     assert(rebuilt.toSet == sums.toSet)

@@ -10,10 +10,10 @@ re-validates every oracle at ~8x the usual gate scale — the point is the
 scale-sensitive items (LSH recall, sketch tolerances, float parity), which
 small-sf passes can't stress.
 
-pyarrow (not duckdb) writes events/documents: events' ts column is
-timestamp[ns] in the fixture parquet and the Spark readers depend on that
-physical type (legacy nanosAsLong read path); duckdb would silently
-rewrite it as micros.
+pyarrow (not duckdb) writes events/documents: the events ts column is
+copied with its source physical type intact (ns in older fixture
+generations, us in newer ones — Sources.readEvents handles both); duckdb
+would silently rewrite ns as micros, hiding the ns read path from tests.
 
 Usage: python3 tools/make_bigsf.py [src_sf_dir] [out_dir] [factor]
 """
@@ -53,7 +53,7 @@ print(f"replicated documents x{FACTOR}: {doc.num_rows * FACTOR} rows")
 
 # events: fresh event ids, everything else identical (denser activity per
 # user stresses sessionize/funnel/trailing windows; oracle recomputes).
-# pyarrow keeps ts as timestamp[ns] — the physical type the readers expect.
+# pyarrow copies ts with the source fixture's physical type intact.
 ev = pq.read_table(SRC / "events.parquet")
 waves = []
 for rep in range(FACTOR):
