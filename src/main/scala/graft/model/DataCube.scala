@@ -332,6 +332,36 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     *               (the reference's own warning,
     *               tests/manual/021-array_cube.R:45-67)
     */
+  /** Build stored aggregate-navigation summaries for this cube (Kimball
+    * aggregate tables on the cube surface): each attribute set becomes a
+    * stored rollup of the denormalized fact, ALL sets computed in one
+    * grouping-sets pass (graft.operators.AggregateNavigator). Measures
+    * must be declared as re-aggregable partials over the STORED fact
+    * columns — for a standard sum/count cube that is
+    * `NavMeasure("sum", "sum_qty", "sum_qty")` etc., which keeps the
+    * "re-aggregate from the stored grain, never stack arbitrary
+    * partials" contract: a summary is just a coarser stored grain. */
+  def summarize(root: String, attrSets: Seq[(String, Seq[String])],
+                measures: Seq[graft.operators.AggregateNavigator.NavMeasure])
+  : Seq[graft.operators.AggregateNavigator.Summary] = {
+    val allAttrs = attrSets.flatMap(_._2).distinct
+    val denorm = GroupingSets.denormFor(this, allAttrs)
+    graft.operators.AggregateNavigator.buildSummaries(
+      denorm, attrSets, measures, root)
+  }
+
+  /** Attribute-grain aggregation routed through a [[summarize]]d store:
+    * answered from the smallest summary covering `by`, falling back to
+    * the live fact+dimension join path when none covers. Returns the
+    * result and the access path taken (summary name or "base"). */
+  def aggregateRouted(by: Seq[String], root: String): (DataFrame, String) = {
+    val spark = fact.data.sparkSession
+    val sums = graft.operators.AggregateNavigator.loadSummaries(spark, root)
+    val ms = graft.operators.AggregateNavigator.storedMeasures(spark, root)
+    graft.operators.AggregateNavigator.query(
+      spark, GroupingSets.denormFor(this, by), sums, by, ms)
+  }
+
   def denormalize(dims: Seq[String] = dimensions.keys.toSeq,
                   naFill: Boolean = false,
                   maxCells: Long = 100000000L): DataFrame = {

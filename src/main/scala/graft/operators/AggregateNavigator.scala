@@ -235,6 +235,14 @@ object AggregateNavigator {
             dims: Seq[String], measures: Seq[NavMeasure]): (DataFrame, String) = {
     require(measures.nonEmpty, "at least one measure")
     route(summaries, dims) match {
+      case Some(s) if s.rows == 0 =>
+        // empty summary (e.g. declaration-only store awaiting its stream):
+        // the correct answer is empty — produce it from a false-filtered
+        // base, which Catalyst folds to an empty LocalRelation (no scan,
+        // zero jobs) rather than reading the absent partition directory
+        (base.filter(lit(false)).groupBy(dims.map(col): _*)
+          .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*),
+          s.name)
       case Some(s) =>
         val d = spark.read.parquet(s.path).groupBy(dims.map(col): _*)
           .agg(measures.head.fromSummary, measures.tail.map(_.fromSummary): _*)

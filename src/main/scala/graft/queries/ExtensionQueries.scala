@@ -2461,6 +2461,41 @@ object ExtensionQueries {
       |FROM lineitem GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q81 — CUBE-SURFACE aggregate navigation: the TPC-H cube declares two
+  //       stored summaries over its hierarchy attributes (segment ×
+  //       year × region, segment × year) — built in one grouping-sets
+  //       pass over the denormalized fact — then an attribute-grain
+  //       request for segment alone routes to the SMALLER covering
+  //       summary and re-aggregates its stored partials. Since the cube
+  //       fact is itself pre-aggregated to grain, a summary is just a
+  //       coarser stored grain: sum-of-sums keeps the reference's
+  //       "re-aggregate from the stored grain" contract intact. The
+  //       oracle recomputes from the raw star; routed_via pins routing.
+  // -------------------------------------------------------------------
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator.NavMeasure
+    val c = graft.builders.Tpch.cube(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q81_nav_" +
+      Integer.toHexString(dir.hashCode)
+    c.summarize(root, Seq(
+      "seg_year_region" -> Seq("c_mktsegment", "d_year", "r_name"),
+      "seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty"),
+        NavMeasure("sum", "n", "n")))
+    val (ans, via) = c.aggregateRouted(Seq("c_mktsegment"), root)
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q81Sql: String =
+    """SELECT c_mktsegment, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+      |       'seg_year' AS routed_via
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2527,6 +2562,7 @@ object ExtensionQueries {
     ("q77_quality_audit", q77 _, q77Sql),
     ("q78_sketch_ingest", q78 _, q78Sql),
     ("q79_agg_navigator", q79 _, q79Sql),
-    ("q80_nav_refresh", q80 _, q80Sql)
+    ("q80_nav_refresh", q80 _, q80Sql),
+    ("q81_cube_routed", q81 _, q81Sql)
   )
 }

@@ -129,10 +129,15 @@ class AggregateNavigatorSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("nav_streaming").toString
     // store starts EMPTY (grain/measure declaration only) — every cell
     // arrives via the stream
-    AggregateNavigator.buildSummaries(li.filter(lit(false)), Seq(
+    val empty = AggregateNavigator.buildSummaries(li.filter(lit(false)), Seq(
       "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
       "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
       measures, s"$d/store")
+    // querying the declaration-only store answers EMPTY (routed, no crash
+    // on the absent partition dirs, no base scan)
+    val (pre, preVia) = AggregateNavigator.query(spark, li, empty,
+      Seq("l_returnflag"), measures)
+    assert(preVia != "base" && pre.count() == 0)
     // two files -> two micro-batches under maxFilesPerTrigger=1
     li.filter(col("ship_year") < 1996).coalesce(1)
       .write.mode("append").parquet(s"$d/in")
@@ -164,6 +169,31 @@ class AggregateNavigatorSpec extends SparkSpec {
       .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
     assert(after.except(direct).isEmpty && direct.except(after).isEmpty,
       "replayed batches must not change the store")
+  }
+
+  test("cube-surface routing equals cube.aggregate; uncovered attrs fall back") {
+    import graft.operators.AggregateNavigator.NavMeasure
+    val c = graft.builders.Tpch.cube(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("nav_cube").toString
+    c.summarize(root, Seq(
+      "seg_year_region" -> Seq("c_mktsegment", "d_year", "r_name"),
+      "seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty"), NavMeasure("sum", "n", "n")))
+    for (by <- Seq(Seq("c_mktsegment"), Seq("d_year", "r_name"),
+      Seq("c_mktsegment", "d_year", "r_name"))) {
+      val (ans, via) = c.aggregateRouted(by, root)
+      assert(via != "base", s"expected summary routing for $by")
+      val direct = c.aggregate(by).fact.data
+        .select((by ++ Seq("sum_qty", "n")).map(col): _*)
+      assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+        s"routed cube answer diverged for by=$by via=$via")
+    }
+    // an attribute outside every stored grain -> live fact+dim join path
+    val (fb, fbVia) = c.aggregateRouted(Seq("s_name"), root)
+    assert(fbVia == "base")
+    val direct = c.aggregate(Seq("s_name")).fact.data
+      .select(col("s_name"), col("sum_qty"), col("n"))
+    assert(fb.except(direct).isEmpty && direct.except(fb).isEmpty)
   }
 
   test("manifest round-trips grains, paths, and row counts") {
