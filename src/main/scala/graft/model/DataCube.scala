@@ -362,6 +362,31 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
       spark, GroupingSets.denormFor(this, by), sums, by, ms)
   }
 
+  /** ROLLUP answered from a [[summarize]]d store: when a stored summary
+    * covers the whole margin, the rollup (one Expand + `level` col, the
+    * rollupFlat contract) runs over the summary's partials — sum-of-sums
+    * per grouping set — instead of the fact. This is THE payoff of
+    * aggregate tables in reporting workloads: a subtotal report over a
+    * 100 TB fact reads KBs. Answers only the measures the store was
+    * built with; falls back to [[rollupFlat]] (live fact path, all cube
+    * measures) when no summary covers the margin or the store is empty. */
+  def rollupRoutedFlat(margin: Seq[String], root: String,
+                       index: Seq[Int] = Seq.empty): (DataFrame, String) = {
+    val spark = fact.data.sparkSession
+    val nav = graft.operators.AggregateNavigator
+    nav.route(nav.loadSummaries(spark, root), margin) match {
+      case Some(s) if s.rows > 0 =>
+        val ms = nav.storedMeasures(spark, root)
+        val grouped = spark.read.parquet(s.path).rollup(margin.map(col): _*)
+        val aggs = ms.map(_.fromSummary) :+ GroupingSets.levelCol(margin)
+        val res = grouped.agg(aggs.head, aggs.tail: _*)
+        (if (index.isEmpty) res
+        else res.filter(col("level").isin(index.map(Integer.valueOf): _*)),
+          s.name)
+      case _ => (rollupFlat(margin, index), "base")
+    }
+  }
+
   def denormalize(dims: Seq[String] = dimensions.keys.toSeq,
                   naFill: Boolean = false,
                   maxCells: Long = 100000000L): DataFrame = {

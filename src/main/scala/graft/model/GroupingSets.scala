@@ -38,7 +38,7 @@ object GroupingSets {
 
   /** `level` = number of nulled grouping columns (ROLLUP: 0..n by prefix;
     * CUBE: popcount of the grouping_id). */
-  private def levelCol(margin: Seq[String]): Column =
+  private[model] def levelCol(margin: Seq[String]): Column =
     margin.map(c => grouping(col(c)).cast("int")).reduce(_ + _).as("level")
 
   /** ROLLUP / CUBE over hierarchy attributes, flat result:

@@ -2496,6 +2496,40 @@ object ExtensionQueries {
       |GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q82 — ROUTED ROLLUP: a subtotal report (segment × year ROLLUP with
+  //       the level contract) answered entirely from the stored
+  //       seg×year summary — the Expand runs over ~35 partial rows
+  //       instead of the fact, sum-of-sums per grouping set. The
+  //       100 TB shape this exercises: subtotal dashboards never touch
+  //       the fact once the summary exists. Oracle: DuckDB ROLLUP over
+  //       the raw star (q06's shape), routing pinned as a literal.
+  // -------------------------------------------------------------------
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator.NavMeasure
+    val c = graft.builders.Tpch.cube(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q82_nav_" +
+      Integer.toHexString(dir.hashCode)
+    c.summarize(root, Seq(
+      "seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty"),
+        NavMeasure("sum", "n", "n")))
+    val (ans, via) = c.rollupRoutedFlat(Seq("c_mktsegment", "d_year"), root)
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q82Sql: String =
+    """SELECT c_mktsegment, CAST(year(l_shipdate) AS INT) AS d_year,
+      |       SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+      |       CAST(GROUPING(c_mktsegment) + GROUPING(year(l_shipdate)) AS INT)
+      |         AS level,
+      |       'seg_year' AS routed_via
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |GROUP BY ROLLUP(c_mktsegment, year(l_shipdate))
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2563,6 +2597,7 @@ object ExtensionQueries {
     ("q78_sketch_ingest", q78 _, q78Sql),
     ("q79_agg_navigator", q79 _, q79Sql),
     ("q80_nav_refresh", q80 _, q80Sql),
-    ("q81_cube_routed", q81 _, q81Sql)
+    ("q81_cube_routed", q81 _, q81Sql),
+    ("q82_rollup_routed", q82 _, q82Sql)
   )
 }

@@ -196,6 +196,28 @@ class AggregateNavigatorSpec extends SparkSpec {
     assert(fb.except(direct).isEmpty && direct.except(fb).isEmpty)
   }
 
+  test("routed rollup equals rollupFlat; uncovered margin falls back") {
+    import graft.operators.AggregateNavigator.NavMeasure
+    val c = graft.builders.Tpch.cube(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("nav_rollup").toString
+    c.summarize(root, Seq("seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty"), NavMeasure("sum", "n", "n")))
+    val margin = Seq("c_mktsegment", "d_year")
+    val (ans, via) = c.rollupRoutedFlat(margin, root)
+    assert(via == "seg_year")
+    val direct = c.rollupFlat(margin)
+      .select((margin ++ Seq("sum_qty", "n", "level")).map(col): _*)
+    assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+      "routed rollup diverged from the live-fact rollup")
+    // index filter passes through
+    val (subtotals, _) = c.rollupRoutedFlat(margin, root, index = Seq(1, 2))
+    assert(subtotals.select("level").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(1, 2))
+    // margin not covered by the store -> live path, all cube measures
+    val (fb, fbVia) = c.rollupRoutedFlat(Seq("r_name"), root)
+    assert(fbVia == "base" && fb.columns.contains("sum_price"))
+  }
+
   test("manifest round-trips grains, paths, and row counts") {
     val rebuilt = AggregateNavigator.loadSummaries(spark, root)
     assert(rebuilt.toSet == sums.toSet)
