@@ -117,6 +117,60 @@ object Corpus {
       .filter(col("n_term") >= minCount)
   }
 
+  /** Bigram language-model quality score — the perplexity-filter shape
+    * (CCNet/Gopher-style: score text by how predictable it is under an
+    * n-gram LM; gibberish and token-shuffled boilerplate score high).
+    * The model is add-one-smoothed bigram counts trained on the corpus
+    * itself (self-scoring; to score against a held-out reference corpus,
+    * pass it as `model`): P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), and a
+    * doc's score is the mean -log2 P over its bigrams.
+    *
+    * Shape at scale: bigrams come from a per-row zip of the token array
+    * with its own tail (no self-join, no window); the model is one
+    * count aggregation keyed by bigram (map-side combined) plus one by
+    * unigram; scoring joins doc-bigrams to the model on the bigram key
+    * (shuffle join — web-scale vocabularies are NOT broadcastable) and
+    * the vocabulary size arrives as a single-row cross join. No
+    * driver-side state: the "model" is a DataFrame.
+    *
+    * Determinism for the oracle: the per-doc mean is rounded to 4
+    * decimals so sub-ULP summation-order drift cannot flip a
+    * hash-compared digit (~1e-15 relative vs the 5e-5 rounding bin).
+    *
+    * Output: (idCol, n_bigrams, nll) — docs with < 2 tokens are not
+    * scoreable and are excluded. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame = null): DataFrame = {
+    val train = Option(model).getOrElse(docs)
+    def toks(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ array_remove(tokens(col(textCol)), "").as("toks"): _*)
+    def bigrams(df: DataFrame, keep: Column*): DataFrame =
+      toks(df, keep: _*)
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+        .select(keep :+ explode(zip_with(
+          slice(col("toks"), lit(1), col("n") - 1),
+          slice(col("toks"), lit(2), col("n") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
+        .select(keep :+ col("bg.w1") :+ col("bg.w2"): _*)
+    val tok = toks(train).select(explode(col("toks")).as("w"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      .withColumnRenamed("w", "w1")
+    val vocab = tok.agg(countDistinct("w").as("v"))
+    val bgc = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    // left join: a scored bigram unseen in training has cbg = 0 (pure
+    // smoothing mass) — self-scoring always hits, held-out may not
+    bigrams(docs, col(idCol))
+      .join(bgc, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(graft.model.Joins.maybeBroadcast(vocab))
+      .withColumn("nll", -log2(
+        (coalesce(col("cbg"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cw"), lit(0L)) + col("v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
+  }
+
   /** Temperature-weighted corpus mixing (the multi-source sampling recipe:
     * sample source s with probability ∝ tokens_s^T). T=1 is proportional
     * (big sources dominate); T→0 flattens toward uniform (up-samples small

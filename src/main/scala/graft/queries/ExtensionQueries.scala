@@ -2530,6 +2530,50 @@ object ExtensionQueries {
       |GROUP BY ROLLUP(c_mktsegment, year(l_shipdate))
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q83 — N-GRAM LM QUALITY SCORE (the perplexity filter): add-one-
+  //       smoothed bigram model trained on the corpus itself, each doc
+  //       scored by mean -log2 P(w2|w1). Bigrams come from a per-row
+  //       zip of the token array with its own tail (no self-join); the
+  //       model is two count aggregations; scoring is one shuffle join
+  //       on the bigram key. The 4-decimal rounding makes the float
+  //       mean hash-stable against summation-order drift.
+  // -------------------------------------------------------------------
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    sorted(Corpus.lmScore(docs(s, dir), "doc_id", "text"))
+  }
+
+  val q83Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     w -> w <> '') AS t
+      |  FROM documents
+      |), tok AS (
+      |  SELECT unnest(t) AS w FROM toks
+      |), uni AS (
+      |  SELECT w, count(*) AS cw FROM tok GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM tok
+      |), bg AS (
+      |  SELECT doc_id, t[g.i] AS w1, t[g.i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      |  WHERE len(t) >= 2
+      |), bgc AS (
+      |  SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |         -log2((bgc.cbg + 1.0) / (uni.cw + v.v)) AS nll
+      |  FROM bg
+      |  JOIN bgc USING (w1, w2)
+      |  JOIN uni ON uni.w = bg.w1
+      |  CROSS JOIN v
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
+      |FROM scored GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2598,6 +2642,7 @@ object ExtensionQueries {
     ("q79_agg_navigator", q79 _, q79Sql),
     ("q80_nav_refresh", q80 _, q80Sql),
     ("q81_cube_routed", q81 _, q81Sql),
-    ("q82_rollup_routed", q82 _, q82Sql)
+    ("q82_rollup_routed", q82 _, q82Sql),
+    ("q83_lm_score", q83 _, q83Sql)
   )
 }

@@ -521,6 +521,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(multi.getLong(4) == 0L && multi.getInt(5) == 1)
   }
 
+  test("lmScore: hand-checked bigram probabilities, partition-invariant") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c". unigrams: a=3 b=3 c=1, V=3.
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Corpus.lmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // P(b|a) = (3+1)/(3+3) = 2/3; P(a|b) = (1+1)/(3+3) = 1/3;
+    // P(c|b) = (1+1)/(3+3) = 1/3
+    def nll(ps: Seq[Double]): Double =
+      math.rint(ps.map(p => -math.log(p) / math.log(2)).sum / ps.size * 1e4) / 1e4
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - nll(Seq(2.0 / 3, 1.0 / 3, 2.0 / 3))) < 2e-4)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - nll(Seq(2.0 / 3, 1.0 / 3))) < 2e-4)
+    // a 1-token doc has no bigrams -> not scoreable, excluded
+    val short = Corpus.lmScore(Seq((9L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(short.count() == 0)
+    // partitioning must not change a single rounded score
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Corpus.lmScore(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val b = Corpus.lmScore(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("lmScore against a held-out model: unseen bigrams get smoothing mass") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val model = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // "c d" never appears in the model: cbg=0, cw(c)=0 -> P = 1/(0+V), V=2
+    val out = Corpus.lmScore(Seq((5L, "c d")).toDF("doc_id", "text"),
+      "doc_id", "text", model = model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expect = math.rint(-math.log(1.0 / 2) / math.log(2) * 1e4) / 1e4
+    assert(math.abs(out(5L) - expect) < 2e-4)
+  }
+
   test("frequentTerms: exact threshold set, invariant to partitioning") {
     import graft.operators.Corpus
     import spark.implicits._
