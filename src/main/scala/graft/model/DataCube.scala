@@ -319,19 +319,6 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
   // Export / reshape (SURVEY §2.7)
   // ---------------------------------------------------------------------
 
-  /** Denormalize: fact + dimension attributes via lookup joins — the
-    * reference's `denormalize` (R/data.cube.R:98-110). Dimensions are
-    * broadcast (star-schema assumption: dims ≪ fact; for monster dims
-    * Catalyst falls back to shuffle join when stats exceed the threshold).
-    *
-    * @param dims   which dimensions to denormalize (default all)
-    * @param naFill densify first: cross-join all dimension key sets and
-    *               left-join the fact so absent cells surface as nulls
-    *               (R/data.cube.R:100-106) — guarded by a cell budget
-    *               because the dense cross product explodes combinatorially
-    *               (the reference's own warning,
-    *               tests/manual/021-array_cube.R:45-67)
-    */
   /** Build stored aggregate-navigation summaries for this cube (Kimball
     * aggregate tables on the cube surface): each attribute set becomes a
     * stored rollup of the denormalized fact, ALL sets computed in one
@@ -356,8 +343,7 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     * result and the access path taken (summary name or "base"). */
   def aggregateRouted(by: Seq[String], root: String): (DataFrame, String) = {
     val spark = fact.data.sparkSession
-    val sums = graft.operators.AggregateNavigator.loadSummaries(spark, root)
-    val ms = graft.operators.AggregateNavigator.storedMeasures(spark, root)
+    val (sums, ms) = graft.operators.AggregateNavigator.loadStore(spark, root)
     graft.operators.AggregateNavigator.query(
       spark, GroupingSets.denormFor(this, by), sums, by, ms)
   }
@@ -369,16 +355,28 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     * aggregate tables in reporting workloads: a subtotal report over a
     * 100 TB fact reads KBs. Answers only the measures the store was
     * built with; falls back to [[rollupFlat]] (live fact path, all cube
-    * measures) when no summary covers the margin or the store is empty. */
+    * measures) ONLY when no summary covers the margin. An empty covering
+    * summary answers empty — the store is the truth once it is routed
+    * to, same rule as AggregateNavigator.query's declaration-only case
+    * (diverging here would show "no data" on one dashboard panel and
+    * full live totals on its neighbor). */
   def rollupRoutedFlat(margin: Seq[String], root: String,
                        index: Seq[Int] = Seq.empty): (DataFrame, String) = {
     val spark = fact.data.sparkSession
     val nav = graft.operators.AggregateNavigator
-    nav.route(nav.loadSummaries(spark, root), margin) match {
-      case Some(s) if s.rows > 0 =>
-        val ms = nav.storedMeasures(spark, root)
-        val grouped = spark.read.parquet(s.path).rollup(margin.map(col): _*)
-        val aggs = ms.map(_.fromSummary) :+ GroupingSets.levelCol(margin)
+    val (sums, ms) = nav.loadStore(spark, root)
+    nav.route(sums, margin) match {
+      case Some(s) =>
+        // empty covering summary: same shape, zero rows, no scan (the
+        // false filter folds to an empty LocalRelation) — fromBase and
+        // fromSummary agree on types over zero rows
+        val (src, aggsMs) =
+          if (s.rows == 0)
+            (GroupingSets.denormFor(this, margin).filter(lit(false)),
+              ms.map(_.fromBase))
+          else (spark.read.parquet(s.path), ms.map(_.fromSummary))
+        val grouped = src.rollup(margin.map(col): _*)
+        val aggs = aggsMs :+ GroupingSets.levelCol(margin)
         val res = grouped.agg(aggs.head, aggs.tail: _*)
         (if (index.isEmpty) res
         else res.filter(col("level").isin(index.map(Integer.valueOf): _*)),
@@ -387,6 +385,19 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     }
   }
 
+  /** Denormalize: fact + dimension attributes via lookup joins — the
+    * reference's `denormalize` (R/data.cube.R:98-110). Dimensions are
+    * broadcast (star-schema assumption: dims ≪ fact; for monster dims
+    * Catalyst falls back to shuffle join when stats exceed the threshold).
+    *
+    * @param dims   which dimensions to denormalize (default all)
+    * @param naFill densify first: cross-join all dimension key sets and
+    *               left-join the fact so absent cells surface as nulls
+    *               (R/data.cube.R:100-106) — guarded by a cell budget
+    *               because the dense cross product explodes combinatorially
+    *               (the reference's own warning,
+    *               tests/manual/021-array_cube.R:45-67)
+    */
   def denormalize(dims: Seq[String] = dimensions.keys.toSeq,
                   naFill: Boolean = false,
                   maxCells: Long = 100000000L): DataFrame = {

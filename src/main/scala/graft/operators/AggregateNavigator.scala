@@ -77,10 +77,10 @@ object AggregateNavigator {
   }
 
   /** The single-pass all-grains plan shared by build and refresh: one
-    * GROUP BY GROUPING SETS (one Expand feeding one partial+final hash
-    * aggregate over one scan of `input` — AggregateNavigatorSpec pins
-    * exactly this shape). Public so the plan pin tests the REAL plan,
-    * not a reconstruction. */
+    * GROUP BY GROUPING SETS — one Expand feeding one partial+final hash
+    * aggregate over one scan of `input` (AggregateNavigatorSpec's
+    * one-pass pin asserts exactly this shape). Public so the plan pin
+    * tests the REAL plan, not a reconstruction. */
   def flatPlan(input: DataFrame, grainSets: Seq[Seq[String]],
                measures: Seq[NavMeasure]): DataFrame = {
     val gcols = grainSets.flatten.distinct
@@ -91,7 +91,7 @@ object AggregateNavigator {
 
   /** Build every summary in ONE pass over `base`:  a single
     * GROUP BY GROUPING SETS computes all grains (one Expand feeding one
-    * hash aggregate — PlanSpec pins a single base scan), the result is
+    * hash aggregate — AggregateNavigatorSpec pins the single base scan), the result is
     * written once as parquet partitioned by the grouping-set id, and a
     * manifest (grains + row counts) is stored alongside so a later
     * session can route without re-listing data. Grain names must be
@@ -100,6 +100,9 @@ object AggregateNavigator {
   def buildSummaries(base: DataFrame, grains: Seq[(String, Seq[String])],
                      measures: Seq[NavMeasure], root: String): Seq[Summary] = {
     val spark = base.sparkSession
+    // a measure-less store would be writable but crash every consumer
+    // (query/refresh aggregate the stored partials) — reject at build
+    require(measures.nonEmpty, "at least one measure")
     require(grains.map(_._1).distinct.size == grains.size, "duplicate grain names")
     // stable union of all grain columns, in first-appearance order
     val gcols = grains.flatMap(_._2).distinct
@@ -147,21 +150,16 @@ object AggregateNavigator {
     */
   def refreshSummaries(delta: DataFrame, root: String): Seq[Summary] = {
     val spark = delta.sparkSession
-    val old = loadSummaries(spark, root)
+    recoverStore(spark, root)
+    // measure agg kinds are NOT recoverable from the stored schema —
+    // the manifest carries the specs, one read for inventory + measures
+    val (old, measures) = loadStore(spark, root)
     val grains = old.map(s => s.name -> s.grain)
     val gcols = grains.flatMap(_._2).distinct
     def gidOf(grain: Seq[String]): Long =
       gcols.zipWithIndex.collect {
         case (c, i) if !grain.contains(c) => 1L << (gcols.size - 1 - i)
       }.sum
-    // recover each measure's agg kind from the stored manifest-free
-    // schema is impossible — measures are re-derived from the stored
-    // column names by the caller; here we need only the MERGE rule,
-    // which is positional over the stored measure columns. To keep the
-    // merge self-contained the manifest stores measure specs too.
-    val m = readMeta(spark, root)
-    val measures = m.aggs.indices.map(i =>
-      NavMeasure(m.aggs(i), m.srcs(i), m.outs(i)))
     val deltaFlat = flatPlan(delta, grains.map(_._2), measures)
     // explicit schema: an empty store (declaration-only build) has no
     // files to infer from, and it pins gid to long on the partition col
@@ -171,12 +169,23 @@ object AggregateNavigator {
       .agg(measures.head.fromSummary, measures.tail.map(_.fromSummary): _*)
     val tmp = s"$root/data_tmp"
     merged.write.mode("overwrite").partitionBy("gid").parquet(tmp)
-    // swap via FileSystem rename (atomic per-dir on HDFS; fine locally)
+    // Two-rename swap, never delete-then-rename: the old store survives
+    // until the new one is in place, so a crash at any point leaves
+    // either the old store (recoverable below) or the new one. HDFS
+    // rename reports failure by RETURNING FALSE, not throwing — every
+    // return value is checked. Remaining window: a crash between the
+    // two renames leaves data/ absent and data_old/ intact; the next
+    // refresh (or any caller running recoverStore) rolls it back.
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val dataP = new org.apache.hadoop.fs.Path(s"$root/data")
-    fs.delete(dataP, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dataP)
+    val oldP = new org.apache.hadoop.fs.Path(s"$root/data_old")
+    if (fs.exists(oldP)) require(fs.delete(oldP, true),
+      s"cannot clear stale $oldP from a previous swap")
+    require(fs.rename(dataP, oldP), s"swap step 1 failed: $dataP -> $oldP")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dataP),
+      s"swap step 2 failed: $tmp -> $dataP (previous store is at $oldP)")
+    fs.delete(oldP, true): Unit
     val counts = spark.read.schema(deltaFlat.schema).parquet(s"$root/data")
       .groupBy("gid").count()
       .collect().map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1)).toMap
@@ -186,6 +195,21 @@ object AggregateNavigator {
     }
     writeMeta(spark, root, out, measures)
     out
+  }
+
+  /** Roll back a swap that crashed between its two renames: `data/`
+    * absent with `data_old/` present means the new store never landed —
+    * restore the old one (losing only the crashed refresh, which its
+    * journal marker was never written for, so a replay re-applies it).
+    * No-op on a healthy store. Called automatically by refresh; exposed
+    * for read-only sessions that want to self-heal before routing. */
+  def recoverStore(spark: SparkSession, root: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dataP = new org.apache.hadoop.fs.Path(s"$root/data")
+    val oldP = new org.apache.hadoop.fs.Path(s"$root/data_old")
+    val fs = dataP.getFileSystem(conf)
+    if (!fs.exists(dataP) && fs.exists(oldP))
+      require(fs.rename(oldP, dataP), s"store recovery failed: $oldP -> $dataP")
   }
 
   /** Apply a delta to the summary store AT MOST ONCE per `batchId` —
@@ -208,18 +232,25 @@ object AggregateNavigator {
     true
   }
 
-  /** Load the summary inventory written by [[buildSummaries]]. */
-  def loadSummaries(spark: SparkSession, root: String): Seq[Summary] = {
+  /** ONE manifest read returning the summary inventory and the measure
+    * specs together — the per-query fast path reads store metadata
+    * exactly once (loadSummaries + storedMeasures would read it twice). */
+  def loadStore(spark: SparkSession, root: String)
+  : (Seq[Summary], Seq[NavMeasure]) = {
     val m = readMeta(spark, root)
-    m.names.indices.map(i => Summary(m.names(i), m.grains(i), m.paths(i), m.rows(i)))
+    (m.names.indices.map(i =>
+      Summary(m.names(i), m.grains(i), m.paths(i), m.rows(i))),
+      m.aggs.indices.map(i => NavMeasure(m.aggs(i), m.srcs(i), m.outs(i))))
   }
+
+  /** Load the summary inventory written by [[buildSummaries]]. */
+  def loadSummaries(spark: SparkSession, root: String): Seq[Summary] =
+    loadStore(spark, root)._1
 
   /** The measure specs the store was built with (refresh reuses them;
     * callers can also use this instead of re-declaring the measures). */
-  def storedMeasures(spark: SparkSession, root: String): Seq[NavMeasure] = {
-    val m = readMeta(spark, root)
-    m.aggs.indices.map(i => NavMeasure(m.aggs(i), m.srcs(i), m.outs(i)))
-  }
+  def storedMeasures(spark: SparkSession, root: String): Seq[NavMeasure] =
+    loadStore(spark, root)._2
 
   /** Routing decision: the smallest stored summary whose grain is a
     * superset of the requested dims (ties broken by name for

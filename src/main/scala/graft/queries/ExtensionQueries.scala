@@ -2388,8 +2388,8 @@ object ExtensionQueries {
   //       linestatus) — then answer a returnflag-only request. The
   //       navigator routes to the SMALLER covering summary (rf_ls) and
   //       re-aggregates its stored partials (sum of sums, sum of
-  //       counts); the base fact is never rescanned (PlanSpec pins the
-  //       scan path). The oracle recomputes from the raw table, and the
+  //       counts); the base fact is never rescanned (the scan-path pin
+  //       lives in AggregateNavigatorSpec). The oracle recomputes from the raw table, and the
   //       routed_via literal pins the routing decision itself.
   // -------------------------------------------------------------------
   def q79(s: SparkSession, dir: String): DataFrame = {

@@ -216,6 +216,20 @@ class AggregateNavigatorSpec extends SparkSpec {
     // margin not covered by the store -> live path, all cube measures
     val (fb, fbVia) = c.rollupRoutedFlat(Seq("r_name"), root)
     assert(fbVia == "base" && fb.columns.contains("sum_price"))
+    // empty covering summary answers EMPTY (routed — the store is the
+    // truth; same rule as query()'s declaration-only case, no live leak)
+    val emptyRoot = java.nio.file.Files.createTempDirectory("nav_rollup_e").toString
+    c.summarize(emptyRoot,
+      Seq("seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty")))
+    // overwrite with a declaration-only build (false-filtered fact)
+    graft.operators.AggregateNavigator.buildSummaries(
+      graft.model.GroupingSets.denormFor(c, Seq("c_mktsegment", "d_year"))
+        .filter(lit(false)),
+      Seq("seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty")), emptyRoot)
+    val (er, erVia) = c.rollupRoutedFlat(margin, emptyRoot)
+    assert(erVia == "seg_year" && er.count() == 0)
   }
 
   test("manifest round-trips grains, paths, and row counts") {

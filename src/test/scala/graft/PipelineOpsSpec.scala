@@ -1021,7 +1021,6 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("session_window and gaps-and-islands sessionization agree on counts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.sources.Sources.readEvents(spark, sfDir)
     val a = Events.sessions(ev, "30 minutes").count()
     val b = Events.sessionsSql(ev, 30).count()

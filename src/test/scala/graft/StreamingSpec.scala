@@ -358,7 +358,6 @@ class StreamingSpec extends SparkSpec {
   test("streaming point-in-time enrichment equals the batch as-of join") {
     import graft.sources.Sources
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.sources.Sources.readEvents(spark, sfDir)
     val changes = ev.filter($"event_type" === "signup")
       .groupBy("user_id", "ts")
