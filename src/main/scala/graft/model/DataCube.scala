@@ -338,14 +338,19 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
   }
 
   /** Attribute-grain aggregation routed through a [[summarize]]d store:
-    * answered from the smallest summary covering `by`, falling back to
-    * the live fact+dimension join path when none covers. Returns the
-    * result and the access path taken (summary name or "base"). */
-  def aggregateRouted(by: Seq[String], root: String): (DataFrame, String) = {
+    * answered from the smallest summary covering `by` AND every filtered
+    * attribute (equality filters prune the summary's partial rows before
+    * re-aggregation — the filtered-report pattern), falling back to the
+    * live fact+dimension join path when none covers. Returns the result
+    * and the access path taken (summary name or "base"). */
+  def aggregateRouted(by: Seq[String], root: String,
+                      filters: Map[String, Seq[Any]] = Map.empty)
+  : (DataFrame, String) = {
     val spark = fact.data.sparkSession
     val (sums, ms) = graft.operators.AggregateNavigator.loadStore(spark, root)
-    graft.operators.AggregateNavigator.query(
-      spark, GroupingSets.denormFor(this, by), sums, by, ms)
+    graft.operators.AggregateNavigator.query(spark,
+      GroupingSets.denormFor(this, (by ++ filters.keys).distinct),
+      sums, by, ms, filters)
   }
 
   /** ROLLUP answered from a [[summarize]]d store: when a stored summary

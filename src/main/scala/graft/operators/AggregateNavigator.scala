@@ -259,13 +259,20 @@ object AggregateNavigator {
     summaries.filter(s => dims.forall(s.grain.contains))
       .sortBy(s => (s.rows, s.name)).headOption
 
-  /** Answer (dims, measures) — from the routed summary when one covers,
-    * else from `base`. The second element names the access path taken
-    * (a summary name, or "base"). */
+  /** Answer (dims, measures) with optional equality filters — from the
+    * routed summary when one covers BOTH the requested dims and every
+    * filtered column (a summary can only be filtered on columns its
+    * grain kept), else from `base`. Filters apply BEFORE re-aggregation
+    * on either path — on the summary they prune partial rows, exactly
+    * the filtered-report pattern aggregate tables exist for. The second
+    * element names the access path taken (a summary name, or "base"). */
   def query(spark: SparkSession, base: => DataFrame, summaries: Seq[Summary],
-            dims: Seq[String], measures: Seq[NavMeasure]): (DataFrame, String) = {
+            dims: Seq[String], measures: Seq[NavMeasure],
+            filters: Map[String, Seq[Any]] = Map.empty): (DataFrame, String) = {
     require(measures.nonEmpty, "at least one measure")
-    route(summaries, dims) match {
+    def filtered(df: DataFrame): DataFrame =
+      filters.foldLeft(df) { case (d, (c, vs)) => d.filter(col(c).isin(vs: _*)) }
+    route(summaries, (dims ++ filters.keys).distinct) match {
       case Some(s) if s.rows == 0 =>
         // empty summary (e.g. declaration-only store awaiting its stream):
         // the correct answer is empty — produce it from a false-filtered
@@ -275,11 +282,12 @@ object AggregateNavigator {
           .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*),
           s.name)
       case Some(s) =>
-        val d = spark.read.parquet(s.path).groupBy(dims.map(col): _*)
+        val d = filtered(spark.read.parquet(s.path))
+          .groupBy(dims.map(col): _*)
           .agg(measures.head.fromSummary, measures.tail.map(_.fromSummary): _*)
         (d, s.name)
       case None =>
-        (base.groupBy(dims.map(col): _*)
+        (filtered(base).groupBy(dims.map(col): _*)
           .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*),
           "base")
     }

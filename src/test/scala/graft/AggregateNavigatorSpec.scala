@@ -194,6 +194,20 @@ class AggregateNavigatorSpec extends SparkSpec {
     val direct = c.aggregate(Seq("s_name")).fact.data
       .select(col("s_name"), col("sum_qty"), col("n"))
     assert(fb.except(direct).isEmpty && direct.except(fb).isEmpty)
+    // equality filters route when the grain keeps the filtered column
+    // (the filter prunes summary partials BEFORE re-aggregation) …
+    val (filt, filtVia) = c.aggregateRouted(Seq("c_mktsegment"), root,
+      filters = Map("d_year" -> Seq(1995, 1996)))
+    assert(filtVia != "base")
+    val filtDirect = c.aggregate(Seq("c_mktsegment", "d_year")).fact.data
+      .filter(col("d_year").isin(1995, 1996))
+      .groupBy("c_mktsegment")
+      .agg(sum("sum_qty").as("sum_qty"), sum("n").as("n"))
+    assert(filt.except(filtDirect).isEmpty && filtDirect.except(filt).isEmpty)
+    // … and a filter on an uncovered column forces the live path
+    val (ff, ffVia) = c.aggregateRouted(Seq("c_mktsegment"), root,
+      filters = Map("s_name" -> Seq("Supplier#000000001")))
+    assert(ffVia == "base" && ff.count() >= 0)
   }
 
   test("routed rollup equals rollupFlat; uncovered margin falls back") {
