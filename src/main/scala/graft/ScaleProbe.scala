@@ -209,6 +209,36 @@ object ScaleProbe {
       })
     }
 
+    // aggregate-navigator maintenance: build cost must follow the base
+    // (ONE grouping-sets scan — linear), refresh cost must follow the
+    // DELTA (the summary store's cardinality is grain-bound and constant
+    // across factors, so a fixed delta folds in ~flat; a leaked base
+    // re-scan would read as ~linear-in-factor here)
+    def navStep(tag: String, n: Int): Map[String, Double] = {
+      import graft.operators.AggregateNavigator
+      import graft.operators.AggregateNavigator.NavMeasure
+      val on = spark.range(n).toDF("rep").crossJoin(orders1)
+        .select((col("o_orderkey") + col("rep") * lit(100000000L)).as("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val root = s"/tmp/graft_probe_nav_$n"
+      val ms = Seq(NavMeasure("sum", "cents", "sum_cents"),
+        NavMeasure("count", "*", "n_rows"))
+      val build = timed(s"$tag nav summaries build") {
+        AggregateNavigator.buildSummaries(on, Seq(
+          "year_prio" -> Seq("o_year", "o_orderpriority"),
+          "year" -> Seq("o_year")), ms, root).map(_.rows).sum
+      }
+      val delta = orders1.filter(year(col("o_orderdate")) === 1995)
+        .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val refresh = timed(s"$tag nav refresh (1-year delta)") {
+        AggregateNavigator.refreshSummaries(delta, root).map(_.rows).sum
+      }
+      Map("navbuild" -> build, "navrefresh" -> refresh)
+    }
+
     // per-row / indexed text-pipeline ops: chunking is shuffle-free and
     // must scale ~linearly; dup-share's df join-back is 1:1 on index rows
     // (any superlinear growth here means the uncapped-index claim is wrong)
@@ -219,6 +249,12 @@ object ScaleProbe {
       },
       "dupshare" -> timed(s"$tag dup-ngram share") {
         graft.operators.Corpus.duplicateNgramShare(d, "doc_id", "text").count()
+      },
+      // replica-suffixed tokens grow the vocabulary ~factor×, so the
+      // bigram model AND the scoring join both densify — the honest
+      // bound is linear; superlinear means the model join degenerated
+      "lmscore" -> timed(s"$tag bigram LM score") {
+        graft.operators.Corpus.lmScore(d, "doc_id", "text").count()
       },
       // derived 20-way strata: replication densifies every stratum
       // factor×, the worst direction for the per-stratum rank window
@@ -237,9 +273,10 @@ object ScaleProbe {
     val aN = annSuite(s"${factor}x", embN(factor))
     val p1 = pipeSuite("1x", docsN(1))
     val pN = pipeSuite(s"${factor}x", docsN(factor))
-    val e1 = eventsSuite("1x", evN(1)) ++ ingestStep("1x", 1)
+    val e1 = eventsSuite("1x", evN(1)) ++ ingestStep("1x", 1) ++
+      navStep("1x", 1)
     val eN = eventsSuite(s"${factor}x", evN(factor)) ++
-      ingestStep(s"${factor}x", factor)
+      ingestStep(s"${factor}x", factor) ++ navStep(s"${factor}x", factor)
 
     val bound = 1.5 * factor
     val noiseFloorSec = 0.3
