@@ -2471,7 +2471,11 @@ object ExtensionQueries {
   //       fact is itself pre-aggregated to grain, a summary is just a
   //       coarser stored grain: sum-of-sums keeps the reference's
   //       "re-aggregate from the stored grain" contract intact. The
-  //       oracle recomputes from the raw star; routed_via pins routing.
+  //       request also carries an equality filter on d_year — routing
+  //       requires the grain to keep the filtered column, and the
+  //       filter prunes summary partials BEFORE re-aggregation (the
+  //       filtered-report pattern). The oracle recomputes from the raw
+  //       star with the same WHERE; routed_via pins routing.
   // -------------------------------------------------------------------
   def q81(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggregateNavigator.NavMeasure
@@ -2483,7 +2487,8 @@ object ExtensionQueries {
       "seg_year" -> Seq("c_mktsegment", "d_year")),
       Seq(NavMeasure("sum", "sum_qty", "sum_qty"),
         NavMeasure("sum", "n", "n")))
-    val (ans, via) = c.aggregateRouted(Seq("c_mktsegment"), root)
+    val (ans, via) = c.aggregateRouted(Seq("c_mktsegment"), root,
+      filters = Map("d_year" -> Seq(1994, 1995, 1996)))
     sorted(ans.withColumn("routed_via", lit(via)))
   }
 
@@ -2493,6 +2498,7 @@ object ExtensionQueries {
       |FROM lineitem
       |JOIN orders ON o_orderkey = l_orderkey
       |JOIN customer ON c_custkey = o_custkey
+      |WHERE year(l_shipdate) IN (1994, 1995, 1996)
       |GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
