@@ -2580,6 +2580,58 @@ object ExtensionQueries {
       |FROM scored GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q84 — STREAMING NAVIGATOR end-to-end (readStream → journaled
+  //       refresh → routed query): the store starts as a declaration-
+  //       only (empty) build, the fact arrives as a TWO-micro-batch
+  //       file stream (maxFilesPerTrigger=1), each batch folds in via
+  //       the journaled refresh (at-least-once replay safe), and the
+  //       routed answer after the stream drains must equal the
+  //       full-corpus oracle. The whole round trip — parquet stream
+  //       source, foreachBatch, two-rename store swap, manifest reload,
+  //       smallest-grain routing — sits under one DuckDB hash check.
+  //       Work dirs are wiped per call: the refresh journal MUST reset
+  //       with its store or bench reps would replay-skip real batches.
+  // -------------------------------------------------------------------
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator
+    import graft.operators.AggregateNavigator.NavMeasure
+    import org.apache.spark.sql.streaming.Trigger
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q84_nav_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val measures = Seq(
+      NavMeasure("sum", "l_quantity", "sum_qty"),
+      NavMeasure("count", "*", "n_rows"))
+    AggregateNavigator.buildSummaries(li.filter(lit(false)), Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, s"$base/store")
+    li.filter(col("ship_year") < 1996).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    li.filter(col("ship_year") >= 1996).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val stream = s.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = graft.streaming.CubeStreaming.startRefreshSummaries(
+      stream, s"$base/store", s"$base/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val (sums, ms) = AggregateNavigator.loadStore(s, s"$base/store")
+    val (ans, via) = AggregateNavigator.query(s, li, sums,
+      Seq("l_returnflag", "l_linestatus"), ms)
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q84Sql: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |       count(*) AS n_rows, 'rf_ls' AS routed_via
+      |FROM lineitem GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2649,6 +2701,7 @@ object ExtensionQueries {
     ("q80_nav_refresh", q80 _, q80Sql),
     ("q81_cube_routed", q81 _, q81Sql),
     ("q82_rollup_routed", q82 _, q82Sql),
-    ("q83_lm_score", q83 _, q83Sql)
+    ("q83_lm_score", q83 _, q83Sql),
+    ("q84_nav_stream", q84 _, q84Sql)
   )
 }
