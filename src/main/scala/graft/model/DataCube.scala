@@ -345,12 +345,24 @@ final case class DataCube(fact: Fact, dimensions: ListMap[String, Dimension]) {
     * and the access path taken (summary name or "base"). */
   def aggregateRouted(by: Seq[String], root: String,
                       filters: Map[String, Seq[Any]] = Map.empty)
+  : (DataFrame, String) =
+    aggregateRoutedWhere(by, root,
+      filters.toSeq.map { case (c, vs) =>
+        graft.operators.AggregateNavigator.NavPred.in(c, vs) })
+
+  /** [[aggregateRouted]] with arbitrary single-column predicates (ranges,
+    * LIKE, …): a time-sliced dashboard panel (`d_year ≥ 1995`) routes to
+    * a stored summary exactly like an equality filter does, because a
+    * summary row is the complete partial of its grain cell — any
+    * row-level predicate over kept grain columns selects whole cells. */
+  def aggregateRoutedWhere(by: Seq[String], root: String,
+                           preds: Seq[graft.operators.AggregateNavigator.NavPred])
   : (DataFrame, String) = {
     val spark = fact.data.sparkSession
     val (sums, ms) = graft.operators.AggregateNavigator.loadStore(spark, root)
-    graft.operators.AggregateNavigator.query(spark,
-      GroupingSets.denormFor(this, (by ++ filters.keys).distinct),
-      sums, by, ms, filters)
+    graft.operators.AggregateNavigator.queryWhere(spark,
+      GroupingSets.denormFor(this, (by ++ preds.map(_.column)).distinct),
+      sums, by, ms, preds)
   }
 
   /** ROLLUP answered from a [[summarize]]d store: when a stored summary

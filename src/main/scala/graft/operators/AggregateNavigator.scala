@@ -53,6 +53,30 @@ object AggregateNavigator {
   final case class Summary(name: String, grain: Seq[String], path: String,
                            rows: Long)
 
+  /** A routable filter: `column` names the ONE attribute the predicate
+    * reads — routing needs the name, because a summary can be filtered
+    * on a column only if its grain KEPT that column (filtering partials
+    * on a column the grain aggregated away is unanswerable). `pred` is
+    * any Spark predicate over that column — equality, range, LIKE, …
+    * Build with [[NavPred.in]] / [[NavPred.range]], or directly. */
+  final case class NavPred(column: String, pred: Column)
+
+  object NavPred {
+    /** Membership / equality filter (the [[query]] `filters` shape). */
+    def in(column: String, vs: Seq[Any]): NavPred =
+      NavPred(column, col(column).isin(vs: _*))
+    /** Closed range `lo ≤ column ≤ hi` on an orderable attribute; leave
+      * a side `None` for a one-sided bound. */
+    def range(column: String, lo: Option[Any] = None,
+              hi: Option[Any] = None): NavPred = {
+      require(lo.nonEmpty || hi.nonEmpty,
+        s"range predicate on $column needs at least one bound")
+      val c = col(column)
+      val parts = lo.map(v => c >= lit(v)).toSeq ++ hi.map(v => c <= lit(v))
+      NavPred(column, parts.reduce(_ && _))
+    }
+  }
+
   /** Persisted store metadata: summary inventory (for routing without
     * data listing) plus the measure specs (so refresh can re-derive the
     * build/merge expressions). */
@@ -268,11 +292,25 @@ object AggregateNavigator {
     * element names the access path taken (a summary name, or "base"). */
   def query(spark: SparkSession, base: => DataFrame, summaries: Seq[Summary],
             dims: Seq[String], measures: Seq[NavMeasure],
-            filters: Map[String, Seq[Any]] = Map.empty): (DataFrame, String) = {
+            filters: Map[String, Seq[Any]] = Map.empty): (DataFrame, String) =
+    queryWhere(spark, base, summaries, dims, measures,
+      filters.toSeq.map { case (c, vs) => NavPred.in(c, vs) })
+
+  /** [[query]] generalized to arbitrary single-column predicates
+    * ([[NavPred]] — ranges, LIKE, …): routing requires the summary grain
+    * to keep every predicated column, and predicates prune partial rows
+    * BEFORE re-aggregation on either path. Correct for exactly the same
+    * reason equality filters are: a summary row IS the complete partial
+    * for its grain cell, so any row-level predicate over grain columns
+    * selects whole cells. */
+  def queryWhere(spark: SparkSession, base: => DataFrame,
+                 summaries: Seq[Summary], dims: Seq[String],
+                 measures: Seq[NavMeasure],
+                 preds: Seq[NavPred]): (DataFrame, String) = {
     require(measures.nonEmpty, "at least one measure")
     def filtered(df: DataFrame): DataFrame =
-      filters.foldLeft(df) { case (d, (c, vs)) => d.filter(col(c).isin(vs: _*)) }
-    route(summaries, (dims ++ filters.keys).distinct) match {
+      preds.foldLeft(df)((d, p) => d.filter(p.pred))
+    route(summaries, (dims ++ preds.map(_.column)).distinct) match {
       case Some(s) if s.rows == 0 =>
         // empty summary (e.g. declaration-only store awaiting its stream):
         // the correct answer is empty — produce it from a false-filtered

@@ -171,6 +171,94 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
   }
 
+  /** BM25 postings index: one row per (term, doc) with the fully
+    * precomputed Okapi BM25 term weight
+    *
+    *   weight = idf(term) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf    = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *
+    * so query-time scoring is a pure equi-join + sum — the
+    * impact-ordered-postings shape every production text index uses:
+    * tokenize/normalize ONCE at build, store the index, answer many
+    * queries against it ([[bm25Search]]). N counts indexed docs (a doc
+    * with no tokens has nothing to index and cannot match any query).
+    *
+    * Shape at scale: one explode + a (doc,term) hash agg for tf; dl is
+    * derived from tf (no second tokenization pass); df is a term-keyed
+    * agg of tf (8-byte-hashable keys, map-side combined); N/avgdl arrive
+    * as a single-row cross join (broadcast), never a data-sized window.
+    * The raw text never shuffles — only (term, doc_id, counts).
+    *
+    * Output: (term, doc_id, weight). */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 parameters out of range: k1=$k1 (>=0), b=$b (in [0,1])")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(graft.model.Joins.maybeBroadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("weight", col("idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select("term", "doc_id", "weight")
+  }
+
+  /** BM25 ranked retrieval over a prebuilt [[bm25Index]]: per query, the
+    * top-`k` documents by summed term weight. Query terms are
+    * deduplicated (standard Okapi with the query-tf saturation term
+    * dropped — repeating a word in a query does not double its weight).
+    *
+    * Shape at scale: the query table is the small side by construction
+    * (requests, not corpus) — it broadcast-joins to the postings, so the
+    * index itself never shuffles for the probe; only matched postings
+    * (Σ per query term df rows) flow into the (query, doc) score agg;
+    * ranking is the bounded-top-k aggregation
+    * ([[graft.model.Aggregators.TopKByScore]], map-side combine — at
+    * most k rows per (partition, query) shuffle, never a global or
+    * data-sized window.
+    *
+    * Determinism for cross-engine checks: scores are rounded to 4
+    * decimals BEFORE ranking, so sub-ULP summation-order drift (ln is
+    * not exactly reproducible across engines) cannot flip a rank or a
+    * hashed digit; ties break by doc_id ascending.
+    *
+    * Output: (query_id, doc_id, rank, score), rank 1..k. */
+  def bm25Search(index: DataFrame, queries: DataFrame,
+                 qIdCol: String, qTextCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queries.select(col(qIdCol).as("query_id"),
+      explode(tokens(col(qTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val scored = index
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("weight"), 4).as("score"))
+    val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
+      org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("doc_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
+      .select(col("query_id"), col("it.id").as("doc_id"),
+        (col("idx") + 1).as("rank"), col("it.score").as("score"))
+  }
+
+  /** One-shot convenience: build the index and search it in one plan. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qIdCol: String, qTextCol: String,
+                 k: Int): DataFrame =
+    bm25Search(bm25Index(docs, idCol, textCol), queries, qIdCol, qTextCol, k)
+
   /** Temperature-weighted corpus mixing (the multi-source sampling recipe:
     * sample source s with probability ∝ tokens_s^T). T=1 is proportional
     * (big sources dominate); T→0 flattens toward uniform (up-samples small

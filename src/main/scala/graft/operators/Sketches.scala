@@ -105,6 +105,76 @@ object Sketches {
     touched.length
   }
 
+  /** Per-cell Misra-Gries heavy-hitter summary of `termCol` — the
+    * frequent-items member of the sketch-cube family (HLL for DISTINCT,
+    * histograms for quantiles, MG for top terms): one bounded ≤`k`-entry
+    * (term → lower-bound count) map plus the exact item count per
+    * `grain` cell, built in ONE fact scan (the MG udaf gets map-side
+    * partial aggregation, so partitions combine bounded summaries, never
+    * raw term lists). Store the cells like any aggregate; any coarser
+    * grouping's top terms come from [[rollupHeavyHitters]] without
+    * re-scanning the fact.
+    *
+    * Guarantee carried by the cells (standard MG, preserved under merge
+    * per the mergeable-summaries result): for every term,
+    * `true_cell_count − n_cell/(k+1) ≤ mg_count ≤ true_cell_count` —
+    * zero false negatives above share 1/(k+1). With `k` ≥ the cell's
+    * distinct-term count the summary is EXACT and order-independent;
+    * below that, which near-threshold terms survive depends on arrival
+    * order (inherent to MG — the bound above always holds).
+    *
+    * Output: grain ++ (`<termCol>_mg` map, `n_items` long). */
+  def termSummaryAtGrain(df: DataFrame, grain: Seq[String], termCol: String,
+                         k: Int = 1024): DataFrame = {
+    require(grain.nonEmpty, "summary grain needs at least one column")
+    val mg = udaf(new graft.model.Aggregators.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    df.filter(col(termCol).isNotNull)
+      .groupBy(grain.map(col): _*)
+      .agg(mg(col(termCol)).as("__mg"), count(lit(1)).as("n_items"))
+      .select((grain.map(col) :+ col("__mg.counts").as(s"${termCol}_mg")
+        :+ col("n_items")): _*)
+  }
+
+  /** Top-`topK` terms per `by` group from STORED [[termSummaryAtGrain]]
+    * cells — no fact access. Summed lower-bound counts undercount each
+    * term by at most Σ n_cell/(k+1) over the group's cells (a term absent
+    * from a cell's map has true cell count ≤ n_cell/(k+1)), so the
+    * per-group `max_undercount` column bounds the error and any term
+    * with true share > 1/(k+1) of the group is guaranteed present.
+    *
+    * Shape: explode the cell maps (≤ k entries per cell — cells × k
+    * rows, grain-sized not fact-sized), hash-agg per (group, term), rank
+    * with a window KEYED by the group (candidates per group are bounded
+    * by its cells × k, so no data-sized partition). Ties break by term
+    * ascending; with cell-exact summaries (k ≥ distinct terms) the
+    * result is the exact deterministic top-k.
+    *
+    * Output: by ++ (term, est_count, rank, max_undercount). */
+  def rollupHeavyHitters(cells: DataFrame, by: Seq[String], mgCol: String,
+                         k: Int, topK: Int = 10,
+                         nCol: String = "n_items"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val exploded = cells.select(
+      (by.map(col) :+ explode(col(mgCol)).as(Seq("term", "__c"))): _*)
+    // the undercount bound comes from the CELLS (one n_items per cell),
+    // never from the exploded entries where it would repeat per term
+    val bounds = cells.groupBy(by.map(col): _*)
+      .agg(floor(sum(col(nCol)) / lit(k + 1)).as("max_undercount"))
+    val summed = exploded.groupBy((by.map(col) :+ col("term")): _*)
+      .agg(sum("__c").as("est_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col("est_count").desc, col("term").asc)
+    val ranked = summed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+    val joined =
+      if (by.isEmpty) ranked.crossJoin(graft.model.Joins.maybeBroadcast(bounds))
+      else ranked.join(bounds, by)
+    joined.select((by.map(col) :+ col("term") :+ col("est_count")
+      :+ col("rank") :+ col("max_undercount")): _*)
+  }
+
   /** Equi-width histogram of `valueCol` per `grain` cell, as a fixed
     * `nBins`-length count array `<valueCol>_hist` — the distribution
     * analog of [[distinctSketchAtGrain]]: fixed bin edges make the cells

@@ -2632,6 +2632,156 @@ object ExtensionQueries {
       |FROM lineitem GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q87 — RANGE-ROUTED navigation: the time-sliced dashboard panel
+  //       (d_year >= 1995) answered from the stored seg×year summary —
+  //       a range predicate routes exactly like equality because a
+  //       summary row is the complete partial of its grain cell, so any
+  //       row-level predicate over kept grain columns selects whole
+  //       cells. Routing (smaller covering summary) pinned as a
+  //       literal; oracle recomputes from the raw star with the same
+  //       WHERE.
+  // -------------------------------------------------------------------
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator.{NavMeasure, NavPred}
+    val c = graft.builders.Tpch.cube(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q87_nav_" +
+      Integer.toHexString(dir.hashCode)
+    c.summarize(root, Seq(
+      "seg_year_region" -> Seq("c_mktsegment", "d_year", "r_name"),
+      "seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty"),
+        NavMeasure("sum", "n", "n")))
+    val (ans, via) = c.aggregateRoutedWhere(Seq("c_mktsegment"), root,
+      Seq(NavPred.range("d_year", lo = Some(1995))))
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q87Sql: String =
+    """SELECT c_mktsegment, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+      |       'seg_year' AS routed_via
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |WHERE year(l_shipdate) >= 1995
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q86 — heavy-hitters sketch cube: per-(source,lang) Misra-Gries term
+  //       summaries (ONE token scan, bounded cells), rolled up to
+  //       top-5 terms per source FROM THE STORED CELLS — the frequent-
+  //       items member of the sketch-cube family (q73 = HLL distinct,
+  //       q75 = histogram). k=4096 exceeds the fixture vocabulary, so
+  //       the cells are exact and the rollup is the deterministic exact
+  //       top-5 the DuckDB oracle computes; the max_undercount column
+  //       (Σ n_items/(k+1)) is the error bound a production k carries.
+  // -------------------------------------------------------------------
+  private val Q86K = 4096
+
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val tok = docs(s, dir).select(col("source"), col("lang"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val cells = Sketches.termSummaryAtGrain(
+      tok, Seq("source", "lang"), "term", k = Q86K)
+    sorted(Sketches.rollupHeavyHitters(
+      cells, Seq("source"), "term_mg", k = Q86K, topK = 5))
+  }
+
+  val q86Sql: String =
+    s"""WITH tok AS (
+      |  SELECT source, lang,
+      |         unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |  FROM documents
+      |), t AS (
+      |  SELECT source, term, count(*) AS est_count FROM tok
+      |  WHERE term <> '' GROUP BY 1, 2
+      |), n AS (
+      |  SELECT source, CAST(floor(count(*) / ${Q86K + 1}.0) AS BIGINT)
+      |           AS max_undercount
+      |  FROM tok WHERE term <> '' GROUP BY 1
+      |), ranked AS (
+      |  SELECT source, term, est_count,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY est_count DESC, term ASC) AS rnk
+      |  FROM t
+      |)
+      |SELECT r.source, r.term, r.est_count, CAST(r.rnk AS INT) AS rank,
+      |       n.max_undercount
+      |FROM ranked r JOIN n USING (source)
+      |WHERE r.rnk <= 5
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q85 — BM25 ranked retrieval: top-10 docs for 3 fixed queries over a
+  //       prebuilt impact-ordered postings index (weights precomputed at
+  //       build, query time = broadcast term join + sum + bounded
+  //       top-k). Scores rounded to 4 decimals BEFORE ranking so
+  //       cross-engine ln()/summation-order drift cannot flip a rank.
+  // -------------------------------------------------------------------
+  private val q85Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark table scan"),
+    (2L, "customer order value merge"),
+    (3L, "window agg stream batch sort"))
+
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = q85Queries.toDF("query_id", "qtext")
+    sorted(graft.operators.Corpus.bm25Search(
+      graft.operators.Corpus.bm25Index(docs(s, dir), "doc_id", "text"),
+      qs, "query_id", "qtext", k = 10))
+  }
+
+  val q85Sql: String = {
+    val values = q85Queries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term <> '' GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), qt AS (
+      |  SELECT DISTINCT query_id, term FROM (
+      |    SELECT query_id,
+      |           unnest(string_split_regex(trim(qtext), '\\s+')) AS term
+      |    FROM q) WHERE term <> ''
+      |), scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         round(sum(
+      |           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |           * (tf.tf * (1.2 + 1))
+      |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |         ), 4) AS score
+      |  FROM qt
+      |  JOIN tf USING (term)
+      |  JOIN dfreq USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT query_id, doc_id, score,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score DESC, doc_id ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |       CAST(rnk AS INT) AS rank, score
+      |FROM ranked WHERE rnk <= 10
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -2702,6 +2852,9 @@ object ExtensionQueries {
     ("q81_cube_routed", q81 _, q81Sql),
     ("q82_rollup_routed", q82 _, q82Sql),
     ("q83_lm_score", q83 _, q83Sql),
-    ("q84_nav_stream", q84 _, q84Sql)
+    ("q84_nav_stream", q84 _, q84Sql),
+    ("q85_bm25_search", q85 _, q85Sql),
+    ("q86_heavy_hitters", q86 _, q86Sql),
+    ("q87_range_routed", q87 _, q87Sql)
   )
 }

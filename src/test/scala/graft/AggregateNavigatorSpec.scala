@@ -210,6 +210,45 @@ class AggregateNavigatorSpec extends SparkSpec {
     assert(ffVia == "base" && ff.count() >= 0)
   }
 
+  test("range predicates route like equality; uncovered or un-kept columns fall back") {
+    import graft.operators.AggregateNavigator.NavPred
+    val c = graft.builders.Tpch.cube(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("nav_range").toString
+    c.summarize(root, Seq(
+      "seg_year" -> Seq("c_mktsegment", "d_year")),
+      Seq(NavMeasure("sum", "sum_qty", "sum_qty"), NavMeasure("sum", "n", "n")))
+    // a range over a kept grain column routes and prunes partials
+    val (ans, via) = c.aggregateRoutedWhere(Seq("c_mktsegment"), root,
+      Seq(NavPred.range("d_year", lo = Some(1995), hi = Some(1996))))
+    assert(via == "seg_year", s"expected summary routing, got $via")
+    val direct = c.aggregate(Seq("c_mktsegment", "d_year")).fact.data
+      .filter(col("d_year") >= 1995 && col("d_year") <= 1996)
+      .groupBy("c_mktsegment")
+      .agg(sum("sum_qty").as("sum_qty"), sum("n").as("n"))
+    assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+      "range-routed answer diverged from the live recompute")
+    // the closed range equals the equivalent membership filter end-to-end
+    val (eq, eqVia) = c.aggregateRouted(Seq("c_mktsegment"), root,
+      filters = Map("d_year" -> Seq(1995, 1996)))
+    assert(eqVia == via)
+    assert(ans.except(eq).isEmpty && eq.except(ans).isEmpty)
+    // one-sided bound works; a predicate on a column NO grain kept falls
+    // back to the live path and stays correct
+    val (_, loVia) = c.aggregateRoutedWhere(Seq("c_mktsegment"), root,
+      Seq(NavPred.range("d_year", lo = Some(1996))))
+    assert(loVia == "seg_year")
+    val (fb, fbVia) = c.aggregateRoutedWhere(Seq("c_mktsegment"), root,
+      Seq(NavPred.range("r_name", lo = Some("ASIA"))))
+    assert(fbVia == "base")
+    val fbDirect = c.aggregate(Seq("c_mktsegment", "r_name")).fact.data
+      .filter(col("r_name") >= "ASIA")
+      .groupBy("c_mktsegment")
+      .agg(sum("sum_qty").as("sum_qty"), sum("n").as("n"))
+    assert(fb.except(fbDirect).isEmpty && fbDirect.except(fb).isEmpty)
+    // NavPred.range refuses an unbounded (vacuous) predicate
+    intercept[IllegalArgumentException] { NavPred.range("d_year") }
+  }
+
   test("routed rollup equals rollupFlat; uncovered margin falls back") {
     import graft.operators.AggregateNavigator.NavMeasure
     val c = graft.builders.Tpch.cube(spark, sfDir)

@@ -561,6 +561,96 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(out(5L) - expect) < 2e-4)
   }
 
+  test("bm25: hand-checked weights, dup-doc tie-break, query-term dedup, partition invariance") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // corpus: d1="a a b" d2="a c" d3="c c c c"  ->  N=3, avgdl=3
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val idx = Corpus.bm25Index(d, "doc_id", "text")
+    def expected(tf: Long, dl: Long, df: Long): Double = {
+      val idf = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+      val w = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+      math.rint(w * 1e4) / 1e4
+    }
+    val one = Corpus.bm25Search(idx, Seq((1L, "a")).toDF("query_id", "qtext"),
+      "query_id", "qtext", k = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(one.keySet == Set(1L, 2L), s"only docs containing 'a' match: $one")
+    assert(math.abs(one(1L)._2 - expected(tf = 2, dl = 3, df = 2)) < 2e-4)
+    assert(math.abs(one(2L)._2 - expected(tf = 1, dl = 2, df = 2)) < 2e-4)
+    // d1 has higher tf at comparable length -> rank 1
+    assert(one(1L)._1 == 1 && one(2L)._1 == 2)
+    // repeating a query term must not double its weight (Okapi with the
+    // query-tf term dropped): "a a" scores identically to "a"
+    val dup = Corpus.bm25Search(idx, Seq((1L, "a a")).toDF("query_id", "qtext"),
+      "query_id", "qtext", k = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(dup == one, s"query-term dedup law broke: $dup vs $one")
+    // exact-duplicate docs score identically; the tie breaks by doc_id asc
+    val twins = Seq((10L, "x y"), (11L, "x y"), (12L, "x z"))
+      .toDF("doc_id", "text")
+    val tw = Corpus.bm25Search(Corpus.bm25Index(twins, "doc_id", "text"),
+      Seq((1L, "y")).toDF("query_id", "qtext"), "query_id", "qtext", k = 10)
+      .orderBy("rank").collect()
+    assert(tw.map(_.getLong(1)).toSeq == Seq(10L, 11L),
+      s"tie must break by doc_id asc: ${tw.toSeq}")
+    assert(tw(0).getDouble(3) == tw(1).getDouble(3))
+    // k truncates; partitioning must not change a single row
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq((1L, "spark table scan"), (2L, "customer value"))
+      .toDF("query_id", "qtext")
+    val a = Corpus.bm25Search(Corpus.bm25Index(docsDf, "doc_id", "text"),
+      qs, "query_id", "qtext", k = 5).orderBy("query_id", "rank").collect()
+    assert(a.length == 10, "k=5 over 2 queries with enough matches")
+    val b = Corpus.bm25Search(
+      Corpus.bm25Index(docsDf.repartition(7), "doc_id", "text"),
+      qs.repartition(3), "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("heavy-hitter sketch cube: exact at large k, bounded with zero false negatives at small k") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // planted stream: "hot" 60x, "warm" 25x, 15 singletons, split over 2 cells
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 15).map(i => s"t$i")
+    val d = rows.zipWithIndex
+      .map { case (t, i) => (if (i % 2 == 0) "a" else "b", t) }
+      .toDF("g", "term")
+    // k >= vocab: cells are exact, rollup is the exact deterministic top-k
+    val cellsBig = Sketches.termSummaryAtGrain(d, Seq("g"), "term", k = 100)
+    assert(cellsBig.count() == 2)
+    val grand = Sketches.rollupHeavyHitters(
+      cellsBig, Seq.empty, "term_mg", k = 100, topK = 2)
+      .orderBy("rank").collect()
+    assert(grand.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq(("hot", 60L, 1), ("warm", 25L, 2)))
+    assert(grand.forall(_.getLong(3) == 0L)) // floor(100/101) = 0
+    // grouped path: per-cell top-1 from the same stored cells
+    val per = Sketches.rollupHeavyHitters(
+      cellsBig, Seq("g"), "term_mg", k = 100, topK = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(per == Map("a" -> "hot", "b" -> "hot"))
+    // small k: summaries stay bounded, the true heavy hitter survives with
+    // its est within the advertised undercount bound
+    val cells = Sketches.termSummaryAtGrain(
+      d.repartition(5), Seq("g"), "term", k = 4)
+    val maps = cells.select("term_mg").collect()
+      .map(_.getMap[String, Long](0))
+    assert(maps.forall(_.size <= 4), "MG cell must hold at most k entries")
+    val hh = Sketches.rollupHeavyHitters(
+      cells, Seq.empty, "term_mg", k = 4, topK = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(hh.contains("hot"), s"share-12%-above-1/(k+1) term must survive: $hh")
+    val (est, rank, bound) = hh("hot")
+    assert(rank == 1)
+    assert(bound == 20L, s"floor(100/5) bound, got $bound") // 100 items, k=4
+    assert(est <= 60L && est >= 60L - bound, s"est $est outside [40, 60]")
+  }
+
   test("frequentTerms: exact threshold set, invariant to partitioning") {
     import graft.operators.Corpus
     import spark.implicits._

@@ -482,6 +482,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 probe broadcasts the query terms and ranks via bounded top-k") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq((1L, "spark table scan")).toDF("query_id", "qtext")
+    val out = graft.operators.Corpus.bm25Search(
+      graft.operators.Corpus.bm25Index(docs, "doc_id", "text"),
+      qs, "query_id", "qtext", k = 5)
+    out.count() // materialize so AQE finalizes the runtime plan
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    // probe side: the postings join on the query's terms must broadcast
+    // the (tiny) query-term table — the index itself never shuffles for
+    // the probe
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"query-term probe join must be broadcast:\n$nodes")
+    // ranking: bounded top-k aggregation, never a data-sized window
+    assert(!nodes.exists(_.contains("Window")),
+      s"bm25 ranking must not window the scored relation:\n$nodes")
+    assert(nodes.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"bounded top-k must plan as partial+final ObjectHashAggregate:\n$nodes")
+  }
+
   test("nearDupDelta prefilters the cross join with a bloom probe") {
     import spark.implicits._
     def toks(b: Int) = (0 until 40).map(kk => s"p${b}_$kk")
