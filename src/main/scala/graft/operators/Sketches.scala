@@ -105,6 +105,35 @@ object Sketches {
     touched.length
   }
 
+  /** Sliding-window distinct counts from STORED per-day sketch cells —
+    * the dashboard form of [[rollupDistinct]]: for every day present in
+    * the store (per `by` group), the approximate distinct count over the
+    * trailing `width` days. The fact is never rescanned: each cell
+    * contributes to at most `width` window ends via a bounded
+    * `sequence` explode (cells × width rows — grain-sized, not
+    * fact-sized), ends are restricted to days that exist in the store,
+    * and one HLL union runs per (group, end). A 90-day rolling
+    * distinct-users panel over a 100 TB event log reads ≤ 90 sketch
+    * rows per group per point instead of re-scanning raw events —
+    * overlapping windows are exactly where mergeable sketches beat both
+    * re-aggregation and windowed COUNT DISTINCT (which cannot be
+    * decomposed at all).
+    *
+    * Output: by ++ (window_end date, `outCol` long estimate). */
+  def slidingDistinct(cells: DataFrame, dayCol: String, width: Int,
+                      sketchCol: String, by: Seq[String] = Seq.empty,
+                      outCol: String = "approx_distinct"): DataFrame = {
+    require(width > 0, s"window width must be positive, got $width")
+    val contrib = cells.select(
+      (by.map(col) :+ col(sketchCol) :+ explode(sequence(col(dayCol),
+        date_add(col(dayCol), width - 1))).as("window_end")): _*)
+    val ends = cells.select((by.map(col) :+ col(dayCol).as("window_end")): _*)
+      .distinct()
+    contrib.join(ends, by :+ "window_end")
+      .groupBy((by.map(col) :+ col("window_end")): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as(outCol))
+  }
+
   /** Per-cell Misra-Gries heavy-hitter summary of `termCol` — the
     * frequent-items member of the sketch-cube family (HLL for DISTINCT,
     * histograms for quantiles, MG for top terms): one bounded ≤`k`-entry

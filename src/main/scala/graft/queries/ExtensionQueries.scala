@@ -2633,6 +2633,52 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
+  // q88 — SLIDING-WINDOW DISTINCT from stored sketches: rolling 7-day
+  //       distinct users per day, answered from per-day HLL cells (one
+  //       event scan ever; each cell feeds ≤ 7 window ends via a
+  //       bounded explode — overlapping windows are exactly where
+  //       mergeable sketches beat re-aggregation, and windowed COUNT
+  //       DISTINCT cannot be decomposed at all). q31/q73 verdict
+  //       pattern: the hash-checked columns are the EXACT rolling
+  //       counts plus a within-5% verdict on the sketch estimate.
+  // -------------------------------------------------------------------
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = events(s, dir).withColumn("day", to_date(col("ts")))
+    val cells = Sketches.distinctSketchAtGrain(ev, Seq("day"), "user_id")
+    val approx = Sketches.slidingDistinct(cells, "day", width = 7,
+      "user_id_sketch")
+    // exact twin for the verdict: same bounded contribution explode over
+    // per-day DISTINCT (day, user) pairs — linear, never a self-join
+    val du = ev.select(col("day"), col("user_id")).distinct()
+    val ends = du.select(col("day").as("window_end")).distinct()
+    val exact = du
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), 6))).as("window_end"))
+      .join(ends, "window_end")
+      .groupBy("window_end")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    sorted(exact.join(approx, Seq("window_end"))
+      .select(col("window_end"), col("n_users"),
+        (abs(col("approx_distinct") - col("n_users"))
+          <= col("n_users") * lit(0.05)).cast("int").as("approx_ok")))
+  }
+
+  val q88Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), ends AS (
+      |  SELECT DISTINCT day AS window_end FROM du
+      |)
+      |SELECT e.window_end, COUNT(DISTINCT du.user_id) AS n_users,
+      |       1 AS approx_ok
+      |FROM ends e
+      |JOIN du ON du.day BETWEEN e.window_end - INTERVAL 6 DAY
+      |                      AND e.window_end
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
   // q87 — RANGE-ROUTED navigation: the time-sliced dashboard panel
   //       (d_year >= 1995) answered from the stored seg×year summary —
   //       a range predicate routes exactly like equality because a
@@ -2855,6 +2901,7 @@ object ExtensionQueries {
     ("q84_nav_stream", q84 _, q84Sql),
     ("q85_bm25_search", q85 _, q85Sql),
     ("q86_heavy_hitters", q86 _, q86Sql),
-    ("q87_range_routed", q87 _, q87Sql)
+    ("q87_range_routed", q87 _, q87Sql),
+    ("q88_sliding_distinct", q88 _, q88Sql)
   )
 }

@@ -610,6 +610,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("sliding distinct from stored cells: correct unions, ends only on stored days") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // Jan1 {1,2}; Jan2 {2,3}; Jan5 {9} — a gap so phantom ends would show
+    val ev = Seq(
+      (d("2024-01-01"), 1L), (d("2024-01-01"), 2L),
+      (d("2024-01-02"), 2L), (d("2024-01-02"), 3L),
+      (d("2024-01-05"), 9L)).toDF("day", "user_id")
+    val cells = Sketches.distinctSketchAtGrain(ev, Seq("day"), "user_id")
+    val slid = Sketches.slidingDistinct(cells, "day", width = 2,
+      "user_id_sketch")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // HLL is exact at these cardinalities (sparse mode)
+    assert(slid == Map(
+      "2024-01-01" -> 2L,  // {1,2}
+      "2024-01-02" -> 3L,  // {1,2,3} — union across the 2-day window
+      "2024-01-05" -> 1L), // {9}; Jan3/Jan6 must NOT appear (no data day)
+      s"got $slid")
+    // width=1 degenerates to the per-day rollup
+    val daily = Sketches.slidingDistinct(cells, "day", width = 1,
+      "user_id_sketch")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(daily == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L,
+      "2024-01-05" -> 1L))
+    // grouped: windows stay inside each group
+    val ge = Seq(("a", d("2024-01-01"), 1L), ("b", d("2024-01-02"), 2L))
+      .toDF("g", "day", "user_id")
+    val gc = Sketches.distinctSketchAtGrain(ge, Seq("g", "day"), "user_id")
+    val gs = Sketches.slidingDistinct(gc, "day", width = 7,
+      "user_id_sketch", by = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    assert(gs == Map(("a", "2024-01-01") -> 1L, ("b", "2024-01-02") -> 1L),
+      s"group a's cell must not leak into group b's window: $gs")
+  }
+
   test("heavy-hitter sketch cube: exact at large k, bounded with zero false negatives at small k") {
     import graft.operators.Sketches
     import spark.implicits._
