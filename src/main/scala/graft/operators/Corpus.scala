@@ -239,6 +239,136 @@ object Corpus {
       explode(tokens(col(qTextCol))).as("term"))
       .filter(col("term") =!= "")
       .distinct()
+    bm25Rank(index, qt, k)
+  }
+
+  /** One-shot convenience: build the index and search it in one plan. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qIdCol: String, qTextCol: String,
+                 k: Int): DataFrame =
+    bm25Search(bm25Index(docs, idCol, textCol), queries, qIdCol, qTextCol, k)
+
+  // -------------------------------------------------------------------
+  // Incremental BM25 store — the batch-ingest production shape: an
+  // APPEND-ONLY index a delta folds into at delta cost, queried with
+  // scan-level term pushdown. Stored under `path`:
+  //   postings/batch=N  (term, doc_id, tf)   raw term counts
+  //   doclen/batch=N    (doc_id, dl)         per-doc token counts
+  //   stats/batch=N     (n_docs, total_dl)   additive corpus stats
+  // Weights are NOT precomputed (unlike the one-shot bm25Index): df, N
+  // and avgdl shift with every ingest, so the store keeps the exact
+  // additive inputs and the probe derives idf/norms for just the probed
+  // terms. Since stored (term, doc) rows are globally unique (fresh-id
+  // contract, enforced), df for a probed term is simply the count of
+  // its postings rows — no separate df table to maintain.
+  // -------------------------------------------------------------------
+
+  private def bm25Parts(docs: DataFrame, idCol: String, textCol: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    (tf.select("term", "doc_id", "tf"), dl, stats)
+  }
+
+  private def bm25NextBatch(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.drop(6).toInt }
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Create the store at `path` (must not already exist) from an initial
+    * corpus — one tokenization pass, three writes. */
+  def saveBm25Store(docs: DataFrame, idCol: String, textCol: String,
+                    path: String): Unit = {
+    val spark = docs.sparkSession
+    require(bm25NextBatch(spark, path) == 0,
+      s"bm25 store already exists at $path — use refreshBm25Store")
+    writeBm25Batch(docs, idCol, textCol, path, 0)
+  }
+
+  /** Fold an insert-only delta into the store at delta cost: tokenize
+    * the delta once, append postings/doclen/stats as a new batch
+    * directory — the existing index is never read, rewritten, or
+    * shuffled (only `doclen` is SCANNED once for the freshness check).
+    * Re-ingesting an already-indexed doc_id would double its postings
+    * and silently corrupt every future score, so overlapping ids fail
+    * fast with examples before anything is written. */
+  def refreshBm25Store(delta: DataFrame, idCol: String, textCol: String,
+                       path: String): Unit = {
+    val spark = delta.sparkSession
+    val next = bm25NextBatch(spark, path)
+    require(next > 0, s"no bm25 store at $path — use saveBm25Store")
+    val dup = spark.read.parquet(s"$path/doclen")
+      .join(delta.select(col(idCol).as("doc_id")).distinct(), "doc_id")
+      .select("doc_id").limit(3).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"delta re-ingests already-indexed doc ids (e.g. ${dup.mkString(", ")}) " +
+        "— refresh is insert-only; dedup the delta first (Dedup.exactDelta)")
+    writeBm25Batch(delta, idCol, textCol, path, next)
+  }
+
+  private def writeBm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                             path: String, batch: Int): Unit = {
+    val (tf, dl, stats) = bm25Parts(docs, idCol, textCol)
+    tf.write.mode("errorifexists").parquet(s"$path/postings/batch=$batch")
+    dl.write.mode("errorifexists").parquet(s"$path/doclen/batch=$batch")
+    stats.write.mode("errorifexists").parquet(s"$path/stats/batch=$batch")
+  }
+
+  /** BM25 top-`k` per query against the STORE — identical scores to a
+    * from-scratch [[bm25Index]] + [[bm25Search]] over everything ever
+    * ingested (the refresh law PipelineOpsSpec pins).
+    *
+    * Probe shape at 100 TB: the query's distinct terms are collected
+    * driver-side (a request, not data) and pushed into the postings
+    * scan as an `isin` literal — the scan skips non-matching row
+    * groups via parquet min/max, and only matched postings (Σ df over
+    * probed terms) ever reach a join or shuffle. df/idf derive from
+    * those same matched rows; `doclen` joins once on doc_id for the
+    * matched docs; `stats` folds to one row. Ranking is the bounded
+    * top-k aggregation, scores rounded before ranking as in
+    * [[bm25Search]]. */
+  def bm25SearchStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, qIdCol: String, qTextCol: String,
+                       k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queries.select(col(qIdCol).as("query_id"),
+      explode(tokens(col(qTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val terms = qt.select("term").distinct().collect().map(_.getString(0))
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms.toSeq: _*))
+      .select("term", "doc_id", "tf")
+    val dfq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$path/doclen").select("doc_id", "dl")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs").as("n_docs"),
+        (sum("total_dl").cast("double") / sum("n_docs")).as("avgdl"))
+    val weighted = post
+      .join(graft.model.Joins.maybeBroadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(graft.model.Joins.maybeBroadcast(stats))
+      .withColumn("weight", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select("term", "doc_id", "weight")
+    bm25Rank(weighted, qt, k)
+  }
+
+  /** Shared ranking tail: broadcast query-term join, per-(query, doc)
+    * rounded score, bounded top-k. */
+  private def bm25Rank(index: DataFrame, qt: DataFrame, k: Int): DataFrame = {
     val scored = index
       .join(broadcast(qt), "term")
       .groupBy("query_id", "doc_id")
@@ -252,12 +382,6 @@ object Corpus {
       .select(col("query_id"), col("it.id").as("doc_id"),
         (col("idx") + 1).as("rank"), col("it.score").as("score"))
   }
-
-  /** One-shot convenience: build the index and search it in one plan. */
-  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
-                 queries: DataFrame, qIdCol: String, qTextCol: String,
-                 k: Int): DataFrame =
-    bm25Search(bm25Index(docs, idCol, textCol), queries, qIdCol, qTextCol, k)
 
   /** Temperature-weighted corpus mixing (the multi-source sampling recipe:
     * sample source s with probability ∝ tokens_s^T). T=1 is proportional

@@ -2633,6 +2633,37 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
+  // q89 — INCREMENTAL BM25: the store is built from the first half of
+  //       the corpus, the second half folds in as an append-only batch
+  //       (existing postings never read or rewritten; overlapping ids
+  //       fail fast), and the probe — query terms pushed into the
+  //       postings scan as literals, df/idf derived from the matched
+  //       rows — must rank EXACTLY like a from-scratch index over the
+  //       full corpus: the oracle is the same full-corpus BM25 SQL as
+  //       q85 (the q55 ≡-plain-anti-join doctrine applied to search).
+  // -------------------------------------------------------------------
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Corpus
+    val d = docs(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q89_bm25_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Corpus.saveBm25Store(d.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", root)
+    Corpus.refreshBm25Store(d.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", root)
+    val qs = q85Queries.toDF("query_id", "qtext")
+    sorted(Corpus.bm25SearchStored(s, root, qs, "query_id", "qtext", k = 10))
+  }
+
+  // def, not val: q85Sql is defined LATER in the file — a val here would
+  // capture null during object init and silently vanish from oracleSql
+  def q89Sql: String = q85Sql
+
+  // -------------------------------------------------------------------
   // q88 — SLIDING-WINDOW DISTINCT from stored sketches: rolling 7-day
   //       distinct users per day, answered from per-day HLL cells (one
   //       event scan ever; each cell feeds ≤ 7 window ends via a
@@ -2902,6 +2933,7 @@ object ExtensionQueries {
     ("q85_bm25_search", q85 _, q85Sql),
     ("q86_heavy_hitters", q86 _, q86Sql),
     ("q87_range_routed", q87 _, q87Sql),
-    ("q88_sliding_distinct", q88 _, q88Sql)
+    ("q88_sliding_distinct", q88 _, q88Sql),
+    ("q89_bm25_incremental", q89 _, q89Sql)
   )
 }

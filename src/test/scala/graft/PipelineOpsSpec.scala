@@ -610,6 +610,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("bm25 store: refresh equals a from-scratch index; re-ingest fails fast") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("bm25_store").toString + "/idx"
+    Corpus.saveBm25Store(docsDf.filter(col("doc_id") < 250),
+      "doc_id", "text", root)
+    Corpus.refreshBm25Store(docsDf.filter(col("doc_id") >= 250),
+      "doc_id", "text", root)
+    val qs = Seq((1L, "spark table scan"), (2L, "customer value"))
+      .toDF("query_id", "qtext")
+    val stored = Corpus.bm25SearchStored(spark, root, qs,
+      "query_id", "qtext", k = 8).orderBy("query_id", "rank").collect()
+    val oneShot = Corpus.bm25Search(
+      Corpus.bm25Index(docsDf, "doc_id", "text"), qs,
+      "query_id", "qtext", k = 8).orderBy("query_id", "rank").collect()
+    assert(stored.sameElements(oneShot),
+      "incrementally-built store must rank exactly like a full rebuild")
+    // double-create and overlapping-id refresh both fail before writing
+    intercept[IllegalArgumentException] {
+      Corpus.saveBm25Store(docsDf.limit(1), "doc_id", "text", root)
+    }
+    val before = Corpus.bm25SearchStored(spark, root, qs,
+      "query_id", "qtext", k = 8).collect()
+    val err = intercept[IllegalArgumentException] {
+      Corpus.refreshBm25Store(docsDf.filter(col("doc_id") === 7),
+        "doc_id", "text", root)
+    }
+    assert(err.getMessage.contains("insert-only"))
+    val after = Corpus.bm25SearchStored(spark, root, qs,
+      "query_id", "qtext", k = 8).collect()
+    assert(before.sameElements(after), "failed refresh must leave the store untouched")
+    // probe pushdown: the literal term filter reaches the postings scan
+    val probe = Corpus.bm25SearchStored(spark, root,
+      Seq((1L, "spark")).toDF("query_id", "qtext"), "query_id", "qtext", k = 3)
+    probe.collect()
+    val scans = probe.queryExecution.executedPlan.toString
+    // a 1-term isin folds to EqualTo; multi-term plans push In
+    assert(scans.contains("EqualTo(term,spark)") || scans.contains("In(term"),
+      s"query terms must push into the postings scan:\n$scans")
+  }
+
   test("sliding distinct from stored cells: correct unions, ends only on stored days") {
     import graft.operators.Sketches
     import spark.implicits._
