@@ -2799,10 +2799,15 @@ object ExtensionQueries {
   //       top-k). Scores rounded to 4 decimals BEFORE ranking so
   //       cross-engine ln()/summation-order drift cannot flip a rank.
   // -------------------------------------------------------------------
+  // each query carries plain AND "_0"-suffixed variants of its terms:
+  // absent terms fall out of the inner postings join, so at sf the plain
+  // forms match and at the 8x validation scale (where make_bigsf.py
+  // replica-suffixes every token) the _0 forms match replica 0 — the
+  // same literal query set is non-vacuous at both scales
   private val q85Queries: Seq[(Long, String)] = Seq(
-    (1L, "spark table scan"),
-    (2L, "customer order value merge"),
-    (3L, "window agg stream batch sort"))
+    (1L, "spark table scan spark_0 table_0 scan_0"),
+    (2L, "customer order value merge customer_0 order_0 value_0 merge_0"),
+    (3L, "window agg stream batch sort window_0 agg_0 stream_0 batch_0 sort_0"))
 
   def q85(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
