@@ -263,26 +263,50 @@ object Corpus {
   // its postings rows — no separate df table to maintain.
   // -------------------------------------------------------------------
 
-  private def bm25Parts(docs: DataFrame, idCol: String, textCol: String)
-  : (DataFrame, DataFrame, DataFrame) = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+  private def bm25Tf(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    (tf.select("term", "doc_id", "tf"), dl, stats)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf")
+
+  private def bm25Batches(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
+
+  /** The committed-batch set: `stats/batch=N` is written LAST and is the
+    * batch's commit marker — postings/doclen directories without it are
+    * crash debris ([[bm25Recover]] removes them; the probe ignores them
+    * either way). */
+  private def bm25Committed(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+    bm25Batches(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Remove uncommitted batch directories (written but never reached the
+    * stats commit marker) so a crashed ingest cannot poison scores or
+    * block its own retry. Runs before every save/refresh. */
+  private def bm25Recover(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val committed = bm25Batches(statsDir.getFileSystem(conf), statsDir).toSet
+    for (sub <- Seq("postings", "doclen")) {
+      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = d.getFileSystem(conf)
+      bm25Batches(fs, d).filterNot(committed).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub/batch=$b"), true)
+      }
+    }
   }
 
   private def bm25NextBatch(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") => s.drop(6).toInt }
-      .foldLeft(-1)(math.max) + 1
-  }
+                            path: String): Long =
+    bm25Committed(spark, path).foldLeft(-1L)(math.max) + 1
 
   /** Create the store at `path` (must not already exist) from an initial
     * corpus — one tokenization pass, three writes. */
@@ -291,7 +315,8 @@ object Corpus {
     val spark = docs.sparkSession
     require(bm25NextBatch(spark, path) == 0,
       s"bm25 store already exists at $path — use refreshBm25Store")
-    writeBm25Batch(docs, idCol, textCol, path, 0)
+    bm25Recover(spark, path)
+    writeBm25Batch(docs, idCol, textCol, path, 0L)
   }
 
   /** Fold an insert-only delta into the store at delta cost: tokenize
@@ -306,6 +331,7 @@ object Corpus {
     val spark = delta.sparkSession
     val next = bm25NextBatch(spark, path)
     require(next > 0, s"no bm25 store at $path — use saveBm25Store")
+    bm25Recover(spark, path)
     val dup = spark.read.parquet(s"$path/doclen")
       .join(delta.select(col(idCol).as("doc_id")).distinct(), "doc_id")
       .select("doc_id").limit(3).collect().map(_.get(0))
@@ -315,12 +341,25 @@ object Corpus {
     writeBm25Batch(delta, idCol, textCol, path, next)
   }
 
-  private def writeBm25Batch(docs: DataFrame, idCol: String, textCol: String,
-                             path: String, batch: Int): Unit = {
-    val (tf, dl, stats) = bm25Parts(docs, idCol, textCol)
-    tf.write.mode("errorifexists").parquet(s"$path/postings/batch=$batch")
-    dl.write.mode("errorifexists").parquet(s"$path/doclen/batch=$batch")
-    stats.write.mode("errorifexists").parquet(s"$path/stats/batch=$batch")
+  /** One ingest batch: tokenize ONCE into the postings write, then derive
+    * doclen and stats by reading the just-written (columnar, much
+    * smaller) tables back — three chained actions over one raw-text
+    * scan, instead of re-tokenizing per derived table. `overwrite` mode
+    * is the streaming-replay path (a replayed micro-batch rewrites its
+    * own batch directory instead of double-counting). */
+  private[graft] def writeBm25Batch(docs: DataFrame, idCol: String,
+                                    textCol: String, path: String,
+                                    batch: Long,
+                                    mode: String = "errorifexists"): Unit = {
+    val spark = docs.sparkSession
+    bm25Tf(docs, idCol, textCol)
+      .write.mode(mode).parquet(s"$path/postings/batch=$batch")
+    spark.read.parquet(s"$path/postings/batch=$batch")
+      .groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode(mode).parquet(s"$path/doclen/batch=$batch")
+    spark.read.parquet(s"$path/doclen/batch=$batch")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      .write.mode(mode).parquet(s"$path/stats/batch=$batch")
   }
 
   /** BM25 top-`k` per query against the STORE — identical scores to a
@@ -346,11 +385,18 @@ object Corpus {
       .filter(col("term") =!= "")
       .distinct()
     val terms = qt.select("term").distinct().collect().map(_.getString(0))
-    val post = spark.read.parquet(s"$path/postings")
+    // only committed batches (stats marker present): an in-flight or
+    // crashed ingest's partial postings must not skew df/scores — the
+    // batch filter prunes whole partition directories at the scan
+    val committed = bm25Committed(spark, path)
+    require(committed.nonEmpty, s"no committed bm25 batches at $path")
+    def reader(sub: String) = spark.read.parquet(s"$path/$sub")
+      .filter(col("batch").isin(committed: _*))
+    val post = reader("postings")
       .filter(col("term").isin(terms.toSeq: _*))
       .select("term", "doc_id", "tf")
     val dfq = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$path/doclen").select("doc_id", "dl")
+    val dl = reader("doclen").select("doc_id", "dl")
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum("n_docs").as("n_docs"),
         (sum("total_dl").cast("double") / sum("n_docs")).as("avgdl"))

@@ -138,6 +138,39 @@ object DocStreaming {
     * micro-batch ([[recoverCompaction]] runs before every store read),
     * so a restarted stream never dedups against a store missing its
     * compacted shingles. */
+  /** Streaming BM25 index maintenance — the streaming twin of
+    * [[graft.operators.Corpus.refreshBm25Store]]: each micro-batch's
+    * postings/doclen/stats land in per-batch-id partition directories
+    * (`batch=<streaming batch id>`), so per-trigger cost is the batch's
+    * own tokenize + two small derived aggregations — earlier batches are
+    * never read or rewritten. Replay-safe two ways: a replayed
+    * micro-batch OVERWRITES its own directories instead of
+    * double-counting, and `stats` (written last) is the commit marker —
+    * [[graft.operators.Corpus.bm25SearchStored]] ignores uncommitted
+    * batch dirs, so a crash mid-write can skew nothing. The store dir
+    * must be stream-owned (this stream creates it; batch-built stores
+    * number batches from 0 and would collide) and is searchable at any
+    * point, mid-stream included.
+    *
+    * Cross-batch duplicate doc ids are NOT checked here — the batch
+    * refresh's doclen scan would make every trigger pay a store-sized
+    * read; dedup upstream instead ([[dedupExact]] composes directly, or
+    * [[startNearDupDedup]] for near-dups). */
+  def startBm25Ingest(docs: DataFrame, idCol: String, textCol: String,
+                      storeDir: String, checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow())
+  : StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      graft.operators.Corpus.writeBm25Batch(batch, idCol, textCol,
+        storeDir, batchId, mode = "overwrite")
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
+
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    storeDir: String): Unit =
     StoreCompaction.compact(spark, storeDir, Seq("doc_id", "s"))

@@ -158,6 +158,43 @@ class StreamingSpec extends SparkSpec {
       "a cross-batch near-dup copy survived")
   }
 
+  test("streaming BM25 ingest equals a from-scratch index; uncommitted debris is ignored") {
+    import graft.operators.Corpus
+    import graft.streaming.DocStreaming
+    import spark.implicits._
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_stream").toString
+    docsDf.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(dir)
+    docsDf.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val store = java.nio.file.Files.createTempDirectory("bm25_sstore")
+      .toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_sckpt").toString
+    val stream = spark.readStream.schema(docsDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    DocStreaming.startBm25Ingest(stream, "doc_id", "text", store, ckpt)
+      .awaitTermination(120000)
+    val qs = Seq((1L, "spark table scan")).toDF("query_id", "qtext")
+    val streamed = Corpus.bm25SearchStored(spark, store, qs,
+      "query_id", "qtext", k = 8).orderBy("rank").collect()
+    val oneShot = Corpus.bm25Search(
+      Corpus.bm25Index(docsDf, "doc_id", "text"), qs,
+      "query_id", "qtext", k = 8).orderBy("rank").collect()
+    assert(streamed.sameElements(oneShot),
+      "stream-built store must rank exactly like a full rebuild")
+    // crash debris: postings without the stats commit marker must not
+    // skew a single score
+    docsDf.limit(50).select(lit("spark").as("term"),
+      (col("doc_id") + 900000L).as("doc_id"), lit(99L).as("tf"))
+      .write.parquet(s"$store/postings/batch=77")
+    val afterDebris = Corpus.bm25SearchStored(spark, store, qs,
+      "query_id", "qtext", k = 8).orderBy("rank").collect()
+    assert(afterDebris.sameElements(streamed),
+      "uncommitted batch directory leaked into the probe")
+  }
+
   test("streaming near-dup dedup survives a restart between micro-batches") {
     import graft.streaming.DocStreaming
     import spark.implicits._
