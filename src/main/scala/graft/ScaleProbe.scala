@@ -264,15 +264,51 @@ object ScaleProbe {
           d.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
           "doc_id", "source",
           (0 until 20).map(i => i.toString -> 50).toMap).count()
+      },
+      // replica-suffixed tokens grow the vocabulary factor× but each MG
+      // cell stays ≤ k entries — one token scan + a grain-sized rollup,
+      // so the honest bound is linear-in-tokens
+      "hh" -> timed(s"$tag heavy-hitter cells+rollup") {
+        val tok = d.select(pmod(col("doc_id"), lit(20)).as("g"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        graft.operators.Sketches.rollupHeavyHitters(
+          graft.operators.Sketches.termSummaryAtGrain(
+            tok, Seq("g"), "term", k = 4096),
+          Seq("g"), "term_mg", k = 4096, topK = 5).count()
       })
+
+    // BM25 store: build is one tokenize pass (linear); the probe's fixed
+    // replica-0 query terms match a CONSTANT posting set at every factor,
+    // so probe cost must stay ~flat — the scan prunes on the pushed term
+    // literals, and a probe that re-read or shuffled the whole index
+    // would read as ~linear here
+    def bm25Step(tag: String, d: DataFrame, n: Int): Map[String, Double] = {
+      import spark.implicits._
+      val root = s"/tmp/graft_probe_bm25_$n"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val build = timed(s"$tag bm25 store build") {
+        graft.operators.Corpus.saveBm25Store(d, "doc_id", "text", root); 1L
+      }
+      val qs = Seq((1L, "spark_0 table_0 scan_0"),
+        (2L, "customer_0 order_0 value_0 merge_0")).toDF("query_id", "qtext")
+      val probe = timed(s"$tag bm25 probe (fixed queries)") {
+        graft.operators.Corpus.bm25SearchStored(spark, root, qs,
+          "query_id", "qtext", k = 10).count()
+      }
+      Map("bm25build" -> build, "bm25probe" -> probe)
+    }
 
     println(s"[probe] corpus 1x = $nDocs docs; factor = $factor")
     val d1 = dedupSuite("1x", docsN(1))
     val dN = dedupSuite(s"${factor}x", docsN(factor))
     val a1 = annSuite("1x", embN(1))
     val aN = annSuite(s"${factor}x", embN(factor))
-    val p1 = pipeSuite("1x", docsN(1))
-    val pN = pipeSuite(s"${factor}x", docsN(factor))
+    val p1 = pipeSuite("1x", docsN(1)) ++ bm25Step("1x", docsN(1), 1)
+    val pN = pipeSuite(s"${factor}x", docsN(factor)) ++
+      bm25Step(s"${factor}x", docsN(factor), factor)
     val e1 = eventsSuite("1x", evN(1)) ++ ingestStep("1x", 1) ++
       navStep("1x", 1)
     val eN = eventsSuite(s"${factor}x", evN(factor)) ++

@@ -165,6 +165,87 @@ object Sketches {
         :+ col("n_items")): _*)
   }
 
+  /** Persist a heavy-hitters cube: one MG cell per `grain` row,
+    * hive-partitioned by `partitionBy` (one of the grain columns — the
+    * ingest unit) so [[ingestTermSummary]] touches only the delta's
+    * partitions. */
+  def saveTermSummaryCube(df: DataFrame, path: String, grain: Seq[String],
+                          termCol: String, partitionBy: String,
+                          k: Int = 1024): Unit = {
+    require(grain.contains(partitionBy),
+      s"partition column $partitionBy must be part of the grain $grain")
+    termSummaryAtGrain(df, grain, termCol, k)
+      .write.mode("overwrite").partitionBy(partitionBy).parquet(path)
+  }
+
+  /** Incremental maintenance of a stored heavy-hitters cube — the
+    * [[ingestSketchCube]] protocol for MG cells: summarize the raw delta
+    * at grain (ONE delta scan, never of history), read ONLY the touched
+    * store partitions, merge cell-wise with the standard mergeable-
+    * summaries MG step — add counters per term, and when a merged cell
+    * exceeds `k` entries subtract its (k+1)-th largest count from every
+    * counter and drop non-positives (≤ k survive; the undercount grows
+    * by the subtracted cut, staying within the summed n/(k+1) bound
+    * [[rollupHeavyHitters]] reports) — then rewrite just those
+    * partitions via dynamic partition overwrite. With `k` ≥ the merged
+    * cell's vocabulary the cut is 0 and the maintained store is
+    * EXACTLY a from-scratch rebuild.
+    *
+    * The per-cell merge runs as a keyed window over ≤ 2k candidates per
+    * cell (store cell + delta cell) — grain-sized work, never
+    * fact-sized. NOT idempotent under replay (counts are additive):
+    * journal batch ids upstream as
+    * [[graft.io.CubeIO]]'s `ingestIntoStarOnce` does.
+    *
+    * @return number of partitions rewritten */
+  def ingestTermSummary(spark: org.apache.spark.sql.SparkSession,
+                        path: String, delta: DataFrame, grain: Seq[String],
+                        termCol: String, partitionBy: String,
+                        k: Int = 1024): Int = {
+    require(grain.contains(partitionBy),
+      s"partition column $partitionBy must be part of the grain $grain")
+    val mgCol = s"${termCol}_mg"
+    val deltaCells = termSummaryAtGrain(delta, grain, termCol, k)
+    val touched = deltaCells.select(col(partitionBy)).distinct().collect()
+      .map(_.get(0))
+    if (touched.isEmpty) return 0
+    val touchedFilter = touched.map(v => col(partitionBy) <=> lit(v))
+      .reduce(_ || _)
+    val existing = spark.read.parquet(path)
+      .filter(touchedFilter)
+      .select(deltaCells.columns.map(col).toSeq: _*)
+    val both = existing.unionByName(deltaCells)
+    val entries = both.select(
+      (grain.map(col) :+ explode(col(mgCol)).as(Seq("term", "__c"))): _*)
+      .groupBy((grain.map(col) :+ col("term")): _*)
+      .agg(sum("__c").as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grain.map(col): _*)
+      .orderBy(col("__c").desc, col("term").asc)
+    // the (k+1)-th largest summed count is the MG merge cut; cells with
+    // <= k terms have no (k+1)-th entry -> cut 0 via the left join
+    val cuts = entries.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === k + 1)
+      .select((grain.map(col) :+ col("__c").as("__cut")): _*)
+    val ns = both.groupBy(grain.map(col): _*)
+      .agg(sum("n_items").as("n_items"))
+    val merged = entries
+      .join(cuts, grain, "left")
+      .withColumn("__c2", col("__c") - coalesce(col("__cut"), lit(0L)))
+      .filter(col("__c2") > 0)
+      .groupBy(grain.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("term"), col("__c2"))))
+        .as(mgCol))
+      .join(ns, grain)
+      .select((grain.map(col) :+ col(mgCol) :+ col("n_items")): _*)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy)
+      .parquet(path)
+    touched.length
+  }
+
   /** Top-`topK` terms per `by` group from STORED [[termSummaryAtGrain]]
     * cells — no fact access. Summed lower-bound counts undercount each
     * term by at most Σ n_cell/(k+1) over the group's cells (a term absent

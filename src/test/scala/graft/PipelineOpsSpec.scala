@@ -652,6 +652,48 @@ class PipelineOpsSpec extends SparkSpec {
       s"query terms must push into the postings scan:\n$scans")
   }
 
+  test("heavy-hitter cube ingest: equals rebuild at large k, compresses beyond k") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    def tok(rows: Seq[(String, String)]) = rows.toDF("g", "term")
+    val a = tok(Seq.fill(30)("d1" -> "hot") ++ Seq.fill(5)("d1" -> "warm")
+      ++ Seq.fill(4)("d2" -> "x"))
+    val b = tok(Seq.fill(30)("d1" -> "hot") ++ Seq.fill(20)("d1" -> "warm")
+      ++ Seq.fill(3)("d1" -> "cool") ++ (1 to 6).map(i => "d3" -> s"t$i"))
+    // large k: incrementally-maintained store == from-scratch rebuild,
+    // including cells the build never saw (d3) and untouched cells (d2)
+    val store = java.nio.file.Files.createTempDirectory("hh_cube").toString + "/c"
+    Sketches.saveTermSummaryCube(a, store, Seq("g"), "term", "g", k = 64)
+    val touched = Sketches.ingestTermSummary(spark, store, b,
+      Seq("g"), "term", "g", k = 64)
+    assert(touched == 2) // d1 merged, d3 created; d2 untouched
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Map[String, Long]]("term_mg"), r.getAs[Long]("n_items"))))
+      .toMap
+    val maintained = cellsOf(spark.read.parquet(store))
+    val rebuilt = cellsOf(
+      Sketches.termSummaryAtGrain(a.unionByName(b), Seq("g"), "term", k = 64))
+    assert(maintained == rebuilt,
+      s"maintained store diverged from rebuild:\n$maintained\nvs\n$rebuilt")
+    // rollup from the maintained store is the exact top-k
+    val top = Sketches.rollupHeavyHitters(spark.read.parquet(store),
+      Seq.empty, "term_mg", k = 64, topK = 2).orderBy("rank").collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("hot", 60L), ("warm", 25L)))
+    // small k: a merged cell beyond k compresses with the MG cut — size
+    // stays bounded, the heavy term survives, bound covers the est gap
+    val store2 = java.nio.file.Files.createTempDirectory("hh_cube2").toString + "/c"
+    Sketches.saveTermSummaryCube(a, store2, Seq("g"), "term", "g", k = 2)
+    Sketches.ingestTermSummary(spark, store2, b, Seq("g"), "term", "g", k = 2)
+    val d1 = cellsOf(spark.read.parquet(store2))("d1")
+    assert(d1._1.size <= 2, s"merged cell must stay <= k entries: $d1")
+    assert(d1._1.contains("hot"), s"majority term evicted by the merge cut: $d1")
+    assert(d1._2 == 88L) // 35 from the build + 53 from the delta
+    assert(d1._1("hot") <= 60L && d1._1("hot") >= 60L - 88L / 3,
+      s"hot estimate outside the n/(k+1) bound: $d1")
+  }
+
   test("sliding distinct from stored cells: correct unions, ends only on stored days") {
     import graft.operators.Sketches
     import spark.implicits._
