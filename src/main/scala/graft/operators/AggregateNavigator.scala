@@ -86,18 +86,79 @@ object AggregateNavigator {
                                     aggs: Seq[String], srcs: Seq[String],
                                     outs: Seq[String])
 
+  // The manifest is one tiny metadata record — written and read DRIVER-
+  // side (hand-emitted JSON + a Jackson tree parse, both from Spark's own
+  // shipped libraries): launching a distributed job with a Dataset
+  // encoder for it cost a job per build/refresh and tripped a harmless
+  // but noisy whole-stage-codegen fallback on the nested-Seq encoder.
+  // Format (single JSON object, same field names the encoder produced)
+  // and directory layout are unchanged, so stores written by either
+  // implementation read back identically.
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def writeMeta(spark: SparkSession, root: String,
                         sums: Seq[Summary], measures: Seq[NavMeasure]): Unit = {
-    import spark.implicits._
-    Seq(Manifest(sums.map(_.name), sums.map(_.grain), sums.map(_.path),
-      sums.map(_.rows), measures.map(_.agg), measures.map(_.src),
-      measures.map(_.name))).toDS()
-      .write.mode("overwrite").json(s"$root/manifest")
+    def arr(vs: Seq[String]): String = vs.mkString("[", ",", "]")
+    val json =
+      s"""{"names":${arr(sums.map(s => jstr(s.name)))},""" +
+        s""""grains":${arr(sums.map(s => arr(s.grain.map(jstr))))},""" +
+        s""""paths":${arr(sums.map(s => jstr(s.path)))},""" +
+        s""""rows":${arr(sums.map(_.rows.toString))},""" +
+        s""""aggs":${arr(measures.map(m => jstr(m.agg)))},""" +
+        s""""srcs":${arr(measures.map(m => jstr(m.src)))},""" +
+        s""""outs":${arr(measures.map(m => jstr(m.name)))}}"""
+    val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".manifest.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+    // drop any previous manifest files (incl. the old Dataset-writer's
+    // part-* layout) before the rename so readers see exactly one record
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName != tmp.getName).foreach(fs.delete(_, false))
+    fs.rename(tmp, target)
   }
 
   private def readMeta(spark: SparkSession, root: String): Manifest = {
-    import spark.implicits._
-    spark.read.json(s"$root/manifest").as[Manifest].head()
+    val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // manifest.json normally; part-* for stores written by the previous
+    // Dataset-based writer
+    val file = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName == "manifest.json" || p.getName.startsWith("part-"))
+      .sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalStateException(s"no manifest under $dir"))
+    val in = fs.open(file)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text.trim)
+    def strs(f: String): Seq[String] = {
+      val it = node.get(f).elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq
+    }
+    def strss(f: String): Seq[Seq[String]] = {
+      val it = node.get(f).elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map { i =>
+        val inner = i.next().elements()
+        Iterator.continually(inner).takeWhile(_.hasNext)
+          .map(_.next().asText()).toSeq
+      }.toSeq
+    }
+    def longs(f: String): Seq[Long] = {
+      val it = node.get(f).elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asLong()).toSeq
+    }
+    Manifest(strs("names"), strss("grains"), strs("paths"), longs("rows"),
+      strs("aggs"), strs("srcs"), strs("outs"))
   }
 
   /** The single-pass all-grains plan shared by build and refresh: one
