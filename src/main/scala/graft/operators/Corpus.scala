@@ -287,21 +287,67 @@ object Corpus {
     bm25Batches(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Remove uncommitted batch directories (written but never reached the
-    * stats commit marker) so a crashed ingest cannot poison scores or
-    * block its own retry. Runs before every save/refresh. */
+  /** Heal the store before trusting it: finish or discard any
+    * interrupted [[compactBm25Store]] (per sub-store, the shared
+    * [[graft.streaming.StoreCompaction]] contract), then remove
+    * uncommitted batch directories (written but never reached the stats
+    * commit marker) so a crashed ingest cannot poison scores or block
+    * its own retry. `batch=-1` is the compacted snapshot and is never
+    * debris — compaction runs sub-store by sub-store (stats LAST), so a
+    * postings `batch=-1` can legitimately exist before stats lists it. */
+  /** Finish/discard an interrupted compaction only — safe while an
+    * ingest is in flight (acts only when a `.compact_tmp` exists, and
+    * compaction requires the stream stopped), unlike the debris deletion
+    * in [[bm25Recover]] which would race a concurrent refresh's
+    * half-written batch. */
+  private[graft] def bm25RecoverCompaction(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    for (sub <- Seq("postings", "doclen", "stats")) {
+      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      graft.streaming.StoreCompaction.recover(d.getFileSystem(conf), d)
+    }
+  }
+
   private def bm25Recover(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    bm25RecoverCompaction(spark, path)
     val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
     val committed = bm25Batches(statsDir.getFileSystem(conf), statsDir).toSet
     for (sub <- Seq("postings", "doclen")) {
       val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = d.getFileSystem(conf)
-      bm25Batches(fs, d).filterNot(committed).foreach { b =>
+      bm25Batches(fs, d).filterNot(b => b == -1L || committed(b)).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub/batch=$b"), true)
       }
     }
+  }
+
+  /** Compact a BM25 store's per-batch directories (one per micro-batch
+    * under [[graft.streaming.DocStreaming.startBm25Ingest]] — the classic
+    * small-files problem) into one `batch=-1` partition per sub-store,
+    * newest batch untouched (it is the only one foreachBatch can
+    * replay). Crash-safe via [[graft.streaming.StoreCompaction]]'s
+    * tmp+manifest protocol; sub-stores compact postings → doclen →
+    * stats, and the probe treats `batch=-1` as always-committed, so
+    * every intermediate crash state still scores exactly (stats
+    * directories are only removed after their data is safely inside the
+    * postings/doclen snapshots' committed set). Stats rows are SUMMED,
+    * not distinct'd — they are aggregates, and two batches with equal
+    * totals must stay two batches' worth of mass. Run with any ingest
+    * stream STOPPED. */
+  def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    bm25Recover(spark, path)
+    import graft.streaming.StoreCompaction
+    StoreCompaction.compact(spark, s"$path/postings",
+      Seq("term", "doc_id", "tf"))
+    StoreCompaction.compact(spark, s"$path/doclen", Seq("doc_id", "dl"))
+    StoreCompaction.compact(spark, s"$path/stats",
+      Seq("n_docs", "total_dl"),
+      merge = _.agg(sum("n_docs").as("n_docs"),
+        sum("total_dl").as("total_dl")))
   }
 
   private def bm25NextBatch(spark: org.apache.spark.sql.SparkSession,
@@ -385,13 +431,19 @@ object Corpus {
       .filter(col("term") =!= "")
       .distinct()
     val terms = qt.select("term").distinct().collect().map(_.getString(0))
+    // heal an interrupted compaction (no-op unless a tmp exists) so the
+    // probe never reads a store missing deleted-but-unrenamed sources
+    bm25RecoverCompaction(spark, path)
     // only committed batches (stats marker present): an in-flight or
     // crashed ingest's partial postings must not skew df/scores — the
-    // batch filter prunes whole partition directories at the scan
+    // batch filter prunes whole partition directories at the scan.
+    // batch=-1 is the compacted snapshot of previously-committed batches
+    // and is always trusted (sub-stores compact one at a time, so
+    // postings can hold -1 before stats lists it)
     val committed = bm25Committed(spark, path)
     require(committed.nonEmpty, s"no committed bm25 batches at $path")
     def reader(sub: String) = spark.read.parquet(s"$path/$sub")
-      .filter(col("batch").isin(committed: _*))
+      .filter(col("batch") === -1L || col("batch").isin(committed: _*))
     val post = reader("postings")
       .filter(col("term").isin(terms.toSeq: _*))
       .select("term", "doc_id", "tf")

@@ -161,6 +161,9 @@ object DocStreaming {
                       trigger: Trigger = Trigger.AvailableNow())
   : StreamingQuery = {
     val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      // heal an interrupted offline compaction before writing — same
+      // restart discipline as the shingle store's recoverCompaction
+      graft.operators.Corpus.bm25RecoverCompaction(batch.sparkSession, storeDir)
       graft.operators.Corpus.writeBm25Batch(batch, idCol, textCol,
         storeDir, batchId, mode = "overwrite")
     }

@@ -37,11 +37,17 @@ import org.apache.spark.sql.functions._
 private[graft] object StoreCompaction {
 
   /** Merge all committed batch partitions below the newest into
-    * `batch=-1`, keeping `dataCols` (distinct) and re-partitioning the
-    * snapshot by `partCols` (e.g. the IVF store's `cell`) so downstream
-    * partition pruning keeps working on the compacted data. */
+    * `batch=-1`, keeping `dataCols` (deduplicated by `merge`, default
+    * DISTINCT) and re-partitioning the snapshot by `partCols` (e.g. the
+    * IVF store's `cell`) so downstream partition pruning keeps working
+    * on the compacted data. Pass a custom `merge` when rows are
+    * aggregates rather than unique facts — e.g. the BM25 stats store
+    * SUMS its per-batch rows (distinct would collapse two batches that
+    * happen to share identical totals). */
   def compact(spark: SparkSession, storeDir: String, dataCols: Seq[String],
-              partCols: Seq[String] = Nil): Unit = {
+              partCols: Seq[String] = Nil,
+              merge: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.DataFrame = _.distinct()): Unit = {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
@@ -63,9 +69,9 @@ private[graft] object StoreCompaction {
     val maxBatch = numeric.max
     val sources = dirs.filter(_._1 < maxBatch)
     if (sources.size < 2) return // nothing worth merging
-    val snap = spark.read.parquet(storeDir)
+    val snap = merge(spark.read.parquet(storeDir)
       .filter(col("batch") < maxBatch)
-      .select((dataCols ++ partCols).map(col): _*).distinct()
+      .select((dataCols ++ partCols).map(col): _*))
     val w = snap.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(tmp.toString)

@@ -193,6 +193,31 @@ class StreamingSpec extends SparkSpec {
       "query_id", "qtext", k = 8).orderBy("rank").collect()
     assert(afterDebris.sameElements(streamed),
       "uncommitted batch directory leaked into the probe")
+    // the stream needs a THIRD batch so compaction has >= 2 candidates
+    // below the newest; then compact and the ranking must not move —
+    // stats rows are summed (not distinct'd), so equal-total batches
+    // keep their combined mass
+    docsDf.limit(0).coalesce(1).write.mode("append").parquet(dir)
+    DocStreaming.startBm25Ingest(
+      spark.readStream.schema(docsDf.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "doc_id", "text", store, ckpt).awaitTermination(120000)
+    Corpus.compactBm25Store(spark, store)
+    val dirsLeft = new java.io.File(s"$store/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirsLeft.head == "batch=-1" && dirsLeft.size == 2,
+      s"expected compacted -1 + newest, got $dirsLeft")
+    val afterCompact = Corpus.bm25SearchStored(spark, store, qs,
+      "query_id", "qtext", k = 8).orderBy("rank").collect()
+    assert(afterCompact.sameElements(streamed),
+      "compaction changed a score or a rank")
+    // a batch refresh after compaction continues the id sequence
+    Corpus.refreshBm25Store(
+      docsDf.limit(5).select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+      "doc_id", "text", store)
+    val afterRefresh = Corpus.bm25SearchStored(spark, store, qs,
+      "query_id", "qtext", k = 8)
+    assert(afterRefresh.count() == 8)
   }
 
   test("streaming near-dup dedup survives a restart between micro-batches") {
