@@ -500,6 +500,34 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-group duplication report — the corpus-quality summary a pipeline
+    * owner reads before deciding what to crawl less of: for each
+    * `groupCol` value, how many docs sit in a near-dup cluster
+    * (`n_clustered`), how many [[dropNearDups]] would drop
+    * (`n_dropped` — every cluster member except the canonical min-id
+    * winner), and the drop share. Composes the existing closure: one
+    * left join of the (cluster-members-only) component table back to the
+    * docs, one group-keyed aggregation — the join fan-in is bounded by
+    * the docs themselves, never pairs².
+    *
+    * Output: (groupCol, n_docs, n_clustered, n_dropped, dup_share). */
+  def dedupReport(docs: DataFrame, pairs: DataFrame, idCol: String,
+                  groupCol: String,
+                  iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val cc = connectedComponents(pairs, iCol, jCol)
+      .withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol), col(groupCol))
+      .join(cc, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("component").isNotNull && col(idCol) =!= col("component"),
+          1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_share",
+        round(col("n_dropped").cast("double") / col("n_docs"), 6))
+  }
+
   /** Incremental NEAR-dup dedup — the [[exactDelta]] shape for MinHash/
     * Jaccard near-duplication: dedup a DELTA of documents against a stored
     * corpus shingle index (never re-deduping the corpus), first-arrival-

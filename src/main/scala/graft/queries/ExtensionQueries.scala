@@ -2633,6 +2633,54 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
+  // q90 — per-source duplication report: the corpus-quality summary
+  //       (how much of each source is near-dup mass) composed from the
+  //       shared shingle index → LSH pairs → transitive closure, joined
+  //       back per source — counts are exact integers, the share is a
+  //       rounded ratio; oracle recomputes the closure with q34's
+  //       recursive CTE and aggregates per source.
+  // -------------------------------------------------------------------
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(Dedup.dedupReport(d,
+      Dedup.minhashLsh(d, "doc_id", "text", n = 3, k = 32, bands = 8,
+        threshold = 0.8, maxDf = None, shinglesDf = Some(shingles3(s, dir))),
+      "doc_id", "source"))
+  }
+
+  val q90Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |)
+      |SELECT d.source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_clustered,
+      |       CAST(sum(CASE WHEN c.component IS NOT NULL
+      |                 AND d.doc_id <> c.component THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_dropped,
+      |       round(sum(CASE WHEN c.component IS NOT NULL
+      |                       AND d.doc_id <> c.component THEN 1 ELSE 0 END)
+      |             * 1.0 / count(*), 6) AS dup_share
+      |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q89 — INCREMENTAL BM25: the store is built from the first half of
   //       the corpus, the second half folds in as an append-only batch
   //       (existing postings never read or rewritten; overlapping ids
@@ -2939,6 +2987,7 @@ object ExtensionQueries {
     ("q86_heavy_hitters", q86 _, q86Sql),
     ("q87_range_routed", q87 _, q87Sql),
     ("q88_sliding_distinct", q88 _, q88Sql),
-    ("q89_bm25_incremental", q89 _, q89Sql)
+    ("q89_bm25_incremental", q89 _, q89Sql),
+    ("q90_dedup_report", q90 _, q90Sql)
   )
 }

@@ -610,6 +610,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("dedupReport counts clusters per group and reconciles with dropNearDups") {
+    import spark.implicits._
+    // groups: ga has a 3-cluster {1,2,3} + singleton 4; gb has a
+    // 2-cluster {5,6} + singletons 7,8 — pairs given directly so the
+    // report is pinned independent of any similarity method
+    val docsDf = Seq(
+      (1L, "ga"), (2L, "ga"), (3L, "ga"), (4L, "ga"),
+      (5L, "gb"), (6L, "gb"), (7L, "gb"), (8L, "gb"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val rep = Dedup.dedupReport(docsDf, pairs, "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rep("ga") == ((4L, 3L, 2L, 0.5)))
+    assert(rep("gb") == ((4L, 2L, 1L, 0.25)))
+    // reconciliation law: per group, n_docs - n_dropped == survivors
+    val survivors = Dedup.dropNearDups(docsDf, pairs, "doc_id")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.forall { case (g, (n, _, dropped, _)) =>
+      survivors(g) == n - dropped })
+  }
+
   test("bm25 store: refresh equals a from-scratch index; re-ingest fails fast") {
     import graft.operators.Corpus
     import spark.implicits._
