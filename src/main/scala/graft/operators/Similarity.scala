@@ -578,6 +578,147 @@ object Similarity {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the compressed-vector ANN path: split
+  // each (normalized) vector into `m` subvectors, learn a tiny `ksub`-
+  // centroid codebook per subspace, and store each vector as m small
+  // integer codes instead of `dim` floats. At 100 TB this is what makes
+  // an embedding corpus scannable at all: a dim-64 float vector (256 B)
+  // compresses to m=8 bytes (32×), so a whole shard's codes fit where
+  // raw vectors never would, and query scoring reads m table lookups
+  // per row instead of dim multiplies. Everything is the codegen'd
+  // literal-expression pattern the IVF path already uses — no UDF, no
+  // HOF in the pairwise hot path, no driver loop over data.
+  // -------------------------------------------------------------------
+
+  /** Trained PQ codebooks: `codebooks(s)(c)` is the `dim/m`-length
+    * centroid `c` of subspace `s`, learned over NORMALIZED vectors. */
+  final case class PqModel(dim: Int, m: Int, ksub: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    def dsub: Int = dim / m
+    /** 1-based slice of the normalized vector for subspace `s`. */
+    private[operators] def sub(vec: Column, s: Int): Column =
+      slice(vec, s * dsub + 1, dsub)
+    /** Code of subspace `s`: argmin-L2 centroid id as one codegen'd
+      * expression — array_min over (dist, cid) structs with the
+      * query-independent |v_s|² term dropped (rank-invariant). */
+    private[operators] def codeExpr(vec: Column, s: Int): Column =
+      array_min(array(codebooks(s).zipWithIndex.toSeq.map { case (c, id) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dotp(sub(vec, s), lit(c))).as("d"),
+          lit(id).as("cid"))
+      }: _*)).getField("cid")
+    /** All m codes of a vector as one array<int> column. */
+    def encodeExpr(vec: Column): Column =
+      array((0 until m).map(s => codeExpr(vec, s)): _*)
+  }
+
+  /** Learn PQ codebooks over the corpus: per subspace, `ksub`-means on
+    * the normalized subvectors — seeds are a deterministic hash sample,
+    * every Lloyd iteration is ONE distributed aggregation for ALL
+    * subspaces (block-tagged explode → (block, cell, pos) mean) plus a
+    * tiny m×ksub×dsub driver collect. Train on a sample at very large
+    * scale — the codebooks are statistics, not an index. */
+  def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+              iters: Int = 3, vecCol: String = "embedding",
+              idCol: String = "vec_id"): PqModel = {
+    require(ksub >= 2 && m >= 1 && iters >= 0,
+      s"bad PQ params m=$m ksub=$ksub iters=$iters")
+    val cv = corpus.select(col(idCol).as("__id"),
+      normalize(col(vecCol)).as("cv"))
+    val dim = cv.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val n = cv.count()
+    require(n > 0, "pq: corpus is empty")
+    val step = math.max(n / ksub, 1L)
+    val sampleRows = {
+      val hashed = cv.filter(pmod(xxhash64(col("__id")), lit(step)) === 0)
+        .limit(ksub).select("cv").collect()
+      if (hashed.length >= 2) hashed
+      else cv.limit(ksub).select("cv").collect()
+    }.map(_.getSeq[Double](0).toArray)
+    require(sampleRows.length >= 2, s"pq: need >= 2 distinct seed vectors")
+    val dsub = dim / m
+    // seed subspace s with the sampled vectors' s-th blocks (cycle the
+    // sample if it is shorter than ksub)
+    val seeds: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c =>
+        sampleRows(c % sampleRows.length).slice(s * dsub, s * dsub + dsub)
+      }
+    }
+    def refineOnce(model: PqModel): PqModel = {
+      val blocks = explode(array((0 until m).map(s =>
+        struct(lit(s).as("blk"), model.codeExpr(col("cv"), s).as("cell"),
+          model.sub(col("cv"), s).as("v"))): _*)).as("b")
+      val means = cv.select(blocks)
+        .select(col("b.blk").as("blk"), col("b.cell").as("cell"),
+          posexplode(col("b.v")))
+        .groupBy("blk", "cell", "pos").agg(avg("col").as("mv"))
+        .groupBy("blk", "cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("blk"), col("cell"),
+          transform(col("pm"), _.getField("mv")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      PqModel(dim, m, ksub, Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { c =>
+          means.getOrElse((s, c), model.codebooks(s)(c))
+        }
+      })
+    }
+    (1 to iters).foldLeft(PqModel(dim, m, ksub, seeds))((mo, _) =>
+      refineOnce(mo))
+  }
+
+  /** Encode a corpus to PQ codes: (idCol, pq_code array<int> of length
+    * m) — one codegen'd projection, no shuffle; this is the table you
+    * store/cache in place of the raw vectors. */
+  def pqEncode(df: DataFrame, model: PqModel, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+      model.encodeExpr(normalize(col(vecCol))).as("pq_code"))
+
+  /** Approximate top-k by asymmetric distance (ADC): each query
+    * precomputes one ksub-length distance table per subspace (m × ksub
+    * doubles — a projection on the SMALL query side), the scored join
+    * reads m native `element_at` lookups per (query, code) row — never
+    * a dim-length dot product, never a HOF — and ranking is the bounded
+    * top-k aggregation shared with every other kNN path. Ties break by
+    * neighbor id; distances are quantized so expect recall < 1 —
+    * [[PipelineOpsSpec]] gates it on the seeded corpus.
+    *
+    * Output: (query_id, neighbor_id, rank). */
+  def pqKnn(queries: DataFrame, codes: DataFrame, model: PqModel,
+            k: Int = 5, qId: String = "vec_id", qVec: String = "embedding",
+            cId: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dtabs = (0 until model.m).map { s =>
+      array(model.codebooks(s).toSeq.map { c =>
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * dotp(model.sub(col("qv"), s), lit(c))
+      }: _*).as(s"dtab_$s")
+    }
+    val q = queries
+      .select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+      .select((col("query_id") +: dtabs): _*)
+    val dist = (0 until model.m).map(s =>
+      element_at(col(s"dtab_$s"),
+        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val scored = codes.select(col(cId).as("neighbor_id"), col("pq_code"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", -dist)
+    val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
+      org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
+      .select(col("query_id"), col("it.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"))
+  }
+
   /** Exact all-pairs near-duplicates — O(n²) cross join; the recall
     * baseline for [[nearDupPairs]] and the right tool only for corpora
     * that fit a single-stage cartesian. */

@@ -2633,6 +2633,40 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
+  // q91 — PRODUCT QUANTIZATION verdict (q31/q50 doctrine — the op is
+  //       approximate and not SQL-expressible, so the hash-checked
+  //       columns are the deterministic shape plus a robust-margin
+  //       verdict): train 4×16-centroid codebooks on the fixture
+  //       embeddings (dim 64 → 16 ints per vector, 16× compression),
+  //       encode, and require that for ≥ 90% of 20 planted perturbed
+  //       queries the source vector surfaces in the PQ top-5 by
+  //       asymmetric distance.
+  // -------------------------------------------------------------------
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val srcs = e.filter(col("vec_id") % 25 === 0).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qrnd = new scala.util.Random(11)
+    val queries = srcs.toSeq.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * qrnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(e, m = 16, ksub = 16, iters = 3)
+    val codes = Similarity.pqEncode(e, model)
+    val top = Similarity.pqKnn(queries, codes, model, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = srcs.count { case (id, _) =>
+      top.getOrElse(id + 100000L, Set.empty[Long]).contains(id) }
+    Seq((srcs.length.toLong, if (hits >= 18) 1 else 0))
+      .toDF("n_queries", "recall_ok")
+  }
+
+  val q91Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok"""
+
+  // -------------------------------------------------------------------
   // q90 — per-source duplication report: the corpus-quality summary
   //       (how much of each source is near-dup mass) composed from the
   //       shared shingle index → LSH pairs → transitive closure, joined
@@ -2988,6 +3022,7 @@ object ExtensionQueries {
     ("q87_range_routed", q87 _, q87Sql),
     ("q88_sliding_distinct", q88 _, q88Sql),
     ("q89_bm25_incremental", q89 _, q89Sql),
-    ("q90_dedup_report", q90 _, q90Sql)
+    ("q90_dedup_report", q90 _, q90Sql),
+    ("q91_pq_verdict", q91 _, q91Sql)
   )
 }

@@ -610,6 +610,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("PQ: codes are bounded and deterministic; planted neighbors surface in top-5") {
+    import spark.implicits._
+    // uniform corpus (no cluster structure -> codes must discriminate on
+    // their own) + 20 planted queries: tiny perturbations of corpus
+    // vectors, so each query's true nearest neighbor is its source at a
+    // wide margin over the ~N(0, 1/16) background cosines
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 10000).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").repartition(4).cache()
+    val srcRows = corpus.filter(col("vec_id") % 500 === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qrnd = new scala.util.Random(11)
+    val queries = srcRows.toSeq.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * qrnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+
+    val model = Similarity.trainPq(corpus, m = 4, ksub = 64, iters = 3)
+    assert(model.dsub == 4 && model.codebooks.length == 4 &&
+      model.codebooks.forall(_.length == 64))
+    val codes = Similarity.pqEncode(corpus, model).cache()
+    val rows = codes.collect()
+    assert(rows.forall { r =>
+      val c = r.getSeq[Int](1); c.length == 4 && c.forall(x => x >= 0 && x < 64)
+    }, "codes must be m ints in [0, ksub)")
+    // deterministic: re-encoding under a different partitioning is identical
+    val again = Similarity.pqEncode(corpus.repartition(7), model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.forall(r => again(r.getLong(0)) == r.getSeq[Int](1)))
+
+    val top = Similarity.pqKnn(queries, codes, model, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = srcRows.count { case (id, _) => top(id + 100000L).contains(id) }
+    assert(hits >= 18, // >= 90% of 20 planted neighbors inside PQ top-5
+      s"planted-neighbor recall too low: $hits/20")
+  }
+
   test("dedupReport counts clusters per group and reconciles with dropNearDups") {
     import spark.implicits._
     // groups: ga has a 3-cluster {1,2,3} + singleton 4; gb has a
