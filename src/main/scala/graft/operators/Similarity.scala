@@ -383,6 +383,9 @@ object Similarity {
     val probed = q.withColumn("cell",
       explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
     val stored = readIvfCorpus(spark, path)
+    require(stored.columns.contains("cv"),
+      s"$path/corpus lacks raw vectors — a compressed saveIvfPqIndex " +
+        "layout? (use ivfPqKnnStored for that)")
     rankTopK(
       stored.join(broadcast(probed), "cell")
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -709,6 +712,124 @@ object Similarity {
     val scored = codes.select(col(cId).as("neighbor_id"), col("pq_code"))
       .crossJoin(broadcast(q))
       .withColumn("score", -dist)
+    val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
+      org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
+      .select(col("query_id"), col("it.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"))
+  }
+
+  /** Build and PERSIST the compressed serving layout — IVF cells × PQ
+    * codes: coarse centroids prune the scan to `nprobe/nlist` of the
+    * index as whole hive partitions (the [[ivfKnnStored]] DPP shape) and
+    * the cells store m-int PQ codes INSTEAD of raw vectors, so the index
+    * on disk (and per-probe scan bytes) shrinks ~dim·4/m×. This is the
+    * standard web-scale ANN serving stack (IVF-PQ): at 100 TB of raw
+    * embeddings the flat index is already unscannable and the
+    * uncompressed IVF cells still carry full vectors — here a probed
+    * partition reads 16-byte codes. Vectors are encoded directly (not
+    * residual-encoded — one shared codebook, exactness traded for
+    * simplicity; the recall gate in PipelineOpsSpec measures the
+    * difference on the seeded corpus).
+    *
+    * Layout: `path`/centroids (IVF), `path`/pq (codebooks),
+    * `path`/corpus (neighbor_id, pq_code) partitioned by cell.
+    * @return the trained [[PqModel]] (also persisted — [[ivfPqKnnStored]]
+    *         reloads it from the layout) */
+  def saveIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                     m: Int = 8, ksub: Int = 16, kmeansIters: Int = 3,
+                     pqIters: Int = 3, replicate: Int = 2,
+                     cId: String = "vec_id", cVec: String = "embedding")
+  : PqModel = {
+    val spark = corpus.sparkSession
+    val cBuild = corpus.select(col(cId).as("neighbor_id"),
+      normalize(col(cVec)).as("cv")).persist()
+    try {
+      val cents = trainCentroids(cBuild, nlist, kmeansIters)
+      val model = trainPq(cBuild, m, ksub, pqIters,
+        vecCol = "cv", idCol = "neighbor_id")
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      (for (s <- 0 until m; c <- 0 until ksub)
+        yield (s, c, model.codebooks(s)(c).toSeq))
+        .toDF("blk", "cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+      cBuild
+        .withColumn("cell",
+          explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+        .select(col("neighbor_id"),
+          model.encodeExpr(col("cv")).as("pq_code"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+      model
+    } finally cBuild.unpersist(): Unit
+  }
+
+  private def readPqModel(spark: org.apache.spark.sql.SparkSession,
+                          path: String): PqModel = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/pq")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir),
+      s"$path/pq does not exist — not a saveIvfPqIndex layout")
+    val rows = spark.read.parquet(s"$path/pq").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    require(rows.nonEmpty, s"$path/pq is empty — not a saveIvfPqIndex layout")
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    val dsub = rows.head._2.length
+    PqModel(m * dsub, m, ksub,
+      Array.tabulate(m)(s => Array.tabulate(ksub)(c => rows((s, c)))))
+  }
+
+  /** Approximate top-k against a stored [[saveIvfPqIndex]]: queries
+    * probe their `nprobe` nearest cells (whole-partition pruning at the
+    * scan, as [[ivfKnnStored]]) and score the probed cells' CODES by
+    * asymmetric distance — per query one m×ksub table on the broadcast
+    * side, m native `element_at` lookups per candidate row. Replicated
+    * cell copies dedupe before ranking; ranking is the shared bounded
+    * top-k. Output: (query_id, neighbor_id, rank). */
+  def ivfPqKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 4,
+                     qId: String = "vec_id", qVec: String = "embedding")
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = readCentroids(spark, path)
+    val model = readPqModel(spark, path)
+    val dtabs = (0 until model.m).map { s =>
+      array(model.codebooks(s).toSeq.map { c =>
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * dotp(model.sub(col("qv"), s), lit(c))
+      }: _*).as(s"dtab_$s")
+    }
+    val probed = queries
+      .select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+      .withColumn("cell",
+        explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
+      .select((col("query_id") +: col("cell") +: dtabs): _*)
+    val stored = readIvfCorpus(spark, path)
+    require(stored.columns.contains("pq_code"),
+      s"$path/corpus lacks pq_code — a flat saveIvfIndex layout? " +
+        "(use ivfKnnStored for that)")
+    // STATIC partition pruning: queries are a request (small by
+    // contract), so the probed cell set is collected and pushed into the
+    // scan as a literal IN — guaranteed whole-partition pruning,
+    // independent of the dynamic-pruning heuristics (which decline
+    // local-relation build sides)
+    val probedCells = probed.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val dist = (0 until model.m).map(s =>
+      element_at(col(s"dtab_$s"),
+        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val scored = stored.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probed), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (-dist).as("score"))
+      .distinct()
     val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
     scored

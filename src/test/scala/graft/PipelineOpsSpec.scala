@@ -610,22 +610,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
-  test("PQ: codes are bounded and deterministic; planted neighbors surface in top-5") {
+  // uniform corpus (no cluster structure -> PQ codes must discriminate on
+  // their own) + 20 planted queries: tiny perturbations of corpus vectors,
+  // so each query's true nearest neighbor is its source at a wide margin
+  // over the ~N(0, 1/16) background cosines
+  private lazy val uniform10k = {
     import spark.implicits._
-    // uniform corpus (no cluster structure -> codes must discriminate on
-    // their own) + 20 planted queries: tiny perturbations of corpus
-    // vectors, so each query's true nearest neighbor is its source at a
-    // wide margin over the ~N(0, 1/16) background cosines
     val rnd = new scala.util.Random(7)
-    val corpus = (0 until 10000).map { i =>
+    (0 until 10000).map { i =>
       (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
     }.toDF("vec_id", "embedding").repartition(4).cache()
-    val srcRows = corpus.filter(col("vec_id") % 500 === 0)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+  }
+  private lazy val plantedSrcs = uniform10k.filter(col("vec_id") % 500 === 0)
+    .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+  private lazy val plantedQueries = {
+    import spark.implicits._
     val qrnd = new scala.util.Random(11)
-    val queries = srcRows.toSeq.map { case (id, v) =>
+    plantedSrcs.toSeq.map { case (id, v) =>
       (id + 100000L, v.map(x => x + 0.02f * qrnd.nextGaussian().toFloat))
     }.toDF("vec_id", "embedding")
+  }
+  private def plantedHits(top: Map[Long, Set[Long]]): Int =
+    plantedSrcs.count { case (id, _) =>
+      top.getOrElse(id + 100000L, Set.empty[Long]).contains(id) }
+
+  test("PQ: codes are bounded and deterministic; planted neighbors surface in top-5") {
+    import spark.implicits._
+    val corpus = uniform10k
+    val srcRows = plantedSrcs
+    val queries = plantedQueries
 
     val model = Similarity.trainPq(corpus, m = 4, ksub = 64, iters = 3)
     assert(model.dsub == 4 && model.codebooks.length == 4 &&
@@ -643,9 +656,40 @@ class PipelineOpsSpec extends SparkSpec {
     val top = Similarity.pqKnn(queries, codes, model, k = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val hits = srcRows.count { case (id, _) => top(id + 100000L).contains(id) }
+    val hits = plantedHits(top)
     assert(hits >= 18, // >= 90% of 20 planted neighbors inside PQ top-5
       s"planted-neighbor recall too low: $hits/20")
+  }
+
+  test("stored IVF-PQ index prunes partitions, scans codes only, keeps planted recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.saveIvfPqIndex(uniform10k, dir, nlist = 16, m = 4, ksub = 64,
+      replicate = 2)
+    // layout: cell partitions holding CODES, no raw vectors on disk
+    val cells = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cells.length == 16, s"expected 16 cell partitions, got ${cells.toSeq}")
+    val schema = spark.read.parquet(s"$dir/corpus").schema.fieldNames.toSet
+    assert(schema == Set("neighbor_id", "pq_code", "cell"),
+      s"compressed layout must not store vectors: $schema")
+    val served = Similarity.ivfPqKnnStored(spark, dir, plantedQueries,
+      k = 5, nprobe = 4)
+    val top = served.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = plantedHits(top)
+    assert(hits >= 18, s"IVF-PQ planted-neighbor recall too low: $hits/20")
+    // probed cells only: the collected probe set lands as a literal IN
+    // inside PartitionFilters (static pruning — stronger than DPP, which
+    // declines local-relation build sides)
+    val scanLine = served.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("Scan parquet") && l.contains("corpus"))
+    assert(scanLine.exists(l => l.contains("PartitionFilters: [") &&
+      (l.contains(" INSET ") || l.contains(" IN ("))),
+      s"index scan is not partition-pruned:\n${scanLine.getOrElse("<no scan>")}")
+    // pointing the flat reader at a PQ layout fails with a named error
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnStored(spark, dir, plantedQueries, k = 5).collect()
+    }
   }
 
   test("dedupReport counts clusters per group and reconciles with dropNearDups") {

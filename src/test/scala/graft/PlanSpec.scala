@@ -503,6 +503,24 @@ class PlanSpec extends SparkSpec {
       s"bounded top-k must plan as partial+final ObjectHashAggregate:\n$nodes")
   }
 
+  test("PQ scoring broadcasts the query tables and ranks via bounded top-k") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.operators.Similarity.trainPq(e, m = 16, ksub = 8,
+      iters = 1)
+    val codes = graft.operators.Similarity.pqEncode(e, model)
+    val out = graft.operators.Similarity.pqKnn(e.limit(5), codes, model, k = 3)
+    out.count()
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    assert(nodes.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+      n.contains("BroadcastHashJoin")),
+      s"query ADC tables must broadcast — the code table never shuffles:\n$nodes")
+    assert(!nodes.exists(_.contains("Window")),
+      s"PQ ranking must not window the scored relation:\n$nodes")
+    assert(nodes.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"bounded top-k must plan as partial+final ObjectHashAggregate:\n$nodes")
+  }
+
   test("nearDupDelta prefilters the cross join with a bloom probe") {
     import spark.implicits._
     def toks(b: Int) = (0 until 40).map(kk => s"p${b}_$kk")
