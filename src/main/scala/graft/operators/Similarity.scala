@@ -628,8 +628,12 @@ object Similarity {
               idCol: String = "vec_id"): PqModel = {
     require(ksub >= 2 && m >= 1 && iters >= 0,
       s"bad PQ params m=$m ksub=$ksub iters=$iters")
+    // persist: training reads the normalized corpus 3 + iters times (dim
+    // probe, count, seed sample, one pass per Lloyd iteration) — without
+    // this every pass re-normalizes from the raw scan
     val cv = corpus.select(col(idCol).as("__id"),
-      normalize(col(vecCol)).as("cv"))
+      normalize(col(vecCol)).as("cv")).persist()
+    try {
     val dim = cv.select(size(col("cv"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val n = cv.count()
@@ -673,6 +677,7 @@ object Similarity {
     }
     (1 to iters).foldLeft(PqModel(dim, m, ksub, seeds))((mo, _) =>
       refineOnce(mo))
+    } finally cv.unpersist(): Unit
   }
 
   /** Encode a corpus to PQ codes: (idCol, pq_code array<int> of length

@@ -2667,6 +2667,44 @@ object ExtensionQueries {
     """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok"""
 
   // -------------------------------------------------------------------
+  // q92 — IVF-PQ SERVING verdict: q91's planted-perturbation check
+  //       routed through the PERSISTED compressed index (cells × codes
+  //       on disk, no raw vectors) and the static-pruned probe — the
+  //       whole save → reload → probe round trip sits under the
+  //       verdict. nprobe=8 of nlist=8 keeps the planted cell surely
+  //       probed at fixture scale; the compression/pruning contracts
+  //       are PipelineOpsSpec's job.
+  // -------------------------------------------------------------------
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val srcs = e.filter(col("vec_id") % 25 === 0).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qrnd = new scala.util.Random(13)
+    val queries = srcs.toSeq.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * qrnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q92_ivfpq_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Similarity.saveIvfPqIndex(e, root, nlist = 8, m = 16, ksub = 16,
+      replicate = 2)
+    val top = Similarity.ivfPqKnnStored(s, root, queries, k = 5, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = srcs.count { case (id, _) =>
+      top.getOrElse(id + 100000L, Set.empty[Long]).contains(id) }
+    Seq((srcs.length.toLong, if (hits >= 18) 1 else 0))
+      .toDF("n_queries", "recall_ok")
+  }
+
+  val q92Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok"""
+
+  // -------------------------------------------------------------------
   // q90 — per-source duplication report: the corpus-quality summary
   //       (how much of each source is near-dup mass) composed from the
   //       shared shingle index → LSH pairs → transitive closure, joined
@@ -3023,6 +3061,7 @@ object ExtensionQueries {
     ("q88_sliding_distinct", q88 _, q88Sql),
     ("q89_bm25_incremental", q89 _, q89Sql),
     ("q90_dedup_report", q90 _, q90Sql),
-    ("q91_pq_verdict", q91 _, q91Sql)
+    ("q91_pq_verdict", q91 _, q91Sql),
+    ("q92_ivfpq_stored", q92 _, q92Sql)
   )
 }
