@@ -84,4 +84,59 @@ object Quality {
     }
     one.select(explode(array(entries: _*)).as("r")).select("r.*")
   }
+
+  // -------------------------------------------------------------------
+  // Learned quality classifier — the CCNet/fastText-style filter: a
+  // linear model over hashed bag-of-words features separating "looks
+  // like my curated corpus" from "looks like raw crawl". Built on
+  // Spark ML's public pipeline primitives (HashingTF + logistic
+  // regression), so training is the distributed treeAggregate LBFGS
+  // the cluster already knows how to run, and scoring is a per-row
+  // sparse dot against broadcast coefficients — no shuffle, no UDF,
+  // linear in tokens at any corpus size.
+  // -------------------------------------------------------------------
+
+  /** A fitted quality model (hashed-BoW logistic regression). */
+  final case class QualityModel(
+      lr: org.apache.spark.ml.classification.LogisticRegressionModel,
+      numFeatures: Int)
+
+  private def hashedFeatures(df: DataFrame, textCol: String,
+                             numFeatures: Int): DataFrame = {
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__toks").setOutputCol("__feat")
+      .setNumFeatures(numFeatures)
+    tf.transform(df.withColumn("__toks",
+      array_remove(graft.functions.TextFunctions.tokens(col(textCol)), "")))
+  }
+
+  /** Fit the classifier on a labeled corpus (`labelCol` ∈ {0, 1};
+    * 1 = keep-quality). `numFeatures` is the hashing-trick width —
+    * collisions degrade gracefully; 2^18 suits web-scale vocabularies.
+    * Training cost: one cached featurization + `maxIter` distributed
+    * gradient aggregations over it. */
+  def trainQualityClassifier(labeled: DataFrame, textCol: String,
+                             labelCol: String, numFeatures: Int = 1 << 18,
+                             maxIter: Int = 20,
+                             regParam: Double = 1e-4): QualityModel = {
+    val feats = hashedFeatures(labeled, textCol, numFeatures)
+      .select(col("__feat"), col(labelCol).cast("double").as("__label"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("__feat").setLabelCol("__label")
+      .setMaxIter(maxIter).setRegParam(regParam)
+    QualityModel(lr.fit(feats), numFeatures)
+  }
+
+  /** Score documents: (idCol, quality = P(label=1)), rounded to 4
+    * decimals so downstream threshold filters are reproducible across
+    * partitionings. One projection over one scan. */
+  def scoreQuality(model: QualityModel, docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val feats = hashedFeatures(docs, textCol, model.numFeatures)
+      .select(col(idCol), col("__feat"))
+    model.lr.transform(feats)
+      .select(col(idCol),
+        round(org.apache.spark.ml.functions.vector_to_array(
+          col(model.lr.getProbabilityCol)).getItem(1), 4).as("quality"))
+  }
 }

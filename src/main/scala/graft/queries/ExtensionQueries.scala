@@ -2667,6 +2667,48 @@ object ExtensionQueries {
     """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok"""
 
   // -------------------------------------------------------------------
+  // q93 — LEARNED QUALITY CLASSIFIER verdict: the CCNet/fastText-style
+  //       filter — hashed-BoW logistic regression trained to separate
+  //       the fixture corpus ("curated") from deterministic id-salted
+  //       gibberish ("crawl garbage"), evaluated on a held-out split.
+  //       LBFGS coefficients carry fp summation noise, so the
+  //       hash-checked columns are the deterministic test size plus a
+  //       wide-margin accuracy verdict (q31/q50 doctrine).
+  // -------------------------------------------------------------------
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Quality
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    // garbage shares a 200-token vocabulary (id-arithmetic draw), so the
+    // held-out half is IN-vocabulary — a per-doc-unique salt would make
+    // every test token OOV and the verdict would measure the prior
+    val garbage = d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("gk_"),
+          pmod(col("doc_id") * 7 + lit(i * 13), lit(200)))): _*).as("text"))
+    val all = d.withColumn("label", lit(1))
+      .unionByName(garbage.withColumn("label", lit(0)))
+    val train = all.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = all.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val model = Quality.trainQualityClassifier(train, "text", "label",
+      numFeatures = 1 << 16, maxIter = 10)
+    val scored = Quality.scoreQuality(model, test, "doc_id", "text")
+      .join(test.select("doc_id", "label"), "doc_id")
+    val row = scored.agg(count(lit(1)).as("n"),
+      sum(when((col("quality") >= 0.5).cast("int") === col("label"), 1L)
+        .otherwise(0L)).as("correct")).head()
+    val (n, correct) = (row.getLong(0), row.getLong(1))
+    Seq((n, if (correct >= (n * 0.95).toLong) 1 else 0))
+      .toDF("n_test", "acc_ok")
+  }
+
+  val q93Sql: String =
+    """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+      |          + (SELECT count(*) FROM documents WHERE (doc_id + 100000) % 2 = 1)
+      |        AS BIGINT) AS n_test,
+      |       1 AS acc_ok""".stripMargin
+
+  // -------------------------------------------------------------------
   // q92 — IVF-PQ SERVING verdict: q91's planted-perturbation check
   //       routed through the PERSISTED compressed index (cells × codes
   //       on disk, no raw vectors) and the static-pruned probe — the
@@ -3062,6 +3104,7 @@ object ExtensionQueries {
     ("q89_bm25_incremental", q89 _, q89Sql),
     ("q90_dedup_report", q90 _, q90Sql),
     ("q91_pq_verdict", q91 _, q91Sql),
-    ("q92_ivfpq_stored", q92 _, q92Sql)
+    ("q92_ivfpq_stored", q92 _, q92Sql),
+    ("q93_quality_classifier", q93 _, q93Sql)
   )
 }

@@ -692,6 +692,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier separates corpus from salted garbage; scoring is partition-invariant") {
+    import graft.operators.Quality
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), col("text"))
+    // garbage shares a 200-token vocabulary (id-arithmetic draw), so the
+    // held-out half is IN-vocabulary — a per-doc-unique salt would make
+    // every test token OOV and the verdict would measure the prior
+    val garbage = d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("gk_"),
+          pmod(col("doc_id") * 7 + lit(i * 13), lit(200)))): _*).as("text"))
+    val all = d.withColumn("label", lit(1))
+      .unionByName(garbage.withColumn("label", lit(0)))
+    val train = all.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = all.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val model = Quality.trainQualityClassifier(train, "text", "label",
+      numFeatures = 1 << 16, maxIter = 10)
+    val scored = Quality.scoreQuality(model, test, "doc_id", "text")
+      .join(test.select("doc_id", "label"), "doc_id").cache()
+    val rows = scored.collect()
+    assert(rows.forall { r =>
+      val q = r.getDouble(1); q >= 0.0 && q <= 1.0 })
+    val acc = rows.count(r =>
+      (if (r.getDouble(1) >= 0.5) 1 else 0) == r.getInt(2)).toDouble / rows.length
+    assert(acc >= 0.95, s"held-out accuracy $acc < 0.95")
+    // fitted model scores are a pure per-row projection: partitioning
+    // must not change a single rounded score
+    val a = Quality.scoreQuality(model, test, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = Quality.scoreQuality(model, test.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("dedupReport counts clusters per group and reconciles with dropNearDups") {
     import spark.implicits._
     // groups: ga has a 3-cluster {1,2,3} + singleton 4; gb has a
