@@ -525,4 +525,39 @@ class LawsSpec extends SparkSpec {
       spark.sql("SELECT winnow_fingerprints('x', cast(rand()*4 as int) + 1, 4)").head()
     }
   }
+
+  test("law: heavy-hitter rollup honors the MG bound for every term under random splits") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // random term stream over a small alphabet, random 3-way cell split,
+    // small k (guaranteed eviction pressure): for EVERY term the summed
+    // estimate must sit in [exact - max_undercount, exact], and every
+    // term with true count > max_undercount must be present
+    val streamGen = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0, 2), Gen.frequency(
+        (6, Gen.const("hot")), (3, Gen.const("warm")),
+        (1, Gen.chooseNum(0, 25).map(i => s"t$i")))))
+    forAll(streamGen, n = 4) { rows =>
+      val k = 4
+      val d = rows.map { case (g, t) => (s"c$g", t) }.toDF("g", "term")
+        .repartition(5)
+      val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cells = Sketches.termSummaryAtGrain(d, Seq("g"), "term", k = k)
+      val hh = Sketches.rollupHeavyHitters(cells, Seq.empty, "term_mg",
+        k = k, topK = 1000)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+        .toMap
+      val bound = rows.size.toLong / (k + 1)
+      hh.foreach { case (t, (est, b)) =>
+        assert(b == bound, s"bound column $b != ${bound}")
+        val ex = exact(t)
+        assert(est <= ex && est >= ex - bound,
+          s"term $t est $est outside [${ex - bound}, $ex]")
+      }
+      exact.foreach { case (t, ex) =>
+        if (ex > bound)
+          assert(hh.contains(t), s"term $t (count $ex > bound $bound) evicted")
+      }
+    }
+  }
 }
