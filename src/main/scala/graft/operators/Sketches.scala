@@ -91,9 +91,17 @@ object Sketches {
     if (touched.isEmpty) return 0
     val touchedFilter = touched.map(v => col(partitionBy) <=> lit(v))
       .reduce(_ || _)
-    val existing = spark.read.parquet(path)
-      .filter(touchedFilter)
-      .select(deltaCells.columns.map(col).toSeq: _*)
+    // first ingest of a lifetime (streaming starts from a declaration-
+    // only store): nothing to merge, the delta cells ARE the store
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val storeExists = fs.exists(root) && fs.listStatus(root).nonEmpty
+    val existing =
+      if (storeExists)
+        spark.read.parquet(path)
+          .filter(touchedFilter)
+          .select(deltaCells.columns.map(col).toSeq: _*)
+      else deltaCells.filter(lit(false))
     val merged = existing.unionByName(deltaCells)
       .groupBy(grain.map(col): _*)
       .agg(hll_union_agg(col(sketchCol)).as(sketchCol))

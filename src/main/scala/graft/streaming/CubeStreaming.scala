@@ -44,6 +44,31 @@ object CubeStreaming {
     * a base re-scan), journal-deduplicated under at-least-once replay —
     * the dashboards reading routed summaries are at most one trigger
     * behind the stream while the base fact can stay cold storage. */
+  /** Streaming maintenance of a distinct-count sketch cube — the
+    * [[startIngestIntoStar]] pattern applied to the one aggregate whose
+    * merge needs NO replay journal: HLL union is register-max, so
+    * re-unioning a replayed micro-batch's sketches is a bitwise no-op
+    * (the forgiving property additive ingest lacks — see
+    * [[graft.operators.Sketches.ingestSketchCube]]). Per-trigger cost
+    * scales with the batch's partition footprint; the store may start
+    * nonexistent (first batch creates it). */
+  def startIngestSketchCube(deltas: DataFrame, path: String,
+                            grain: Seq[String], valueCol: String,
+                            partitionBy: String, checkpointDir: String,
+                            lgConfigK: Int = 12,
+                            trigger: Trigger = Trigger.AvailableNow())
+  : StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      graft.operators.Sketches.ingestSketchCube(batch.sparkSession, path,
+        batch.toDF(), grain, valueCol, partitionBy, lgConfigK): Unit
+    }
+    deltas.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
+
   def startRefreshSummaries(deltas: DataFrame, root: String,
                             checkpointDir: String,
                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

@@ -509,6 +509,43 @@ class StreamingSpec extends SparkSpec {
       "replayed retraction id must be skipped")
   }
 
+  test("streaming sketch-cube ingest equals a from-scratch build; replay is a no-op") {
+    import graft.operators.Sketches
+    import graft.streaming.CubeStreaming
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select("o_year", "o_orderpriority", "o_custkey")
+    val dir = java.nio.file.Files.createTempDirectory("skcube_stream").toString
+    orders.filter(col("o_year") < 1995).coalesce(1)
+      .write.mode("append").parquet(dir)
+    orders.filter(col("o_year") >= 1995).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val store = java.nio.file.Files.createTempDirectory("skcube_store")
+      .toString + "/c" // nonexistent: the first micro-batch must create it
+    val ckpt = java.nio.file.Files.createTempDirectory("skcube_ckpt").toString
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    CubeStreaming.startIngestSketchCube(stream, store,
+      Seq("o_year", "o_orderpriority"), "o_custkey", "o_year", ckpt)
+      .awaitTermination(120000)
+    def estimates(cells: org.apache.spark.sql.DataFrame) =
+      Sketches.rollupDistinct(cells, Seq("o_year"), "o_custkey_sketch")
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val streamed = estimates(spark.read.parquet(store))
+    val direct = estimates(Sketches.distinctSketchAtGrain(orders,
+      Seq("o_year", "o_orderpriority"), "o_custkey"))
+    assert(streamed == direct,
+      s"stream-maintained sketch cube diverged: $streamed vs $direct")
+    // replaying a batch re-unions the same sketches — estimates unchanged
+    // (HLL union is register-max), the property that lets this twin skip
+    // the star ingest's batch journal
+    Sketches.ingestSketchCube(spark, store,
+      orders.filter(col("o_year") >= 1995),
+      Seq("o_year", "o_orderpriority"), "o_custkey", "o_year")
+    assert(estimates(spark.read.parquet(store)) == direct,
+      "replayed delta changed an estimate")
+  }
+
   test("stateful sessionization emits valid closed sessions") {
     import spark.implicits._
     val stream = EventsStreaming.readEvents(spark, streamDir)
