@@ -145,6 +145,15 @@ object ScaleProbe {
         graft.operators.Similarity.ivfKnn(
           e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
           e, 5, nlist = 32, nprobe = 4).count()
+      },
+      // PQ train+encode: Lloyd iterations are fixed-count distributed
+      // aggregations and the encode is a per-row projection — the honest
+      // bound is linear-in-rows; a superlinear ratio would mean the
+      // assignment expression or the mean collect grew with the corpus
+      "pqencode" -> timed(s"$tag PQ train+encode") {
+        val model = graft.operators.Similarity.trainPq(e, m = 16,
+          ksub = 16, iters = 2)
+        graft.operators.Similarity.pqEncode(e, model).count()
       })
 
     // events: replicas get fresh event ids but the SAME users/timestamps,

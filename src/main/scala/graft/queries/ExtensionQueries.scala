@@ -2733,7 +2733,7 @@ object ExtensionQueries {
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     Similarity.saveIvfPqIndex(e, root, nlist = 8, m = 16, ksub = 16,
-      replicate = 2)
+      kmeansIters = 2, pqIters = 2, replicate = 2)
     val top = Similarity.ivfPqKnnStored(s, root, queries, k = 5, nprobe = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
