@@ -626,14 +626,21 @@ object Similarity {
   def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
               iters: Int = 3, vecCol: String = "embedding",
               idCol: String = "vec_id"): PqModel = {
-    require(ksub >= 2 && m >= 1 && iters >= 0,
-      s"bad PQ params m=$m ksub=$ksub iters=$iters")
     // persist: training reads the normalized corpus 3 + iters times (dim
     // probe, count, seed sample, one pass per Lloyd iteration) — without
     // this every pass re-normalizes from the raw scan
     val cv = corpus.select(col(idCol).as("__id"),
       normalize(col(vecCol)).as("cv")).persist()
-    try {
+    try trainPqOn(cv, m, ksub, iters) finally cv.unpersist(): Unit
+  }
+
+  /** Codebook training over a PREPARED ("__id", "cv" array<double>)
+    * frame — no normalization applied, so IVF-PQ can train on residuals
+    * (which are deliberately not unit vectors). Caller persists. */
+  private def trainPqOn(cv: DataFrame, m: Int, ksub: Int,
+                        iters: Int): PqModel = {
+    require(ksub >= 2 && m >= 1 && iters >= 0,
+      s"bad PQ params m=$m ksub=$ksub iters=$iters")
     val dim = cv.select(size(col("cv"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val n = cv.count()
@@ -677,7 +684,6 @@ object Similarity {
     }
     (1 to iters).foldLeft(PqModel(dim, m, ksub, seeds))((mo, _) =>
       refineOnce(mo))
-    } finally cv.unpersist(): Unit
   }
 
   /** Encode a corpus to PQ codes: (idCol, pq_code array<int> of length
@@ -735,10 +741,12 @@ object Similarity {
     * standard web-scale ANN serving stack (IVF-PQ): at 100 TB of raw
     * embeddings the flat index is already unscannable and the
     * uncompressed IVF cells still carry full vectors — here a probed
-    * partition reads 16-byte codes. Vectors are encoded directly (not
-    * residual-encoded — one shared codebook, exactness traded for
-    * simplicity; the recall gate in PipelineOpsSpec measures the
-    * difference on the seeded corpus).
+    * partition reads 16-byte codes. Codes quantize the RESIDUAL
+    * v − centroid(cell) (each replicated copy against its own cell), so
+    * the codebook budget covers the within-cell scatter instead of the
+    * whole sphere — the standard accuracy-per-byte move; the probe
+    * reconstructs distances from per-(query, cell) residual tables
+    * ([[ivfPqKnnStored]]).
     *
     * Layout: `path`/centroids (IVF), `path`/pq (codebooks),
     * `path`/corpus (neighbor_id, pq_code) partitioned by cell.
@@ -754,23 +762,39 @@ object Similarity {
       normalize(col(cVec)).as("cv")).persist()
     try {
       val cents = trainCentroids(cBuild, nlist, kmeansIters)
-      val model = trainPq(cBuild, m, ksub, pqIters,
-        vecCol = "cv", idCol = "neighbor_id")
-      import spark.implicits._
-      cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      (for (s <- 0 until m; c <- 0 until ksub)
-        yield (s, c, model.codebooks(s)(c).toSeq))
-        .toDF("blk", "cid", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-      cBuild
+      // RESIDUAL encoding (the standard IVF-PQ accuracy-per-byte move):
+      // codes quantize v − centroid(cell), whose spread is the
+      // within-cell scatter — much tighter than the raw sphere, so the
+      // same m×ksub budget reconstructs far more precisely. Each
+      // replicated copy encodes against ITS OWN cell's centroid. The
+      // centroid lookup is a literal array (zip_with subtraction is a
+      // HOF, but this is the one-time build path and the small probe
+      // side — never the per-candidate scoring loop).
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = cBuild
         .withColumn("cell",
           explode(topCells(col("cv"), cents, math.max(replicate, 1))))
-        .select(col("neighbor_id"),
-          model.encodeExpr(col("cv")).as("pq_code"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-      model
+        .withColumn("res", zip_with(col("cv"),
+          element_at(centLit, col("cell") + 1), (a, b) => a - b))
+        .persist()
+      try {
+        val model = trainPqOn(
+          assigned.select(col("neighbor_id").as("__id"), col("res").as("cv")),
+          m, ksub, pqIters)
+        import spark.implicits._
+        cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        (for (s <- 0 until m; c <- 0 until ksub)
+          yield (s, c, model.codebooks(s)(c).toSeq))
+          .toDF("blk", "cid", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+        assigned
+          .select(col("neighbor_id"),
+            model.encodeExpr(col("res")).as("pq_code"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+        model
+      } finally assigned.unpersist(): Unit
     } finally cBuild.unpersist(): Unit
   }
 
@@ -805,17 +829,28 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val cents = readCentroids(spark, path)
     val model = readPqModel(spark, path)
+    // per (query, probed cell): the query RESIDUAL against that cell's
+    // centroid (codes quantize residuals — see saveIvfPqIndex), its
+    // squared norm, and the m ADC tables over it. All on the small
+    // broadcast side; per-candidate work stays m element_at lookups.
+    //   ||q − v||² ≈ ||qres − r_code||²
+    //             = |qres|² + Σ_s (|r_s|² − 2·qres_s·r_s)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val qres = zip_with(col("qv"),
+      element_at(centLit, col("cell") + 1), (a, b) => a - b)
     val dtabs = (0 until model.m).map { s =>
       array(model.codebooks(s).toSeq.map { c =>
         val c2 = c.map(x => x * x).sum
-        lit(c2) - lit(2.0) * dotp(model.sub(col("qv"), s), lit(c))
+        lit(c2) - lit(2.0) * dotp(model.sub(col("qres"), s), lit(c))
       }: _*).as(s"dtab_$s")
     }
     val probed = queries
       .select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
       .withColumn("cell",
         explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
-      .select((col("query_id") +: col("cell") +: dtabs): _*)
+      .withColumn("qres", qres)
+      .select((col("query_id") +: col("cell") +:
+        dotp(col("qres"), col("qres")).as("qres2") +: dtabs): _*)
     val stored = readIvfCorpus(spark, path)
     require(stored.columns.contains("pq_code"),
       s"$path/corpus lacks pq_code — a flat saveIvfIndex layout? " +
@@ -827,14 +862,18 @@ object Similarity {
     // local-relation build sides)
     val probedCells = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val dist = (0 until model.m).map(s =>
+    val dist = col("qres2") + (0 until model.m).map(s =>
       element_at(col(s"dtab_$s"),
         element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
     val scored = stored.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), (-dist).as("score"))
-      .distinct()
+      // a replicated neighbor reached via two cells carries two residual
+      // approximations — keep the better (smaller-distance) one; a plain
+      // distinct would let one neighbor occupy two top-k slots
+      .groupBy("query_id", "neighbor_id")
+      .agg(max("score").as("score"))
     val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
     scored
