@@ -815,6 +815,31 @@ object Similarity {
       Array.tabulate(m)(s => Array.tabulate(ksub)(c => rows((s, c)))))
   }
 
+  /** Append new vectors to a stored [[saveIvfPqIndex]] layout at delta
+    * cost: assign to the EXISTING centroids, residual-encode with the
+    * EXISTING codebooks, append the codes into the cell partitions —
+    * the index is never read or rewritten. Same drift contract as
+    * [[appendToIvfIndex]]: frozen centroids/codebooks fit a shifted
+    * distribution increasingly poorly, so once appended volume rivals
+    * the corpus, rebuild offline ([[saveIvfPqIndex]] at a NEW path,
+    * never in place). */
+  def appendToIvfPqIndex(delta: DataFrame, path: String,
+                         replicate: Int = 2, cId: String = "vec_id",
+                         cVec: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val cents = readCentroids(spark, path)
+    val model = readPqModel(spark, path)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    delta.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
+      .withColumn("cell",
+        explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+      .withColumn("res", zip_with(col("cv"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("neighbor_id"),
+        model.encodeExpr(col("res")).as("pq_code"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
   /** Approximate top-k against a stored [[saveIvfPqIndex]]: queries
     * probe their `nprobe` nearest cells (whole-partition pruning at the
     * scan, as [[ivfKnnStored]]) and score the probed cells' CODES by

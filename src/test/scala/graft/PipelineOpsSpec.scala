@@ -690,6 +690,21 @@ class PipelineOpsSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] {
       Similarity.ivfKnnStored(spark, dir, plantedQueries, k = 5).collect()
     }
+    assert(err.getMessage.contains("ivfPqKnnStored"))
+    // delta append: exact copies of the planted sources under fresh ids
+    // get assigned, residual-encoded against the frozen model, and
+    // surface next to their originals — the index itself never rewritten
+    import spark.implicits._
+    val copies = plantedSrcs.toSeq.map { case (id, v) => (id + 200000L, v) }
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(copies, dir, replicate = 2)
+    val top2 = Similarity.ivfPqKnnStored(spark, dir, plantedQueries,
+      k = 5, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val copyHits = plantedSrcs.count { case (id, _) =>
+      top2.getOrElse(id + 100000L, Set.empty[Long]).contains(id + 200000L) }
+    assert(copyHits >= 18, s"appended copies not findable: $copyHits/20")
   }
 
   test("quality classifier separates corpus from salted garbage; scoring is partition-invariant") {
