@@ -3026,6 +3026,105 @@ object ExtensionQueries {
       |         4 NULLS FIRST""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q94 — FUZZY STRING JOIN: all pairs of distinct 16-char document
+  //       prefixes within Levenshtein distance 3. Candidates come from
+  //       rarest-first q-gram prefix filtering (equi-join on single
+  //       grams, provably recall-1 — FuzzyJoin scaladoc), verified by
+  //       the codegen'd early-exit levenshtein builtin. Distinct keys
+  //       by contract: identical-key multiplicity is exact dedup's job
+  //       and would be the only quadratic term. Oracle: DuckDB's
+  //       levenshtein over the distinct-key cross join.
+  // -------------------------------------------------------------------
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FuzzyJoin
+    val keys = docs(s, dir).select(substring(col("text"), 1, 16).as("k"))
+    sorted(FuzzyJoin.pairsWithinDistance(keys, "k", maxDist = 3))
+  }
+
+  val q94Sql: String =
+    """WITH k AS (
+      |  SELECT DISTINCT substr(text, 1, 16) AS k FROM documents
+      |)
+      |SELECT a.k AS a, b.k AS b,
+      |       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+      |FROM k a JOIN k b ON a.k < b.k
+      |WHERE levenshtein(a.k, b.k) <= 3
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q95 — ENTITY RESOLUTION: planted-twin record linkage over customers.
+  //       Base records are custkey%4==0 (id = custkey*4); %20==0 plants
+  //       a DIRTY twin (name with its 10th character dropped — edit
+  //       distance 1, id = custkey*4+1, lost balance), %20==8 plants an
+  //       EXACT twin (same name, id = custkey*4+2). resolve() blocks on
+  //       nation, fuzzy-matches names at distance ≤ 1, transitively
+  //       closes (star + representative edges — linear, never
+  //       member×member), labels entities by min id; golden records are
+  //       one groupBy. Oracle: same construction, exact levenshtein
+  //       pairs within nation, recursive-CTE closure.
+  // -------------------------------------------------------------------
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val base = c.filter(col("c_custkey") % 4 === 0)
+      .select((col("c_custkey") * 4).as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val dirty = c.filter(col("c_custkey") % 20 === 0)
+      .select((col("c_custkey") * 4 + 1).as("rid"),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 99))
+          .as("name"),
+        col("c_nationkey").as("nk"), lit(null).cast("decimal(12,2)").as("bal"))
+    val exact = c.filter(col("c_custkey") % 20 === 8)
+      .select((col("c_custkey") * 4 + 2).as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val records = base.unionByName(dirty).unionByName(exact)
+    val resolved = EntityResolution.resolve(records, "rid", "name", "nk",
+      maxDist = 1)
+    sorted(resolved.groupBy("entity_id").agg(
+      count(lit(1)).as("n_records"),
+      min(col("name")).as("name_canon"),
+      sum(col("bal")).as("bal_sum")))
+  }
+
+  val q95Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT c_custkey*4 AS rid, c_name AS name, c_nationkey AS nk,
+      |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |  UNION ALL
+      |  SELECT c_custkey*4+1, substr(c_name,1,9) || substr(c_name,11),
+      |         c_nationkey, NULL
+      |  FROM customer WHERE c_custkey % 20 = 0
+      |  UNION ALL
+      |  SELECT c_custkey*4+2, c_name, c_nationkey,
+      |         CAST(c_acctbal AS DECIMAL(12,2))
+      |  FROM customer WHERE c_custkey % 20 = 8
+      |), pairs AS (
+      |  SELECT a.rid i, b.rid j FROM base a JOIN base b
+      |  ON a.nk = b.nk AND a.rid < b.rid
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS rid, least(a, min(b)) AS comp FROM reach GROUP BY a
+      |), lab AS (
+      |  SELECT base.rid, coalesce(comp.comp, base.rid) AS entity_id,
+      |         base.name, base.bal
+      |  FROM base LEFT JOIN comp ON comp.rid = base.rid
+      |)
+      |SELECT entity_id, count(*) AS n_records, min(name) AS name_canon,
+      |       sum(bal) AS bal_sum
+      |FROM lab GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3105,6 +3204,8 @@ object ExtensionQueries {
     ("q90_dedup_report", q90 _, q90Sql),
     ("q91_pq_verdict", q91 _, q91Sql),
     ("q92_ivfpq_stored", q92 _, q92Sql),
-    ("q93_quality_classifier", q93 _, q93Sql)
+    ("q93_quality_classifier", q93 _, q93Sql),
+    ("q94_fuzzy_join", q94 _, q94Sql),
+    ("q95_entity_resolution", q95 _, q95Sql)
   )
 }

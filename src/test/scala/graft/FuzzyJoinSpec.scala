@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, EntityResolution, FuzzyJoin}
+
+/** Fuzzy string join (q-gram prefix filtering) + entity resolution.
+  * The load-bearing test is generative: the prefix filter's recall-1
+  * guarantee is checked against a brute-force cross join over random
+  * corpora of near-identical strings (small alphabet, planted edits —
+  * the adversarial regime for gram-based filtering). */
+class FuzzyJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(97L + i)).foreach(body)
+    }
+
+  private def lev(a: String, b: String): Int = {
+    val prev = Array.range(0, b.length + 1)
+    var pr = prev
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(pr(j) + 1, cur(j - 1) + 1),
+          pr(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      pr = cur
+    }
+    pr(b.length)
+  }
+
+  private def bruteWithin(keys: Seq[String], d: Int): Set[(String, String)] =
+    (for {
+      a <- keys; b <- keys
+      if a < b && math.abs(a.length - b.length) <= d && lev(a, b) <= d
+    } yield (a, b)).toSet
+
+  // base strings over a 4-letter alphabet (hot grams guaranteed), plus
+  // mutants at a random number of random edits — some within the
+  // distance bound, some beyond it
+  private val corpusGen: Gen[List[String]] = for {
+    nBase <- Gen.chooseNum(3, 8)
+    bases <- Gen.listOfN(nBase, Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n + 2, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)))
+    mutants <- Gen.listOfN(12, for {
+      b <- Gen.oneOf(bases)
+      nEdits <- Gen.chooseNum(1, 5)
+      edited <- (1 to nEdits).foldLeft(Gen.const(b)) { (g, _) =>
+        g.flatMap { s =>
+          for {
+            op <- Gen.chooseNum(0, 2)
+            pos <- Gen.chooseNum(0, math.max(s.length - 1, 0))
+            ch <- Gen.oneOf('a', 'b', 'c', 'd')
+          } yield op match {
+            case 0 if s.nonEmpty => s.updated(math.min(pos, s.length - 1), ch)
+            case 1 => s.take(pos) + ch + s.drop(pos)
+            case _ if s.nonEmpty => s.take(pos) + s.drop(pos + 1)
+            case _ => s
+          }
+        }
+      }
+    } yield edited)
+  } yield bases ++ mutants
+
+  test("prefix-filter recall is 1 vs brute force on adversarial corpora") {
+    forAll(corpusGen, n = 8) { keys =>
+      val expected = bruteWithin(keys.distinct, 3)
+      val got = FuzzyJoin.pairsWithinDistance(
+        keys.toDF("k"), "k", maxDist = 3)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == expected,
+        s"missed=${expected -- got} extra=${got -- expected} keys=$keys")
+    }
+  }
+
+  test("reported distances are exact levenshtein") {
+    val keys = Seq("spark", "spork", "sprk", "spark!", "duck", "") // mixed
+    val got = FuzzyJoin.pairsWithinDistance(keys.toDF("k"), "k", maxDist = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(2)))
+      .toMap
+    val expected = (for {
+      a <- keys; b <- keys if a < b && lev(a, b) <= 2
+    } yield ((a, b), lev(a, b))).toMap
+    assert(got == expected)
+  }
+
+  test("short keys (gram set <= q*d) still pair; never against far keys") {
+    // "ab" has a single gram; "ba" shares none of it — only the sentinel
+    // bucket can find the pair. "abababab…" is long but gram-poor.
+    val keys = Seq("ab", "ba", "b", "", "abababab", "babababa", "zzzzzzzzzz")
+    val got = FuzzyJoin.pairsWithinDistance(keys.toDF("k"), "k", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == bruteWithin(keys, 2))
+  }
+
+  test("blocked variant never pairs across blocks") {
+    val rows = Seq(("x", "spark"), ("x", "spork"), ("y", "spark"),
+      ("y", "sparkle"), ("y", "spork")).toDF("blk", "k")
+    val got = FuzzyJoin.pairsWithinDistance(rows, "k", maxDist = 2,
+      blockCol = Some("blk"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(("x", "spark", "spork"), ("y", "spark", "spork"),
+      ("y", "spark", "sparkle"), ("y", "spork", "sparkle")
+    ).filter { case (_, a, b) => lev(a, b) <= 2 })
+  }
+
+  test("no cartesian product in the fuzzy-join plan") {
+    val keys = (0 until 50).map(i => s"key$i").toDF("k")
+    val plan = FuzzyJoin.pairsWithinDistance(keys, "k", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy join fell back to a cartesian:\n$plan")
+  }
+
+  test("entity resolution merges planted twins and labels by min id") {
+    val records = Seq(
+      (100L, "Ada Lovelace", 1), (101L, "Ada Lovelace", 1), // exact twin
+      (102L, "Ada Lovelac", 1), // dirty twin (1 deletion)
+      (103L, "Ada Lovelace", 2), // same name, other block — separate
+      (104L, "Grace Hopper", 1), (105L, "Grce Hopper", 1), // dirty twin
+      (106L, "Alan Turing", 2) // singleton
+    ).toDF("rid", "name", "blk")
+    val resolved = EntityResolution.resolve(records, "rid", "name", "blk",
+      maxDist = 1)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved == Map(100L -> 100L, 101L -> 100L, 102L -> 100L,
+      103L -> 103L, 104L -> 104L, 105L -> 104L, 106L -> 106L))
+  }
+
+  test("entity resolution closure equals brute-force closure on generated corpora") {
+    val recGen: Gen[List[(Long, String, Int)]] = for {
+      keys <- corpusGen
+      rows <- Gen.sequence[List[(Long, String, Int)], (Long, String, Int)](
+        keys.zipWithIndex.map { case (k, i) =>
+          Gen.chooseNum(0, 1).map(blk => (i.toLong, k, blk))
+        })
+    } yield rows
+    forAll(recGen, n = 5) { rows =>
+      val resolved = EntityResolution.resolve(
+        rows.toDF("rid", "name", "blk"), "rid", "name", "blk", maxDist = 2)
+        .select("rid", "entity_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force union-find over exact pair semantics
+      val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      for {
+        (i1, k1, b1) <- rows; (i2, k2, b2) <- rows
+        if i1 < i2 && b1 == b2 && lev(k1, k2) <= 2
+      } union(i1, i2)
+      val expected = rows.map(r => r._1 -> find(r._1)).toMap
+      assert(resolved == expected, s"rows=$rows")
+    }
+  }
+}
