@@ -154,6 +154,23 @@ object ScaleProbe {
         val model = graft.operators.Similarity.trainPq(e, m = 16,
           ksub = 16, iters = 2)
         graft.operators.Similarity.pqEncode(e, model).count()
+      },
+      // k-means train+assign: farthest-point seeding is a bounded
+      // TakeOrdered sample + driver loop, each Lloyd round one
+      // aggregation, assignment a projection — the honest bound is
+      // linear-in-rows
+      "kmeans" -> timed(s"$tag k-means train+assign") {
+        val cents = graft.operators.Clustering.train(e, k = 16, iters = 2)
+        graft.operators.Clustering.assign(e, cents).count()
+      },
+      // cluster-balanced sampling: bounded top-k per cluster — the
+      // shuffle carries ≤ quota ids per (partition, cluster); replicas
+      // densify every cluster factor×, the worst direction for any
+      // leaked per-cluster sort
+      "divsample" -> timed(s"$tag diversity sample") {
+        graft.operators.Sampling.diversitySample(
+          e.withColumn("cluster", pmod(col("vec_id"), lit(64))),
+          "vec_id", "cluster", quota = 50).count()
       })
 
     // events: replicas get fresh event ids but the SAME users/timestamps,
@@ -285,6 +302,16 @@ object ScaleProbe {
           graft.operators.Sketches.termSummaryAtGrain(
             tok, Seq("g"), "term", k = 4096),
           Seq("g"), "term_mg", k = 4096, topK = 5).count()
+      },
+      // fuzzy join over 16-char key prefixes at maxDist=1: the replica
+      // token suffix puts ≥2 edits between any two replicas' keys, so
+      // true pairs stay within-replica (linear by construction) and the
+      // probe times the candidate machinery — gram counting, prefix
+      // selection, bucket join, verify — against factor× more keys
+      "fuzzy" -> timed(s"$tag fuzzy join (d=1)") {
+        graft.operators.FuzzyJoin.pairsWithinDistance(
+          d.select(substring(col("text"), 1, 16).as("k")),
+          "k", maxDist = 1).count()
       })
 
     // BM25 store: build is one tokenize pass (linear); the probe's fixed

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means clustering over embedding columns (north-star
+  * extension; no reference-repo counterpart) — the curation primitive
+  * behind semantic sharding, SemDeDup-style pruning, and
+  * cluster-balanced ("diversity") sampling of training corpora.
+  *
+  * Spherical Lloyd's on L2-normalized vectors, sharing the IVF coarse
+  * quantizer's machinery ([[Similarity.trainCentroids]]): deterministic
+  * id-hash seeds (no RNG — same clusters on every run and cluster
+  * size), each iteration ONE distributed aggregation plus a tiny
+  * k × dim driver collect, assignment a single codegen'd argmax
+  * projection over centroid literals. Nothing here shuffles the
+  * vectors themselves: at 100 TB you train on the corpus (or an
+  * [[Sampling.hashSample]] of it — centroids are statistics, not an
+  * index) and assignment is a scan-side map.
+  */
+object Clustering {
+
+  /** Train `k` spherical centroids. Deterministic; `iters` Lloyd
+    * rounds over the full input. */
+  def train(df: DataFrame, k: Int, iters: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding")
+  : Array[Array[Double]] = {
+    val cv = df.select(col(idCol).as("neighbor_id"),
+      Similarity.normalize(col(vecCol)).as("cv")).persist()
+    try Similarity.trainCentroids(cv, k, iters)
+    finally cv.unpersist(): Unit
+  }
+
+  /** Assign every row its nearest centroid: one codegen'd projection —
+    * input columns preserved, `cluster` appended. */
+  def assign(df: DataFrame, centroids: Array[Array[Double]],
+             vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cluster",
+      element_at(Similarity.topCells(
+        Similarity.normalize(col(vecCol)), centroids, 1), 1))
+
+  /** Within-cluster inertia (sum of squared L2 distance to the OWN
+    * nearest centroid, on the unit sphere): the Lloyd objective. One
+    * aggregation; the per-row term is `2 − 2·(v·c_nearest)` for unit
+    * vectors, computed from the same argmax structs as [[assign]]. */
+  def inertia(df: DataFrame, centroids: Array[Array[Double]],
+              vecCol: String = "embedding"): Double = {
+    val v = Similarity.normalize(col(vecCol))
+    val best = array_max(array(centroids.toSeq.map(c =>
+      Similarity.dot(v, lit(c))): _*))
+    df.filter(col(vecCol).isNotNull)
+      .select(sum(lit(2.0) - lit(2.0) * best).as("i"))
+      .head().getDouble(0)
+  }
+}

@@ -68,4 +68,55 @@ object EntityResolution {
       .withColumn("entity_id", coalesce(col("__comp"), col("__rid")))
       .drop("__rid", "__comp")
   }
+
+  /** INCREMENTAL resolution: label a DELTA of records against a STORED
+    * resolved corpus (the output shape of [[resolve]] — records with an
+    * `entity_id` column) without relabeling anything stored — the
+    * q58/q59 incremental-dedup doctrine applied to record linkage.
+    *
+    * Semantics: a delta component (transitive closure WITHIN the delta,
+    * [[resolve]]'s edge construction) that fuzzy-matches one or more
+    * stored records adopts the SMALLEST matched stored `entity_id`;
+    * components matching nothing become new entities labeled by their
+    * smallest record id. Stored labels are frozen — if a delta record
+    * bridges two stored entities they are NOT merged (run a batch
+    * [[resolve]] compaction to heal bridges, the same rebuild contract
+    * as the stored dedup indexes).
+    *
+    * Scale shape: the corpus contributes one (block, key) → min
+    * entity_id aggregation and the cross-candidate scan
+    * ([[FuzzyJoin.crossPairsWithinDistance]] — corpus keys are bucketed
+    * and scanned, never paired among themselves); the closure runs on
+    * delta-sized node sets only.
+    */
+  def resolveDelta(resolvedCorpus: DataFrame, delta: DataFrame,
+                   idCol: String, keyCol: String, blockCol: String,
+                   maxDist: Int, q: Int = 2): DataFrame = {
+    // one adoption target per stored (block, key)
+    val ckeys = resolvedCorpus
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(blockCol), col(keyCol))
+      .agg(min(col("entity_id")).as("__ent"))
+    val cross = FuzzyJoin.crossPairsWithinDistance(
+      ckeys.select(col(blockCol), col(keyCol)),
+      delta.select(col(blockCol), col(keyCol)),
+      keyCol, maxDist, q, blockCol = Some(blockCol))
+    // smallest adopted entity per delta (block, key)
+    val adoptByKey = cross
+      .join(ckeys.withColumnRenamed(keyCol, "a"), Seq(blockCol, "a"))
+      .groupBy(col(blockCol), col("b").as(keyCol))
+      .agg(min(col("__ent")).as("__adopt"))
+    // within-delta closure — resolve()'s construction on the delta alone
+    val labeled = resolve(delta, idCol, keyCol, blockCol, maxDist, q)
+      .withColumnRenamed("entity_id", "__comp")
+    // propagate the component-min adoption to every member
+    val compAdopt = labeled
+      .join(adoptByKey, Seq(blockCol, keyCol), "left")
+      .groupBy(col("__comp"))
+      .agg(min(col("__adopt")).as("__compAdopt"))
+    labeled
+      .join(compAdopt, Seq("__comp"))
+      .withColumn("entity_id", coalesce(col("__compAdopt"), col("__comp")))
+      .drop("__comp", "__compAdopt")
+  }
 }

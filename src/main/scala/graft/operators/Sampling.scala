@@ -159,4 +159,40 @@ object Sampling {
     stratifiedHashSample(docs, idCol, sourceCol, rates,
       defaultRate = 0.0, salt = salt)
   }
+
+  /** Diversity (cluster-balanced) sampling: keep at most `quota` rows
+    * per value of `clusterCol`, chosen by ascending
+    * ([[hashUniform]]-style md5 hash, id) — deterministic, unbiased
+    * within a cluster, and exactly reproducible in SQL. Paired with
+    * [[Clustering.assign]] this is the standard "flatten the cluster
+    * histogram" curation step (big boilerplate clusters contribute the
+    * same number of examples as rare ones).
+    *
+    * Scale shape: the bounded top-k aggregation
+    * ([[graft.model.Aggregators.TopKByScore]]) — a shuffle carries at
+    * most `quota` (hash, id) pairs per (partition, cluster), never the
+    * rows and never a data-sized window sort; survivors join back by id
+    * (size-guarded broadcast under AQE). Selection order is
+    * (score desc, id asc) over score = −hash-as-double, i.e. ascending
+    * hash with id tie-break — ties from the 60-bit→double narrowing
+    * break identically in any engine that sorts (CAST(hash AS DOUBLE),
+    * id). */
+  def diversitySample(df: DataFrame, idCol: String, clusterCol: String,
+                      quota: Int, salt: String = ""): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val hash = graft.functions.TextFunctions.tokenHash60(
+      concat(lit(salt), coalesce(col(idCol).cast("string"), lit(""))))
+    val topk = udaf(new graft.model.Aggregators.TopKByScore(quota),
+      org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
+    val keep = df
+      .select(col(clusterCol), col(idCol).cast("long").as("__id"),
+        (-hash.cast("double")).as("__score"))
+      .groupBy(col(clusterCol))
+      .agg(topk(col("__score"), col("__id")).as("tk"))
+      .select(col(clusterCol), explode(col("tk.items")).as("it"))
+      .select(col(clusterCol), col("it.id").as("__id"))
+    df.join(
+      graft.model.Joins.maybeBroadcast(keep.select(col("__id"))),
+      col(idCol).cast("long") === col("__id"), "left_semi")
+  }
 }

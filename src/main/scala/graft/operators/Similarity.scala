@@ -247,26 +247,55 @@ object Similarity {
     * runs several driver actions). Deterministic: centroid seeds come from
     * an id-hash sample, not `rand()`. Each refinement iteration is one
     * distributed aggregation plus a tiny nlist×dim driver collect. */
-  private def trainCentroids(cBuild: DataFrame, nlist: Int,
+  private[operators] def trainCentroids(cBuild: DataFrame, nlist: Int,
                              kmeansIters: Int): Array[Array[Double]] = {
     // deterministic centroid sample by id hash — no global sort/window
     // (a row_number over an unpartitioned window would funnel the whole
     // corpus through one task, the opposite of the scale path)
     val n = cBuild.count()
     require(n > 0, "ivf: corpus is empty")
-    val step = math.max(n / nlist, 1L)
-    val hashSampled: Array[Array[Double]] = cBuild
-      .filter(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
-      .limit(nlist)
+    // Deterministic farthest-point seeding over a bounded hash sample:
+    // the id-hash TakeOrdered draws an unbiased 8·nlist-row sample (top-k
+    // per partition + driver merge — never a full sort), then greedy
+    // max-min-distance selection on the driver picks seeds that cannot
+    // land two-in-one-blob (the failure mode of a plain hash draw, which
+    // leaves Lloyd's permanently merged — k-means can move centroids but
+    // never split a pair that seeded inside one cluster).
+    val sampleN = math.min(math.max(nlist * 8, 64), math.min(n, 4096L).toInt)
+    val sample: Array[Array[Double]] = cBuild
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(sampleN)
       .select("cv").collect()
       .map(_.getSeq[Double](0).toArray)
-    // tiny/skewed-id corpora can leave the hash filter empty — fall
-    // back to the first nlist vectors rather than failing analysis
-    // downstream with a zero-element centroid array
-    val sampled =
-      if (hashSampled.nonEmpty) hashSampled
-      else cBuild.limit(nlist).select("cv").collect()
-        .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivf: corpus is empty after sampling")
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = sample.map(sq(_, sample(0)))
+    while (chosen.length < nlist && {
+      var best = 0; var i = 1
+      while (i < sample.length) {
+        if (minD(i) > minD(best)) best = i
+        i += 1
+      }
+      // all remaining points coincide with a seed: fewer distinct
+      // vectors than nlist — stop (duplicate centroids add nothing)
+      if (minD(best) <= 0.0) false
+      else {
+        chosen += sample(best)
+        var j = 0
+        while (j < sample.length) {
+          val d = sq(sample(j), sample(best))
+          if (d < minD(j)) minD(j) = d
+          j += 1
+        }
+        true
+      }
+    }) ()
+    val sampled = chosen.toArray
 
     // nearest-centroid cell id as one codegen'd expression: argmax over
     // literal centroid dot products (struct max orders by sim, then id)
@@ -301,7 +330,7 @@ object Similarity {
 
   /** Top-n nearest cells as one codegen'd expression: array sort of
     * (-sim, cid) structs — driver-free, no join, no window shuffle. */
-  private def topCells(vec: Column, cents: Array[Array[Double]], top: Int): Column = {
+  private[operators] def topCells(vec: Column, cents: Array[Array[Double]], top: Int): Column = {
     val scored = array(cents.zipWithIndex.toSeq.map { case (cent, id) =>
       struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
     }: _*)

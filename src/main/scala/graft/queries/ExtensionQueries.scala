@@ -3125,6 +3125,173 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q96 — K-MEANS VERDICT: train spherical k-means on the embeddings
+  //       (deterministic id-hash seeds, 3 Lloyd rounds) and check the
+  //       algorithm's defining invariants Spark-side — Lloyd's
+  //       objective (inertia) is non-increasing vs the seed centroids,
+  //       and every row lands in a valid cell. The oracle regenerates
+  //       the DuckDB-computable columns (row count, k) and the
+  //       construction-true verdicts (q93's verdict pattern — cluster
+  //       GEOMETRY is pinned by ClusteringSpec's planted-blob fixture,
+  //       not SQL-expressible).
+  // -------------------------------------------------------------------
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Clustering
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val k = 12
+    val seeds = Clustering.train(e, k, iters = 0)
+    val trained = Clustering.train(e, k, iters = 3)
+    val i0 = Clustering.inertia(e, seeds)
+    val i3 = Clustering.inertia(e, trained)
+    val a = Clustering.assign(e, trained)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cluster") >= 0 && col("cluster") < k, 0)
+          .otherwise(1)).as("bad"))
+      .head()
+    Seq((a.getLong(0), k, if (i3 <= i0 + 1e-9) 1 else 0,
+      if (a.getLong(1) == 0L) 1 else 0))
+      .toDF("n_points", "k", "lloyd_ok", "assign_ok")
+  }
+
+  val q96Sql: String =
+    """SELECT count(*) AS n_points, 12 AS k, 1 AS lloyd_ok, 1 AS assign_ok
+      |FROM embeddings""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q97 — DIVERSITY (cluster-balanced) SAMPLING, membership-exact: at
+  //       most 20 rows per cluster chosen by ascending (md5-derived
+  //       hash, id). The cluster key here is construction-derived
+  //       (vec_id % 12) so the ORACLE CHECKS MEMBERSHIP itself — the
+  //       same hash arithmetic and (hash-as-double, id) order in DuckDB
+  //       (q35's membership-exact pattern); pairing with trained
+  //       k-means clusters is ClusteringSpec's job. The selection is
+  //       the bounded top-k aggregation — never a data-sized window.
+  // -------------------------------------------------------------------
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val e = emb(s, dir).withColumn("cluster", pmod(col("vec_id"), lit(12)))
+    sorted(Sampling.diversitySample(e, "vec_id", "cluster", quota = 20)
+      .select("cluster", "vec_id"))
+  }
+
+  val q97Sql: String =
+    """WITH a AS (
+      |  SELECT vec_id, vec_id % 12 AS cluster,
+      |         CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+      |              AS BIGINT) AS DOUBLE) AS h
+      |  FROM embeddings
+      |), r AS (
+      |  SELECT cluster, vec_id,
+      |         row_number() OVER (PARTITION BY cluster
+      |                            ORDER BY h ASC, vec_id ASC) AS rn
+      |  FROM a
+      |)
+      |SELECT cluster, vec_id FROM r WHERE rn <= 20
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q98 — INCREMENTAL ENTITY RESOLUTION (the q58/q59 doctrine applied
+  //       to record linkage): resolve a stored customer corpus once
+  //       (q95's base construction), then label a DELTA against the
+  //       frozen labels — %20==0 plants a dirty twin (adopts by fuzzy
+  //       match), %20==8 an exact twin (adopts), %20==12 two "X-"-
+  //       prefixed records (2 edits from every stored name — a NEW
+  //       entity, the within-delta twins collapsing to the min id).
+  //       Corpus keys are bucketed and scanned, never paired among
+  //       themselves; the closure runs on delta-sized node sets.
+  //       Oracle: both closures as recursive CTEs + per-component
+  //       adoption minimum.
+  // -------------------------------------------------------------------
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val base = c.filter(col("c_custkey") % 4 === 0)
+      .select((col("c_custkey") * 4).as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"))
+    val stored = EntityResolution.resolve(base, "rid", "name", "nk",
+      maxDist = 1)
+    val delta = c.filter(col("c_custkey") % 20 === 0)
+      .select((col("c_custkey") * 4 + 1).as("rid"),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 99))
+          .as("name"),
+        col("c_nationkey").as("nk"))
+      .unionByName(c.filter(col("c_custkey") % 20 === 8)
+        .select((col("c_custkey") * 4 + 2).as("rid"), col("c_name").as("name"),
+          col("c_nationkey").as("nk")))
+      .unionByName(c.filter(col("c_custkey") % 20 === 12)
+        .select(explode(array(col("c_custkey") * 4 + 1,
+          col("c_custkey") * 4 + 2)).as("rid"),
+          concat(lit("X-"), col("c_name")).as("name"),
+          col("c_nationkey").as("nk")))
+    sorted(EntityResolution.resolveDelta(stored, delta, "rid", "name", "nk",
+      maxDist = 1).select("rid", "entity_id"))
+  }
+
+  val q98Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT c_custkey*4 AS rid, c_name AS name, c_nationkey AS nk
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |), bpairs AS (
+      |  SELECT a.rid i, b.rid j FROM base a JOIN base b
+      |  ON a.nk = b.nk AND a.rid < b.rid
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |), bedges AS (
+      |  SELECT i AS a, j AS b FROM bpairs UNION SELECT j, i FROM bpairs
+      |), breach(a, b) AS (
+      |  SELECT a, b FROM bedges
+      |  UNION
+      |  SELECT r.a, e.b FROM breach r JOIN bedges e ON r.b = e.a
+      |), bcomp AS (
+      |  SELECT a AS rid, least(a, min(b)) AS comp FROM breach GROUP BY a
+      |), blab AS (
+      |  SELECT base.rid, coalesce(bcomp.comp, base.rid) AS entity_id,
+      |         base.name, base.nk
+      |  FROM base LEFT JOIN bcomp ON bcomp.rid = base.rid
+      |), delta AS (
+      |  SELECT c_custkey*4+1 AS rid,
+      |         substr(c_name,1,9) || substr(c_name,11) AS name,
+      |         c_nationkey AS nk
+      |  FROM customer WHERE c_custkey % 20 = 0
+      |  UNION ALL
+      |  SELECT c_custkey*4+2, c_name, c_nationkey
+      |  FROM customer WHERE c_custkey % 20 = 8
+      |  UNION ALL
+      |  SELECT c_custkey*4+1, 'X-' || c_name, c_nationkey
+      |  FROM customer WHERE c_custkey % 20 = 12
+      |  UNION ALL
+      |  SELECT c_custkey*4+2, 'X-' || c_name, c_nationkey
+      |  FROM customer WHERE c_custkey % 20 = 12
+      |), dpairs AS (
+      |  SELECT a.rid i, b.rid j FROM delta a JOIN delta b
+      |  ON a.nk = b.nk AND a.rid < b.rid
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |), dedges AS (
+      |  SELECT i AS a, j AS b FROM dpairs UNION SELECT j, i FROM dpairs
+      |), dreach(a, b) AS (
+      |  SELECT a, b FROM dedges
+      |  UNION
+      |  SELECT r.a, e.b FROM dreach r JOIN dedges e ON r.b = e.a
+      |), dcomp AS (
+      |  SELECT a AS rid, least(a, min(b)) AS comp FROM dreach GROUP BY a
+      |), dlab AS (
+      |  SELECT delta.rid, coalesce(dcomp.comp, delta.rid) AS comp
+      |  FROM delta LEFT JOIN dcomp ON dcomp.rid = delta.rid
+      |), adopt AS (
+      |  SELECT d.rid, min(bl.entity_id) AS ad
+      |  FROM delta d JOIN blab bl
+      |  ON bl.nk = d.nk AND levenshtein(bl.name, d.name) <= 1
+      |  GROUP BY 1
+      |), capt AS (
+      |  SELECT dlab.comp, min(adopt.ad) AS ca
+      |  FROM dlab LEFT JOIN adopt ON adopt.rid = dlab.rid
+      |  GROUP BY 1
+      |)
+      |SELECT dlab.rid, coalesce(capt.ca, dlab.comp) AS entity_id
+      |FROM dlab JOIN capt ON capt.comp = dlab.comp
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3206,6 +3373,9 @@ object ExtensionQueries {
     ("q92_ivfpq_stored", q92 _, q92Sql),
     ("q93_quality_classifier", q93 _, q93Sql),
     ("q94_fuzzy_join", q94 _, q94Sql),
-    ("q95_entity_resolution", q95 _, q95Sql)
+    ("q95_entity_resolution", q95 _, q95Sql),
+    ("q96_kmeans", q96 _, q96Sql), // verdict + ClusteringSpec geometry
+    ("q97_diversity_sample", q97 _, q97Sql),
+    ("q98_entity_delta", q98 _, q98Sql)
   )
 }

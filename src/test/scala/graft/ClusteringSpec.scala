@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Sampling}
+
+/** K-means geometry + diversity sampling. The verdict query (q96) pins
+  * the algebraic invariants; cluster GEOMETRY — that Lloyd's actually
+  * recovers structure — is only testable against a planted fixture,
+  * which is this spec's job. */
+class ClusteringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Three well-separated unit directions in R^8 with small
+    * deterministic jitter — blob membership is the ground truth. */
+  private def blobs(n: Int): Seq[(Long, Int, Array[Float])] = {
+    val dirs = Array(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 0, 1.0, 0, 0, 0, 0),
+      Array(0, 0, 0, 0, 0, 0, 1.0, 0))
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val b = i % 3
+      val v = dirs(b).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat)
+      (i.toLong, b, v)
+    }
+  }
+
+  test("k-means recovers planted blobs exactly (k=3)") {
+    val data = blobs(120)
+    val df = data.map { case (id, _, v) => (id, v) }.toDF("vec_id", "embedding")
+    val cents = Clustering.train(df, k = 3, iters = 4)
+    val got = Clustering.assign(df, cents)
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val truth = data.map { case (id, b, _) => id -> b }.toMap
+    // cluster ids are arbitrary — require the PARTITION to match: same
+    // blob iff same cluster
+    for ((i, bi) <- truth; (j, bj) <- truth if i < j)
+      assert((bi == bj) == (got(i) == got(j)),
+        s"rows $i (blob $bi, cell ${got(i)}) / $j (blob $bj, cell ${got(j)})")
+  }
+
+  test("inertia is non-increasing across Lloyd rounds") {
+    val df = blobs(90).map { case (id, _, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val is = (0 to 3).map(it =>
+      Clustering.inertia(df, Clustering.train(df, k = 3, iters = it)))
+    is.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia went up: $is")
+    }
+    // and training actually helps on this fixture
+    assert(is.last < is.head)
+  }
+
+  test("assign appends a valid cluster id and keeps input columns") {
+    val df = blobs(30).map { case (id, _, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.train(df, k = 4, iters = 1)
+    val a = Clustering.assign(df, cents)
+    assert(a.columns.toSeq == Seq("vec_id", "embedding", "cluster"))
+    val cells = a.select("cluster").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 4))
+  }
+
+  test("diversity sample: per-cluster quota, subset, deterministic hash order") {
+    val df = (0L until 200L).map(i => (i, (i % 5).toString)).toDF("id", "c")
+    val got = Sampling.diversitySample(df, "id", "c", quota = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val byC = got.groupBy(_._1)
+    assert(byC.values.forall(_.length == 7)) // 40 per cluster, quota binds
+    // brute-force expectation: ascending (hash-as-double, id)
+    def h(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16).toDouble
+    }
+    val expected = (0L until 200L).groupBy(i => (i % 5).toString)
+      .toSeq.flatMap { case (c, ids) =>
+        ids.sortBy(i => (h(i), i)).take(7).map(i => (c, i))
+      }.toSet
+    assert(got.toSet == expected)
+  }
+
+  test("diversity sample keeps whole clusters smaller than the quota") {
+    val df = (0L until 10L).map(i => (i, if (i < 8) "big" else "tiny"))
+      .toDF("id", "c")
+    val got = Sampling.diversitySample(df, "id", "c", quota = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.count(_._1 == "big") == 3)
+    assert(got.count(_._1 == "tiny") == 2) // under quota: all kept
+  }
+
+  test("diversity sample plans without a window or data-sized sort") {
+    val df = (0L until 50L).map(i => (i, (i % 3).toString)).toDF("id", "c")
+    val plan = Sampling.diversitySample(df, "id", "c", quota = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept into the plan:\n$plan")
+  }
+}

@@ -134,6 +134,57 @@ class FuzzyJoinSpec extends SparkSpec {
       103L -> 103L, 104L -> 104L, 105L -> 104L, 106L -> 106L))
   }
 
+  test("cross pairs: recall 1 vs brute force, left/right orientation kept") {
+    forAll(corpusGen, n = 6) { keys =>
+      val (l, r) = keys.distinct.splitAt(keys.distinct.length / 2)
+      val expected = (for {
+        a <- l; b <- r if lev(a, b) <= 2
+      } yield (a, b)).toSet
+      val got = graft.operators.FuzzyJoin.crossPairsWithinDistance(
+        l.toDF("k"), r.toDF("k"), "k", maxDist = 2)
+        .collect().map(x => (x.getString(0), x.getString(1))).toSet
+      assert(got == expected,
+        s"missed=${expected -- got} extra=${got -- expected} l=$l r=$r")
+    }
+  }
+
+  test("resolveDelta: adoption, frozen bridges, new entities") {
+    val corpus = Seq(
+      (10L, "Ada Lovelace", 1), (11L, "Ada Lovelace", 1),
+      (20L, "Grace Hopper", 1),
+      (30L, "Alan Turing", 1)
+    ).toDF("rid", "name", "blk")
+    val stored = EntityResolution.resolve(corpus, "rid", "name", "blk",
+      maxDist = 1)
+    val delta = Seq(
+      (100L, "Ada Lovelac", 1), // dirty → adopts 10
+      (101L, "Grace Hopper", 1), // exact → adopts 20
+      (102L, "Z-New Person", 1), (103L, "Z-New Person", 1), // new entity
+      (104L, "Alan Turing", 2) // other block → NOT adopted
+    ).toDF("rid", "name", "blk")
+    val got = EntityResolution.resolveDelta(stored, delta, "rid", "name",
+      "blk", maxDist = 1)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 10L, 101L -> 20L, 102L -> 102L,
+      103L -> 102L, 104L -> 104L))
+    // frozen bridges: a delta record within distance 1 of TWO stored
+    // entities adopts the smaller label; the stored entities stay apart
+    val bridgeCorpus = Seq((1L, "aaaa", 0), (2L, "abca", 0))
+      .toDF("rid", "name", "blk")
+    val storedB = EntityResolution.resolve(bridgeCorpus, "rid", "name",
+      "blk", maxDist = 1)
+    assert(storedB.select("rid", "entity_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L)) // distance 2: separate stored entities
+    val bridge = Seq((50L, "abaa", 0)).toDF("rid", "name", "blk")
+    val gotB = EntityResolution.resolveDelta(storedB, bridge, "rid",
+      "name", "blk", maxDist = 1)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotB == Map(50L -> 1L)) // adopts the min; no stored merge
+  }
+
   test("entity resolution closure equals brute-force closure on generated corpora") {
     val recGen: Gen[List[(Long, String, Int)]] = for {
       keys <- corpusGen
