@@ -312,6 +312,15 @@ object ScaleProbe {
         graft.operators.FuzzyJoin.pairsWithinDistance(
           d.select(substring(col("text"), 1, 16).as("k")),
           "k", maxDist = 1).count()
+      },
+      // BPE: one word-count scan + bounded TakeOrdered dictionary +
+      // driver merges + one broadcast-join encode — replica suffixes
+      // grow the vocabulary factor×, the dictionary cap holds the
+      // driver loop constant, so the bound is linear-in-tokens
+      "bpe" -> timed(s"$tag BPE train+encode") {
+        val m = graft.operators.Bpe.trainBpe(d, "text", numMerges = 32)
+        graft.operators.Bpe.encodeTokenCounts(d, "doc_id", "text", m)
+          .count()
       })
 
     // BM25 store: build is one tokenize pass (linear); the probe's fixed

@@ -252,8 +252,6 @@ object Similarity {
     // deterministic centroid sample by id hash — no global sort/window
     // (a row_number over an unpartitioned window would funnel the whole
     // corpus through one task, the opposite of the scale path)
-    val n = cBuild.count()
-    require(n > 0, "ivf: corpus is empty")
     // Deterministic farthest-point seeding over a bounded hash sample:
     // the id-hash TakeOrdered draws an unbiased 8·nlist-row sample (top-k
     // per partition + driver merge — never a full sort), then greedy
@@ -261,13 +259,15 @@ object Similarity {
     // land two-in-one-blob (the failure mode of a plain hash draw, which
     // leaves Lloyd's permanently merged — k-means can move centroids but
     // never split a pair that seeded inside one cluster).
-    val sampleN = math.min(math.max(nlist * 8, 64), math.min(n, 4096L).toInt)
+    // limit() alone bounds the sample (no separate count job — a
+    // corpus smaller than the cap just yields fewer rows)
+    val sampleN = math.min(math.max(nlist * 8, 64), 4096)
     val sample: Array[Array[Double]] = cBuild
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(sampleN)
       .select("cv").collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "ivf: corpus is empty after sampling")
+    require(sample.nonEmpty, "ivf: corpus is empty")
     def sq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -360,6 +360,7 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
       cBuild.withColumn("cell",
           explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+        .repartition(col("cell")) // one writer per cell: ~nlist files, not tasks x cells
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     } finally cBuild.unpersist(): Unit
   }
@@ -498,7 +499,9 @@ object Similarity {
     * cell partitions, so probe-side partition pruning keeps working
     * unchanged. */
   def appendToIvfIndex(rows: DataFrame, path: String): Unit =
-    rows.write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    rows.repartition(col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
 
   /** Offline retrain of a [[saveIvfIndex]] layout — the maintenance op
     * the append paths defer to: [[appendToIvfIndex]] and the streaming
@@ -670,18 +673,16 @@ object Similarity {
                         iters: Int): PqModel = {
     require(ksub >= 2 && m >= 1 && iters >= 0,
       s"bad PQ params m=$m ksub=$ksub iters=$iters")
-    val dim = cv.select(size(col("cv"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    val n = cv.count()
-    require(n > 0, "pq: corpus is empty")
-    val step = math.max(n / ksub, 1L)
-    val sampleRows = {
-      val hashed = cv.filter(pmod(xxhash64(col("__id")), lit(step)) === 0)
-        .limit(ksub).select("cv").collect()
-      if (hashed.length >= 2) hashed
-      else cv.limit(ksub).select("cv").collect()
-    }.map(_.getSeq[Double](0).toArray)
+    // ONE deterministic id-hash TakeOrdered draws the seed sample (the
+    // previous count + step-filter + fallback spent three driver jobs
+    // on the same draw); dim comes from the sample rows, not a probe job
+    val sampleRows = cv
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(ksub).select("cv").collect()
+      .map(_.getSeq[Double](0).toArray)
     require(sampleRows.length >= 2, s"pq: need >= 2 distinct seed vectors")
+    val dim = sampleRows(0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
     // seed subspace s with the sampled vectors' s-th blocks (cycle the
     // sample if it is shorter than ksub)
@@ -821,7 +822,8 @@ object Similarity {
         assigned
           .select(col("neighbor_id"),
             model.encodeExpr(col("res")).as("pq_code"), col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+          .repartition(col("cell")) // one writer per cell: ~nlist files, not tasks x cells
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
         model
       } finally assigned.unpersist(): Unit
     } finally cBuild.unpersist(): Unit
@@ -866,6 +868,7 @@ object Similarity {
         element_at(centLit, col("cell") + 1), (a, b) => a - b))
       .select(col("neighbor_id"),
         model.encodeExpr(col("res")).as("pq_code"), col("cell"))
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 

@@ -3292,6 +3292,45 @@ object ExtensionQueries {
       |FROM dlab JOIN capt ON capt.comp = dlab.comp
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q99 — BPE TOKENIZER TRAINING verdict: learn 64 merges from the
+  //       corpus (one distributed word-count scan + bounded-dictionary
+  //       driver merges — the production trainer shape) and encode the
+  //       corpus back through the broadcast segmentation join. The
+  //       oracle regenerates the DuckDB-computable columns (doc/word
+  //       totals) and the construction-true compression verdict
+  //       (n_words ≤ bpe tokens ≤ word chars — each merge strictly
+  //       shrinks, char fallback bounds above); the merge SEQUENCE
+  //       itself is pinned exactly by BpeSpec's hand-computed classic
+  //       fixture (q93's verdict doctrine).
+  // -------------------------------------------------------------------
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Bpe
+    val d = docs(s, dir)
+    val model = Bpe.trainBpe(d, "text", numMerges = 64)
+    val enc = Bpe.encodeTokenCounts(d, "doc_id", "text", model)
+      .agg(sum("n_bpe_tokens"), sum("n_words")).head()
+    val (bpe, words) = (enc.getLong(0), enc.getLong(1))
+    val chars = d.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w")))).head().getLong(0)
+    val nDocs = d.count()
+    Seq((nDocs, words,
+      model.merges.length,
+      if (bpe >= words && bpe <= chars) 1 else 0))
+      .toDF("n_docs", "n_words", "n_merges", "compress_ok")
+  }
+
+  val q99Sql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |       (SELECT count(*) FROM w WHERE w <> '') AS n_words,
+      |       64 AS n_merges, 1 AS compress_ok""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3376,6 +3415,7 @@ object ExtensionQueries {
     ("q95_entity_resolution", q95 _, q95Sql),
     ("q96_kmeans", q96 _, q96Sql), // verdict + ClusteringSpec geometry
     ("q97_diversity_sample", q97 _, q97Sql),
-    ("q98_entity_delta", q98 _, q98Sql)
+    ("q98_entity_delta", q98 _, q98Sql),
+    ("q99_bpe_train", q99 _, q99Sql) // verdict + BpeSpec exact merges
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE training against the hand-computable classic fixture (the
+  * low/lower/newest/widest corpus of the BPE paper) plus encode paths. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+    .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    .toDF("doc_id", "text")
+
+  test("classic fixture: exact merge sequence with deterministic tie-break") {
+    val m = Bpe.trainBpe(corpus, "text", numMerges = 4)
+    // hand-computed: es(9), es+t</w>(9), l+o(7), then a 3-way tie at 6
+    // — (e,w), (n,e), (w,est</w>) — broken by (left, right) ascending
+    assert(m.merges == Seq(("e", "s"), ("es", "t</w>"), ("l", "o"),
+      ("e", "w")))
+  }
+
+  test("segment applies merges in order; dictionary matches segment()") {
+    val m = Bpe.trainBpe(corpus, "text", numMerges = 4)
+    assert(m.segment("lowest") == Seq("lo", "w", "est</w>"))
+    assert(m.segment("newest") == Seq("n", "ew", "est</w>"))
+    assert(m.segment("low") == Seq("lo", "w</w>"))
+    // every dictionary word's stored segmentation == segment(word)
+    m.dictSegments.foreach { case (w, segs) =>
+      assert(segs == m.segment(w), s"word $w")
+    }
+  }
+
+  test("encodeTokenCounts: dictionary words by model, OOV by char count") {
+    val m = Bpe.trainBpe(corpus, "text", numMerges = 4)
+    val docs = Seq((1L, "low lower zzz"), (2L, "newest a"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val low = m.segment("low").length // 2
+    val lower = m.segment("lower").length
+    assert(got(1L) == ((low + lower + 3L, 3L))) // zzz OOV -> 3 chars
+    assert(got(2L) == ((m.segment("newest").length + 1L, 2L))) // "a" OOV -> 1
+  }
+
+  test("encodeSegments equals driver-side segmentation incl. OOV fallback") {
+    val m = Bpe.trainBpe(corpus, "text", numMerges = 4)
+    val docs = Seq((1L, "low zzz")).toDF("doc_id", "text")
+    val got = Bpe.encodeSegments(docs, "doc_id", "text", m)
+      .orderBy("pos", "token")
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    val expected = Seq(0 -> "lo", 0 -> "w</w>", 1 -> "z", 1 -> "z",
+      1 -> "z</w>")
+    assert(got.sorted.toSeq == expected.sorted)
+  }
+
+  test("training is invariant to partitioning") {
+    val base = corpus
+    val m1 = Bpe.trainBpe(base.repartition(1), "text", 6)
+    val m7 = Bpe.trainBpe(base.repartition(7), "text", 6)
+    assert(m1.merges == m7.merges)
+    assert(m1.dictSegments == m7.dictSegments)
+  }
+
+  test("merge exhaustion stops early instead of looping") {
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m = Bpe.trainBpe(tiny, "text", numMerges = 50)
+    // "ab" -> a,b</w> -> ab</w>: exactly one merge possible
+    assert(m.merges == Seq(("a", "b</w>")))
+    assert(m.segment("ab") == Seq("ab</w>"))
+  }
+}
