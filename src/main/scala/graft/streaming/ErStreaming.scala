@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.EntityResolution
+
+/** Streaming entity resolution — the streaming twin of
+  * [[graft.operators.EntityResolution]] under the same foreachBatch +
+  * per-batch-id store protocol as [[DocStreaming.startNearDupDedup]]
+  * (north-star extension; the reference has no streaming at all,
+  * SURVEY §2.10).
+  *
+  * Each micro-batch runs the incremental batch operator
+  * [[EntityResolution.resolveDelta]] against the accumulated entity
+  * store: batch records adopt the smallest matched stored entity id,
+  * unmatched components become new entities, stored labels are never
+  * rewritten. The labeled batch appends to the store under
+  * `batch=<id>` (dynamic per-partition overwrite → replay-idempotent
+  * under at-least-once delivery), so the store IS the entity table a
+  * consumer reads — and what a nightly batch [[EntityResolution
+  * .resolve]] compaction would rebuild to heal frozen bridges.
+  */
+object ErStreaming {
+
+  /** Start the resolve stream. `records` must carry `idCol` (numeric,
+    * unique), `keyCol` (string), `blockCol`. The store at `storeDir`
+    * holds (idCol, keyCol, blockCol, entity_id) partitioned by batch. */
+  def startResolveStream(records: DataFrame, idCol: String, keyCol: String,
+                         blockCol: String, maxDist: Int,
+                         storeDir: String, checkpointDir: String,
+                         q: Int = 2,
+                         trigger: Trigger = Trigger.AvailableNow())
+  : StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      val spark = batch.sparkSession
+      // explicit schema — schema inference over a crash-emptied store
+      // throws on every replay (the DocStreaming lesson)
+      val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          batch.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField(keyCol,
+          batch.schema(keyCol).dataType),
+        org.apache.spark.sql.types.StructField(blockCol,
+          batch.schema(blockCol).dataType),
+        org.apache.spark.sql.types.StructField("entity_id",
+          batch.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType)))
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+      StoreCompaction.recover(fs, storePath)
+      // prior batches only: a replayed batch must not adopt labels from
+      // its OWN half-written partition
+      val stored =
+        if (fs.exists(storePath) && fs.listStatus(storePath).nonEmpty)
+          Some(spark.read.schema(storeSchema).parquet(storeDir)
+            .filter(col("batch") < batchId).drop("batch"))
+        else None
+      val b = batch.select(col(idCol), col(keyCol), col(blockCol))
+      val labeled = stored match {
+        case Some(corpus) => EntityResolution.resolveDelta(
+          corpus, b, idCol, keyCol, blockCol, maxDist, q)
+        case None => EntityResolution.resolve(
+          b, idCol, keyCol, blockCol, maxDist, q)
+      }
+      labeled.select(col(idCol), col(keyCol), col(blockCol),
+        col("entity_id"))
+        .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    }
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Compact the entity store's batch partitions (stream STOPPED) —
+    * the shared [[StoreCompaction]] contract. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   storeDir: String, idCol: String = "rid",
+                   keyCol: String = "name", blockCol: String = "blk"): Unit =
+    StoreCompaction.compact(spark, storeDir,
+      Seq(idCol, keyCol, blockCol, "entity_id"))
+}

@@ -110,6 +110,24 @@ class FuzzyJoinSpec extends SparkSpec {
     ).filter { case (_, a, b) => lev(a, b) <= 2 })
   }
 
+  test("native bounded edit distance ≡ builtin levenshtein threshold form") {
+    import graft.functions.StringExpressions.boundedLevenshtein
+    val strGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.oneOf('a', 'b', 'c', 'z')),
+        (1, Gen.oneOf('é', 'ß', '中')))).map(_.mkString))
+    forAll(Gen.listOfN(60, Gen.zip(strGen, strGen)), n = 4) { rows =>
+      val df = rows.toDF("a", "b")
+      for (d <- Seq(0, 1, 3)) {
+        val got = df.select(boundedLevenshtein(col("a"), col("b"), d))
+          .collect().map(_.getInt(0)).toSeq
+        val exp = df.select(levenshtein(col("a"), col("b"), d))
+          .collect().map(_.getInt(0)).toSeq
+        assert(got == exp, s"d=$d rows=$rows")
+      }
+    }
+  }
+
   test("no cartesian product in the fuzzy-join plan") {
     val keys = (0 until 50).map(i => s"key$i").toDF("k")
     val plan = FuzzyJoin.pairsWithinDistance(keys, "k", maxDist = 2)
@@ -183,6 +201,45 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("rid", "entity_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotB == Map(50L -> 1L)) // adopts the min; no stored merge
+  }
+
+  test("streaming entity resolution equals sequential batch resolve + resolveDelta") {
+    import graft.streaming.ErStreaming
+    val wave1 = Seq((10L, "Ada Lovelace", 1), (11L, "Ada Lovelace", 1),
+      (20L, "Grace Hopper", 1), (30L, "Alan Turing", 2))
+      .toDF("rid", "name", "blk")
+    val wave2 = Seq((100L, "Ada Lovelac", 1), (101L, "Grce Hopper", 1),
+      (102L, "Zeta New", 1), (103L, "Zeta New", 1))
+      .toDF("rid", "name", "blk")
+    val dir = java.nio.file.Files.createTempDirectory("er_stream").toString
+    wave1.coalesce(1).write.mode("append").parquet(dir)
+    wave2.coalesce(1).write.mode("append").parquet(dir)
+    val store = java.nio.file.Files.createTempDirectory("er_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("er_ckpt").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = ErStreaming.startResolveStream(stream, "rid", "name", "blk",
+      maxDist = 1, store, ckpt)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(store)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential batch twin: resolve wave 1, then delta-resolve wave 2
+    val b1 = EntityResolution.resolve(wave1, "rid", "name", "blk", 1)
+    val b2 = EntityResolution.resolveDelta(
+      b1.select("rid", "name", "blk", "entity_id"), wave2,
+      "rid", "name", "blk", 1)
+    val expected = (b1.select("rid", "entity_id").collect() ++
+      b2.select("rid", "entity_id").collect())
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == expected)
+    // compaction preserves content and the batch<id filter contract
+    ErStreaming.compactStore(spark, store)
+    val compacted = spark.read.parquet(store)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted == expected)
   }
 
   test("entity resolution closure equals brute-force closure on generated corpora") {
