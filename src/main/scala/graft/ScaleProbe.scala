@@ -346,16 +346,36 @@ object ScaleProbe {
       Map("bm25build" -> build, "bm25probe" -> probe)
     }
 
+    // Inter-suite hygiene: operators localCheckpoint intermediate
+    // relations (FuzzyJoin key rows, connected-components rounds, the
+    // delta shingle index, …), and those blocks are reclaimed only when
+    // a JVM GC collects their weak references — across a 20-minute
+    // probe they accumulate into real executor-memory pressure that
+    // bleeds into LATER steps' measurements (observed: the same fuzzy
+    // plan 4.5 s in a fresh session, 22.7 s late in a probe session).
+    // Each suite measures its own cost, not its predecessors' residue.
+    def clean(): Unit = {
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     println(s"[probe] corpus 1x = $nDocs docs; factor = $factor")
     val d1 = dedupSuite("1x", docsN(1))
+    clean()
     val dN = dedupSuite(s"${factor}x", docsN(factor))
+    clean()
     val a1 = annSuite("1x", embN(1))
+    clean()
     val aN = annSuite(s"${factor}x", embN(factor))
+    clean()
     val p1 = pipeSuite("1x", docsN(1)) ++ bm25Step("1x", docsN(1), 1)
+    clean()
     val pN = pipeSuite(s"${factor}x", docsN(factor)) ++
       bm25Step(s"${factor}x", docsN(factor), factor)
+    clean()
     val e1 = eventsSuite("1x", evN(1)) ++ ingestStep("1x", 1) ++
       navStep("1x", 1)
+    clean()
     val eN = eventsSuite(s"${factor}x", evN(factor)) ++
       ingestStep(s"${factor}x", factor) ++ navStep(s"${factor}x", factor)
 

@@ -52,4 +52,45 @@ object Clustering {
       .select(sum(lit(2.0) - lit(2.0) * best).as("i"))
       .head().getDouble(0)
   }
+
+  /** SemDeDup-style semantic pruning (Abbas et al., 2023): cluster the
+    * embeddings, enumerate cosine-≥-threshold pairs WITHIN each cluster
+    * only, transitively close, keep the min-id representative per
+    * group. Candidate volume is Σ cluster-size² instead of n² — the
+    * published trade: pairs split across clusters are missed, so recall
+    * against exact all-pairs dedup is < 1 by design and improves with
+    * `replicate` (each vector joins its `replicate` nearest cells, the
+    * IVF multi-probe move; near-identical vectors rank cells
+    * near-identically, so true near-dup pairs rarely split).
+    * ClusteringSpec gates recall on a planted fixture.
+    *
+    * Scale shape: assignment is a scan-side projection; the pair join
+    * is an equi-join on the cell id (vectors shuffle once, keyed by
+    * cell); closure + canonical drop are the shared
+    * [[Dedup.connectedComponents]]/[[Dedup.dropNearDups]] machinery.
+    *
+    * @return (survivors — input rows minus dropped near-dups,
+    *         the verified within-cluster pairs (i, j, cos)) */
+  def semanticDedup(df: DataFrame, centroids: Array[Array[Double]],
+                    threshold: Double, replicate: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding")
+  : (DataFrame, DataFrame) = {
+    require(threshold > -1 && threshold < 1,
+      s"threshold $threshold not in (-1, 1)")
+    val rows = df
+      .select(col(idCol).as("__id"),
+        Similarity.normalize(col(vecCol)).as("__nv"))
+      .withColumn("__cell", explode(Similarity.topCells(col("__nv"),
+        centroids, math.max(replicate, 1))))
+    val pairs = rows.toDF("i", "iv", "__cell")
+      .join(rows.toDF("j", "jv", "__cell"), "__cell")
+      .filter(col("i") < col("j"))
+      .withColumn("cos", Similarity.dot(col("iv"), col("jv")))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= threshold)
+      .select("i", "j", "cos")
+      .distinct() // replicate > 1 finds a pair once per shared cell
+    (Dedup.dropNearDups(df, pairs, idCol), pairs)
+  }
 }

@@ -3331,6 +3331,68 @@ object ExtensionQueries {
       |       (SELECT count(*) FROM w WHERE w <> '') AS n_words,
       |       64 AS n_merges, 1 AS compress_ok""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q100 — SEMANTIC DEDUP (SemDeDup): cluster-then-within-cluster
+  //        cosine pruning over a planted corpus — %7==0 re-ingested
+  //        VERBATIM under vec_id*4+1 (cos 1.0 with its source: an
+  //        identical vector ranks cells identically, so the pair shares
+  //        every replicated cell and recall is 1 by construction),
+  //        %7==1 rotated by 13 (isometry; ≤0.57 cosine vs everything —
+  //        the q59 margin pin — so it must SURVIVE). Oracle: exact
+  //        pairwise cosine over the same construction, recursive-CTE
+  //        closure, min-id drop — the within-cluster restriction is
+  //        invisible at recall 1.
+  // -------------------------------------------------------------------
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val rot = concat(slice(col("embedding"), 14, 51),
+      slice(col("embedding"), 1, 13))
+    val all = e.select((col("vec_id") * 4).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") * 4 + 1).as("vec_id"), col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 7 === 1)
+        .select((col("vec_id") * 4 + 1).as("vec_id"), rot.as("embedding")))
+    val cents = Clustering.train(all, k = 16, iters = 2)
+    val (surv, _) = Clustering.semanticDedup(all, cents, threshold = 0.9,
+      replicate = 2)
+    sorted(surv.select("vec_id"))
+  }
+
+  val q100Sql: String =
+    """WITH RECURSIVE allv AS (
+      |  SELECT vec_id * 4 AS vid, embedding AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id * 4 + 1, embedding
+      |  FROM embeddings WHERE vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT vec_id * 4 + 1, embedding[14:] || embedding[:13]
+      |  FROM embeddings WHERE vec_id % 7 = 1
+      |), p AS (
+      |  SELECT a.vid i, b.vid j, a.v va, b.v vb
+      |  FROM allv a JOIN allv b ON a.vid < b.vid
+      |), ex AS (
+      |  SELECT i, j, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM p
+      |), wp AS (
+      |  SELECT i, j FROM (
+      |    SELECT i, j, SUM(x*y)/sqrt(SUM(x*x))/sqrt(SUM(y*y)) cos
+      |    FROM ex GROUP BY 1, 2
+      |  ) WHERE cos >= 0.9
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM wp UNION SELECT j, i FROM wp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS vid, least(a, min(b)) AS component FROM reach GROUP BY a
+      |), losers AS (
+      |  SELECT vid FROM comp WHERE vid <> component
+      |)
+      |SELECT vid AS vec_id FROM allv
+      |WHERE vid NOT IN (SELECT vid FROM losers)
+      |ORDER BY 1 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3416,6 +3478,7 @@ object ExtensionQueries {
     ("q96_kmeans", q96 _, q96Sql), // verdict + ClusteringSpec geometry
     ("q97_diversity_sample", q97 _, q97Sql),
     ("q98_entity_delta", q98 _, q98Sql),
-    ("q99_bpe_train", q99 _, q99Sql) // verdict + BpeSpec exact merges
+    ("q99_bpe_train", q99 _, q99Sql), // verdict + BpeSpec exact merges
+    ("q100_semantic_dedup", q100 _, q100Sql)
   )
 }

@@ -93,6 +93,31 @@ class ClusteringSpec extends SparkSpec {
     assert(got.count(_._1 == "tiny") == 2) // under quota: all kept
   }
 
+  test("semantic dedup drops planted twins; recall 1 on separated blobs") {
+    // blobs + exact twins of every 3rd row (cos 1.0 with their source):
+    // identical vectors rank cells identically, so every planted pair
+    // shares all `replicate` cells — recall must be exactly 1 here
+    val base = blobs(90)
+    val twins = base.filter(_._1 % 3 == 0)
+      .map { case (id, b, v) => (id + 1000L, b, v) }
+    val df = (base ++ twins).map { case (id, _, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.train(df, k = 3, iters = 3)
+    val (survivors, pairs) = Clustering.semanticDedup(df, cents,
+      threshold = 0.999)
+    val sIds = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    // every twin dropped (its source has the smaller id), sources kept
+    twins.foreach { case (id, _, _) =>
+      assert(!sIds.contains(id), s"twin $id survived")
+      assert(sIds.contains(id - 1000L), s"source ${id - 1000L} dropped")
+    }
+    // pairs are within-threshold and include every planted pair
+    val pSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    twins.foreach { case (id, _, _) =>
+      assert(pSet.contains((id - 1000L, id)), s"planted pair for $id missed")
+    }
+  }
+
   test("diversity sample plans without a window or data-sized sort") {
     val df = (0L until 50L).map(i => (i, (i % 3).toString)).toDF("id", "c")
     val plan = Sampling.diversitySample(df, "id", "c", quota = 5)
