@@ -404,9 +404,18 @@ object Dedup {
     * node id plus a min-aggregation — no vectors, no text), and labels
     * persist between rounds so lineage never replays. Round count is
     * bounded by the cluster diameter: near-dup clusters are quasi-cliques
-    * (most members pair directly), so real workloads close in 2–4 rounds;
-    * `maxIter` bounds adversarial chains, and hitting it raises rather
-    * than returning a half-merged clustering. Convergence is detected with
+    * (most members pair directly), so real workloads close in 2–4 rounds
+    * (entity-resolution name graphs measured ~11 — digit-substitution
+    * chains); `maxIter` bounds adversarial chains, and hitting it raises
+    * rather than returning a half-merged clustering. NOTE a label-VALUE
+    * pointer-jumping variant (also pulling label(label(x)) per round)
+    * was tried and reverted: it halves rounds only when id order
+    * correlates with graph distance — the min-id node inside a ball must
+    * sit on its far side for the jump to extend reach — so on
+    * permuted-id chains it saved nothing while paying a self-join per
+    * round. A true O(log n) closure is the large-star/small-star edge
+    * rewrite (Kiveris et al.), a different algorithm worth its own
+    * operator if diameters ever grow past `maxIter`. Convergence is detected with
     * a 1-row changed-count action per round (`limit(1)` — existence, not
     * enumeration).
     *
