@@ -406,8 +406,9 @@ object Dedup {
     * bounded by the cluster diameter: near-dup clusters are quasi-cliques
     * (most members pair directly), so real workloads close in 2–4 rounds
     * (entity-resolution name graphs measured ~11 — digit-substitution
-    * chains); `maxIter` bounds adversarial chains, and hitting it raises
-    * rather than returning a half-merged clustering. NOTE a label-VALUE
+    * chains); past `maxIter` rounds the operator FALLS BACK to
+    * [[connectedComponentsLogN]] (rounds ∝ log n, diameter-immune)
+    * rather than raising or returning a half-merged clustering. NOTE a label-VALUE
     * pointer-jumping variant (also pulling label(label(x)) per round)
     * was tried and reverted: it halves rounds only when id order
     * correlates with graph distance — the min-id node inside a ball must
@@ -491,11 +492,116 @@ object Dedup {
         if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] round $round changed=$changed")
       }
-      require(converged,
-        s"connected components did not converge within $maxIter rounds — " +
-          "pathological chain structure; raise maxIter")
+      if (!converged) {
+        // diameter exceeded the round budget: fall back to the
+        // O(log n) star-rewrite closure instead of dying — a chain-
+        // heavy graph 19 rounds into a 100 TB job deserves the correct
+        // answer, not an exception; the warning keeps the shape visible
+        System.err.println(
+          s"[cc] no convergence in $maxIter rounds (diameter-heavy " +
+            "graph) — falling back to connectedComponentsLogN")
+        return connectedComponentsLogN(pairs, iCol, jCol)
+      }
       labels
     } finally edges.unpersist(): Unit
+  }
+
+  /** O(log n)-round connected components — the large-star/small-star
+    * edge-rewrite algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) for graphs whose DIAMETER defeats
+    * [[connectedComponents]]' min-label propagation (rounds there ∝
+    * diameter; here ∝ log n regardless of shape — the answer to the
+    * long-chain caveat documented on the default operator).
+    *
+    *  - large-star: every node connects its strictly-larger neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    to that minimum.
+    *
+    * Alternating the two strictly shrinks potential until the edge set
+    * is a union of stars centered at component minima; each half-round
+    * is one aggregation + one join + one distinct over the EDGE set
+    * (heavier per round than label propagation — prefer the default for
+    * quasi-clique near-dup graphs, this one for adversarial chains).
+    * Same output contract as [[connectedComponents]]: (doc_id,
+    * component-min) for every node appearing in a pair, eagerly
+    * materialized. */
+  def connectedComponentsLogN(pairs: DataFrame, iCol: String = "i",
+                              jCol: String = "j",
+                              maxIter: Int = 40): DataFrame = {
+    // canonical undirected edges (min, max), self-loops dropped
+    var edges = pairs
+      .select(least(col(iCol), col(jCol)).as("u"),
+        greatest(col(iCol), col(jCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    // one star half-round: m(u) = min over u's closed neighborhood;
+    // rewrite each kept (u, v) edge to (m_u, v). `keepLarger` selects
+    // which endpoint set is re-attached.
+    def star(e: DataFrame, keepLarger: Boolean): DataFrame = {
+      val sym = e.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("x"))
+        .select(col("x.a").as("a"), col("x.b").as("b"))
+      val mins = sym.groupBy("a")
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      val kept =
+        if (keepLarger) sym.filter(col("b") > col("a"))
+        else sym.filter(col("b") <= col("a"))
+      val rewritten = kept.join(mins, "a")
+        .select(least(col("m"), col("b")).as("u"),
+          greatest(col("m"), col("b")).as("v"))
+      // small-star also re-attaches u ITSELF to its neighborhood min
+      // (the paper's v ∈ Γ⁺(u), v ≤ u includes v = u): without it a
+      // node whose neighbors are all larger loses its only edge when
+      // (u, m) rewrites to the self-loop (m, m)
+      val self =
+        if (keepLarger) rewritten
+        else rewritten.unionByName(
+          mins.select(least(col("m"), col("a")).as("u"),
+            greatest(col("m"), col("a")).as("v")))
+      self
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var round = 0
+    var stable = false
+    while (!stable && round < maxIter) {
+      val next = star(star(edges, keepLarger = true), keepLarger = false)
+        .localCheckpoint(true)
+      // convergence: edge multiset unchanged (order-free count + hash —
+      // one aggregation over the just-materialized blocks each)
+      def sig(e: DataFrame): (Long, Long) = {
+        // bit_xor: order-free and overflow-free (an ANSI sum of 2^63-
+        // scale hashes overflows); rows are distinct so XOR is a sound
+        // set signature
+        val r = e.agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      stable = sig(next) == sig(edges)
+      edges = next
+      round += 1
+      if (dbg) System.err.println(s"[cc-logn] round $round stable=$stable")
+    }
+    require(stable,
+      s"large-star/small-star did not stabilize within $maxIter rounds")
+    // stable state: stars centered at component minima — membership is
+    // the edge list itself, plus each center labeling itself; nodes
+    // appearing ONLY in self-pairs (dropped from the edge set) get
+    // their own label, matching [[connectedComponents]]' contract
+    val starLabels = edges
+      .select(col("v").as("doc_id"), col("u").as("component"))
+      .unionByName(edges.select(col("u").as("doc_id"),
+        col("u").as("component")))
+      .distinct()
+    val selfOnly = pairs.filter(col(iCol) === col(jCol))
+      .select(col(iCol).as("doc_id")).distinct()
+      .join(starLabels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("component", col("doc_id"))
+    starLabels.unionByName(selfOnly).localCheckpoint(true)
   }
 
   /** Keep one canonical document per near-dup cluster: transitively close

@@ -242,6 +242,46 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(compacted == expected)
   }
 
+  test("logN closure ≡ default closure on random graphs; handles a 120-chain") {
+    // generative equivalence: random sparse graphs over shuffled ids
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(5, 40)
+      m <- Gen.chooseNum(3, 60)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0, n), Gen.chooseNum(0, n)))
+    } yield edges.map { case (a, b) => (a.toLong * 37 % 101, b.toLong * 37 % 101) }
+      .filter { case (a, b) => a != b }
+    forAll(graphGen, n = 6) { edges =>
+      if (edges.nonEmpty) {
+        val df = edges.toDF("i", "j")
+        val base = Dedup.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val logn = Dedup.connectedComponentsLogN(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(logn == base, s"edges=$edges")
+      }
+    }
+    // adversarial permuted chain: diameter 120 — the default operator's
+    // min-label propagation would need ~120 rounds (> its maxIter); the
+    // star rewrites must close it in O(log n)
+    val perm = new scala.util.Random(11).shuffle((0L to 120L).toList)
+    val chain = (0 until 120).map(i => (perm(i), perm(i + 1))).toDF("i", "j")
+    val labels = Dedup.connectedComponentsLogN(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 121 && labels.values.toSet == Set(0L),
+      s"chain closure wrong: ${labels.toSeq.sortBy(_._1).take(8)}")
+    // and the DEFAULT operator survives the same chain by falling back
+    // (previously it raised at maxIter)
+    val viaDefault = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDefault == labels)
+    // self-pair-only nodes keep their own label through the logN path
+    val withSelf = chain.unionByName(Seq((999L, 999L)).toDF("i", "j"))
+    val ls = Dedup.connectedComponentsLogN(withSelf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ls(999L) == 999L && ls.size == 122)
+  }
+
   test("entity resolution closure equals brute-force closure on generated corpora") {
     val recGen: Gen[List[(Long, String, Int)]] = for {
       keys <- corpusGen

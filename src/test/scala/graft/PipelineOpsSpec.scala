@@ -77,10 +77,12 @@ class PipelineOpsSpec extends SparkSpec {
     val chain = (0L until 9L).map(x => (x, x + 1)).toDF("i", "j")
     val ccChain = Dedup.connectedComponents(chain)
     assert(ccChain.collect().forall(_.getLong(1) == 0L), "chain must collapse to min label")
-    // refusing to return a half-merged clustering beats silent wrong answers
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 2)
-    }
+    // past maxIter the operator falls back to the O(log n) star-rewrite
+    // closure — the chain STILL collapses correctly instead of raising
+    // (and never returns the half-merged round-2 labels)
+    val viaFallback = Dedup.connectedComponents(chain, maxIter = 2)
+    assert(viaFallback.collect().forall(_.getLong(1) == 0L),
+      "fallback closure must fully collapse the chain")
   }
 
   test("exact dedup keeps one winner per fingerprint") {
