@@ -38,30 +38,58 @@ object EntityResolution {
     * @param blockCol exact-match blocking column; pairs never cross it
     */
   def resolve(records: DataFrame, idCol: String, keyCol: String,
-              blockCol: String, maxDist: Int, q: Int = 2): DataFrame = {
+              blockCol: String, maxDist: Int, q: Int = 2): DataFrame =
+    resolveMulti(records, idCol, keyCol, Seq(Seq(blockCol)), maxDist, q)
+
+  /** Multi-pass (OR-of-blocking-keys) resolution: a pair matches when
+    * its keys are within `maxDist` edits AND the records agree on EVERY
+    * column of AT LEAST ONE pass in `blockPasses`. Real linkage data
+    * has dirty block keys — a record whose nation is typo'd can never
+    * match under single-key nation blocking, but still matches under a
+    * name-prefix or zip pass. Production record linkage therefore
+    * unions the candidate sets of several cheap passes (OR-of-blocking)
+    * before one shared transitive closure.
+    *
+    * Scale shape: each pass contributes star + representative edges
+    * exactly like [[resolve]] (linear in records + key pairs per pass
+    * — never member × member), the edge sets union, and ONE closure
+    * runs over the union. Cost is ∝ Σ per-pass candidate volume; a
+    * derived pass key (name prefix, phonetic code) is just a column the
+    * caller precomputes. A NULL in any pass column excludes the record
+    * from that pass only (equi-join semantics) — it can still match
+    * through the other passes.
+    */
+  def resolveMulti(records: DataFrame, idCol: String, keyCol: String,
+                   blockPasses: Seq[Seq[String]], maxDist: Int,
+                   q: Int = 2): DataFrame = {
+    require(blockPasses.nonEmpty, "at least one blocking pass required")
+    require(blockPasses.forall(_.nonEmpty),
+      "every blocking pass needs at least one column")
     val recs = records.withColumn("__rid", col(idCol))
-    // one representative (min id) per distinct (block, key)
-    val groups = recs
-      .filter(col(keyCol).isNotNull)
-      .groupBy(col(blockCol), col(keyCol))
-      .agg(min(col("__rid")).as("__rep"))
-    // star edges inside an identical-key group: rep -> member
-    val star = recs
-      .join(groups, Seq(blockCol, keyCol))
-      .filter(col("__rid") =!= col("__rep"))
-      .select(col("__rep").as("i"), col("__rid").as("j"))
-    // one representative edge per fuzzy key pair
-    val keyPairs = FuzzyJoin.pairsWithinDistance(
-      recs.select(col(blockCol), col(keyCol)), keyCol, maxDist, q,
-      blockCol = Some(blockCol))
-    val repOf = groups.select(col(blockCol), col(keyCol), col("__rep"))
-    val cross = keyPairs
-      .join(repOf.withColumnRenamed(keyCol, "a")
-        .withColumnRenamed("__rep", "__repA"), Seq(blockCol, "a"))
-      .join(repOf.withColumnRenamed(keyCol, "b")
-        .withColumnRenamed("__rep", "__repB"), Seq(blockCol, "b"))
-      .select(col("__repA").as("i"), col("__repB").as("j"))
-    val comp = Dedup.connectedComponents(star.unionByName(cross))
+    val edges = blockPasses.map { pass =>
+      val bcols = pass.map(col)
+      // one representative (min id) per distinct (block…, key)
+      val groups = recs
+        .filter(col(keyCol).isNotNull)
+        .groupBy((bcols :+ col(keyCol)): _*)
+        .agg(min(col("__rid")).as("__rep"))
+      // star edges inside an identical-key group: rep -> member
+      val star = recs
+        .join(groups, pass :+ keyCol)
+        .filter(col("__rid") =!= col("__rep"))
+        .select(col("__rep").as("i"), col("__rid").as("j"))
+      // one representative edge per fuzzy key pair
+      val keyPairs = FuzzyJoin.pairsWithinDistanceBlocked(
+        recs.select((bcols :+ col(keyCol)): _*), keyCol, maxDist, q, pass)
+      val cross = keyPairs
+        .join(groups.withColumnRenamed(keyCol, "a")
+          .withColumnRenamed("__rep", "__repA"), pass :+ "a")
+        .join(groups.withColumnRenamed(keyCol, "b")
+          .withColumnRenamed("__rep", "__repB"), pass :+ "b")
+        .select(col("__repA").as("i"), col("__repB").as("j"))
+      star.unionByName(cross)
+    }.reduce(_ unionByName _)
+    val comp = Dedup.connectedComponents(edges)
     recs
       .join(comp.select(col("doc_id").as("__rid"),
         col("component").as("__comp")), Seq("__rid"), "left")

@@ -139,10 +139,20 @@ object FuzzyJoin {
     */
   def pairsWithinDistance(df: DataFrame, keyCol: String, maxDist: Int,
                           q: Int = 2,
-                          blockCol: Option[String] = None): DataFrame = {
+                          blockCol: Option[String] = None): DataFrame =
+    pairsWithinDistanceBlocked(df, keyCol, maxDist, q, blockCol.toSeq)
+
+  /** Composite-block variant: pairs must agree on EVERY column of
+    * `blockCols` (AND within one blocking pass — the OR-of-passes shape
+    * lives in [[EntityResolution.resolveMulti]], which unions the pair
+    * sets of several calls). All block columns ride every shuffle key,
+    * so blocks never mix; a NULL in any block column excludes the row
+    * (equi-join semantics, same as the single-column contract). */
+  def pairsWithinDistanceBlocked(df: DataFrame, keyCol: String,
+                                 maxDist: Int, q: Int,
+                                 blockCols: Seq[String]): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    val blockCols = blockCol.toSeq
     val keys = keyRows(df, keyCol, q, blockCols)
     // global document frequency per gram over the distinct-key
     // vocabulary — deliberately NOT per block (the order only needs to

@@ -500,7 +500,6 @@ object Similarity {
     * unchanged. */
   def appendToIvfIndex(rows: DataFrame, path: String): Unit =
     rows.repartition(col("cell"))
-      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
 
   /** Offline retrain of a [[saveIvfIndex]] layout — the maintenance op

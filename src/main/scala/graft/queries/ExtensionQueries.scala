@@ -3086,7 +3086,7 @@ object ExtensionQueries {
     sorted(resolved.groupBy("entity_id").agg(
       count(lit(1)).as("n_records"),
       min(col("name")).as("name_canon"),
-      sum(col("bal")).as("bal_sum")))
+      sum(col("bal")).cast("double").as("bal_sum")))
   }
 
   val q95Sql: String =
@@ -3120,7 +3120,7 @@ object ExtensionQueries {
       |  FROM base LEFT JOIN comp ON comp.rid = base.rid
       |)
       |SELECT entity_id, count(*) AS n_records, min(name) AS name_canon,
-      |       sum(bal) AS bal_sum
+      |       CAST(sum(bal) AS DOUBLE) AS bal_sum
       |FROM lab GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST""".stripMargin
