@@ -3393,6 +3393,83 @@ object ExtensionQueries {
       |WHERE vid NOT IN (SELECT vid FROM losers)
       |ORDER BY 1 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q101 — MULTI-PASS ENTITY RESOLUTION (OR-of-blocking-keys): q95's
+  //        construction PLUS a planted twin with a WRONG nation (1-char
+  //        name deletion AND nk rotated by 7) — unreachable under
+  //        single-key nation blocking, reachable through a second
+  //        name-suffix pass (right(name, 8) survives the deletion: the
+  //        customer number's last 8 digits are untouched).
+  //        resolveMulti unions the per-pass edge sets before ONE
+  //        closure. Oracle: pairs on (same nk OR same suffix) AND
+  //        levenshtein ≤ 1, recursive-CTE closure.
+  // -------------------------------------------------------------------
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val base = c.filter(col("c_custkey") % 4 === 0)
+      .select((col("c_custkey") * 4).as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val dirty = c.filter(col("c_custkey") % 20 === 0)
+      .select((col("c_custkey") * 4 + 1).as("rid"),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 99))
+          .as("name"),
+        col("c_nationkey").as("nk"), lit(null).cast("decimal(12,2)").as("bal"))
+    val wrongNation = c.filter(col("c_custkey") % 20 === 4)
+      .select((col("c_custkey") * 4 + 3).as("rid"),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 99))
+          .as("name"),
+        ((col("c_nationkey") + 7) % 25).as("nk"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val records = base.unionByName(dirty).unionByName(wrongNation)
+      .withColumn("sfx", expr("right(name, 8)"))
+    val resolved = EntityResolution.resolveMulti(records, "rid", "name",
+      Seq(Seq("nk"), Seq("sfx")), maxDist = 1)
+    sorted(resolved.groupBy("entity_id").agg(
+      count(lit(1)).as("n_records"),
+      min(col("name")).as("name_canon"),
+      sum(col("bal")).cast("double").as("bal_sum")))
+  }
+
+  val q101Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT c_custkey*4 AS rid, c_name AS name, c_nationkey AS nk,
+      |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |  UNION ALL
+      |  SELECT c_custkey*4+1, substr(c_name,1,9) || substr(c_name,11),
+      |         c_nationkey, NULL
+      |  FROM customer WHERE c_custkey % 20 = 0
+      |  UNION ALL
+      |  SELECT c_custkey*4+3, substr(c_name,1,9) || substr(c_name,11),
+      |         (c_nationkey + 7) % 25, CAST(c_acctbal AS DECIMAL(12,2))
+      |  FROM customer WHERE c_custkey % 20 = 4
+      |), recs AS (
+      |  SELECT rid, name, nk, bal, right(name, 8) AS sfx FROM base
+      |), pairs AS (
+      |  SELECT a.rid i, b.rid j FROM recs a JOIN recs b
+      |  ON (a.nk = b.nk OR a.sfx = b.sfx) AND a.rid < b.rid
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS rid, least(a, min(b)) AS comp FROM reach GROUP BY a
+      |), lab AS (
+      |  SELECT recs.rid, coalesce(comp.comp, recs.rid) AS entity_id,
+      |         recs.name, recs.bal
+      |  FROM recs LEFT JOIN comp ON comp.rid = recs.rid
+      |)
+      |SELECT entity_id, count(*) AS n_records, min(name) AS name_canon,
+      |       CAST(sum(bal) AS DOUBLE) AS bal_sum
+      |FROM lab GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3479,6 +3556,7 @@ object ExtensionQueries {
     ("q97_diversity_sample", q97 _, q97Sql),
     ("q98_entity_delta", q98 _, q98Sql),
     ("q99_bpe_train", q99 _, q99Sql), // verdict + BpeSpec exact merges
-    ("q100_semantic_dedup", q100 _, q100Sql)
+    ("q100_semantic_dedup", q100 _, q100Sql),
+    ("q101_er_multiblock", q101 _, q101Sql)
   )
 }

@@ -311,4 +311,53 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(resolved == expected, s"rows=$rows")
     }
   }
+
+  test("multi-pass resolution equals brute-force OR-of-blocking closure") {
+    // two independent block keys per record — a pair matches when keys
+    // are within distance AND EITHER block agrees (OR-of-passes)
+    val recGen: Gen[List[(Long, String, Int, Int)]] = for {
+      keys <- corpusGen
+      rows <- Gen.sequence[List[(Long, String, Int, Int)],
+        (Long, String, Int, Int)](
+        keys.zipWithIndex.map { case (k, i) =>
+          for {
+            b1 <- Gen.chooseNum(0, 2)
+            b2 <- Gen.chooseNum(0, 2)
+          } yield (i.toLong, k, b1, b2)
+        })
+    } yield rows
+    forAll(recGen, n = 5) { rows =>
+      val resolved = EntityResolution.resolveMulti(
+        rows.toDF("rid", "name", "blk1", "blk2"), "rid", "name",
+        Seq(Seq("blk1"), Seq("blk2")), maxDist = 2)
+        .select("rid", "entity_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      for {
+        (i1, k1, b1, c1) <- rows; (i2, k2, b2, c2) <- rows
+        if i1 < i2 && (b1 == b2 || c1 == c2) && lev(k1, k2) <= 2
+      } union(i1, i2)
+      val expected = rows.map(r => r._1 -> find(r._1)).toMap
+      assert(resolved == expected, s"rows=$rows")
+    }
+  }
+
+  test("multi-pass: a composite pass requires ALL its columns to agree") {
+    // pass = (blk1, blk2): rows 1/2 agree on blk1 only -> no match;
+    // rows 1/3 agree on both -> match
+    val rows = Seq(
+      (1L, "abcd", 0, 0), (2L, "abcd", 0, 1), (3L, "abce", 0, 0))
+      .toDF("rid", "name", "blk1", "blk2")
+    val got = EntityResolution.resolveMulti(rows, "rid", "name",
+      Seq(Seq("blk1", "blk2")), maxDist = 1)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
