@@ -161,6 +161,15 @@ object AggregateNavigator {
       strs("aggs"), strs("srcs"), strs("outs"))
   }
 
+  /** Hidden per-cell row-count partial, stored alongside the declared
+    * measures: retraction must DELETE a cell once every contributing
+    * base row is retracted (a from-scratch rebuild would have no row
+    * for it), and only a true row count can witness that — a store of
+    * sum-only measures can reach sum 0 on a non-empty cell. Consumers
+    * never see it: [[queryWhere]] projects only the declared measure
+    * columns. */
+  val RowCountCol = "__n"
+
   /** The single-pass all-grains plan shared by build and refresh: one
     * GROUP BY GROUPING SETS — one Expand feeding one partial+final hash
     * aggregate over one scan of `input` (AggregateNavigatorSpec's
@@ -171,7 +180,7 @@ object AggregateNavigator {
     val gcols = grainSets.flatten.distinct
     input.groupingSets(grainSets.map(_.map(col)), gcols.map(col): _*)
       .agg(grouping_id().as("gid"),
-        measures.map(_.fromBase): _*)
+        (measures.map(_.fromBase) :+ count(lit(1)).as(RowCountCol)): _*)
   }
 
   /** Build every summary in ONE pass over `base`:  a single
@@ -225,35 +234,91 @@ object AggregateNavigator {
     * grain's stored partials merge with the delta partials grain-cell
     * by grain-cell: sum/count ADD, min/max take the extreme — all
     * re-aggregable by construction, so refresh ≡ full rebuild exactly
-    * (AggregateNavigatorSpec pins the equivalence). Insert-only:
-    * deletions/retractions would need sum/count NEGATION (doable) but
-    * break min/max (not invertible) — callers with retractions rebuild.
+    * (AggregateNavigatorSpec pins the equivalence). Retractions go
+    * through [[retractSummaries]] (sign-flipped partials; sum/count
+    * stores only — min/max partials are not invertible and fail with a
+    * named error there).
     *
     * The store is rewritten via a temp dir + swap: summaries are
     * orders of magnitude smaller than the base, so the rewrite is the
     * cheap side by design.
     */
-  def refreshSummaries(delta: DataFrame, root: String): Seq[Summary] = {
+  def refreshSummaries(delta: DataFrame, root: String): Seq[Summary] =
+    foldIntoStore(delta, root, negate = false)
+
+  /** RETRACTION maintenance: subtract a retraction set (rows previously
+    * ingested, q64's shape) from every stored summary — the negated
+    * twin of [[refreshSummaries]]. sum/count partials are invertible
+    * (the retraction's partials merge with a flipped sign; the hidden
+    * [[RowCountCol]] witnesses emptiness, and cells whose every base
+    * row was retracted are DELETED, so retract ≡ from-scratch rebuild
+    * exactly). min/max partials are NOT invertible — a store holding
+    * any min/max measure fails with a named error instead of silently
+    * going stale, and the only correct response there is a rebuild.
+    *
+    * Over-retraction (a cell's row count would go negative — retracting
+    * rows that were never ingested) also fails with a named error: the
+    * check is one filter over the summary-sized merge, and a silent
+    * negative cell would poison every later answer. */
+  def retractSummaries(retraction: DataFrame, root: String): Seq[Summary] =
+    foldIntoStore(retraction, root, negate = true)
+
+  private def foldIntoStore(delta: DataFrame, root: String,
+                            negate: Boolean): Seq[Summary] = {
     val spark = delta.sparkSession
     recoverStore(spark, root)
     // measure agg kinds are NOT recoverable from the stored schema —
     // the manifest carries the specs, one read for inventory + measures
     val (old, measures) = loadStore(spark, root)
+    if (negate) {
+      val frozen = measures.filter(m => m.agg == "min" || m.agg == "max")
+      if (frozen.nonEmpty) throw new IllegalStateException(
+        "retraction needs invertible partials, but the store holds " +
+          frozen.map(m => s"${m.agg}(${m.src}) AS ${m.name}").mkString(", ") +
+          " — min/max cannot subtract; rebuild the store instead")
+    }
     val grains = old.map(s => s.name -> s.grain)
     val gcols = grains.flatMap(_._2).distinct
     def gidOf(grain: Seq[String]): Long =
       gcols.zipWithIndex.collect {
         case (c, i) if !grain.contains(c) => 1L << (gcols.size - 1 - i)
       }.sum
-    val deltaFlat = flatPlan(delta, grains.map(_._2), measures)
+    val deltaRaw = flatPlan(delta, grains.map(_._2), measures)
+    // retraction = the same one-pass partials with the sign flipped on
+    // every additive column (sum, count, and the hidden row count)
+    val deltaFlat =
+      if (!negate) deltaRaw
+      else deltaRaw.select(
+        (gcols.map(col) :+ col("gid")) ++
+          measures.map(m => negate_(m.name)) :+ negate_(RowCountCol): _*)
     // explicit schema: an empty store (declaration-only build) has no
     // files to infer from, and it pins gid to long on the partition col
-    val stored = spark.read.schema(deltaFlat.schema).parquet(s"$root/data")
+    val stored = spark.read.schema(deltaRaw.schema).parquet(s"$root/data")
+    if (negate) {
+      // a pre-row-count store (built before RowCountCol existed) cannot
+      // witness cell emptiness — refuse rather than guess
+      val legacy = stored.filter(col(RowCountCol).isNull).limit(1).count()
+      if (legacy > 0) throw new IllegalStateException(
+        s"store at $root predates retraction support (missing " +
+          s"$RowCountCol partials) — rebuild it before retracting")
+    }
     val merged = stored.unionByName(deltaFlat)
       .groupBy((gcols.map(col) :+ col("gid")): _*)
-      .agg(measures.head.fromSummary, measures.tail.map(_.fromSummary): _*)
+      .agg(measures.head.fromSummary,
+        (measures.tail.map(_.fromSummary) :+
+          sum(col(RowCountCol)).as(RowCountCol)): _*)
+    val kept =
+      if (!negate) merged
+      else {
+        val over = merged.filter(col(RowCountCol) < 0).limit(1).count()
+        if (over > 0) throw new IllegalStateException(
+          s"over-retraction at $root: some cells lost more rows than " +
+            "they ever held — the retraction set contains rows that were " +
+            "never ingested")
+        merged.filter(col(RowCountCol) > 0)
+      }
     val tmp = s"$root/data_tmp"
-    merged.write.mode("overwrite").partitionBy("gid").parquet(tmp)
+    kept.write.mode("overwrite").partitionBy("gid").parquet(tmp)
     // Two-rename swap, never delete-then-rename: the old store survives
     // until the new one is in place, so a crash at any point leaves
     // either the old store (recoverable below) or the new one. HDFS
@@ -271,7 +336,7 @@ object AggregateNavigator {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dataP),
       s"swap step 2 failed: $tmp -> $dataP (previous store is at $oldP)")
     fs.delete(oldP, true): Unit
-    val counts = spark.read.schema(deltaFlat.schema).parquet(s"$root/data")
+    val counts = spark.read.schema(deltaRaw.schema).parquet(s"$root/data")
       .groupBy("gid").count()
       .collect().map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1)).toMap
     val out = grains.map { case (nm, g) =>
@@ -281,6 +346,10 @@ object AggregateNavigator {
     writeMeta(spark, root, out, measures)
     out
   }
+
+  /** `-col`, keeping the stored column type AND name (sum partials can
+    * be decimal/long/double; a bare unary minus is type-preserving). */
+  private def negate_(name: String): Column = (-col(name)).as(name)
 
   /** Roll back a swap that crashed between its two renames: `data/`
     * absent with `data_old/` present means the new store never landed —
@@ -313,6 +382,22 @@ object AggregateNavigator {
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
     refreshSummaries(delta, root)
+    fs.mkdirs(marker)
+    true
+  }
+
+  /** [[retractSummaries]] with the same at-most-once journal protocol
+    * as [[refreshSummariesOnce]] (separate journal namespace — a
+    * pipeline's ingest and retract streams number batches
+    * independently). */
+  def retractSummariesOnce(retraction: DataFrame, root: String,
+                           batchId: Long): Boolean = {
+    val spark = retraction.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$root/_retract_journal/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    retractSummaries(retraction, root)
     fs.mkdirs(marker)
     true
   }

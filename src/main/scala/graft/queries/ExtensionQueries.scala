@@ -3470,6 +3470,45 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q102 — NAVIGATOR RETRACTION end-to-end (q80's inverse): summaries
+  //        built from the FULL fact, then every 1998 row is retracted
+  //        WITHOUT rescanning the base — sign-flipped partials merge
+  //        cell-wise, fully-retracted cells are deleted (the hidden
+  //        row-count partial witnesses emptiness). The routed answer
+  //        after retraction must equal a from-scratch rebuild over the
+  //        surviving rows exactly. sum/count measures only — min/max
+  //        stores reject retraction with a named error (spec-pinned).
+  // -------------------------------------------------------------------
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator
+    import graft.operators.AggregateNavigator.NavMeasure
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    val measures = Seq(
+      NavMeasure("sum", "l_quantity", "sum_qty"),
+      NavMeasure("count", "*", "n_rows"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q102_nav_" +
+      Integer.toHexString(dir.hashCode)
+    AggregateNavigator.buildSummaries(li,
+      Seq(
+        "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+        "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, root)
+    val after = AggregateNavigator.retractSummaries(
+      li.filter(col("ship_year") === 1998), root)
+    val (ans, via) = AggregateNavigator.query(s,
+      li.filter(col("ship_year") =!= 1998), after,
+      Seq("l_returnflag", "l_linestatus"), measures)
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q102Sql: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |       count(*) AS n_rows, 'rf_ls' AS routed_via
+      |FROM lineitem WHERE year(l_shipdate) <> 1998 GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3557,6 +3596,7 @@ object ExtensionQueries {
     ("q98_entity_delta", q98 _, q98Sql),
     ("q99_bpe_train", q99 _, q99Sql), // verdict + BpeSpec exact merges
     ("q100_semantic_dedup", q100 _, q100Sql),
-    ("q101_er_multiblock", q101 _, q101Sql)
+    ("q101_er_multiblock", q101 _, q101Sql),
+    ("q102_nav_retract", q102 _, q102Sql)
   )
 }

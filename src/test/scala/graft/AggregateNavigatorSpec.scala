@@ -292,4 +292,108 @@ class AggregateNavigatorSpec extends SparkSpec {
       assert(spark.read.parquet(s.path).count() == s.rows)
     }
   }
+
+  private val addMeasures = Seq(
+    NavMeasure("sum", "l_quantity", "sum_qty"),
+    NavMeasure("count", "*", "n_rows"))
+
+  test("retraction equals a from-scratch rebuild; empty cells are deleted") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_ret").toString
+    // ingest everything, then retract ALL 1998 rows — every 1998-only
+    // cell of the year grain must vanish, exactly as a rebuild from the
+    // surviving rows would have it
+    AggregateNavigator.buildSummaries(li, Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      addMeasures, d)
+    val retract = li.filter(col("ship_year") === 1998)
+    val after = AggregateNavigator.retractSummaries(retract, d)
+    val survivors = li.filter(col("ship_year") =!= 1998)
+    for (dims <- Seq(Seq("l_returnflag"), Seq("ship_year"),
+      Seq("l_returnflag", "l_linestatus", "ship_year"))) {
+      val (ans, via) = AggregateNavigator.query(spark, survivors, after,
+        dims, addMeasures)
+      assert(via != "base")
+      val direct = survivors.groupBy(dims.map(col): _*)
+        .agg(addMeasures.head.fromBase, addMeasures.tail.map(_.fromBase): _*)
+      assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+        s"retract diverged from rebuild for dims=$dims")
+    }
+    // the fully-retracted 1998 cells are GONE from the stored grain,
+    // not present with zeroed partials
+    val yearGrain = after.find(_.name == "rf_ls_year").get
+    assert(spark.read.parquet(yearGrain.path)
+      .filter(col("ship_year") === 1998).count() == 0)
+  }
+
+  test("retraction on a min/max store fails with a named error") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_mm").toString
+    AggregateNavigator.buildSummaries(li,
+      Seq("rf" -> Seq("l_returnflag")), measures, d) // has min/max
+    val e = intercept[IllegalStateException] {
+      AggregateNavigator.retractSummaries(li.limit(10), d)
+    }
+    assert(e.getMessage.contains("min") && e.getMessage.contains("rebuild"))
+    // the failed retraction must not have touched the store
+    val (ans, _) = AggregateNavigator.query(spark, li,
+      AggregateNavigator.loadSummaries(spark, d), Seq("l_returnflag"), measures)
+    val direct = li.groupBy("l_returnflag")
+      .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
+    assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty)
+  }
+
+  test("over-retraction fails with a named error and leaves the store intact") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_over").toString
+    AggregateNavigator.buildSummaries(li.filter(col("ship_year") === 1995),
+      Seq("rf" -> Seq("l_returnflag")), addMeasures, d)
+    val e = intercept[IllegalStateException] {
+      // retracting 1996 rows that were never ingested
+      AggregateNavigator.retractSummaries(
+        li.filter(col("ship_year") === 1996), d)
+    }
+    assert(e.getMessage.contains("over-retraction"))
+    val (ans, _) = AggregateNavigator.query(spark,
+      li.filter(col("ship_year") === 1995),
+      AggregateNavigator.loadSummaries(spark, d), Seq("l_returnflag"),
+      addMeasures)
+    val direct = li.filter(col("ship_year") === 1995).groupBy("l_returnflag")
+      .agg(addMeasures.head.fromBase, addMeasures.tail.map(_.fromBase): _*)
+    assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty)
+  }
+
+  test("retraction on a store without row-count partials fails, not guesses") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_legacy").toString
+    AggregateNavigator.buildSummaries(li.filter(col("ship_year") === 1995),
+      Seq("rf" -> Seq("l_returnflag")), addMeasures, d)
+    // simulate a store written before RowCountCol existed: rewrite the
+    // data without the hidden column
+    val legacy = spark.read.parquet(s"$d/data")
+      .drop(AggregateNavigator.RowCountCol)
+    legacy.write.mode("overwrite").partitionBy("gid").parquet(s"$d/data_new")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/data_new"),
+      new org.apache.hadoop.fs.Path(s"$d/data"))
+    val e = intercept[IllegalStateException] {
+      AggregateNavigator.retractSummaries(
+        li.filter(col("ship_year") === 1995).limit(5), d)
+    }
+    assert(e.getMessage.contains("predates retraction support"))
+  }
+
+  test("retractSummariesOnce applies once; replays are skipped") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_once").toString
+    AggregateNavigator.buildSummaries(li, Seq("rf" -> Seq("l_returnflag")),
+      addMeasures, d)
+    val retract = li.filter(col("ship_year") === 1998)
+    assert(AggregateNavigator.retractSummariesOnce(retract, d, batchId = 7L))
+    val afterFirst = spark.read
+      .parquet(s"$d/data").agg(sum("sum_qty")).collect()(0).get(0)
+    // a replay of the same batch id must be a no-op
+    assert(!AggregateNavigator.retractSummariesOnce(retract, d, batchId = 7L))
+    val afterReplay = spark.read
+      .parquet(s"$d/data").agg(sum("sum_qty")).collect()(0).get(0)
+    assert(afterFirst == afterReplay)
+  }
 }
