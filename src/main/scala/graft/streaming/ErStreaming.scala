@@ -83,4 +83,33 @@ object ErStreaming {
                    keyCol: String = "name", blockCol: String = "blk"): Unit =
     StoreCompaction.compact(spark, storeDir,
       Seq(idCol, keyCol, blockCol, "entity_id"))
+
+  /** BATCH HEAL (stream STOPPED): re-run a full
+    * [[EntityResolution.resolve]] over the accumulated store and rewrite
+    * it under the shared [[StoreCompaction]] crash-safe protocol —
+    * merging frozen-label bridges that [[EntityResolution.resolveDelta]]
+    * deliberately leaves unmerged (its stored labels are append-only; a
+    * delta record that bridges two stored entities adopts the smaller id
+    * WITHOUT relabeling the other). This is the documented rebuild
+    * contract as an operator instead of advice.
+    *
+    * Scope, inherited from the compaction contract: every committed
+    * batch BELOW the newest is re-resolved into `batch=-1`; the newest
+    * partition stays untouched because it is the only one an
+    * at-least-once restart may replay, and a replay must overwrite its
+    * own partition, never collide with healed data. A bridge sitting in
+    * the newest batch heals on the next call once a later batch exists.
+    * Crash safety is [[StoreCompaction]]'s: tmp snapshot + manifest,
+    * recovery finishes or discards, and the stream's per-batch reads
+    * call that recovery before every store scan, so a resumed stream
+    * continues from the healed store transparently. */
+  def healStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                maxDist: Int, idCol: String = "rid",
+                keyCol: String = "name", blockCol: String = "blk",
+                q: Int = 2): Unit =
+    StoreCompaction.compact(spark, storeDir,
+      Seq(idCol, keyCol, blockCol, "entity_id"),
+      merge = df => EntityResolution.resolve(
+        df.drop("entity_id").distinct(), idCol, keyCol, blockCol,
+        maxDist, q))
 }

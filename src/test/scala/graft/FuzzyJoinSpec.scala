@@ -242,6 +242,47 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(compacted == expected)
   }
 
+  test("healStore merges frozen delta bridges; stream continues from the healed store") {
+    import graft.streaming.ErStreaming
+    // batch 0: two entities 2 edits apart (never merge under maxDist=1)
+    val wave1 = Seq((10L, "Ada Lovelace", 1), (20L, "Ada LovelaZZ", 1))
+      .toDF("rid", "name", "blk")
+    // batch 1: a bridge record 1 edit from BOTH — resolveDelta adopts the
+    // smaller stored id and deliberately leaves the other entity frozen
+    val wave2 = Seq((100L, "Ada LovelacZ", 1)).toDF("rid", "name", "blk")
+    // batch 2: unrelated — pushes the bridge below the newest partition
+    val wave3 = Seq((200L, "Grace Hopper", 1)).toDF("rid", "name", "blk")
+    val dir = java.nio.file.Files.createTempDirectory("er_heal_src").toString
+    val store = java.nio.file.Files.createTempDirectory("er_heal_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("er_heal_ckpt").toString
+    wave1.coalesce(1).write.mode("append").parquet(dir)
+    wave2.coalesce(1).write.mode("append").parquet(dir)
+    wave3.coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def run(): Unit = {
+      val q = ErStreaming.startResolveStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir),
+        "rid", "name", "blk", maxDist = 1, store, ckpt)
+      q.awaitTermination(180000)
+    }
+    run()
+    def labels(): Map[Long, Long] = spark.read.parquet(store)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // frozen bridge before heal: 100 adopted 10, 20 stayed its own entity
+    assert(labels() == Map(10L -> 10L, 20L -> 20L, 100L -> 10L, 200L -> 200L))
+    ErStreaming.healStore(spark, store, maxDist = 1)
+    // healed: the bridge merges 10/20/100; the newest batch is untouched
+    assert(labels() == Map(10L -> 10L, 20L -> 10L, 100L -> 10L, 200L -> 200L))
+    // the stream continues from the healed store: an exact twin of the
+    // once-frozen key must now adopt the MERGED entity id
+    Seq((300L, "Ada LovelaZZ", 1)).toDF("rid", "name", "blk")
+      .coalesce(1).write.mode("append").parquet(dir)
+    run()
+    assert(labels()(300L) == 10L)
+  }
+
   test("logN closure ≡ default closure on random graphs; handles a 120-chain") {
     // generative equivalence: random sparse graphs over shuffled ids
     val graphGen: Gen[List[(Long, Long)]] = for {
