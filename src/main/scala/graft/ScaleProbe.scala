@@ -346,6 +346,24 @@ object ScaleProbe {
       Map("bm25build" -> build, "bm25probe" -> probe)
     }
 
+    // O(log n) closure on an adversarial CHAIN (diameter = node count —
+    // the regime where min-label propagation needs diameter rounds and
+    // the star-rewrite algorithm its log n): rounds grow only
+    // log(f·n)/log(n) ≈ +10% at factor×, so the honest bound is
+    // ~linear-in-edges. Node ids are hash-mixed — an id-ordered chain
+    // is the algorithm's friendliest labeling and would under-measure
+    // the rewrite work. Calls connectedComponentsLogN DIRECTLY: the
+    // default closure's small-graph fast path must not absorb the step.
+    def ccLognStep(tag: String, n: Int): Map[String, Double] = {
+      val nodes = 100000L * n
+      val chain = spark.range(nodes - 1)
+        .select(xxhash64(col("id")).as("i"),
+          xxhash64(col("id") + 1).as("j"))
+      Map("cc_logn" -> timed(s"$tag logN closure (chain)") {
+        graft.operators.Dedup.connectedComponentsLogN(chain).count()
+      })
+    }
+
     // Inter-suite hygiene: operators localCheckpoint intermediate
     // relations (FuzzyJoin key rows, connected-components rounds, the
     // delta shingle index, …), and those blocks are reclaimed only when
@@ -374,10 +392,11 @@ object ScaleProbe {
       bm25Step(s"${factor}x", docsN(factor), factor)
     clean()
     val e1 = eventsSuite("1x", evN(1)) ++ ingestStep("1x", 1) ++
-      navStep("1x", 1)
+      navStep("1x", 1) ++ ccLognStep("1x", 1)
     clean()
     val eN = eventsSuite(s"${factor}x", evN(factor)) ++
-      ingestStep(s"${factor}x", factor) ++ navStep(s"${factor}x", factor)
+      ingestStep(s"${factor}x", factor) ++ navStep(s"${factor}x", factor) ++
+      ccLognStep(s"${factor}x", factor)
 
     val bound = 1.5 * factor
     val noiseFloorSec = 0.3

@@ -34,7 +34,20 @@ object Bpe {
   final case class BpeModel(merges: Seq[(String, String)],
                             dictSegments: Map[String, Seq[String]]) {
     /** Exact classic-BPE segmentation of one word (chars + `</w>`,
-      * then the learned merges in order). */
+      * then the learned merges in order).
+      *
+      * CONTRACT vs the distributed encode paths: for a word IN the
+      * training dictionary this agrees with [[encodeSegments]]/
+      * [[encodeTokenCounts]] exactly (their broadcast table is built by
+      * this very method). For an out-of-dictionary word this applies
+      * the learned merges (classic encode-time BPE), while the
+      * distributed paths DELIBERATELY fall back to the character split:
+      * applying an ordered merge list inside a Spark expression needs
+      * one nested pass per merge (plan depth ∝ numMerges — thousands),
+      * and the no-scalar-UDF doctrine rules out the per-row escape
+      * hatch. OOV words are the dictionary's long tail by construction;
+      * callers who need exact OOV merges distributively should train
+      * with a larger `maxDictWords` so the tail is in the table. */
     def segment(word: String): Seq[String] = {
       if (word.isEmpty) return Seq.empty
       var syms = word.map(_.toString).toVector
@@ -128,7 +141,8 @@ object Bpe {
   /** BPE token count per document: explode words, broadcast-join the
     * dictionary segmentation, out-of-dictionary words fall back to
     * character-level (length + 1 symbols — each char plus the
-    * end-of-word marker merged onto the last char counts as length).
+    * end-of-word marker merged onto the last char counts as length;
+    * see [[BpeModel.segment]] for why OOV merges are not applied here).
     * One scan + one broadcast join; nothing corpus-sized shuffles. */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                         model: BpeModel): DataFrame = {
@@ -146,7 +160,8 @@ object Bpe {
 
   /** Subword segment stream per document (ordered by word position):
     * the actual tokenized form. Out-of-dictionary words fall back to
-    * their character split with `</w>` on the last char. */
+    * their character split with `</w>` on the last char (not the
+    * merge-applied form — see [[BpeModel.segment]]'s contract note). */
   def encodeSegments(docs: DataFrame, idCol: String, textCol: String,
                      model: BpeModel): DataFrame = {
     val seg = graft.model.Joins.maybeBroadcast(segmentTable(docs, model))

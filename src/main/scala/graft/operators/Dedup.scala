@@ -449,6 +449,25 @@ object Dedup {
           val t0 = System.nanoTime(); val r = body
           System.err.println(f"[cc] $what ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
         }
+      // SMALL-GRAPH FAST PATH (maybeBroadcast's doctrine applied to the
+      // closure): each distributed round costs a fixed 3-4 Spark jobs,
+      // so a few-thousand-edge graph pays seconds of scheduling for
+      // microseconds of work — measured 9 rounds x ~0.35 s on q98's
+      // representative-edge graphs. Below the size guard, collect the
+      // (already linear, never member x member) edge list and run an
+      // exact min-root union-find driver-side; at scale the count is
+      // one pass over the just-persisted blocks and the distributed
+      // path proceeds untouched. The threshold is session-tunable
+      // (spark.graft.cc.localMaxEdges; 0 forces the distributed path —
+      // the specs pin both paths' equivalence).
+      val localMax = scala.util.Try(edges.sparkSession.conf
+        .get("spark.graft.cc.localMaxEdges", "1000000").toLong)
+        .getOrElse(1000000L)
+      val idOrd = localOrdering(edges.schema("src").dataType)
+      if (localMax > 0 && idOrd.isDefined &&
+        t("edges count")(edges.count()) <= localMax)
+        return t("local union-find")(
+          localClosure(edges, idOrd.get))
       if (dbg) t("edges materialize")(edges.count(): Unit)
       // localCheckpoint (eager) per round, NOT persist: the propagation
       // join embeds the previous round's plan TWICE (self side + neighbor
@@ -504,6 +523,60 @@ object Dedup {
       }
       labels
     } finally edges.unpersist(): Unit
+  }
+
+  /** Driver-side Ordering matching Spark's `min` for the id types that
+    * actually flow through closures (integral + string); None keeps an
+    * exotic id type on the distributed path. */
+  private def localOrdering(dt: org.apache.spark.sql.types.DataType)
+  : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType    => Some(Ordering.by((v: Any) => v.asInstanceOf[Byte].toLong))
+      case ShortType   => Some(Ordering.by((v: Any) => v.asInstanceOf[Short].toLong))
+      case IntegerType => Some(Ordering.by((v: Any) => v.asInstanceOf[Int].toLong))
+      case LongType    => Some(Ordering.by((v: Any) => v.asInstanceOf[Long]))
+      case StringType  => Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Exact min-root union-find over a collected symmetric edge list:
+    * the smaller root absorbs the larger, so every component's root IS
+    * its minimum — identical labels to min-label propagation, without
+    * the per-round job scheduling. Returns the same (doc_id, component)
+    * LocalRelation shape the distributed paths produce. */
+  private def localClosure(edges: DataFrame,
+                           ord: Ordering[Any]): DataFrame = {
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      if (parent.get(a) == null) parent.put(a, a)
+      if (parent.get(b) == null) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val dt = edges.schema("src").dataType
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val n = it.next()
+      out.add(org.apache.spark.sql.Row(n, find(n)))
+    }
+    edges.sparkSession.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", dt),
+        org.apache.spark.sql.types.StructField("component", dt))))
   }
 
   /** O(log n)-round connected components — the large-star/small-star
@@ -566,23 +639,28 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
+    // convergence: edge multiset unchanged (order-free count + hash —
+    // one aggregation over the just-materialized blocks)
+    def sig(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-free and overflow-free (an ANSI sum of 2^63-
+      // scale hashes overflows); rows are distinct so XOR is a sound
+      // set signature
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var round = 0
     var stable = false
+    // carry the previous round's signature — each round aggregates only
+    // the NEW edge set (sig(edges) always equals last round's sig(next))
+    var edgeSig = sig(edges)
     while (!stable && round < maxIter) {
       val next = star(star(edges, keepLarger = true), keepLarger = false)
         .localCheckpoint(true)
-      // convergence: edge multiset unchanged (order-free count + hash —
-      // one aggregation over the just-materialized blocks each)
-      def sig(e: DataFrame): (Long, Long) = {
-        // bit_xor: order-free and overflow-free (an ANSI sum of 2^63-
-        // scale hashes overflows); rows are distinct so XOR is a sound
-        // set signature
-        val r = e.agg(count(lit(1)),
-          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      stable = sig(next) == sig(edges)
+      val nextSig = sig(next)
+      stable = nextSig == edgeSig
       edges = next
+      edgeSig = nextSig
       round += 1
       if (dbg) System.err.println(s"[cc-logn] round $round stable=$stable")
     }
@@ -611,6 +689,34 @@ object Dedup {
                    iCol: String = "i", jCol: String = "j"): DataFrame = {
     val losers = connectedComponents(pairs, iCol, jCol)
       .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware survivor selection: like [[dropNearDups]] but each
+    * cluster's canonical survivor is the member with the HIGHEST
+    * `scoreCol` (ties broken by smallest id) instead of the smallest id —
+    * the production policy: keep the best copy, not the first-crawled.
+    *
+    * Scale shape: one closure + ONE aggregation per component (`min_by`
+    * over a (−score, id) struct — no per-cluster window, no member ×
+    * member work); the score lookup is an id-keyed join, so `pairs` may
+    * cover any subset of docs and unpaired docs pass through untouched.
+    * NULL scores rank below every real score (−∞), so a null-scored
+    * member only survives when its whole cluster is null-scored and it
+    * holds the smallest id. `scoreCol` must be numeric. */
+  def dropNearDupsKeepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                           scoreCol: String,
+                           iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val member = connectedComponents(pairs, iCol, jCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__s")), "doc_id")
+    val winners = member.groupBy("component")
+      .agg(min_by(col("doc_id"),
+        struct((-col("__s")).as("ns"), col("doc_id").as("id"))).as("__win"))
+    val losers = member.join(winners, "component")
+      .filter(col("doc_id") =!= col("__win"))
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }

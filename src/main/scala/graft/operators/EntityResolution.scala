@@ -67,28 +67,44 @@ object EntityResolution {
       "every blocking pass needs at least one column")
     val recs = records.withColumn("__rid", col(idCol))
     val edges = blockPasses.map { pass =>
-      val bcols = pass.map(col)
-      // one representative (min id) per distinct (block…, key)
-      val groups = recs
-        .filter(col(keyCol).isNotNull)
-        .groupBy((bcols :+ col(keyCol)): _*)
-        .agg(min(col("__rid")).as("__rep"))
-      // star edges inside an identical-key group: rep -> member
-      val star = recs
-        .join(groups, pass :+ keyCol)
-        .filter(col("__rid") =!= col("__rep"))
-        .select(col("__rep").as("i"), col("__rid").as("j"))
-      // one representative edge per fuzzy key pair
-      val keyPairs = FuzzyJoin.pairsWithinDistanceBlocked(
-        recs.select((bcols :+ col(keyCol)): _*), keyCol, maxDist, q, pass)
-      val cross = keyPairs
-        .join(groups.withColumnRenamed(keyCol, "a")
-          .withColumnRenamed("__rep", "__repA"), pass :+ "a")
-        .join(groups.withColumnRenamed(keyCol, "b")
-          .withColumnRenamed("__rep", "__repB"), pass :+ "b")
-        .select(col("__repA").as("i"), col("__repB").as("j"))
-      star.unionByName(cross)
+      passEdges(recs, keyCol, pass,
+        FuzzyJoin.pairsWithinDistanceBlocked(
+          recs.select((pass.map(col) :+ col(keyCol)): _*),
+          keyCol, maxDist, q, pass))
     }.reduce(_ unionByName _)
+    labelByClosure(recs, edges)
+  }
+
+  /** One blocking pass's edge set: star edges inside identical-key
+    * groups plus one representative edge per fuzzy `keyPairs` row —
+    * linear in records + key pairs, never member × member. `recs` must
+    * carry `__rid`; `keyPairs` must be the (pass…, a, b, dist) shape of
+    * [[FuzzyJoin.pairsWithinDistanceBlocked]] over the same pass. */
+  private def passEdges(recs: DataFrame, keyCol: String, pass: Seq[String],
+                        keyPairs: DataFrame): DataFrame = {
+    val bcols = pass.map(col)
+    // one representative (min id) per distinct (block…, key)
+    val groups = recs
+      .filter(col(keyCol).isNotNull)
+      .groupBy((bcols :+ col(keyCol)): _*)
+      .agg(min(col("__rid")).as("__rep"))
+    // star edges inside an identical-key group: rep -> member
+    val star = recs
+      .join(groups, pass :+ keyCol)
+      .filter(col("__rid") =!= col("__rep"))
+      .select(col("__rep").as("i"), col("__rid").as("j"))
+    val cross = keyPairs
+      .join(groups.withColumnRenamed(keyCol, "a")
+        .withColumnRenamed("__rep", "__repA"), pass :+ "a")
+      .join(groups.withColumnRenamed(keyCol, "b")
+        .withColumnRenamed("__rep", "__repB"), pass :+ "b")
+      .select(col("__repA").as("i"), col("__repB").as("j"))
+    star.unionByName(cross)
+  }
+
+  /** Transitive closure + labeling: every record gets the smallest id
+    * reachable through `edges` (its own when isolated). */
+  private def labelByClosure(recs: DataFrame, edges: DataFrame): DataFrame = {
     val comp = Dedup.connectedComponents(edges)
     recs
       .join(comp.select(col("doc_id").as("__rid"),
@@ -120,22 +136,39 @@ object EntityResolution {
   def resolveDelta(resolvedCorpus: DataFrame, delta: DataFrame,
                    idCol: String, keyCol: String, blockCol: String,
                    maxDist: Int, q: Int = 2): DataFrame = {
-    // one adoption target per stored (block, key)
+    val pass = Seq(blockCol)
+    // one adoption target per stored (block, key) — materialized: it
+    // feeds BOTH the cross-scan key derivation and the adoption join,
+    // and without it the corpus-wide aggregation runs twice
     val ckeys = resolvedCorpus
       .filter(col(keyCol).isNotNull)
       .groupBy(col(blockCol), col(keyCol))
       .agg(min(col("entity_id")).as("__ent"))
-    val cross = FuzzyJoin.crossPairsWithinDistance(
-      ckeys.select(col(blockCol), col(keyCol)),
-      delta.select(col(blockCol), col(keyCol)),
-      keyCol, maxDist, q, blockCol = Some(blockCol))
+      .localCheckpoint(true)
+    // ONE key materialization per side and ONE union gram order, shared
+    // by the cross-corpus scan AND the within-delta pair join (any
+    // consistent global order keeps the recall-1 prefix guarantee, so
+    // the union order serves both) — the public entry points would each
+    // re-derive their own
+    val kCorpus = FuzzyJoin.keyRowsOf(
+      ckeys.select(col(blockCol), col(keyCol)), keyCol, q, pass)
+    val kDelta = FuzzyJoin.keyRowsOf(
+      delta.select(col(blockCol), col(keyCol)), keyCol, q, pass)
+    val counts = FuzzyJoin.gramCountsOf(kCorpus, kDelta)
+    val cross = FuzzyJoin.crossPairsFromKeys(kCorpus, kDelta, counts,
+      maxDist, q, pass)
     // smallest adopted entity per delta (block, key)
     val adoptByKey = cross
       .join(ckeys.withColumnRenamed(keyCol, "a"), Seq(blockCol, "a"))
       .groupBy(col(blockCol), col("b").as(keyCol))
       .agg(min(col("__ent")).as("__adopt"))
-    // within-delta closure — resolve()'s construction on the delta alone
-    val labeled = resolve(delta, idCol, keyCol, blockCol, maxDist, q)
+    // within-delta closure — resolve()'s construction on the delta
+    // alone, reusing the shared delta keys + gram order
+    val recs = delta.withColumn("__rid", col(idCol))
+    val withinPairs = FuzzyJoin.pairsFromKeys(kDelta, counts, maxDist, q,
+      pass)
+    val labeled = labelByClosure(recs,
+      passEdges(recs, keyCol, pass, withinPairs))
       .withColumnRenamed("entity_id", "__comp")
     // propagate the component-min adoption to every member
     val compAdopt = labeled

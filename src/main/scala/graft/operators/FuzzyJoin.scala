@@ -154,11 +154,34 @@ object FuzzyJoin {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val keys = keyRows(df, keyCol, q, blockCols)
-    // global document frequency per gram over the distinct-key
-    // vocabulary — deliberately NOT per block (the order only needs to
-    // be consistent; one global table broadcasts once)
-    val counts = keys.select(explode(col("__gs")).as("__g"))
+    pairsFromKeys(keys, gramCountsOf(keys), maxDist, q, blockCols)
+  }
+
+  /** Materialized (block…, __k, __gs) key relation — the shareable
+    * half of a fuzzy join. [[graft.operators.EntityResolution
+    * .resolveDelta]] derives the delta's keys ONCE and reuses them for
+    * both the cross-corpus scan and the within-delta pairs (each
+    * public entry point otherwise re-derives its own). */
+  private[operators] def keyRowsOf(df: DataFrame, keyCol: String, q: Int,
+                                   blockCols: Seq[String]): DataFrame =
+    keyRows(df, keyCol, q, blockCols)
+
+  /** Global rarest-first gram order over the union of the given key
+    * vocabularies, eagerly materialized: the table feeds one broadcast
+    * per prefix-bucket build (up to three in resolveDelta), and ANY
+    * consistent global order preserves the recall-1 prefix guarantee —
+    * so one union order can serve several joins. Deliberately NOT per
+    * block. */
+  private[operators] def gramCountsOf(keys: DataFrame*): DataFrame =
+    keys.map(_.select(explode(col("__gs")).as("__g")))
+      .reduce(_ unionByName _)
       .groupBy("__g").count()
+      .localCheckpoint(true)
+
+  /** Self-join pair enumeration over precomputed keys + gram order. */
+  private[operators] def pairsFromKeys(keys: DataFrame, counts: DataFrame,
+                                       maxDist: Int, q: Int,
+                                       blockCols: Seq[String]): DataFrame = {
     val buckets = prefixBuckets(keys, counts, q * maxDist + 1, q * maxDist,
       blockCols)
     val joinKeys = blockCols :+ "__g"
@@ -185,9 +208,15 @@ object FuzzyJoin {
     val blockCols = blockCol.toSeq
     val kl = keyRows(left, keyCol, q, blockCols)
     val kr = keyRows(right, keyCol, q, blockCols)
-    val counts = kl.select(explode(col("__gs")).as("__g"))
-      .unionByName(kr.select(explode(col("__gs")).as("__g")))
-      .groupBy("__g").count()
+    crossPairsFromKeys(kl, kr, gramCountsOf(kl, kr), maxDist, q, blockCols)
+  }
+
+  /** Cross pair enumeration over precomputed key relations + a shared
+    * gram order (must cover BOTH vocabularies — [[gramCountsOf]]). */
+  private[operators] def crossPairsFromKeys(kl: DataFrame, kr: DataFrame,
+                                            counts: DataFrame, maxDist: Int,
+                                            q: Int,
+                                            blockCols: Seq[String]): DataFrame = {
     val prefLen = q * maxDist + 1
     val joinKeys = blockCols :+ "__g"
     val cand = spreadProbe(prefixBuckets(kl, counts, prefLen, q * maxDist,

@@ -180,12 +180,27 @@ object Sampling {
   def diversitySample(df: DataFrame, idCol: String, clusterCol: String,
                       quota: Int, salt: String = ""): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
+    // idCol must be a non-null integral id (EntityResolution.resolve's
+    // contract): a string/UUID id would CAST to null, silently emptying
+    // the semi-join, and a null id NPEs the non-nullable ScoredId
+    // encoder — reject at plan time instead
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+      .contains(idType.typeName),
+      s"diversitySample needs an integral id column; $idCol is " +
+        s"${idType.typeName} (a non-numeric id casts to null and would " +
+        "silently drop every row)")
     val hash = graft.functions.TextFunctions.tokenHash60(
       concat(lit(salt), coalesce(col(idCol).cast("string"), lit(""))))
     val topk = udaf(new graft.model.Aggregators.TopKByScore(quota),
       org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
+    // a null id can't be silently hashed/dropped — fail the job, named
+    val idAsLong = when(col(idCol).isNull,
+      raise_error(lit(s"diversitySample: null id in column $idCol"))
+        .cast("long"))
+      .otherwise(col(idCol).cast("long"))
     val keep = df
-      .select(col(clusterCol), col(idCol).cast("long").as("__id"),
+      .select(col(clusterCol), idAsLong.as("__id"),
         (-hash.cast("double")).as("__score"))
       .groupBy(col(clusterCol))
       .agg(topk(col("__score"), col("__id")).as("tk"))
@@ -194,5 +209,92 @@ object Sampling {
     df.join(
       graft.model.Joins.maybeBroadcast(keep.select(col("__id"))),
       col(idCol).cast("long") === col("__id"), "left_semi")
+  }
+
+  /** Importance resampling toward a target distribution (the DSIR
+    * recipe — Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023): score every raw document by
+    * the log-likelihood ratio of a hashed-unigram bag-of-words model of
+    * the TARGET corpus vs the RAW corpus (add-one-smoothed over
+    * `buckets` hash buckets), then draw the `budget` documents with the
+    * top Gumbel-perturbed scores — equivalent to sampling without
+    * replacement ∝ the importance weights, but fully deterministic:
+    * the Gumbel noise comes from the md5 uniform ([[hashUniform]]), so
+    * membership is reproducible across runs, cluster sizes, and engines.
+    *
+    * Scale shape: two explode→count scans whose shuffles carry at most
+    * `buckets` rows after partial aggregation (the driver collects the
+    * ≤ `buckets`-row histograms to build the log-ratio literal — the
+    * same bounded-collect contract as k-means centroids); scoring is a
+    * pure per-row projection (an `aggregate` lambda over the token
+    * array against the broadcast-literal ratio table — no join, no
+    * shuffle); selection is TakeOrdered on the budget, never a global
+    * sort. Both `logw` and the selection key are rounded to 4 decimals
+    * so token-summation order can't flip membership between engines.
+    *
+    * Output: the selected raw rows plus `logw` (the rounded log-ratio
+    * score) and `g_key` (the rounded Gumbel selection key). */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+                         textCol: String, budget: Int, buckets: Int = 1024,
+                         salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    def toks(c: Column) =
+      array_remove(graft.functions.TextFunctions.tokens(c), "")
+    def bucketOf(w: Column) =
+      pmod(graft.functions.TextFunctions.tokenHash60(w), lit(buckets))
+        .cast("int")
+    def histogram(df: DataFrame): Map[Int, Long] =
+      df.select(explode(toks(col(textCol))).as("w"))
+        .groupBy(bucketOf(col("w")).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // ≤ buckets rows — driver-bound by design
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cr = histogram(raw)
+    val ct = histogram(target)
+    val totR = cr.values.sum.toDouble
+    val totT = ct.values.sum.toDouble
+    val ratio: Seq[Double] = (0 until buckets).map { b =>
+      math.log((ct.getOrElse(b, 0L) + 1.0) / (totT + buckets)) -
+        math.log((cr.getOrElse(b, 0L) + 1.0) / (totR + buckets))
+    }
+    val ratioLit = typedLit(ratio)
+    val logw = round(aggregate(toks(col(textCol)), lit(0.0),
+      (acc, w) => acc + element_at(ratioLit, bucketOf(w) + 1)), 4)
+    val gumbel = -log(-log(hashUniform(col(idCol), salt)))
+    raw.withColumn("logw", logw)
+      .withColumn("g_key", round(col("logw") + gumbel, 4))
+      .orderBy(col("g_key").desc, col(idCol).asc)
+      .limit(budget)
+  }
+
+  /** Deterministic global shuffle into `numShards` ordered shards — the
+    * training-data EXPORT step: every row gets a `shard` in
+    * [0, numShards) and a dense `pos` within its shard, both pure
+    * functions of (salt, id), so the shuffled order is bit-stable under
+    * reprocessing, repartitioning, and engine choice (a `rand()`-ordered
+    * export is a different dataset every run — useless for resumable
+    * training). Shard assignment and within-shard order use INDEPENDENT
+    * hash draws (`salt` vs `salt|pos`), so position within a shard is
+    * uncorrelated with the assignment.
+    *
+    * Scale shape: one shuffle on the shard key + one shard-keyed
+    * ranking window — no global sort. Size `numShards` so a shard's
+    * rows fit an executor's sort spill budget (at 100 TB that means
+    * thousands of shards, which is what a training loader wants anyway);
+    * the window carries rank state only, never buffers the shard. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    // least() guard: u < 1 strictly, but u·n can ROUND to n in double —
+    // the guard is identical arithmetic on the oracle side
+    val shard = least(floor(hashUniform(col(idCol), salt) * numShards),
+      lit(numShards - 1)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(hashUniform(col(idCol), salt + "|pos").asc, col(idCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 }

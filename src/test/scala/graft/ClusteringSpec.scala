@@ -84,6 +84,25 @@ class ClusteringSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 
+  test("diversity sample rejects non-integral and null ids by name") {
+    // a string/UUID id would cast to null and silently empty the
+    // semi-join — must fail at plan time instead
+    val strIds = Seq(("a-1", "c0"), ("a-2", "c0")).toDF("id", "c")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.diversitySample(strIds, "id", "c", quota = 1)
+    }
+    assert(e.getMessage.contains("integral id"))
+    // a null id inside an integral column fails the JOB with a named
+    // error, never a silent drop or an encoder NPE
+    val withNull = Seq((java.lang.Long.valueOf(1L), "c0"),
+      (null.asInstanceOf[java.lang.Long], "c0")).toDF("id", "c")
+    val e2 = intercept[Exception] {
+      Sampling.diversitySample(withNull, "id", "c", quota = 5).collect()
+    }
+    assert(e2.getMessage.contains("null id") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null id")))
+  }
+
   test("diversity sample keeps whole clusters smaller than the quota") {
     val df = (0L until 10L).map(i => (i, if (i < 8) "big" else "tiny"))
       .toDF("id", "c")

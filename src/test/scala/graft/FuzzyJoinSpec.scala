@@ -283,6 +283,28 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(labels()(300L) == 10L)
   }
 
+  test("small-graph local closure ≡ distributed closure on random graphs") {
+    // the size-guarded driver union-find must produce bit-identical
+    // labels to the distributed min-label propagation — compare them on
+    // generated graphs by flipping the session threshold
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(4, 30)
+      m <- Gen.chooseNum(2, 50)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+    } yield edges
+    forAll(graphGen, n = 6) { es =>
+      val pairs = es.toDF("i", "j")
+      def labels(): Map[Long, Long] = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = labels() // default threshold: local path
+      spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+      val dist = try labels() // forced distributed path
+      finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+      assert(fast == dist, s"edges=$es")
+    }
+  }
+
   test("logN closure ≡ default closure on random graphs; handles a 120-chain") {
     // generative equivalence: random sparse graphs over shuffled ids
     val graphGen: Gen[List[(Long, Long)]] = for {
