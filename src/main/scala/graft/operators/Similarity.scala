@@ -918,6 +918,12 @@ object Similarity {
     // local-relation build sides)
     val probedCells = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
+    // self-enforcing bound on the driver-side literal: the collected set
+    // is CELLS, not queries — capped by nlist regardless of how many
+    // query rows the caller passes (a violation means a corrupt layout)
+    require(probedCells.size <= cents.length,
+      s"probed cell set (${probedCells.size}) exceeds nlist " +
+        s"(${cents.length}) — corrupt index layout at $path?")
     val dist = col("qres2") + (0 until model.m).map(s =>
       element_at(col(s"dtab_$s"),
         element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)

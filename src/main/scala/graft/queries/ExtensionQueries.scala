@@ -3509,6 +3509,141 @@ object ExtensionQueries {
       |FROM lineitem WHERE year(l_shipdate) <> 1998 GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q103 — QUALITY-AWARE NEAR-DUP SURVIVORS (keep-best policy): q34's
+  //        exact-verified MinHash-LSH pair set transitively closed, but
+  //        each cluster keeps its HIGHEST-n_chars member (ties → min id)
+  //        instead of the min id — the production "keep the best copy"
+  //        curation step. One min_by aggregation per component on the
+  //        Spark side; the oracle re-derives the winner with a
+  //        (n_chars DESC, doc_id) row_number over the recursive-CTE
+  //        closure.
+  // -------------------------------------------------------------------
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8,
+      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
+    sorted(Dedup.dropNearDupsKeepBest(docs(s, dir), pairs,
+      "doc_id", "n_chars").select("doc_id", "n_chars"))
+  }
+
+  val q103Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), ranked AS (
+      |  SELECT c.doc_id,
+      |         row_number() OVER (PARTITION BY c.component
+      |                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN documents d USING (doc_id)
+      |)
+      |SELECT d.doc_id, d.n_chars FROM documents d
+      |LEFT JOIN ranked r USING (doc_id)
+      |WHERE r.doc_id IS NULL OR r.rn = 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q104 — IMPORTANCE RESAMPLING toward a target distribution (the DSIR
+  //        recipe): raw = all documents, target = the English slice;
+  //        every doc scored by the add-one-smoothed hashed-unigram
+  //        log-likelihood ratio over 256 buckets, the top 50 selected by
+  //        the md5-Gumbel-perturbed key. Spark side is two B-bounded
+  //        histogram scans + a pure per-row projection; the oracle
+  //        replays the identical arithmetic (md5 bucket hash, Laplace
+  //        smoothing, natural logs, 4-decimal rounding, Gumbel from the
+  //        same md5 uniform).
+  // -------------------------------------------------------------------
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(Sampling.importanceResample(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", budget = 50, buckets = 256)
+      .select("doc_id", "logw", "g_key"))
+  }
+
+  val q104Sql: String =
+    """WITH raww AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM documents
+      |), tgtw AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM documents WHERE lang = 'en'
+      |), rb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM raww GROUP BY 1
+      |), tb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM tgtw GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM raww) AS tr,
+      |         (SELECT count(*) FROM tgtw) AS tt
+      |), perdoc AS (
+      |  SELECT r.doc_id,
+      |         sum(ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 256)) -
+      |             ln((rb.c + 1.0) / (tot.tr + 256))) AS lw
+      |  FROM (SELECT doc_id,
+      |               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+      |        FROM raww) r
+      |  JOIN rb USING (b) LEFT JOIN tb USING (b) CROSS JOIN tot
+      |  GROUP BY 1
+      |), keyed AS (
+      |  SELECT d.doc_id, round(coalesce(p.lw, 0.0), 4) AS logw,
+      |         round(round(coalesce(p.lw, 0.0), 4) + -ln(-ln(
+      |           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |                AS BIGINT) / 1152921504606846976.0)), 4) AS g_key
+      |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      |)
+      |SELECT * FROM (
+      |  SELECT doc_id, logw, g_key FROM keyed
+      |  ORDER BY g_key DESC, doc_id LIMIT 50
+      |) sel
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q105 — DETERMINISTIC SHUFFLE-TO-SHARDS export: every document gets a
+  //        shard in [0, 8) and a dense within-shard position, both pure
+  //        md5 functions of the id (independent draws for assignment vs
+  //        order). The oracle checks the FULL (shard, pos) assignment —
+  //        a changed hash, shard arithmetic, or ordering tie-break fails
+  //        the row hash.
+  // -------------------------------------------------------------------
+  def q105(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.shuffleShards(docs(s, dir), "doc_id", numShards = 8)
+      .select("doc_id", "shard", "pos"))
+
+  val q105Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u,
+      |         CAST(('0x' || substr(md5('|pos' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u2
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(least(floor(u * 8), 7) AS INT) AS shard,
+      |       CAST(row_number() OVER (
+      |              PARTITION BY CAST(least(floor(u * 8), 7) AS INT)
+      |              ORDER BY u2, doc_id) - 1 AS BIGINT) AS pos
+      |FROM h
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3597,6 +3732,9 @@ object ExtensionQueries {
     ("q99_bpe_train", q99 _, q99Sql), // verdict + BpeSpec exact merges
     ("q100_semantic_dedup", q100 _, q100Sql),
     ("q101_er_multiblock", q101 _, q101Sql),
-    ("q102_nav_retract", q102 _, q102Sql)
+    ("q102_nav_retract", q102 _, q102Sql),
+    ("q103_keepbest_dedup", q103 _, q103Sql),
+    ("q104_importance_resample", q104 _, q104Sql),
+    ("q105_shuffle_shards", q105 _, q105Sql)
   )
 }

@@ -1867,6 +1867,116 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!Multimodal.decodeFeatures(avi, 8).sameElements(viaSeam),
       "default routing must not accidentally equal the real decode")
   }
+  test("keep-best dedup keeps the highest-score member, min id on ties") {
+    import spark.implicits._
+    // clusters: {1,2,3} (via 1-2, 2-3), {10,11}; 20 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val d = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // 2 and 3 tie on score -> keep 2
+      (10L, 1.0), (11L, 7.0),          // 11 wins on score despite larger id
+      (20L, 0.0)                       // unpaired: untouched
+    ).toDF("doc_id", "score")
+    val kept = Dedup.dropNearDupsKeepBest(d, pairs, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 20L), s"got $kept")
+    // null scores lose to any real score; an all-null cluster keeps min id
+    val dn = Seq(
+      (1L, Some(1.0)), (2L, None), (3L, None), // 1 wins: only real score
+      (10L, None), (11L, None)                 // all null -> min id 10
+    ).toDF("doc_id", "score")
+    val keptN = Dedup.dropNearDupsKeepBest(dn, pairs, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptN == Set(1L, 10L), s"got $keptN")
+    // min-id policy and keep-best agree when score is -id
+    val asMin = Dedup.dropNearDups(d, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBest = Dedup.dropNearDupsKeepBest(
+        d.withColumn("score", -col("doc_id")), pairs, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBest == asMin)
+  }
+
+  test("importance resampling favors target-like docs, deterministically") {
+    import spark.implicits._
+    // the parquet fixture's lang column is a LABEL ONLY (all languages
+    // share one vocabulary), so content-based weighting needs a corpus
+    // whose target distribution genuinely differs: 160 noise docs vs 40
+    // signal docs over disjoint vocabularies, target = pure signal text
+    val noiseWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val sigWords = Seq("quark", "lepton", "boson", "gluon")
+    def doc(words: Seq[String], seed: Int): String =
+      (0 until 20).map(i => words((seed * 31 + i * 7) % words.size)).mkString(" ")
+    val corpus = ((0 until 160).map(i => (i.toLong, doc(noiseWords, i))) ++
+      (160 until 200).map(i => (i.toLong, doc(sigWords, i)))).toDF("doc_id", "text")
+    val target = (0 until 10).map(i => (1000L + i, doc(sigWords, i)))
+      .toDF("doc_id", "text")
+    val sel = Sampling.importanceResample(corpus, target, "doc_id", "text",
+      budget = 40, buckets = 256)
+    val rows = sel.collect()
+    assert(rows.length == 40, s"budget must be hit exactly, got ${rows.length}")
+    // signal docs carry a decisively higher log-ratio than noise docs, so
+    // even Gumbel-perturbed selection is dominated by them (the gap is
+    // ~20 tokens x ln-ratio >> any Gumbel draw)
+    val selSignal = rows.count(_.getAs[Long]("doc_id") >= 160L)
+    assert(selSignal >= 38,
+      s"importance weighting must concentrate on target-like docs: " +
+        s"$selSignal/40 signal")
+    // every signal doc outweighs every noise doc in the score itself
+    val byKind = rows.map(r => (r.getAs[Long]("doc_id") >= 160L,
+      r.getAs[Double]("logw"))).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    if (byKind.size == 2)
+      assert(byKind(true).min > byKind(false).max)
+    // run-stable membership on the parquet corpus (real tokenizer path)
+    val pdocs = docs
+    val ptarget = docs.filter(col("lang") === "en")
+    val a = Sampling.importanceResample(pdocs, ptarget, "doc_id", "text",
+        budget = 60, buckets = 256)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.importanceResample(pdocs, ptarget, "doc_id", "text",
+        budget = 60, buckets = 256)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must be run-stable")
+    assert(a.size == 60)
+    // a different salt redraws the Gumbel noise: some membership changes
+    val salted = Sampling.importanceResample(pdocs, ptarget, "doc_id", "text",
+        budget = 60, buckets = 256, salt = "v2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted != a, "salt must change the draw")
+    intercept[IllegalArgumentException] {
+      Sampling.importanceResample(pdocs, ptarget, "doc_id", "text", budget = 0)
+    }
+  }
+
+  test("shuffle shards: exhaustive, dense positions, deterministic, balanced") {
+    val n = docs.count()
+    val out = Sampling.shuffleShards(docs, "doc_id", numShards = 8)
+    assert(out.count() == n, "every row keeps exactly one (shard, pos)")
+    // positions are dense 0..k-1 within every shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("k"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(perShard.length == 8, "all 8 shards populated on 500 docs")
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L && r.getAs[Long]("hi") == r.getAs[Long]("k") - 1,
+        s"positions must be dense: $r")
+    }
+    // deterministic across runs
+    val a = out.select("doc_id", "shard", "pos").collect().map(_.toString).sorted
+    val b = Sampling.shuffleShards(docs, "doc_id", numShards = 8)
+      .select("doc_id", "shard", "pos").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // no shard hogs the corpus (hash balance at n=500: expect ~62 each)
+    val sizes = perShard.map(_.getAs[Long]("k"))
+    assert(sizes.max < 2 * sizes.min + 20, s"shard skew: ${sizes.toSeq}")
+    // within-shard order is independent of the assignment draw: the
+    // same shard re-keyed by salt reshuffles its members' order
+    val pos1 = out.filter(col("shard") === 0).select("doc_id", "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pos2 = Sampling.shuffleShards(docs, "doc_id", 8, salt = "v2")
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos1.exists { case (id, p) => pos2.get(id).exists(_ != p) },
+      "a fresh salt must reorder at least one shared member")
+  }
 }
 
 /** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]
