@@ -14,20 +14,23 @@ import org.apache.spark.sql.functions._
   * size), each iteration ONE distributed aggregation plus a tiny
   * k × dim driver collect, assignment a single codegen'd argmax
   * projection over centroid literals. Nothing here shuffles the
-  * vectors themselves: at 100 TB you train on the corpus (or an
-  * [[Sampling.hashSample]] of it — centroids are statistics, not an
-  * index) and assignment is a scan-side map.
+  * vectors themselves: at 100 TB training auto-thins to a bounded
+  * deterministic hash sample (`maxTrainRows` — centroids are
+  * statistics, not an index) and assignment is a scan-side map.
   */
 object Clustering {
 
   /** Train `k` spherical centroids. Deterministic; `iters` Lloyd
-    * rounds over the full input. */
+    * rounds over at most `maxTrainRows` hash-thinned input rows
+    * (centroids are statistics — training never needs the full corpus;
+    * a corpus under the cap trains bit-identically unsampled). */
   def train(df: DataFrame, k: Int, iters: Int = 3,
-            idCol: String = "vec_id", vecCol: String = "embedding")
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            maxTrainRows: Long = Similarity.DefaultMaxTrainRows)
   : Array[Array[Double]] = {
     val cv = df.select(col(idCol).as("neighbor_id"),
       Similarity.normalize(col(vecCol)).as("cv")).persist()
-    try Similarity.trainCentroids(cv, k, iters)
+    try Similarity.trainCentroids(cv, k, iters, maxTrainRows)
     finally cv.unpersist(): Unit
   }
 

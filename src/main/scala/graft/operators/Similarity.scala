@@ -24,6 +24,11 @@ import graft.functions.VectorExpressions.dotp
   */
 object Similarity {
 
+  /** Default cap on rows fed to centroid/codebook Lloyd training —
+    * statistics saturate long before this; a 100 TB corpus must not pay
+    * iters × full scans for training ([[boundedTrainSample]]). */
+  val DefaultMaxTrainRows: Long = 262144L
+
   /** Dot product of two double-array columns — a custom codegen'd Catalyst
     * expression: the higher-order-function formulation
     * (`aggregate(zip_with(...))`) is CodegenFallback and ~15× slower on
@@ -242,13 +247,36 @@ object Similarity {
       k, corpus.schema(cId).dataType)
   }
 
+  /** Deterministic unbiased thinning to ~`cap` rows for statistics
+    * training (the FAISS practice: codebooks/centroids train on a
+    * bounded sample regardless of corpus size — they are statistics,
+    * not an index, and Lloyd iterations over 100 TB would pay
+    * iters × full-corpus scans for no accuracy the sample doesn't
+    * already carry). Hash-rate filter — no sort, no shuffle, no driver
+    * data; approximate size is fine. Returns the input unchanged when
+    * it already fits (one cheap count over the caller-persisted frame,
+    * so the fixture-scale path is bit-identical to training unsampled). */
+  private def boundedTrainSample(cv: DataFrame, idCol: String,
+                                 cap: Long): DataFrame = {
+    val n = cv.count()
+    if (n <= cap) cv
+    else {
+      val bound = (Long.MaxValue.toDouble * (cap.toDouble / n)).toLong
+      cv.filter(xxhash64(col(idCol)).bitwiseAND(lit(Long.MaxValue)) <
+        lit(bound))
+    }
+  }
+
   /** Spherical k-means centroid training over a NORMALIZED corpus
     * (columns `neighbor_id`, `cv`; persist it for the duration — the build
     * runs several driver actions). Deterministic: centroid seeds come from
     * an id-hash sample, not `rand()`. Each refinement iteration is one
-    * distributed aggregation plus a tiny nlist×dim driver collect. */
+    * distributed aggregation plus a tiny nlist×dim driver collect, over
+    * at most `maxTrainRows` hash-thinned rows ([[boundedTrainSample]]). */
   private[operators] def trainCentroids(cBuild: DataFrame, nlist: Int,
-                             kmeansIters: Int): Array[Array[Double]] = {
+                             kmeansIters: Int,
+                             maxTrainRows: Long = DefaultMaxTrainRows): Array[Array[Double]] = {
+    val trainSet = boundedTrainSample(cBuild, "neighbor_id", maxTrainRows)
     // deterministic centroid sample by id hash — no global sort/window
     // (a row_number over an unpartitioned window would funnel the whole
     // corpus through one task, the opposite of the scale path)
@@ -262,7 +290,7 @@ object Similarity {
     // limit() alone bounds the sample (no separate count job — a
     // corpus smaller than the cap just yields fewer rows)
     val sampleN = math.min(math.max(nlist * 8, 64), 4096)
-    val sample: Array[Array[Double]] = cBuild
+    val sample: Array[Array[Double]] = trainSet
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(sampleN)
       .select("cv").collect()
@@ -309,7 +337,7 @@ object Similarity {
     // previous centroid). Each iteration is one distributed aggregation
     // plus a tiny driver collect of nlist x dim doubles.
     def refineOnce(cents: Array[Array[Double]]): Array[Array[Double]] = {
-      val means = cBuild.withColumn("cell", cellExpr(col("cv"), cents))
+      val means = trainSet.withColumn("cell", cellExpr(col("cv"), cents))
         .select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .groupBy("cell").agg(
@@ -656,26 +684,32 @@ object Similarity {
     * scale — the codebooks are statistics, not an index. */
   def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
               iters: Int = 3, vecCol: String = "embedding",
-              idCol: String = "vec_id"): PqModel = {
+              idCol: String = "vec_id",
+              maxTrainRows: Long = DefaultMaxTrainRows): PqModel = {
     // persist: training reads the normalized corpus 3 + iters times (dim
     // probe, count, seed sample, one pass per Lloyd iteration) — without
     // this every pass re-normalizes from the raw scan
     val cv = corpus.select(col(idCol).as("__id"),
       normalize(col(vecCol)).as("cv")).persist()
-    try trainPqOn(cv, m, ksub, iters) finally cv.unpersist(): Unit
+    try trainPqOn(cv, m, ksub, iters, maxTrainRows)
+    finally cv.unpersist(): Unit
   }
 
   /** Codebook training over a PREPARED ("__id", "cv" array<double>)
     * frame — no normalization applied, so IVF-PQ can train on residuals
-    * (which are deliberately not unit vectors). Caller persists. */
+    * (which are deliberately not unit vectors). Caller persists. Lloyd
+    * refinement runs over at most `maxTrainRows` hash-thinned rows
+    * ([[boundedTrainSample]] — codebooks are statistics). */
   private def trainPqOn(cv: DataFrame, m: Int, ksub: Int,
-                        iters: Int): PqModel = {
+                        iters: Int,
+                        maxTrainRows: Long = DefaultMaxTrainRows): PqModel = {
     require(ksub >= 2 && m >= 1 && iters >= 0,
       s"bad PQ params m=$m ksub=$ksub iters=$iters")
+    val trainSet = boundedTrainSample(cv, "__id", maxTrainRows)
     // ONE deterministic id-hash TakeOrdered draws the seed sample (the
     // previous count + step-filter + fallback spent three driver jobs
     // on the same draw); dim comes from the sample rows, not a probe job
-    val sampleRows = cv
+    val sampleRows = trainSet
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(ksub).select("cv").collect()
       .map(_.getSeq[Double](0).toArray)
@@ -694,7 +728,7 @@ object Similarity {
       val blocks = explode(array((0 until m).map(s =>
         struct(lit(s).as("blk"), model.codeExpr(col("cv"), s).as("cell"),
           model.sub(col("cv"), s).as("v"))): _*)).as("b")
-      val means = cv.select(blocks)
+      val means = trainSet.select(blocks)
         .select(col("b.blk").as("blk"), col("b.cell").as("cell"),
           posexplode(col("b.v")))
         .groupBy("blk", "cell", "pos").agg(avg("col").as("mv"))

@@ -180,6 +180,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"ivfKnn(nlist=16, nprobe=4, replicate=2) recall@5 = $recall < 0.9")
   }
 
+  test("bounded-sample training keeps ANN recall (statistics, not an index)") {
+    import graft.operators.Clustering
+    // a 640-row cap on the 10k corpus (64×) must still recover centroids
+    // good enough for the recall gate — the 100 TB contract: Lloyd trains
+    // on a hash-thinned sample, assignment/search read the full corpus
+    val q = seeded10k.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(q, seeded10k, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Clustering.train(seeded10k, k = 16, maxTrainRows = 640)
+    assert(cents.length == 16)
+    assert(cents.forall(c => math.abs(c.map(x => x * x).sum - 1.0) < 1e-9),
+      "spherical centroids must stay unit-norm")
+    // a PQ model trained under the cap must match the full-corpus
+    // model's retrieval quality (within-cluster neighbors tie in ADC on
+    // this fixture, so the gate is PARITY with uncapped, not absolute)
+    val uncapped = Similarity.trainPq(seeded10k, m = 8, ksub = 16)
+    val capped = Similarity.trainPq(seeded10k, m = 8, ksub = 16,
+      maxTrainRows = 640)
+    def pqRecall(model: Similarity.PqModel): Double = recallVsBrute(
+      Similarity.pqKnn(q, Similarity.pqEncode(seeded10k, model), model, 5),
+      brute)
+    val (ru, rc) = (pqRecall(uncapped), pqRecall(capped))
+    assert(rc >= ru - 0.05,
+      s"capped-training recall $rc fell below uncapped $ru - 0.05")
+    // under the cap the sample path is the identity: same codebooks
+    val capped20k = Similarity.trainPq(seeded10k, m = 8, ksub = 16,
+      maxTrainRows = 20000)
+    assert(uncapped.codebooks.flatten.flatten.toSeq ==
+      capped20k.codebooks.flatten.flatten.toSeq,
+      "a corpus under the cap must train bit-identically")
+  }
+
   test("real WAV bytes decode to duration/rate/channel/amplitude features") {
     import javax.sound.sampled._
     import spark.implicits._
