@@ -3644,6 +3644,132 @@ object ExtensionQueries {
       |FROM h
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q106 — END-TO-END CURATION PIPELINE, the canonical LLM-data recipe
+  //        as ONE composed oracle row: length filter → near-dup dedup
+  //        with keep-best survivor selection → DSIR importance
+  //        resampling toward the English slice → deterministic
+  //        shuffle-to-shards export. Four operators composed exactly as
+  //        a user would chain them; the oracle replays the whole chain
+  //        (shingle CTE + recursive closure + keep-best ranking + md5
+  //        bucket LM + Gumbel selection + shard assignment) in SQL, so
+  //        any drift in ANY stage (or in how stages compose) fails one
+  //        hash.
+  // -------------------------------------------------------------------
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = array_remove(TextFunctions.tokens(col("text")), "")
+    val filtered = d.filter(size(toks) >= 30)
+    val pairs = Dedup.minhashLsh(filtered, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+    val deduped = Dedup.dropNearDupsKeepBest(filtered, pairs,
+      "doc_id", "n_chars")
+    val resampled = Sampling.importanceResample(deduped,
+      deduped.filter(col("lang") === "en"), "doc_id", "text",
+      budget = 100, buckets = 256)
+    val sharded = Sampling.shuffleShards(resampled, "doc_id", numShards = 4)
+    sorted(sharded.select("doc_id", "lang", "logw", "shard", "pos"))
+  }
+
+  val q106Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, text, n_chars,
+      |         string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), f AS (
+      |  SELECT * FROM toks
+      |  WHERE len(list_filter(t, w -> w <> '')) >= 30
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM f, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') AS s FROM f WHERE len(t) < 3
+      |), sh AS (
+      |  SELECT * FROM sh0
+      |  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 256)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) n FROM sh GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), ranked AS (
+      |  SELECT c.doc_id,
+      |         row_number() OVER (PARTITION BY c.component
+      |                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN f d USING (doc_id)
+      |), dd AS (
+      |  SELECT f.doc_id, f.lang, f.text FROM f
+      |  LEFT JOIN ranked r USING (doc_id)
+      |  WHERE r.doc_id IS NULL OR r.rn = 1
+      |), raww AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM dd
+      |), tgtw AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM dd WHERE lang = 'en'
+      |), rb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM raww GROUP BY 1
+      |), tb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM tgtw GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM raww) AS tr,
+      |         (SELECT count(*) FROM tgtw) AS tt
+      |), perdoc AS (
+      |  SELECT r.doc_id,
+      |         sum(ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 256)) -
+      |             ln((rb.c + 1.0) / (tot.tr + 256))) AS lw
+      |  FROM (SELECT doc_id,
+      |               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+      |        FROM raww) r
+      |  JOIN rb USING (b) LEFT JOIN tb USING (b) CROSS JOIN tot
+      |  GROUP BY 1
+      |), keyed AS (
+      |  SELECT d.doc_id, d.lang, round(coalesce(p.lw, 0.0), 4) AS logw,
+      |         round(round(coalesce(p.lw, 0.0), 4) + -ln(-ln(
+      |           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |                AS BIGINT) / 1152921504606846976.0)), 4) AS g_key
+      |  FROM dd d LEFT JOIN perdoc p USING (doc_id)
+      |), sel AS (
+      |  SELECT doc_id, lang, logw FROM keyed
+      |  ORDER BY g_key DESC, doc_id LIMIT 100
+      |), h AS (
+      |  SELECT doc_id, lang, logw,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u,
+      |         CAST(('0x' || substr(md5('|pos' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u2
+      |  FROM sel
+      |)
+      |SELECT doc_id, lang, logw, CAST(least(floor(u * 4), 3) AS INT) AS shard,
+      |       CAST(row_number() OVER (
+      |              PARTITION BY CAST(least(floor(u * 4), 3) AS INT)
+      |              ORDER BY u2, doc_id) - 1 AS BIGINT) AS pos
+      |FROM h
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3735,6 +3861,7 @@ object ExtensionQueries {
     ("q102_nav_retract", q102 _, q102Sql),
     ("q103_keepbest_dedup", q103 _, q103Sql),
     ("q104_importance_resample", q104 _, q104Sql),
-    ("q105_shuffle_shards", q105 _, q105Sql)
+    ("q105_shuffle_shards", q105 _, q105Sql),
+    ("q106_curation_pipeline", q106 _, q106Sql)
   )
 }
