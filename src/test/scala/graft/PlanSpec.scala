@@ -669,4 +669,47 @@ class PlanSpec extends SparkSpec {
     assert(!joinPart.contains("lambdafunction"),
       s"interpreted lambdas leaked into the pairwise join:\n$joinPart")
   }
+
+  test("importance resampling scores per-row and selects via TakeOrdered") {
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.importanceResample(d, d.filter(col("lang") === "en"),
+      "doc_id", "text", budget = 20, buckets = 64)
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    // selection is budget-bounded TakeOrdered, never a global sort
+    assert(nodes.contains("TakeOrderedAndProjectExec"),
+      s"selection must be TakeOrdered:\n$nodes")
+    assert(!nodes.exists(_.contains("SortExec")),
+      s"importance selection globally sorted:\n$nodes")
+    // scoring is a pure projection against the broadcast ratio literal:
+    // no join, no shuffle anywhere in the returned plan (the histogram
+    // aggregations ran eagerly at construction, outside this plan)
+    assert(!nodes.exists(_.contains("Join")),
+      s"ratio lookup must be a literal, not a join:\n$nodes")
+    assert(!nodes.exists(_.contains("Exchange")),
+      s"per-row scoring must not shuffle:\n$nodes")
+  }
+
+  test("shuffle shards: one exchange on the shard key, never a global sort") {
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.shuffleShards(d, "doc_id", 8)
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    assert(nodes.count(_.contains("Exchange")) == 1,
+      s"shuffle-to-shards should shuffle exactly once on the shard key:\n$nodes")
+    assert(nodes.contains("WindowExec"), s"expected the rank window:\n$nodes")
+    assert(!plan(out).contains("SinglePartition"),
+      "shard ranking funneled through one task — the window lost its key")
+  }
+
+  test("keep-best dedup picks winners via aggregation, never a per-cluster window") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val d = Seq((1L, 5.0), (2L, 9.0), (3L, 1.0), (9L, 2.0)).toDF("doc_id", "s")
+    val out = Dedup.dropNearDupsKeepBest(d, pairs, "doc_id", "s")
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    assert(!nodes.contains("WindowExec"),
+      s"winner selection must be the min_by aggregation, not a window:\n$nodes")
+  }
 }
