@@ -135,44 +135,71 @@ object EntityResolution {
     */
   def resolveDelta(resolvedCorpus: DataFrame, delta: DataFrame,
                    idCol: String, keyCol: String, blockCol: String,
-                   maxDist: Int, q: Int = 2): DataFrame = {
-    val pass = Seq(blockCol)
-    // one adoption target per stored (block, key) — materialized: it
-    // feeds BOTH the cross-scan key derivation and the adoption join,
-    // and without it the corpus-wide aggregation runs twice
-    val ckeys = resolvedCorpus
-      .filter(col(keyCol).isNotNull)
-      .groupBy(col(blockCol), col(keyCol))
-      .agg(min(col("entity_id")).as("__ent"))
-      .localCheckpoint(true)
-    // ONE key materialization per side and ONE union gram order, shared
-    // by the cross-corpus scan AND the within-delta pair join (any
-    // consistent global order keeps the recall-1 prefix guarantee, so
-    // the union order serves both) — the public entry points would each
-    // re-derive their own
-    val kCorpus = FuzzyJoin.keyRowsOf(
-      ckeys.select(col(blockCol), col(keyCol)), keyCol, q, pass)
-    val kDelta = FuzzyJoin.keyRowsOf(
-      delta.select(col(blockCol), col(keyCol)), keyCol, q, pass)
-    val counts = FuzzyJoin.gramCountsOf(kCorpus, kDelta)
-    val cross = FuzzyJoin.crossPairsFromKeys(kCorpus, kDelta, counts,
-      maxDist, q, pass)
-    // smallest adopted entity per delta (block, key)
-    val adoptByKey = cross
-      .join(ckeys.withColumnRenamed(keyCol, "a"), Seq(blockCol, "a"))
-      .groupBy(col(blockCol), col("b").as(keyCol))
-      .agg(min(col("__ent")).as("__adopt"))
-    // within-delta closure — resolve()'s construction on the delta
-    // alone, reusing the shared delta keys + gram order
+                   maxDist: Int, q: Int = 2): DataFrame =
+    resolveDeltaMulti(resolvedCorpus, delta, idCol, keyCol,
+      Seq(Seq(blockCol)), maxDist, q)
+
+  /** Multi-pass incremental resolution — [[resolveMulti]]'s
+    * OR-of-blocking-keys applied to the delta path: a delta record
+    * adopts the smallest stored `entity_id` reachable through ANY pass
+    * (cross-corpus fuzzy match per pass), and the within-delta closure
+    * runs over the union of per-pass edge sets, exactly like the batch
+    * operator. Stored labels stay frozen ([[resolveDelta]]'s bridge
+    * contract — [[graft.streaming.ErStreaming.healStore]] merges
+    * bridges in batch).
+    *
+    * Scale shape per pass: one corpus (pass…, key) → min-entity
+    * aggregation, one bucketed cross-candidate scan, one delta edge
+    * set — all linear; ONE gram order (the union over every pass and
+    * side — any consistent order keeps the recall-1 prefix guarantee)
+    * and ONE delta-sized closure are shared across passes. */
+  def resolveDeltaMulti(resolvedCorpus: DataFrame, delta: DataFrame,
+                        idCol: String, keyCol: String,
+                        blockPasses: Seq[Seq[String]], maxDist: Int,
+                        q: Int = 2): DataFrame = {
+    require(blockPasses.nonEmpty, "at least one blocking pass required")
+    require(blockPasses.forall(_.nonEmpty),
+      "every blocking pass needs at least one column")
     val recs = delta.withColumn("__rid", col(idCol))
-    val withinPairs = FuzzyJoin.pairsFromKeys(kDelta, counts, maxDist, q,
-      pass)
-    val labeled = labelByClosure(recs,
-      passEdges(recs, keyCol, pass, withinPairs))
+    // per-pass corpus adoption table + key relations; ckeys materialized
+    // (feeds both the cross-scan key derivation and the adoption join)
+    val passData = blockPasses.map { pass =>
+      val ckeys = resolvedCorpus
+        .filter(col(keyCol).isNotNull)
+        .groupBy((pass.map(col) :+ col(keyCol)): _*)
+        .agg(min(col("entity_id")).as("__ent"))
+        .localCheckpoint(true)
+      val kCorpus = FuzzyJoin.keyRowsOf(
+        ckeys.select((pass.map(col) :+ col(keyCol)): _*), keyCol, q, pass)
+      val kDelta = FuzzyJoin.keyRowsOf(
+        delta.select((pass.map(col) :+ col(keyCol)): _*), keyCol, q, pass)
+      (pass, ckeys, kCorpus, kDelta)
+    }
+    // ONE union gram order across every pass and both sides
+    val counts = FuzzyJoin.gramCountsOf(
+      passData.flatMap { case (_, _, kc, kd) => Seq(kc, kd) }: _*)
+    // smallest adopted stored entity per delta RECORD, over all passes
+    val adopt = passData.map { case (pass, ckeys, kCorpus, kDelta) =>
+      val cross = FuzzyJoin.crossPairsFromKeys(kCorpus, kDelta, counts,
+        maxDist, q, pass)
+      val adoptByKey = cross
+        .join(ckeys.withColumnRenamed(keyCol, "a"), pass :+ "a")
+        .groupBy((pass.map(col) :+ col("b").as(keyCol)): _*)
+        .agg(min(col("__ent")).as("__adopt"))
+      recs.join(adoptByKey, pass :+ keyCol)
+        .select(col("__rid"), col("__adopt"))
+    }.reduce(_ unionByName _)
+      .groupBy("__rid").agg(min(col("__adopt")).as("__adopt"))
+    // within-delta closure over the union of per-pass edge sets
+    val edges = passData.map { case (pass, _, _, kDelta) =>
+      passEdges(recs, keyCol, pass,
+        FuzzyJoin.pairsFromKeys(kDelta, counts, maxDist, q, pass))
+    }.reduce(_ unionByName _)
+    val labeled = labelByClosure(recs, edges)
       .withColumnRenamed("entity_id", "__comp")
     // propagate the component-min adoption to every member
     val compAdopt = labeled
-      .join(adoptByKey, Seq(blockCol, keyCol), "left")
+      .join(adopt.withColumnRenamed("__rid", idCol), Seq(idCol), "left")
       .groupBy(col("__comp"))
       .agg(min(col("__adopt")).as("__compAdopt"))
     labeled

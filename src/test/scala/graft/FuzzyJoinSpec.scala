@@ -203,6 +203,46 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(gotB == Map(50L -> 1L)) // adopts the min; no stored merge
   }
 
+  test("resolveDeltaMulti: adoption through any pass; single pass ≡ resolveDelta") {
+    // corpus resolved on the nation block; delta twin arrives with a
+    // WRONG nation — unreachable single-pass, adopted via the suffix pass
+    val corpus = Seq(
+      (10L, "Ada Lovelace", 1, "Lovelace"),
+      (20L, "Grace Hopper", 2, "r Hopper")
+    ).toDF("rid", "name", "nk", "sfx")
+    val stored = EntityResolution.resolveMulti(corpus, "rid", "name",
+      Seq(Seq("nk")), maxDist = 1)
+    val delta = Seq(
+      (100L, "Ada Lovelac", 9, "Lovelace"),  // wrong nation, right suffix
+      (101L, "Grace Hoper", 2, "wrong-sfx"), // right nation, wrong suffix
+      (102L, "Someone New", 9, "one-else")   // matches nothing
+    ).toDF("rid", "name", "nk", "sfx")
+    // single-pass nation blocking cannot reach the wrong-nation twin
+    val single = EntityResolution.resolveDelta(stored, delta, "rid",
+      "name", "nk", maxDist = 1)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == Map(100L -> 100L, 101L -> 20L, 102L -> 102L))
+    // a second suffix pass recovers it; the other adoptions are unchanged
+    val multi = EntityResolution.resolveDeltaMulti(stored, delta, "rid",
+      "name", Seq(Seq("nk"), Seq("sfx")), maxDist = 1)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(100L -> 10L, 101L -> 20L, 102L -> 102L))
+    // within-delta closure also unions across passes: two delta records
+    // reachable only through DIFFERENT passes still land in one entity
+    val delta2 = Seq(
+      (200L, "Zelda Fitzgerald", 5, "sfxA"),
+      (201L, "Zelda Fitzgerale", 5, "sfxB"), // nation pass only
+      (202L, "Zelda Fitzgeralf", 6, "sfxB")  // suffix pass only (via 201)
+    ).toDF("rid", "name", "nk", "sfx")
+    val multi2 = EntityResolution.resolveDeltaMulti(stored, delta2, "rid",
+      "name", Seq(Seq("nk"), Seq("sfx")), maxDist = 1)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi2 == Map(200L -> 200L, 201L -> 200L, 202L -> 200L))
+  }
+
   test("streaming entity resolution equals sequential batch resolve + resolveDelta") {
     import graft.streaming.ErStreaming
     val wave1 = Seq((10L, "Ada Lovelace", 1), (11L, "Ada Lovelace", 1),
