@@ -32,22 +32,38 @@ object ErStreaming {
                          storeDir: String, checkpointDir: String,
                          q: Int = 2,
                          trigger: Trigger = Trigger.AvailableNow())
+  : StreamingQuery =
+    startResolveStreamMulti(records, idCol, keyCol, Seq(Seq(blockCol)),
+      maxDist, storeDir, checkpointDir, q, trigger)
+
+  /** Multi-pass streaming resolution — [[EntityResolution
+    * .resolveDeltaMulti]]'s OR-of-blocking-keys per micro-batch: the
+    * first batch resolves with [[EntityResolution.resolveMulti]], every
+    * later batch adopts stored entities reachable through ANY pass. The
+    * store carries the distinct union of all pass columns, so heal and
+    * compaction see every blocking key. */
+  def startResolveStreamMulti(records: DataFrame, idCol: String,
+                              keyCol: String,
+                              blockPasses: Seq[Seq[String]], maxDist: Int,
+                              storeDir: String, checkpointDir: String,
+                              q: Int = 2,
+                              trigger: Trigger = Trigger.AvailableNow())
   : StreamingQuery = {
+    require(blockPasses.nonEmpty, "at least one blocking pass required")
+    require(blockPasses.forall(_.nonEmpty),
+      "every blocking pass needs at least one column")
+    val keep = (idCol +: keyCol +: blockPasses.flatten).distinct
     val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       // explicit schema — schema inference over a crash-emptied store
       // throws on every replay (the DocStreaming lesson)
-      val storeSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol,
-          batch.schema(idCol).dataType),
-        org.apache.spark.sql.types.StructField(keyCol,
-          batch.schema(keyCol).dataType),
-        org.apache.spark.sql.types.StructField(blockCol,
-          batch.schema(blockCol).dataType),
+      val storeSchema = org.apache.spark.sql.types.StructType(
+        keep.map(c => org.apache.spark.sql.types.StructField(c,
+          batch.schema(c).dataType)) :+
         org.apache.spark.sql.types.StructField("entity_id",
-          batch.schema(idCol).dataType),
+          batch.schema(idCol).dataType) :+
         org.apache.spark.sql.types.StructField("batch",
-          org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.types.LongType))
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
       val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
       StoreCompaction.recover(fs, storePath)
@@ -58,15 +74,14 @@ object ErStreaming {
           Some(spark.read.schema(storeSchema).parquet(storeDir)
             .filter(col("batch") < batchId).drop("batch"))
         else None
-      val b = batch.select(col(idCol), col(keyCol), col(blockCol))
+      val b = batch.select(keep.map(col): _*)
       val labeled = stored match {
-        case Some(corpus) => EntityResolution.resolveDelta(
-          corpus, b, idCol, keyCol, blockCol, maxDist, q)
-        case None => EntityResolution.resolve(
-          b, idCol, keyCol, blockCol, maxDist, q)
+        case Some(corpus) => EntityResolution.resolveDeltaMulti(
+          corpus, b, idCol, keyCol, blockPasses, maxDist, q)
+        case None => EntityResolution.resolveMulti(
+          b, idCol, keyCol, blockPasses, maxDist, q)
       }
-      labeled.select(col(idCol), col(keyCol), col(blockCol),
-        col("entity_id"))
+      labeled.select((keep.map(col) :+ col("entity_id")): _*)
         .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
     }
     records.writeStream
@@ -83,6 +98,14 @@ object ErStreaming {
                    keyCol: String = "name", blockCol: String = "blk"): Unit =
     StoreCompaction.compact(spark, storeDir,
       Seq(idCol, keyCol, blockCol, "entity_id"))
+
+  /** Compaction for a [[startResolveStreamMulti]] store (columns = the
+    * union of pass columns). */
+  def compactStoreMulti(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String, idCol: String, keyCol: String,
+                        blockPasses: Seq[Seq[String]]): Unit =
+    StoreCompaction.compact(spark, storeDir,
+      (idCol +: keyCol +: blockPasses.flatten).distinct :+ "entity_id")
 
   /** BATCH HEAL (stream STOPPED): re-run a full
     * [[EntityResolution.resolve]] over the accumulated store and rewrite
@@ -107,9 +130,19 @@ object ErStreaming {
                 maxDist: Int, idCol: String = "rid",
                 keyCol: String = "name", blockCol: String = "blk",
                 q: Int = 2): Unit =
+    healStoreMulti(spark, storeDir, maxDist, idCol, keyCol,
+      Seq(Seq(blockCol)), q)
+
+  /** Multi-pass heal — the batch [[EntityResolution.resolveMulti]] over
+    * a [[startResolveStreamMulti]] store (store columns must carry the
+    * union of pass columns, which that writer guarantees). */
+  def healStoreMulti(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, maxDist: Int, idCol: String,
+                     keyCol: String, blockPasses: Seq[Seq[String]],
+                     q: Int = 2): Unit =
     StoreCompaction.compact(spark, storeDir,
-      Seq(idCol, keyCol, blockCol, "entity_id"),
-      merge = df => EntityResolution.resolve(
-        df.drop("entity_id").distinct(), idCol, keyCol, blockCol,
+      ((idCol +: keyCol +: blockPasses.flatten).distinct :+ "entity_id"),
+      merge = df => EntityResolution.resolveMulti(
+        df.drop("entity_id").distinct(), idCol, keyCol, blockPasses,
         maxDist, q))
 }

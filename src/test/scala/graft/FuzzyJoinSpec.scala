@@ -282,6 +282,49 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(compacted == expected)
   }
 
+  test("multi-pass streaming ER equals sequential resolveMulti + resolveDeltaMulti") {
+    import graft.streaming.ErStreaming
+    val passes = Seq(Seq("nk"), Seq("sfx"))
+    val wave1 = Seq((10L, "Ada Lovelace", 1, "Lovelace"),
+      (20L, "Grace Hopper", 2, "r Hopper"))
+      .toDF("rid", "name", "nk", "sfx")
+    // the wave-2 twin has a WRONG nation — adoptable only via the
+    // suffix pass, so the stream demonstrably runs multi-pass
+    val wave2 = Seq((100L, "Ada Lovelac", 9, "Lovelace"),
+      (101L, "Zeta New", 9, "zzz"))
+      .toDF("rid", "name", "nk", "sfx")
+    val dir = java.nio.file.Files.createTempDirectory("erm_stream").toString
+    wave1.coalesce(1).write.mode("append").parquet(dir)
+    wave2.coalesce(1).write.mode("append").parquet(dir)
+    val store = java.nio.file.Files.createTempDirectory("erm_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("erm_ckpt").toString
+    val schema = spark.read.parquet(dir).schema
+    val q = ErStreaming.startResolveStreamMulti(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir),
+      "rid", "name", passes, maxDist = 1, store, ckpt)
+    q.awaitTermination(180000)
+    def labels(): Map[Long, Long] = spark.read.parquet(store)
+      .select("rid", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b1 = EntityResolution.resolveMulti(wave1, "rid", "name", passes, 1)
+    val b2 = EntityResolution.resolveDeltaMulti(
+      b1.select("rid", "name", "nk", "sfx", "entity_id"), wave2,
+      "rid", "name", passes, 1)
+    val expected = (b1.select("rid", "entity_id").collect() ++
+      b2.select("rid", "entity_id").collect())
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() == expected)
+    assert(labels()(100L) == 10L,
+      "the wrong-nation twin must adopt through the suffix pass")
+    // multi-pass compaction + heal keep the store readable and labeled
+    ErStreaming.compactStoreMulti(spark, store, "rid", "name", passes)
+    assert(labels() == expected)
+    ErStreaming.healStoreMulti(spark, store, maxDist = 1, "rid", "name",
+      passes)
+    assert(labels() == expected) // no bridges planted: heal is a no-op
+  }
+
   test("healStore merges frozen delta bridges; stream continues from the healed store") {
     import graft.streaming.ErStreaming
     // batch 0: two entities 2 edits apart (never merge under maxDist=1)
