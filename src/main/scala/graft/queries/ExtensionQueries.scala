@@ -3770,6 +3770,114 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q107 — MULTI-PASS INCREMENTAL ENTITY RESOLUTION (q101 × q98): the
+  //        stored corpus resolves under OR-of-blocking (nation OR
+  //        name-suffix), then a delta labels against the frozen labels:
+  //        %20==0 plants a dirty twin (adoptable through either pass),
+  //        %20==4 a dirty twin with a WRONG nation (adoptable ONLY
+  //        through the suffix pass — the single-pass delta operator
+  //        provably cannot reach it), %20==12 two "X-"-prefixed records
+  //        (new entity, within-delta collapse to the min id). Oracle:
+  //        q98's two recursive closures + per-component adoption
+  //        minimum, with the OR-of-passes predicate everywhere.
+  // -------------------------------------------------------------------
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val passes = Seq(Seq("nk"), Seq("sfx"))
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val base = c.filter(col("c_custkey") % 4 === 0)
+      .select((col("c_custkey") * 4).as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"))
+      .withColumn("sfx", expr("right(name, 8)"))
+    val stored = EntityResolution.resolveMulti(base, "rid", "name",
+      passes, maxDist = 1)
+    val dirtyName =
+      concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 99))
+    val delta = c.filter(col("c_custkey") % 20 === 0)
+      .select((col("c_custkey") * 4 + 1).as("rid"), dirtyName.as("name"),
+        col("c_nationkey").as("nk"))
+      .unionByName(c.filter(col("c_custkey") % 20 === 4)
+        .select((col("c_custkey") * 4 + 3).as("rid"), dirtyName.as("name"),
+          ((col("c_nationkey") + 7) % 25).as("nk")))
+      .unionByName(c.filter(col("c_custkey") % 20 === 12)
+        .select(explode(array(col("c_custkey") * 4 + 1,
+          col("c_custkey") * 4 + 2)).as("rid"),
+          concat(lit("X-"), col("c_name")).as("name"),
+          col("c_nationkey").as("nk")))
+      .withColumn("sfx", expr("right(name, 8)"))
+    sorted(EntityResolution.resolveDeltaMulti(stored, delta, "rid", "name",
+      passes, maxDist = 1).select("rid", "entity_id"))
+  }
+
+  val q107Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT c_custkey*4 AS rid, c_name AS name, c_nationkey AS nk,
+      |         right(c_name, 8) AS sfx
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |), bpairs AS (
+      |  SELECT a.rid i, b.rid j FROM base a JOIN base b
+      |  ON (a.nk = b.nk OR a.sfx = b.sfx) AND a.rid < b.rid
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |), bedges AS (
+      |  SELECT i AS a, j AS b FROM bpairs UNION SELECT j, i FROM bpairs
+      |), breach(a, b) AS (
+      |  SELECT a, b FROM bedges
+      |  UNION
+      |  SELECT r.a, e.b FROM breach r JOIN bedges e ON r.b = e.a
+      |), bcomp AS (
+      |  SELECT a AS rid, least(a, min(b)) AS comp FROM breach GROUP BY a
+      |), blab AS (
+      |  SELECT base.rid, coalesce(bcomp.comp, base.rid) AS entity_id,
+      |         base.name, base.nk, base.sfx
+      |  FROM base LEFT JOIN bcomp ON bcomp.rid = base.rid
+      |), delta0 AS (
+      |  SELECT c_custkey*4+1 AS rid,
+      |         substr(c_name,1,9) || substr(c_name,11) AS name,
+      |         c_nationkey AS nk
+      |  FROM customer WHERE c_custkey % 20 = 0
+      |  UNION ALL
+      |  SELECT c_custkey*4+3, substr(c_name,1,9) || substr(c_name,11),
+      |         (c_nationkey + 7) % 25
+      |  FROM customer WHERE c_custkey % 20 = 4
+      |  UNION ALL
+      |  SELECT c_custkey*4+1, 'X-' || c_name, c_nationkey
+      |  FROM customer WHERE c_custkey % 20 = 12
+      |  UNION ALL
+      |  SELECT c_custkey*4+2, 'X-' || c_name, c_nationkey
+      |  FROM customer WHERE c_custkey % 20 = 12
+      |), delta AS (
+      |  SELECT rid, name, nk, right(name, 8) AS sfx FROM delta0
+      |), dpairs AS (
+      |  SELECT a.rid i, b.rid j FROM delta a JOIN delta b
+      |  ON (a.nk = b.nk OR a.sfx = b.sfx) AND a.rid < b.rid
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |), dedges AS (
+      |  SELECT i AS a, j AS b FROM dpairs UNION SELECT j, i FROM dpairs
+      |), dreach(a, b) AS (
+      |  SELECT a, b FROM dedges
+      |  UNION
+      |  SELECT r.a, e.b FROM dreach r JOIN dedges e ON r.b = e.a
+      |), dcomp AS (
+      |  SELECT a AS rid, least(a, min(b)) AS comp FROM dreach GROUP BY a
+      |), dlab AS (
+      |  SELECT delta.rid, coalesce(dcomp.comp, delta.rid) AS comp
+      |  FROM delta LEFT JOIN dcomp ON dcomp.rid = delta.rid
+      |), adopt AS (
+      |  SELECT d.rid, min(bl.entity_id) AS ad
+      |  FROM delta d JOIN blab bl
+      |  ON (bl.nk = d.nk OR bl.sfx = d.sfx)
+      |     AND levenshtein(bl.name, d.name) <= 1
+      |  GROUP BY 1
+      |), capt AS (
+      |  SELECT dlab.comp, min(adopt.ad) AS ca
+      |  FROM dlab LEFT JOIN adopt ON adopt.rid = dlab.rid
+      |  GROUP BY 1
+      |)
+      |SELECT dlab.rid, coalesce(capt.ca, dlab.comp) AS entity_id
+      |FROM dlab JOIN capt ON capt.comp = dlab.comp
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3862,6 +3970,7 @@ object ExtensionQueries {
     ("q103_keepbest_dedup", q103 _, q103Sql),
     ("q104_importance_resample", q104 _, q104Sql),
     ("q105_shuffle_shards", q105 _, q105Sql),
-    ("q106_curation_pipeline", q106 _, q106Sql)
+    ("q106_curation_pipeline", q106 _, q106Sql),
+    ("q107_er_delta_multiblock", q107 _, q107Sql)
   )
 }
