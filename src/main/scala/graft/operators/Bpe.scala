@@ -41,13 +41,16 @@ object Bpe {
       * [[encodeTokenCounts]] exactly (their broadcast table is built by
       * this very method). For an out-of-dictionary word this applies
       * the learned merges (classic encode-time BPE), while the
-      * distributed paths DELIBERATELY fall back to the character split:
-      * applying an ordered merge list inside a Spark expression needs
-      * one nested pass per merge (plan depth ∝ numMerges — thousands),
-      * and the no-scalar-UDF doctrine rules out the per-row escape
-      * hatch. OOV words are the dictionary's long tail by construction;
-      * callers who need exact OOV merges distributively should train
-      * with a larger `maxDictWords` so the tail is in the table. */
+      * distributed paths DEFAULT to the character split: applying an
+      * ordered merge list inside a Spark expression needs one nested
+      * pass per merge (plan depth ∝ numMerges — thousands), and the
+      * no-scalar-UDF doctrine rules out the per-row escape hatch. OOV
+      * words are the dictionary's long tail by construction; callers
+      * who need exact OOV merges distributively pass `exactOov = true`
+      * to [[encodeTokenCounts]]/[[encodeSegments]] (segments the
+      * DISTINCT OOV vocabulary once via mapPartitions — vocabulary-
+      * bounded, never per-occurrence) or train with a larger
+      * `maxDictWords` so the tail is in the table. */
     def segment(word: String): Seq[String] = {
       if (word.isEmpty) return Seq.empty
       var syms = word.map(_.toString).toVector
@@ -138,19 +141,53 @@ object Bpe {
       .toDF("w", "segs", "n_segs")
   }
 
+  /** Exact merge-applied segmentation of a DISTINCT word relation (one
+    * string column `w`) — [[BpeModel.segment]] mapped over partitions.
+    * mapPartitions is sanctioned here for the same reason as multimodal
+    * decode: a per-element JVM algorithm (numMerges ordered passes) that
+    * no expression tree can express, over a relation bounded by the
+    * VOCABULARY (distinct words), never the corpus. The model (merges +
+    * dict) ships once per executor via broadcast. */
+  private def oovSegmentTable(words: DataFrame, model: BpeModel): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    words.select(col("w")).as[String]
+      .mapPartitions { it => val m = bc.value; it.map(w => (w, m.segment(w))) }
+      .toDF("w", "segs")
+      .withColumn("n_segs", size(col("segs")))
+  }
+
+  /** The dictionary table, plus (when `exactOov`) exact merge-applied
+    * segments for the corpus words the dictionary misses — derived from
+    * the DISTINCT OOV vocabulary (the explode→distinct shuffle is
+    * vocabulary-bounded after partial aggregation). */
+  private def fullSegmentTable(words: DataFrame, model: BpeModel,
+                               exactOov: Boolean): DataFrame = {
+    val dictT = segmentTable(words, model)
+    if (!exactOov) dictT
+    else dictT.unionByName(oovSegmentTable(
+      words.select("w").distinct()
+        .join(dictT.select("w"), Seq("w"), "left_anti"), model))
+  }
+
   /** BPE token count per document: explode words, broadcast-join the
-    * dictionary segmentation, out-of-dictionary words fall back to
-    * character-level (length + 1 symbols — each char plus the
+    * dictionary segmentation. Out-of-dictionary words default to the
+    * character-level count (length + 1 symbols — each char plus the
     * end-of-word marker merged onto the last char counts as length;
-    * see [[BpeModel.segment]] for why OOV merges are not applied here).
-    * One scan + one broadcast join; nothing corpus-sized shuffles. */
+    * see [[BpeModel.segment]]); `exactOov = true` instead segments the
+    * distinct OOV vocabulary exactly (merge-applied), so counts equal
+    * the driver tokenizer for EVERY word. One scan + one size-guarded
+    * broadcast join; nothing corpus-sized shuffles. */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                        model: BpeModel): DataFrame = {
-    val seg = graft.model.Joins.maybeBroadcast(segmentTable(docs, model))
-    docs
+                        model: BpeModel, exactOov: Boolean = false): DataFrame = {
+    val words = docs
       .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
+    val seg = graft.model.Joins.maybeBroadcast(
+      fullSegmentTable(words, model, exactOov))
+    words
       .join(seg.select(col("w"), col("n_segs")), Seq("w"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("n_segs"), length(col("w"))))
@@ -159,20 +196,23 @@ object Bpe {
   }
 
   /** Subword segment stream per document (ordered by word position):
-    * the actual tokenized form. Out-of-dictionary words fall back to
-    * their character split with `</w>` on the last char (not the
-    * merge-applied form — see [[BpeModel.segment]]'s contract note). */
+    * the actual tokenized form. Out-of-dictionary words default to
+    * their character split with `</w>` on the last char; `exactOov =
+    * true` applies the learned merges to the distinct OOV vocabulary,
+    * making the stream identical to [[BpeModel.segment]] word by word. */
   def encodeSegments(docs: DataFrame, idCol: String, textCol: String,
-                     model: BpeModel): DataFrame = {
-    val seg = graft.model.Joins.maybeBroadcast(segmentTable(docs, model))
+                     model: BpeModel, exactOov: Boolean = false): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val seg = graft.model.Joins.maybeBroadcast(
+      fullSegmentTable(words, model, exactOov))
     val charSplit = // OOV fallback: chars, "</w>" appended to the last
       transform(split(col("w"), ""),
         (c, i) => when(i === length(col("w")) - 1, concat(c, lit("</w>")))
           .otherwise(c))
-    docs
-      .select(col(idCol),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
+    words
       .join(seg.select(col("w"), col("segs")), Seq("w"), "left")
       .select(col(idCol), col("pos"),
         explode(coalesce(col("segs"), charSplit)).as("token"))

@@ -59,6 +59,39 @@ class BpeSpec extends SparkSpec {
     assert(got.sorted.toSeq == expected.sorted)
   }
 
+  test("exactOov: distributed encode equals segment() for EVERY word") {
+    // train on a dictionary capped to 2 words, so real corpus words go
+    // OOV — "lowest" is OOV but the learned merges still apply to it
+    val m = Bpe.trainBpe(corpus, "text", numMerges = 4, maxDictWords = 2)
+    val docs = Seq((1L, "low lowest zzz"), (2L, "newest low a"))
+      .toDF("doc_id", "text")
+    // segment stream, word by word, equals the driver tokenizer exactly
+    val got = Bpe.encodeSegments(docs, "doc_id", "text", m, exactOov = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val words = Map((1L, 0) -> "low", (1L, 1) -> "lowest", (1L, 2) -> "zzz",
+      (2L, 0) -> "newest", (2L, 1) -> "low", (2L, 2) -> "a")
+    words.foreach { case (k, w) =>
+      assert(got(k).sorted == m.segment(w).sorted,
+        s"word $w at $k: got ${got(k)}, want ${m.segment(w)}")
+    }
+    // token counts match too
+    val counts = Bpe.encodeTokenCounts(docs, "doc_id", "text", m,
+        exactOov = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) ==
+      Seq("low", "lowest", "zzz").map(m.segment(_).length.toLong).sum)
+    assert(counts(2L) ==
+      Seq("newest", "low", "a").map(m.segment(_).length.toLong).sum)
+    // and the default path genuinely differs on a merge-applicable OOV
+    // word (it char-splits), proving exactOov isn't vacuous here
+    val dflt = Bpe.encodeTokenCounts(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dflt(1L) > counts(1L),
+      "char-split OOV count should exceed the merge-applied count")
+  }
+
   test("training is invariant to partitioning") {
     val base = corpus
     val m1 = Bpe.trainBpe(base.repartition(1), "text", 6)
