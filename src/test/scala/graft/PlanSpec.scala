@@ -176,7 +176,12 @@ class PlanSpec extends SparkSpec {
       // frequentTerms candidate semi-join: the broadcast side is the
       // driver-materialized Misra-Gries candidate set, ≤ k strings by
       // the sketch's bound (k is the caller's memory budget) — audited
-      "graft/operators/Corpus.scala"
+      "graft/operators/Corpus.scala",
+      // exactOov segmentation: sparkContext.broadcast of the trained
+      // BpeModel (merges + ≤ maxDictWords segment map — bounded by the
+      // caller's dictionary budget, the same contract that bounds the
+      // dictionary segmentTable itself) — audited
+      "graft/operators/Bpe.scala"
     )
     val root = Paths.get("src/main/scala")
     val offenders = Files.walk(root).iterator().asScala
