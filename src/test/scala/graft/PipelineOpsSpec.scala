@@ -1979,6 +1979,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("importance resampling and shuffle shards are partitioning-invariant") {
+    // the membership/assignment contract: pure functions of (salt, id,
+    // corpus content) — a different physical partitioning must not move
+    // a single row (rand()-based samplers fail exactly this law)
+    val target = docs.filter(col("lang") === "en")
+    def selection(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.importanceResample(d, target, "doc_id", "text",
+          budget = 40, buckets = 128)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selection(docs.repartition(1)) == selection(docs.repartition(13)))
+    def shards(d: org.apache.spark.sql.DataFrame): Map[Long, (Int, Long)] =
+      Sampling.shuffleShards(d, "doc_id", 8)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(shards(docs.repartition(1)) == shards(docs.repartition(13)))
+  }
+
   test("shuffle shards: exhaustive, dense positions, deterministic, balanced") {
     val n = docs.count()
     val out = Sampling.shuffleShards(docs, "doc_id", numShards = 8)
