@@ -291,6 +291,24 @@ object ScaleProbe {
           "doc_id", "source",
           (0 until 20).map(i => i.toString -> 50).toMap).count()
       },
+      // DSIR importance resampling: two B-bounded histogram scans + a
+      // per-row scoring projection + TakeOrdered — the replica-suffixed
+      // vocabulary grows factor× but the bucket table stays B rows, so
+      // the honest bound is linear-in-tokens (superlinear means the
+      // ratio lookup degenerated into a join or the selection into a
+      // global sort)
+      "dsir" -> timed(s"$tag importance resample") {
+        graft.operators.Sampling.importanceResample(
+          d, d.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+          budget = 100, buckets = 512).count()
+      },
+      // deterministic shuffle-to-shards: one shuffle on the shard key +
+      // a shard-keyed rank window; shard count fixed, so per-shard rows
+      // grow factor× — the keyed window must stay linear (a leaked
+      // global sort shows superlinear)
+      "shards" -> timed(s"$tag shuffle shards") {
+        graft.operators.Sampling.shuffleShards(d, "doc_id", 64).count()
+      },
       // replica-suffixed tokens grow the vocabulary factor× but each MG
       // cell stays ≤ k entries — one token scan + a grain-sized rollup,
       // so the honest bound is linear-in-tokens
