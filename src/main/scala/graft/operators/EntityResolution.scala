@@ -66,6 +66,12 @@ object EntityResolution {
     require(blockPasses.forall(_.nonEmpty),
       "every blocking pass needs at least one column")
     val recs = records.withColumn("__rid", col(idCol))
+    // Each pass derives its own keys + gram order INSIDE one lazy plan —
+    // deliberately NOT the shared eagerly-materialized gram order that
+    // resolveDeltaMulti uses: there the order feeds THREE consumers per
+    // pass (cross scan, adoption, within-delta pairs) and sharing wins,
+    // but here it has one consumer and the localCheckpoint barrier
+    // serializes the passes (measured: q101 3.5 s → 5.1 s shared).
     val edges = blockPasses.map { pass =>
       passEdges(recs, keyCol, pass,
         FuzzyJoin.pairsWithinDistanceBlocked(
