@@ -428,6 +428,45 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(ls(999L) == 999L && ls.size == 122)
   }
 
+  test("keep-best dedup equals brute-force winner selection on random graphs") {
+    // random pair graphs (self-loops allowed) + random scores with
+    // duplicates and nulls: survivors must be exactly docs minus
+    // per-component losers, winner = max score then min id, null = −∞
+    val gen: Gen[(List[(Long, Long)], List[Option[Int]])] = for {
+      n <- Gen.chooseNum(3, 25)
+      m <- Gen.chooseNum(1, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+      scores <- Gen.listOfN(n + 1, Gen.option(Gen.chooseNum(0, 5)))
+    } yield (edges, scores)
+    forAll(gen, n = 8) { case (es, scores) =>
+      val pairs = es.toDF("i", "j")
+      val docs = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong, s.map(_.toDouble)) }
+        .toDF("doc_id", "score")
+      val kept = Dedup.dropNearDupsKeepBest(docs, pairs, "doc_id", "score")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // brute force: union-find over the pairs, winner per component
+      val ids = scores.indices.map(_.toLong)
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inPairs = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+      def score(i: Long): Double =
+        scores(i.toInt).map(_.toDouble).getOrElse(Double.NegativeInfinity)
+      val losers = inPairs.groupBy(find).values.flatMap { members =>
+        val winner = members.minBy(i => (-score(i), i))
+        members - winner
+      }.toSet
+      val expected = ids.toSet -- losers
+      assert(kept == expected, s"edges=$es scores=$scores")
+    }
+  }
+
   test("entity resolution closure equals brute-force closure on generated corpora") {
     val recGen: Gen[List[(Long, String, Int)]] = for {
       keys <- corpusGen
