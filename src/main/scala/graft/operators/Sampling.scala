@@ -297,4 +297,19 @@ object Sampling {
     df.withColumn("shard", shard)
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
+
+  /** Materialize [[shuffleShards]] as the on-disk training export:
+    * parquet hive-partitioned by `shard`, with each shard's rows laid
+    * down in `pos` order (repartition on the shard key →
+    * sortWithinPartitions → one writer and ONE ordered file per shard),
+    * so a training loader streams `shard=k/` sequentially and reads the
+    * deterministic global shuffle order with no reader-side sort. The
+    * write adds nothing beyond [[shuffleShards]]'s one shuffle — the
+    * within-partition sort feeds the writer directly. */
+  def writeShards(df: DataFrame, idCol: String, numShards: Int,
+                  path: String, salt: String = ""): Unit =
+    shuffleShards(df, idCol, numShards, salt)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

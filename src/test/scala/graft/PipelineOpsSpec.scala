@@ -1996,6 +1996,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shards(docs.repartition(1)) == shards(docs.repartition(13)))
   }
 
+  test("writeShards lays each shard down as one pos-ordered file") {
+    val path = java.nio.file.Files.createTempDirectory("shards_out").toString
+    Sampling.writeShards(docs, "doc_id", numShards = 4, path)
+    val expected = Sampling.shuffleShards(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val back = spark.read.parquet(path)
+    assert(back.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("shard"), r.getLong(2))).toSet
+      == expected, "round trip must preserve the full assignment")
+    // one data file per shard dir, rows inside it in pos order
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 until 4).foreach { s =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/shard=$s"))
+        .filter(f => f.getPath.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s should be one ordered file")
+      val pos = spark.read.parquet(files.head.getPath.toString)
+        .select("pos").collect().map(_.getLong(0)).toSeq
+      assert(pos == pos.sorted,
+        s"shard $s rows not in pos order: ${pos.take(10)}...")
+      assert(pos.head == 0L && pos.last == pos.length - 1L)
+    }
+  }
+
   test("shuffle shards: exhaustive, dense positions, deterministic, balanced") {
     val n = docs.count()
     val out = Sampling.shuffleShards(docs, "doc_id", numShards = 8)
