@@ -31,6 +31,19 @@ class PipelineOpsSpec extends SparkSpec {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     assert(lsh == exact) // precision 1 by construction; recall 1 on fixture
+    // q106's dedup stage runs the same LSH over the LENGTH-FILTERED
+    // corpus with its own maxDf cap (capped-jaccard can shift when the
+    // df census shrinks) — pin the same determinism margin there, so a
+    // fixture regeneration that puts a filtered-corpus pair near the
+    // 0.8 threshold fails HERE instead of flaking the q106 hash gate
+    val filtered = docs.filter(size(array_remove(
+      graft.functions.TextFunctions.tokens(col("text")), "")) >= 30)
+    val fJac = Dedup.jaccardPairs(filtered, "doc_id", "text", 3, 0.8)
+      .select("jaccard").collect().map(_.getDouble(0))
+    if (fJac.nonEmpty)
+      assert(fJac.min >= 0.85,
+        f"filtered-corpus pair similarity ${fJac.min}%.3f < 0.85 — " +
+          "q106's LSH≡exact determinism is at risk")
   }
 
   test("simhash near-dups are a subset of doc pairs and deterministic") {
