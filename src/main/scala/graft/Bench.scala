@@ -106,7 +106,10 @@ object Bench {
     // a speedup
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // `reps` is recorded in the JSON so cross-round comparisons can tell a
+    // real regression from a rep-count artifact (fewer reps -> higher
+    // minima); round 10 vs 11 was re-adjudicated for exactly this reason
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

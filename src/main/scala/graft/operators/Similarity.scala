@@ -142,39 +142,37 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** All `tables` hyperplanes as ONE literal tensor [table][plane][dim].
-    * Inlining a separate literal per (table, plane) — 45 tables × 4 planes
-    * at the near-dup defaults — made the projection a 180-dot-product
-    * expression tree whose generated code blew past JIT/codegen budgets;
-    * one constant tensor indexed by a table COLUMN keeps the generated
-    * method tiny regardless of the table count. */
-  private def planeTensor(tables: Int, planes: Int, dim: Int): Column =
-    typedLit((0 until tables).map(t =>
-      (0 until planes).map(p => planeVector(t, p, dim).toSeq)))
-
-  /** Bucket id where the table index is a COLUMN (post-explode): same bits
-    * as [[lshBucket]] for each concrete table value. */
-  private def lshBucketAt(vec: Column, tableCol: Column, tensor: Column,
-                          planes: Int): Column = {
-    val planesOfT = element_at(tensor, tableCol + 1)
-    (0 until planes).map { p =>
-      when(dotp(vec, element_at(planesOfT, p + 1)) > 0,
-        shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** All `tables` hyperplanes as one constant tensor [table][plane][dim]
+    * for [[graft.functions.AnnKernels.signLshBuckets]]. */
+  private def planeTensor(tables: Int, planes: Int,
+                          dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables)(t => Array.tabulate(planes)(p =>
+      planeVector(t, p, dim)))
 
   /** Explode `df` into one row per (row, table) with its bucket id —
     * the shared candidate-generation input for [[lshKnn]] and
-    * [[nearDupPairs]]. Output: (idAs, vecAs, t, b). */
+    * [[nearDupPairs]]. Output: (idAs, vecAs, t, b).
+    *
+    * All buckets come from ONE compact kernel call
+    * ([[graft.functions.SignLshBuckets]]) whose result posexplodes into
+    * (table, bucket) rows. The previous shape — explode a table sequence,
+    * then a planes-way `when(dotp…)` chain against a literal tensor —
+    * inlined tables-independent but planes-proportional dot-product code
+    * into the GenerateExec consume and (with the downstream join fused)
+    * overflowed janino's 64 KB method limit, silently degrading the
+    * hottest LSH stages to interpreted execution. Null vectors now
+    * produce no bucket rows at all (kernel returns null → posexplode
+    * drops) instead of landing every null vector in bucket 0 of every
+    * table — same final results (null cosines were already filtered),
+    * strictly less skew. */
   private def bucketRows(df: DataFrame, id: String, vec: String,
                          idAs: String, vecAs: String,
                          tables: Int, planes: Int, dim: Int): DataFrame = {
     val tensor = planeTensor(tables, planes, dim)
     df.select(col(id).as(idAs), normalize(col(vec)).as(vecAs))
       .select(col(idAs), col(vecAs),
-        explode(sequence(lit(0), lit(tables - 1))).as("t"))
-      .select(col(idAs), col(vecAs), col("t"),
-        lshBucketAt(col(vecAs), col("t"), tensor, planes).as("b"))
+        posexplode(graft.functions.AnnExpressions.signLshBuckets(
+          col(vecAs), tensor)).as(Seq("t", "b")))
   }
 
   /** Approximate top-k via sign-LSH: candidates = corpus vectors sharing a
@@ -356,14 +354,15 @@ object Similarity {
       .foldLeft(sampled)((cents, _) => refineOnce(cents))
   }
 
-  /** Top-n nearest cells as one codegen'd expression: array sort of
-    * (-sim, cid) structs — driver-free, no join, no window shuffle. */
-  private[operators] def topCells(vec: Column, cents: Array[Array[Double]], top: Int): Column = {
-    val scored = array(cents.zipWithIndex.toSeq.map { case (cent, id) =>
-      struct((-dotp(vec, lit(cent))).as("negsim"), lit(id).as("cid"))
-    }: _*)
-    slice(transform(array_sort(scored), _.getField("cid")), 1, top)
-  }
+  /** Top-n nearest cells as one codegen'd kernel call
+    * ([[graft.functions.NearestCells]]) — driver-free, no join, no window
+    * shuffle, and O(1) generated-code size in `nlist` (the previous
+    * `array_sort` over nlist unrolled dot-product structs contributed to
+    * the 64 KB janino overflow when fused into explode consumers).
+    * Ordering is unchanged: similarity descending, ties by smaller cell
+    * id, NaN similarities last. */
+  private[operators] def topCells(vec: Column, cents: Array[Array[Double]], top: Int): Column =
+    graft.functions.AnnExpressions.nearestCells(vec, cents, top)
 
   /** Build and PERSIST an IVF index: centroids to `path`/centroids, the
     * normalized corpus — each vector replicated into its `replicate`
@@ -662,18 +661,16 @@ object Similarity {
     /** 1-based slice of the normalized vector for subspace `s`. */
     private[operators] def sub(vec: Column, s: Int): Column =
       slice(vec, s * dsub + 1, dsub)
-    /** Code of subspace `s`: argmin-L2 centroid id as one codegen'd
-      * expression — array_min over (dist, cid) structs with the
-      * query-independent |v_s|² term dropped (rank-invariant). */
-    private[operators] def codeExpr(vec: Column, s: Int): Column =
-      array_min(array(codebooks(s).zipWithIndex.toSeq.map { case (c, id) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dotp(sub(vec, s), lit(c))).as("d"),
-          lit(id).as("cid"))
-      }: _*)).getField("cid")
-    /** All m codes of a vector as one array<int> column. */
+    /** All m codes of a vector as one array<int> column — per subspace
+      * the argmin-L2 centroid with the query-independent |v_s|² term
+      * dropped (rank-invariant), via ONE compact kernel call
+      * ([[graft.functions.PqEncodeCodes]]). The previous per-(s, c)
+      * unrolled form — m × ksub = 128 dot-product structs at the
+      * defaults — was the largest single contributor to the 64 KB janino
+      * codegen overflow. Tie-break (smaller cid) and NaN handling match
+      * the array_min-over-structs semantics exactly. */
     def encodeExpr(vec: Column): Column =
-      array((0 until m).map(s => codeExpr(vec, s)): _*)
+      graft.functions.AnnExpressions.pqEncode(vec, codebooks)
   }
 
   /** Learn PQ codebooks over the corpus: per subspace, `ksub`-means on
@@ -725,10 +722,16 @@ object Similarity {
       }
     }
     def refineOnce(model: PqModel): PqModel = {
+      // all m codes from ONE kernel call (a prior select, so the kernel
+      // runs once per row), then per-subspace element_at — the previous
+      // per-subspace codeExpr unrolled m × ksub dot products into the
+      // explode consumer (the 64 KB janino overflow)
       val blocks = explode(array((0 until m).map(s =>
-        struct(lit(s).as("blk"), model.codeExpr(col("cv"), s).as("cell"),
+        struct(lit(s).as("blk"), element_at(col("__codes"), s + 1).as("cell"),
           model.sub(col("cv"), s).as("v"))): _*)).as("b")
-      val means = trainSet.select(blocks)
+      val means = trainSet
+        .withColumn("__codes", model.encodeExpr(col("cv")))
+        .select(blocks)
         .select(col("b.blk").as("blk"), col("b.cell").as("cell"),
           posexplode(col("b.v")))
         .groupBy("blk", "cell", "pos").agg(avg("col").as("mv"))
@@ -771,21 +774,20 @@ object Similarity {
             k: Int = 5, qId: String = "vec_id", qVec: String = "embedding",
             cId: String = "vec_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val dtabs = (0 until model.m).map { s =>
-      array(model.codebooks(s).toSeq.map { c =>
-        val c2 = c.map(x => x * x).sum
-        lit(c2) - lit(2.0) * dotp(model.sub(col("qv"), s), lit(c))
-      }: _*).as(s"dtab_$s")
-    }
+    // the m × ksub distance tables come from ONE kernel call on the small
+    // broadcast side (graft.functions.AdcDistanceTables), and the
+    // per-candidate lookup sum is one static call (AdcLookupSum) — the
+    // previous m separate dtab columns of ksub unrolled dot products blew
+    // the 64 KB codegen budget and ran interpreted
     val q = queries
       .select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
-      .select((col("query_id") +: dtabs): _*)
-    val dist = (0 until model.m).map(s =>
-      element_at(col(s"dtab_$s"),
-        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+      .select(col("query_id"),
+        graft.functions.AnnExpressions.adcTables(col("qv"), model.codebooks)
+          .as("dtab"))
     val scored = codes.select(col(cId).as("neighbor_id"), col("pq_code"))
       .crossJoin(broadcast(q))
-      .withColumn("score", -dist)
+      .withColumn("score",
+        -graft.functions.AnnExpressions.adcSum(col("dtab"), col("pq_code")))
     val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
     scored
@@ -928,19 +930,19 @@ object Similarity {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
     val qres = zip_with(col("qv"),
       element_at(centLit, col("cell") + 1), (a, b) => a - b)
-    val dtabs = (0 until model.m).map { s =>
-      array(model.codebooks(s).toSeq.map { c =>
-        val c2 = c.map(x => x * x).sum
-        lit(c2) - lit(2.0) * dotp(model.sub(col("qres"), s), lit(c))
-      }: _*).as(s"dtab_$s")
-    }
+    // ONE kernel-built m × ksub table per (query, probed cell) row on the
+    // broadcast side (graft.functions.AdcDistanceTables) — the previous m
+    // dtab columns of ksub unrolled dot products, fused into the probe
+    // explode, were a 64 KB janino overflow site
     val probed = queries
       .select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
       .withColumn("cell",
         explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
       .withColumn("qres", qres)
-      .select((col("query_id") +: col("cell") +:
-        dotp(col("qres"), col("qres")).as("qres2") +: dtabs): _*)
+      .select(col("query_id"), col("cell"),
+        dotp(col("qres"), col("qres")).as("qres2"),
+        graft.functions.AnnExpressions.adcTables(col("qres"), model.codebooks)
+          .as("dtab"))
     val stored = readIvfCorpus(spark, path)
     require(stored.columns.contains("pq_code"),
       s"$path/corpus lacks pq_code — a flat saveIvfIndex layout? " +
@@ -958,9 +960,8 @@ object Similarity {
     require(probedCells.size <= cents.length,
       s"probed cell set (${probedCells.size}) exceeds nlist " +
         s"(${cents.length}) — corrupt index layout at $path?")
-    val dist = col("qres2") + (0 until model.m).map(s =>
-      element_at(col(s"dtab_$s"),
-        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val dist = col("qres2") +
+      graft.functions.AnnExpressions.adcSum(col("dtab"), col("pq_code"))
     val scored = stored.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

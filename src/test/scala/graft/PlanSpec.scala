@@ -34,6 +34,21 @@ class PlanSpec extends SparkSpec {
     p.getClass.getSimpleName +: kids.flatMap(runtimeNodes)
   }
 
+  /** All runtime plan nodes (same traversal as [[runtimeNodes]], but the
+    * nodes themselves — for assertions that need more than the name). */
+  private def runtimePlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec  => Seq(a.executedPlan)
+      case q: QueryStageExec         => Seq(q.plan)
+      case s: InMemoryTableScanExec  => Seq(s.relation.cachedPlan)
+      case other                     => other.children
+    }
+    p +: kids.flatMap(runtimePlanNodes)
+  }
+
   private lazy val cube = Tpch.cube(spark, sfDir)
 
   test("dimension joins on the query path are broadcast, never sort-merge") {
@@ -524,6 +539,48 @@ class PlanSpec extends SparkSpec {
       s"PQ ranking must not window the scored relation:\n$nodes")
     assert(nodes.count(_.contains("ObjectHashAggregate")) >= 2,
       s"bounded top-k must plan as partial+final ObjectHashAggregate:\n$nodes")
+  }
+
+  test("ANN stages compile under janino's 64 KB method budget (no interpreted fallback)") {
+    // The round-11 test log carried 29 `Code grows beyond 64 KB` janino
+    // failures from the unrolled LSH/PQ/ADC expression trees — Spark
+    // recovered by running exactly the hottest ANN stages INTERPRETED.
+    // The compact kernels (graft.functions.AnnKernels) make generated
+    // method size O(1) in tables/planes/nlist/m/ksub; this pin recompiles
+    // every WholeStageCodegen stage of every ANN path and asserts both
+    // that janino succeeds and that no generated method exceeds the
+    // default spark.sql.codegen.hugeMethodLimit (65535 bytecode bytes),
+    // the threshold past which Spark silently de-codegens the stage.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.limit(5)
+    val model = graft.operators.Similarity.trainPq(e, m = 16, ksub = 8, iters = 1)
+    val codes = graft.operators.Similarity.pqEncode(e, model)
+    val paths = Seq(
+      "lshKnn" -> graft.operators.Similarity.lshKnn(q, e, k = 3),
+      "ivfKnn" -> graft.operators.Similarity.ivfKnn(q, e, k = 3),
+      "pqKnn" -> graft.operators.Similarity.pqKnn(q, codes, model, k = 3),
+      "nearDupPairs" -> graft.operators.Similarity.nearDupPairs(e, 0.9))
+    paths.foreach { case (name, df) =>
+      // collect() (not count(), which is a separate query execution) so
+      // THIS queryExecution runs and AQE materializes its codegen stages
+      df.collect()
+      val stages = runtimePlanNodes(df.queryExecution.executedPlan)
+        .collect { case w: WholeStageCodegenExec => w }
+      assert(stages.nonEmpty, s"$name lost whole-stage codegen entirely")
+      stages.foreach { w =>
+        val (_, code) = w.doCodeGen()
+        val stats = try CodeGenerator.compile(code)._2 catch {
+          case ex: Throwable =>
+            fail(s"$name: janino failed to compile a WholeStageCodegen " +
+              s"stage (interpreted fallback at runtime): ${ex.getMessage.take(200)}")
+        }
+        assert(stats.maxMethodCodeSize <= 65535,
+          s"$name: generated method ${stats.maxMethodCodeSize} bytes exceeds " +
+            "the hugeMethodLimit — Spark would silently de-codegen this stage")
+      }
+    }
   }
 
   test("nearDupDelta prefilters the cross join with a bloom probe") {
