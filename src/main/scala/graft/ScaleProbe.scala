@@ -129,6 +129,17 @@ object ScaleProbe {
           // miss-heavy one
           graft.operators.Dedup.nearDupDelta(Some(idx), delta,
             "doc_id", "text")._1.count()
+        },
+        // substring-level dedup: gram rows are linear in total tokens,
+        // the duplicated-hash census is one partial-aggregatable groupBy,
+        // the span merge one per-doc bounded aggregation — replicas share
+        // NO grams across replica boundaries (suffixed tokens), so the
+        // duplicated-span structure replicates factor× and a superlinear
+        // ratio would mean the gram join or the census leaked a
+        // data-sized sort or posting list
+        s"subspan" -> timed(s"$tag duplicate spans") {
+          graft.operators.Dedup.duplicateSpans(d, "doc_id", "text",
+            minTokens = 12).count()
         })
       idx.unpersist()
       r

@@ -897,4 +897,98 @@ object Dedup {
       expectedShingles.getOrElse(corpusIdx.count()), fpp)
     deltaIdx.filter(Decontaminate.mightContain(bloom, col("s")))
   }
+
+  // -------------------------------------------------------------------
+  // Substring-level exact dedup — the Lee et al. 2022 ExactSubstr family
+  // ("Deduplicating Training Data Makes Language Models Better"): find
+  // and remove every token span of >= minTokens tokens that appears
+  // verbatim in >= 2 distinct documents (boilerplate headers, licenses,
+  // templated text inside otherwise-distinct docs). The paper builds one
+  // monolithic suffix array; the distributed re-expression is a k-gram
+  // inverted index — a token span of length >= k is shared by two docs
+  // iff every one of its k-token grams is shared, so the union of
+  // duplicated k-grams IS the duplicated-span set, found with one hash
+  // aggregation instead of a global sort.
+  // -------------------------------------------------------------------
+
+  /** All duplicated-gram start positions per doc: (idCol, start) where
+    * the k-token gram at 1-based token position `start` appears verbatim
+    * in >= 2 DISTINCT docs (within-doc repetition alone is q29's
+    * repetition-score domain, not dedup). Shared by [[duplicateSpans]]
+    * and [[removeDuplicateSpans]].
+    *
+    * Scale shape: texts never shuffle — each doc row explodes into
+    * (id, start, 16-byte md5 gram hash) locally, and only those fixed-
+    * width rows move. The duplicated-hash set comes from min(id)!=max(id)
+    * (partial-aggregatable — never a collect_list posting list, so a
+    * boilerplate gram in 100M docs costs two longs per map partition,
+    * not a 100M-entry list), then a co-partitioned equi-join marks the
+    * positions. The gram rows are computed twice (once per shuffle) —
+    * at 100 TB recomputing a projection beats persisting a corpus-sized
+    * intermediate. */
+  private def duplicatedStarts(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("__ts")) - (k - 1)),
+        i => unhex(md5(concat_ws(" ", slice(col("__ts"), i, lit(k))))))))
+      .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("__h"))
+    val dup = grams.groupBy("__h")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select("__h")
+    grams.join(dup, "__h").select(col(idCol), col("start"))
+  }
+
+  /** Per-doc merged duplicated spans as the flat (s1, e1, s2, e2, …) int
+    * array over 1-based inclusive token positions — one groupBy(id) with
+    * a per-doc sorted collect (bounded by the doc's own token count, the
+    * same bound as holding the tokens array) and one codegen'd merge
+    * kernel ([[graft.functions.MergeSpans]]). */
+  private def spanArrays(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    duplicatedStarts(docs, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("start"))).as("__starts"))
+      .select(col(idCol),
+        graft.functions.SpanExpressions.mergeSpans(col("__starts"), k)
+          .as("__spans"))
+
+  /** Duplicated-span report: (idCol, span_start, span_end) — every
+    * maximal run of token positions (1-based, inclusive) covered by some
+    * `minTokens`-token gram shared verbatim with another doc. Adjacent
+    * runs merge (covered positions form one contiguous region). */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    spanArrays(docs, idCol, textCol, minTokens)
+      .select(col(idCol), explode(transform(
+        // `/` is double division in Spark — cast back to int for sequence
+        sequence(lit(0), (size(col("__spans")) / 2).cast("int") - 1),
+        i => struct(
+          element_at(col("__spans"), i * 2 + 1).as("span_start"),
+          element_at(col("__spans"), i * 2 + 2).as("span_end")))).as("__sp"))
+      .select(col(idCol), col("__sp.span_start"), col("__sp.span_end"))
+  }
+
+  /** Removal transform: every duplicated span occurrence is dropped from
+    * every doc (the public deduplicate-text-datasets tool's semantics —
+    * keeping one canonical copy per span would need a global winner
+    * election per span cluster; compose [[dropNearDupsKeepBest]] upstream
+    * when survivor selection matters). Docs with no duplicated span pass
+    * through with `textCol` byte-identical; rebuilt docs are whitespace-
+    * normalized (tokens rejoined with single spaces) and may become empty
+    * when fully covered. All other columns pass through unchanged. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int): DataFrame = {
+    val spans = spanArrays(docs, idCol, textCol, minTokens)
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(graft.functions.SpanExpressions.removeSpans(
+            tokens(col(textCol)), col("__spans"))))
+      .drop("__spans")
+  }
 }

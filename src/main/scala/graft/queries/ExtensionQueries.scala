@@ -3878,6 +3878,106 @@ object ExtensionQueries {
       |FROM dlab JOIN capt ON capt.comp = dlab.comp
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q108 — SUBSTRING-LEVEL EXACT DEDUP (Lee et al. 2022 ExactSubstr):
+  //        every maximal token span covered by some 12-token gram that
+  //        appears verbatim in >= 2 distinct docs (the near-dup pairs'
+  //        shared regions, boilerplate, templated text). The oracle
+  //        replays the whole construction in SQL: k-gram md5 inverted
+  //        index → min(doc)<>max(doc) duplicated-gram set → per-doc
+  //        gaps-and-islands merge of covered runs.
+  // -------------------------------------------------------------------
+  def q108(s: SparkSession, dir: String): DataFrame =
+    sorted(Dedup.duplicateSpans(docs(s, dir), "doc_id", "text",
+      minTokens = 12))
+
+  val q108Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, t.i AS start,
+      |         md5(array_to_string(ts[t.i:t.i+11], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 10)) AS i) t
+      |  WHERE len(ts) >= 12
+      |), dup AS (
+      |  SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)
+      |), ds AS (
+      |  SELECT doc_id, start FROM g WHERE h IN (SELECT h FROM dup)
+      |), brk AS (
+      |  SELECT doc_id, start,
+      |         CASE WHEN start > lag(start) OVER (PARTITION BY doc_id
+      |                                            ORDER BY start) + 12
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM ds
+      |), isl AS (
+      |  SELECT doc_id, start,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      |  FROM brk
+      |)
+      |SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+      |       CAST(max(start) + 11 AS INT) AS span_end
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q109 — SPAN REMOVAL, end-to-end: rebuild every doc with its
+  //        duplicated spans dropped and RE-TOKENIZE the rebuilt text.
+  //        The oracle computes the expected counts arithmetically
+  //        (tokens minus covered positions) without ever seeing the
+  //        rebuilt string — a wrong rebuild (off-by-one span boundary,
+  //        dropped separator, kept covered token) shifts a count and
+  //        fails the hash.
+  // -------------------------------------------------------------------
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cleaned = Dedup.removeDuplicateSpans(d, "doc_id", "text",
+        minTokens = 12)
+      .select(col("doc_id"), col("text").as("__ct"))
+    sorted(d
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("toks_before"))
+      .join(cleaned, "doc_id")
+      .select(col("doc_id"), col("toks_before"),
+        when(col("__ct") === "", 0)
+          .otherwise(size(TextFunctions.tokens(col("__ct"))))
+          .as("toks_after")))
+  }
+
+  val q109Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, t.i AS start,
+      |         md5(array_to_string(ts[t.i:t.i+11], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 10)) AS i) t
+      |  WHERE len(ts) >= 12
+      |), dup AS (
+      |  SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)
+      |), ds AS (
+      |  SELECT doc_id, start FROM g WHERE h IN (SELECT h FROM dup)
+      |), brk AS (
+      |  SELECT doc_id, start,
+      |         CASE WHEN start > lag(start) OVER (PARTITION BY doc_id
+      |                                            ORDER BY start) + 12
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM ds
+      |), isl AS (
+      |  SELECT doc_id, start,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, min(start) AS s, max(start) + 11 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), cov AS (
+      |  SELECT doc_id, sum(e - s + 1) AS covered FROM spans GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.ts) AS INT) AS toks_before,
+      |       CAST(len(t.ts) - coalesce(c.covered, 0) AS INT) AS toks_after
+      |FROM tok t LEFT JOIN cov c USING (doc_id)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -3971,6 +4071,8 @@ object ExtensionQueries {
     ("q104_importance_resample", q104 _, q104Sql),
     ("q105_shuffle_shards", q105 _, q105Sql),
     ("q106_curation_pipeline", q106 _, q106Sql),
-    ("q107_er_delta_multiblock", q107 _, q107Sql)
+    ("q107_er_delta_multiblock", q107 _, q107Sql),
+    ("q108_duplicate_spans", q108 _, q108Sql),
+    ("q109_span_removal", q109 _, q109Sql)
   )
 }

@@ -2064,6 +2064,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pos1.exists { case (id, p) => pos2.get(id).exists(_ != p) },
       "a fresh salt must reorder at least one shared member")
   }
+
+  test("duplicate spans: planted boilerplate found exactly; removal kills every shared gram") {
+    import spark.implicits._
+    // 20-token license header shared by docs 1-3, a distinct 14-token
+    // footer shared by docs 2-4; docs 5-6 share NOTHING >= 12 tokens.
+    val header = (1 to 20).map(i => s"lic$i").mkString(" ")
+    val footer = (1 to 14).map(i => s"ftr$i").mkString(" ")
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = Seq(
+      1L -> s"$header ${body("a", 15)}",
+      2L -> s"$header ${body("b", 15)} $footer",
+      3L -> s"${body("c", 5)} $header ${body("cc", 9)}",
+      4L -> s"${body("d", 15)} $footer",
+      5L -> body("e", 30),
+      6L -> body("f", 30)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", minTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // expected coverage: exactly the planted regions, 1-based inclusive
+    assert(spans == Set(
+      (1L, 1, 20),         // header at the front
+      (2L, 1, 20), (2L, 36, 49),  // header + footer after the 15-token body
+      (3L, 6, 25),         // header after a 5-token prefix
+      (4L, 16, 29)),       // footer after the 15-token body
+      s"got $spans")
+    // removal: no 12-token gram remains shared by >= 2 docs, untouched
+    // docs keep byte-identical text, and survivors keep their own tokens
+    val cleaned = Dedup.removeDuplicateSpans(d, "doc_id", "text", 12)
+    assert(Dedup.duplicateSpans(cleaned, "doc_id", "text", 12).isEmpty)
+    val byId = cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(5L) == body("e", 30) && byId(6L) == body("f", 30),
+      "span-free docs must pass through byte-identical")
+    assert(byId(1L) == body("a", 15), "doc 1 keeps exactly its own body")
+    assert(byId(3L) == s"${body("c", 5)} ${body("cc", 9)}",
+      "doc 3 stitches prefix+suffix around the removed header")
+    // overlap merging: two overlapping shared windows report ONE span
+    val ov = Seq(
+      10L -> ((1 to 30).map(i => s"s$i").mkString(" ")),
+      11L -> ((1 to 18).map(i => s"s$i").mkString(" ") + " " + body("x", 10)),
+      12L -> (body("y", 10) + " " + (13 to 30).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ovSpans = Dedup.duplicateSpans(ov, "doc_id", "text", 12)
+      .filter(col("doc_id") === 10L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(ovSpans == Set((1, 30)),
+      s"overlapping shared windows must merge into one span, got $ovSpans")
+  }
 }
 
 /** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]
