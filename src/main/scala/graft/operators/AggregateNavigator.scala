@@ -263,6 +263,100 @@ object AggregateNavigator {
   def retractSummaries(retraction: DataFrame, root: String): Seq[Summary] =
     foldIntoStore(retraction, root, negate = true)
 
+  /** Retraction for stores that DO hold min/max measures: the additive
+    * columns (sum/count and the hidden row count) fold sign-flipped
+    * exactly as [[retractSummaries]] — still delta-sized, still the
+    * over-retraction and emptiness witnesses — while the non-invertible
+    * min/max columns are REBUILT, but only for the cells the retraction
+    * touches, from `base` (the post-retraction surviving base fact)
+    * restricted per grain to the retraction's touched keys. Untouched
+    * cells keep every stored partial byte-identical (a retraction
+    * cannot change a cell it does not touch), so the base re-scan cost
+    * is the touched partition footprint, not the store — the
+    * [[graft.io.CubeIO]] partition-selective ingest doctrine applied to
+    * min/max repair. Touched keys feed a semi-join against `base`
+    * through the size-guarded broadcast policy ([[graft.model.Joins]]),
+    * so a base stored partitioned on a grain column prunes via dynamic
+    * partition pruning while a corpus-sized retraction degrades to a
+    * shuffle join instead of an executor-OOM broadcast.
+    *
+    * Contract: `base` must be exactly ingested-minus-retracted (the
+    * rows the store would hold if rebuilt); result ≡ a from-scratch
+    * [[buildSummaries]] over `base`. Sum/count-only stores should keep
+    * calling [[retractSummaries]] — no base scan at all. */
+  def retractSummariesWithBase(retraction: DataFrame, base: DataFrame,
+                               root: String): Seq[Summary] = {
+    val spark = retraction.sparkSession
+    recoverStore(spark, root)
+    val (old, measures) = loadStore(spark, root)
+    if (!measures.exists(m => m.agg == "min" || m.agg == "max"))
+      return retractSummaries(retraction, root)
+    val grains = old.map(s => s.name -> s.grain)
+    val gcols = grains.flatMap(_._2).distinct
+    def gidOf(grain: Seq[String]): Long =
+      gcols.zipWithIndex.collect {
+        case (c, i) if !grain.contains(c) => 1L << (gcols.size - 1 - i)
+      }.sum
+    val retractRaw = flatPlan(retraction, grains.map(_._2), measures)
+    val negated = retractRaw.select(
+      (gcols.map(col) :+ col("gid")) ++
+        measures.collect { case m if m.agg == "sum" || m.agg == "count" =>
+          negate_(m.name) } ++
+        measures.collect { case m if m.agg == "min" || m.agg == "max" =>
+          col(m.name) } :+ negate_(RowCountCol): _*)
+    val stored = spark.read.schema(retractRaw.schema).parquet(s"$root/data")
+    val legacy = stored.filter(col(RowCountCol).isNull).limit(1).count()
+    if (legacy > 0) throw new IllegalStateException(
+      s"store at $root predates row-count partials (missing " +
+        s"$RowCountCol) — rebuild it before retracting")
+    // fold: additive columns exact everywhere; min/max columns of
+    // touched cells are garbage here and get replaced below (untouched
+    // cells see no retraction row, so their min/max pass through the
+    // re-aggregation unchanged)
+    val merged = stored.unionByName(negated)
+      .groupBy((gcols.map(col) :+ col("gid")): _*)
+      .agg(measures.head.fromSummary,
+        (measures.tail.map(_.fromSummary) :+
+          sum(col(RowCountCol)).as(RowCountCol)): _*)
+    val over = merged.filter(col(RowCountCol) < 0).limit(1).count()
+    if (over > 0) throw new IllegalStateException(
+      s"over-retraction at $root: some cells lost more rows than " +
+        "they ever held — the retraction set contains rows that were " +
+        "never ingested")
+    val folded = merged.filter(col(RowCountCol) > 0)
+    // touched keys: the retraction's distinct finest-grain tuples —
+    // delta-sized by construction, materialized once and fed into every
+    // per-grain repair join through the size-guarded broadcast policy
+    // (a retraction CAN be corpus-sized; an unconditional hint would
+    // OOM executors exactly when the repair is biggest)
+    val touched = retraction.select(gcols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val schema = retractRaw.schema
+    val kept = grains.map { case (_, g) =>
+      val gid = gidOf(g)
+      val tg = graft.model.Joins.maybeBroadcast(
+        touched.select(g.map(col): _*).distinct())
+      val untouched = folded.filter(col("gid") === gid)
+        .join(tg, g, "left_anti")
+      // touched cells rebuilt wholesale from the surviving base — the
+      // additive columns come out identical to the fold (rebuild ≡ fold
+      // for invertible partials), min/max become correct
+      val rec = base.join(tg, g, "left_semi")
+        .groupBy(g.map(col): _*)
+        .agg(measures.head.fromBase,
+          (measures.tail.map(_.fromBase) :+
+            count(lit(1)).as(RowCountCol)): _*)
+      val recAligned = rec.select(
+        gcols.map(c =>
+          if (g.contains(c)) col(c)
+          else lit(null).cast(schema(c).dataType).as(c)) ++
+          (lit(gid).cast(schema("gid").dataType).as("gid") +:
+            (measures.map(m => col(m.name)) :+ col(RowCountCol))): _*)
+      untouched.unionByName(recAligned)
+    }.reduce(_ unionByName _)
+    writeSwapStore(spark, root, kept, schema, grains, measures, gidOf)
+  }
+
   private def foldIntoStore(delta: DataFrame, root: String,
                             negate: Boolean): Seq[Summary] = {
     val spark = delta.sparkSession
@@ -275,7 +369,8 @@ object AggregateNavigator {
       if (frozen.nonEmpty) throw new IllegalStateException(
         "retraction needs invertible partials, but the store holds " +
           frozen.map(m => s"${m.agg}(${m.src}) AS ${m.name}").mkString(", ") +
-          " — min/max cannot subtract; rebuild the store instead")
+          " — min/max cannot subtract; use retractSummariesWithBase " +
+          "(touched-footprint min/max repair) or rebuild the store")
     }
     val grains = old.map(s => s.name -> s.grain)
     val gcols = grains.flatMap(_._2).distinct
@@ -294,14 +389,19 @@ object AggregateNavigator {
     // explicit schema: an empty store (declaration-only build) has no
     // files to infer from, and it pins gid to long on the partition col
     val stored = spark.read.schema(deltaRaw.schema).parquet(s"$root/data")
-    if (negate) {
-      // a pre-row-count store (built before RowCountCol existed) cannot
-      // witness cell emptiness — refuse rather than guess
-      val legacy = stored.filter(col(RowCountCol).isNull).limit(1).count()
-      if (legacy > 0) throw new IllegalStateException(
-        s"store at $root predates retraction support (missing " +
-          s"$RowCountCol partials) — rebuild it before retracting")
-    }
+    // A pre-row-count store (built before RowCountCol existed) cannot
+    // witness cell emptiness. Refuse REFRESH as well as retraction: a
+    // refresh would backfill touched cells with delta-only (undercounted)
+    // non-null __n, after which the per-cell null probe can no longer
+    // tell the store is legacy and a later retraction would delete cells
+    // early or report spurious over-retraction. Refusing here keeps the
+    // null probe a reliable legacy witness; the only correct migration
+    // is a rebuild.
+    val legacy = stored.filter(col(RowCountCol).isNull).limit(1).count()
+    if (legacy > 0) throw new IllegalStateException(
+      s"store at $root predates row-count partials (missing " +
+        s"$RowCountCol) — rebuild it before refreshing or retracting " +
+        "(folding into it would corrupt the emptiness witness)")
     val merged = stored.unionByName(deltaFlat)
       .groupBy((gcols.map(col) :+ col("gid")): _*)
       .agg(measures.head.fromSummary,
@@ -317,15 +417,28 @@ object AggregateNavigator {
             "never ingested")
         merged.filter(col(RowCountCol) > 0)
       }
+    writeSwapStore(spark, root, kept, deltaRaw.schema, grains, measures,
+      gidOf)
+  }
+
+  /** Shared store-rewrite tail: write `kept` to a temp dir, two-rename
+    * swap it in, refresh the per-grain row counts and the manifest.
+    *
+    * Two-rename swap, never delete-then-rename: the old store survives
+    * until the new one is in place, so a crash at any point leaves
+    * either the old store (recoverable by [[recoverStore]]) or the new
+    * one. HDFS rename reports failure by RETURNING FALSE, not throwing —
+    * every return value is checked. Remaining window: a crash between
+    * the two renames leaves data/ absent and data_old/ intact; the next
+    * refresh (or any caller running recoverStore) rolls it back. */
+  private def writeSwapStore(spark: SparkSession, root: String,
+                             kept: DataFrame,
+                             schema: org.apache.spark.sql.types.StructType,
+                             grains: Seq[(String, Seq[String])],
+                             measures: Seq[NavMeasure],
+                             gidOf: Seq[String] => Long): Seq[Summary] = {
     val tmp = s"$root/data_tmp"
     kept.write.mode("overwrite").partitionBy("gid").parquet(tmp)
-    // Two-rename swap, never delete-then-rename: the old store survives
-    // until the new one is in place, so a crash at any point leaves
-    // either the old store (recoverable below) or the new one. HDFS
-    // rename reports failure by RETURNING FALSE, not throwing — every
-    // return value is checked. Remaining window: a crash between the
-    // two renames leaves data/ absent and data_old/ intact; the next
-    // refresh (or any caller running recoverStore) rolls it back.
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val dataP = new org.apache.hadoop.fs.Path(s"$root/data")
@@ -336,7 +449,7 @@ object AggregateNavigator {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dataP),
       s"swap step 2 failed: $tmp -> $dataP (previous store is at $oldP)")
     fs.delete(oldP, true): Unit
-    val counts = spark.read.schema(deltaRaw.schema).parquet(s"$root/data")
+    val counts = spark.read.schema(schema).parquet(s"$root/data")
       .groupBy("gid").count()
       .collect().map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1)).toMap
     val out = grains.map { case (nm, g) =>
@@ -366,14 +479,20 @@ object AggregateNavigator {
       require(fs.rename(oldP, dataP), s"store recovery failed: $oldP -> $dataP")
   }
 
-  /** Apply a delta to the summary store AT MOST ONCE per `batchId` —
-    * the foreachBatch building block (CubeIO.ingestIntoStarOnce's
-    * doctrine applied to summaries): at-least-once replay of a
-    * micro-batch would double-add sums/counts, so each applied batch
-    * leaves a journal marker and a replay that finds its marker skips
-    * the merge and returns false. Same documented crash window between
-    * the store swap and the marker write — closing it needs a
-    * transactional table format. */
+  /** Apply a delta to the summary store at most once per `batchId`
+    * UNDER CRASH-FREE OPERATION — the foreachBatch building block
+    * (CubeIO.ingestIntoStarOnce's doctrine applied to summaries):
+    * at-least-once replay of a micro-batch would double-add sums/counts,
+    * so each applied batch leaves a journal marker and a replay that
+    * finds its marker skips the merge and returns false.
+    *
+    * Crash window (NOT at-most-once): a crash between the store swap
+    * and the marker mkdirs leaves the batch applied but unmarked, so
+    * the streaming replay applies it AGAIN — double-added sums/counts
+    * with no error raised. Making apply+mark atomic needs the marker
+    * inside the swapped data unit (a transactional table format);
+    * until then, after a crash mid-refresh, audit the last batch
+    * against the store before resuming. */
   def refreshSummariesOnce(delta: DataFrame, root: String,
                            batchId: Long): Boolean = {
     val spark = delta.sparkSession
@@ -386,10 +505,13 @@ object AggregateNavigator {
     true
   }
 
-  /** [[retractSummaries]] with the same at-most-once journal protocol
-    * as [[refreshSummariesOnce]] (separate journal namespace — a
-    * pipeline's ingest and retract streams number batches
-    * independently). */
+  /** [[retractSummaries]] with the same journal protocol (and the same
+    * crash window) as [[refreshSummariesOnce]] — separate journal
+    * namespace, since a pipeline's ingest and retract streams number
+    * batches independently. The crash window is WORSE here: a replayed
+    * double-retraction only raises the over-retraction error if some
+    * cell's row count would go negative; otherwise the double
+    * subtraction is silent. */
   def retractSummariesOnce(retraction: DataFrame, root: String,
                            batchId: Long): Boolean = {
     val spark = retraction.sparkSession

@@ -81,6 +81,41 @@ object EntityResolution {
     labelByClosure(recs, edges)
   }
 
+  /** Standard DERIVED blocking passes — the "caller precomputes the
+    * pass column" contract as API, not folklore. Each helper appends
+    * one derived key column and returns (frame, pass spec) ready for
+    * [[resolveMulti]]'s `blockPasses`:
+    *
+    * {{{
+    * val (r1, sdx) = EntityResolution.soundexPass(records, "name")
+    * EntityResolution.resolveMulti(r1, "id", "name",
+    *   Seq(Seq("nation"), sdx), maxDist = 1)
+    * }}}
+    *
+    * Derived keys are ordinary columns, so every pass stays an
+    * equi-join (linear candidate generation); compose helpers by
+    * chaining — each only adds a column. A NULL key yields a NULL pass
+    * column, excluding the record from that pass only. */
+  def soundexPass(records: DataFrame, keyCol: String,
+                  as: String = "__soundex"): (DataFrame, Seq[String]) =
+    (records.withColumn(as, soundex(col(keyCol))), Seq(as))
+
+  /** First `n` characters of `keyCol` as a blocking pass — catches
+    * suffix-end edits that break exact blocking. */
+  def prefixPass(records: DataFrame, keyCol: String, n: Int,
+                 as: String = "__prefix"): (DataFrame, Seq[String]) = {
+    require(n >= 1, s"prefix length must be >= 1, got $n")
+    (records.withColumn(as, substring(col(keyCol), 1, n)), Seq(as))
+  }
+
+  /** Last `n` characters of `keyCol` as a blocking pass — catches
+    * prefix-end edits (q101's name-suffix construction). */
+  def suffixPass(records: DataFrame, keyCol: String, n: Int,
+                 as: String = "__suffix"): (DataFrame, Seq[String]) = {
+    require(n >= 1, s"suffix length must be >= 1, got $n")
+    (records.withColumn(as, substring(col(keyCol), -n, n)), Seq(as))
+  }
+
   /** One blocking pass's edge set: star edges inside identical-key
     * groups plus one representative edge per fuzzy `keyPairs` row —
     * linear in records + key pairs, never member × member. `recs` must

@@ -236,17 +236,31 @@ object Sampling {
     * score) and `g_key` (the rounded Gumbel selection key). */
   def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
                          textCol: String, budget: Int, buckets: Int = 1024,
-                         salt: String = ""): DataFrame = {
+                         salt: String = "", ngrams: Int = 1): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in [1, 2^20], got $buckets")
+    require(ngrams == 1 || ngrams == 2,
+      s"ngrams must be 1 (unigram) or 2 (unigram+bigram), got $ngrams")
     def toks(c: Column) =
       array_remove(graft.functions.TextFunctions.tokens(c), "")
+    // the paper's stronger feature set (`ngrams = 2`): token BIGRAMS
+    // hash into the SAME bucket space alongside the unigrams — word
+    // order becomes signal (a scrambled decoy corpus with identical
+    // unigram counts separates; PipelineOpsSpec pins it)
+    def feats(c: Column) = {
+      val t = toks(c)
+      if (ngrams == 1) t
+      else concat(t, when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    }
     def bucketOf(w: Column) =
       pmod(graft.functions.TextFunctions.tokenHash60(w), lit(buckets))
         .cast("int")
     def histogram(df: DataFrame): Map[Int, Long] =
-      df.select(explode(toks(col(textCol))).as("w"))
+      df.select(explode(feats(col(textCol))).as("w"))
         .groupBy(bucketOf(col("w")).as("b"))
         .agg(count(lit(1)).as("c"))
         .collect() // ≤ buckets rows — driver-bound by design
@@ -260,7 +274,7 @@ object Sampling {
         math.log((cr.getOrElse(b, 0L) + 1.0) / (totR + buckets))
     }
     val ratioLit = typedLit(ratio)
-    val logw = round(aggregate(toks(col(textCol)), lit(0.0),
+    val logw = round(aggregate(feats(col(textCol)), lit(0.0),
       (acc, w) => acc + element_at(ratioLit, bucketOf(w) + 1)), 4)
     val gumbel = -log(-log(hashUniform(col(idCol), salt)))
     raw.withColumn("logw", logw)
@@ -283,10 +297,17 @@ object Sampling {
     * ranking window — no global sort. Size `numShards` so a shard's
     * rows fit an executor's sort spill budget (at 100 TB that means
     * thousands of shards, which is what a training loader wants anyway);
-    * the window carries rank state only, never buffers the shard. */
+    * the window carries rank state only, never buffers the shard. The
+    * contract is SELF-ENFORCING: any shard exceeding `maxShardRows`
+    * raises a named error at execution time (zero extra jobs — the
+    * check rides the position column), so an undersized `numShards`
+    * over a huge corpus fails loudly instead of silently handing one
+    * executor a corpus-sized sort. */
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
-                    salt: String = ""): DataFrame = {
+                    salt: String = "",
+                    maxShardRows: Long = DefaultMaxShardRows): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(maxShardRows > 0, s"maxShardRows must be positive, got $maxShardRows")
     // least() guard: u < 1 strictly, but u·n can ROUND to n in double —
     // the guard is identical arithmetic on the oracle side
     val shard = least(floor(hashUniform(col(idCol), salt) * numShards),
@@ -294,9 +315,21 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(hashUniform(col(idCol), salt + "|pos").asc, col(idCol).asc)
+    val pos = (row_number().over(w) - 1).cast("long")
     df.withColumn("shard", shard)
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("pos", when(pos >= maxShardRows,
+        raise_error(concat(lit("shuffleShards: shard "),
+          col("shard").cast("string"),
+          lit(s" exceeds maxShardRows=$maxShardRows — raise numShards " +
+            "(target rows/numShards to the executor sort spill budget) " +
+            "or raise maxShardRows explicitly"))).cast("long"))
+        .otherwise(pos))
   }
+
+  /** Default per-shard row bound for [[shuffleShards]]: 2^27 ≈ 134M rows
+    * keeps a one-task shard sort within a few GB of spill for typical
+    * row widths; exports with wide rows should pass a lower bound. */
+  val DefaultMaxShardRows: Long = 1L << 27
 
   /** Materialize [[shuffleShards]] as the on-disk training export:
     * parquet hive-partitioned by `shard`, with each shard's rows laid

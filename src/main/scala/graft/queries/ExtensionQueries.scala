@@ -3978,6 +3978,105 @@ object ExtensionQueries {
       |FROM tok t LEFT JOIN cov c USING (doc_id)
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q110 — NAVIGATOR RETRACTION WITH MIN/MAX GRAINS (q102's extension):
+  //        a store holding non-invertible min/max measures retracts via
+  //        retractSummariesWithBase — additive partials fold sign-
+  //        flipped (delta-sized), min/max columns of the TOUCHED cells
+  //        rebuild from the surviving base's touched footprint, and
+  //        untouched cells keep stored partials byte-identical. The
+  //        routed answer must equal a from-scratch rebuild exactly.
+  // -------------------------------------------------------------------
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggregateNavigator
+    import graft.operators.AggregateNavigator.NavMeasure
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    val measures = Seq(
+      NavMeasure("sum", "l_quantity", "sum_qty"),
+      NavMeasure("min", "l_extendedprice", "min_price"),
+      NavMeasure("max", "l_quantity", "max_qty"),
+      NavMeasure("count", "*", "n_rows"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q110_nav_" +
+      Integer.toHexString(dir.hashCode)
+    AggregateNavigator.buildSummaries(li,
+      Seq(
+        "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+        "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, root)
+    val surviving = li.filter(col("ship_year") =!= 1998)
+    val after = AggregateNavigator.retractSummariesWithBase(
+      li.filter(col("ship_year") === 1998), surviving, root)
+    val (ans, via) = AggregateNavigator.query(s, surviving, after,
+      Seq("l_returnflag", "l_linestatus"), measures)
+    sorted(ans.withColumn("routed_via", lit(via)))
+  }
+
+  val q110Sql: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |       min(l_extendedprice) AS min_price, max(l_quantity) AS max_qty,
+      |       count(*) AS n_rows, 'rf_ls' AS routed_via
+      |FROM lineitem WHERE year(l_shipdate) <> 1998 GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q111 — DSIR WITH BIGRAM FEATURES (q104's stronger variant, per the
+  //        paper): token bigrams hash into the same bucket space as the
+  //        unigrams, so word ORDER carries signal. The oracle replays
+  //        the combined unigram+bigram stream bucket-for-bucket.
+  // -------------------------------------------------------------------
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(Sampling.importanceResample(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", budget = 50, buckets = 256, ngrams = 2)
+      .select("doc_id", "logw", "g_key"))
+  }
+
+  val q111Sql: String =
+    """WITH toksrc AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     w -> w <> '') AS t
+      |  FROM documents
+      |), feats AS (
+      |  SELECT doc_id, lang, unnest(t) AS w FROM toksrc
+      |  UNION ALL
+      |  SELECT doc_id, lang, t[g.i] || ' ' || t[g.i+1] AS w
+      |  FROM toksrc, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      |  WHERE len(t) >= 2
+      |), rb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM feats GROUP BY 1
+      |), tb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM feats WHERE lang = 'en' GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM feats) AS tr,
+      |         (SELECT count(*) FROM feats WHERE lang = 'en') AS tt
+      |), perdoc AS (
+      |  SELECT r.doc_id,
+      |         sum(ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 256)) -
+      |             ln((rb.c + 1.0) / (tot.tr + 256))) AS lw
+      |  FROM (SELECT doc_id,
+      |               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+      |        FROM feats) r
+      |  JOIN rb USING (b) LEFT JOIN tb USING (b) CROSS JOIN tot
+      |  GROUP BY 1
+      |), keyed AS (
+      |  SELECT d.doc_id, round(coalesce(p.lw, 0.0), 4) AS logw,
+      |         round(round(coalesce(p.lw, 0.0), 4) + -ln(-ln(
+      |           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |                AS BIGINT) / 1152921504606846976.0)), 4) AS g_key
+      |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      |)
+      |SELECT * FROM (
+      |  SELECT doc_id, logw, g_key FROM keyed
+      |  ORDER BY g_key DESC, doc_id LIMIT 50
+      |) sel
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4073,6 +4172,8 @@ object ExtensionQueries {
     ("q106_curation_pipeline", q106 _, q106Sql),
     ("q107_er_delta_multiblock", q107 _, q107Sql),
     ("q108_duplicate_spans", q108 _, q108Sql),
-    ("q109_span_removal", q109 _, q109Sql)
+    ("q109_span_removal", q109 _, q109Sql),
+    ("q110_nav_retract_minmax", q110 _, q110Sql),
+    ("q111_dsir_bigram", q111 _, q111Sql)
   )
 }

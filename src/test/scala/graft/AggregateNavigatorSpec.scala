@@ -342,6 +342,70 @@ class AggregateNavigatorSpec extends SparkSpec {
     assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty)
   }
 
+  test("min/max retraction with base repair equals a from-scratch rebuild") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_mmret").toString
+    AggregateNavigator.buildSummaries(li, Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, d) // includes min_qty / max_qty
+    val retract = li.filter(col("ship_year") === 1998)
+    val survivors = li.filter(col("ship_year") =!= 1998)
+    val after =
+      AggregateNavigator.retractSummariesWithBase(retract, survivors, d)
+    // the whole store (every grain, every partial incl. min/max and the
+    // hidden row count) must equal a from-scratch build over survivors
+    val d2 = java.nio.file.Files.createTempDirectory("agg_nav_mmreb").toString
+    AggregateNavigator.buildSummaries(survivors, Seq(
+      "rf_ls_year" -> Seq("l_returnflag", "l_linestatus", "ship_year"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus")),
+      measures, d2)
+    val got = spark.read.parquet(s"$d/data")
+    val want = spark.read.parquet(s"$d2/data")
+    assert(got.count() == want.count() &&
+      got.except(want).isEmpty && want.except(got).isEmpty,
+      "retractSummariesWithBase store diverged from a rebuild")
+    // routed answers agree on a min/max request
+    for (dims <- Seq(Seq("l_returnflag"), Seq("ship_year"))) {
+      val (ans, via) = AggregateNavigator.query(spark, survivors, after,
+        dims, measures)
+      assert(via != "base")
+      val direct = survivors.groupBy(dims.map(col): _*)
+        .agg(measures.head.fromBase, measures.tail.map(_.fromBase): _*)
+      assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty,
+        s"min/max retract diverged from rebuild for dims=$dims")
+    }
+  }
+
+  test("retractSummariesWithBase on an additive-only store takes the fold path") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_addwb").toString
+    AggregateNavigator.buildSummaries(li,
+      Seq("rf" -> Seq("l_returnflag")), addMeasures, d)
+    val retract = li.filter(col("ship_year") === 1998)
+    val survivors = li.filter(col("ship_year") =!= 1998)
+    // base is IGNORED on the delegate path — pass an empty frame to
+    // prove no base scan is needed for invertible-only stores
+    AggregateNavigator.retractSummariesWithBase(retract,
+      survivors.limit(0), d)
+    val direct = survivors.groupBy("l_returnflag")
+      .agg(addMeasures.head.fromBase, addMeasures.tail.map(_.fromBase): _*)
+    val (ans, _) = AggregateNavigator.query(spark, survivors,
+      AggregateNavigator.loadSummaries(spark, d), Seq("l_returnflag"),
+      addMeasures)
+    assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty)
+  }
+
+  test("retractSummariesWithBase still names over-retraction") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_mmover").toString
+    AggregateNavigator.buildSummaries(li.filter(col("ship_year") === 1995),
+      Seq("rf" -> Seq("l_returnflag")), measures, d)
+    val e = intercept[IllegalStateException] {
+      AggregateNavigator.retractSummariesWithBase(
+        li.filter(col("ship_year") === 1996),
+        li.filter(col("ship_year") === 1995), d)
+    }
+    assert(e.getMessage.contains("over-retraction"))
+  }
+
   test("over-retraction fails with a named error and leaves the store intact") {
     val d = java.nio.file.Files.createTempDirectory("agg_nav_over").toString
     AggregateNavigator.buildSummaries(li.filter(col("ship_year") === 1995),
@@ -379,7 +443,16 @@ class AggregateNavigatorSpec extends SparkSpec {
       AggregateNavigator.retractSummaries(
         li.filter(col("ship_year") === 1995).limit(5), d)
     }
-    assert(e.getMessage.contains("predates retraction support"))
+    assert(e.getMessage.contains("predates row-count partials"))
+    // REFRESH must refuse too: folding a delta into a legacy store would
+    // backfill touched cells with delta-only non-null row counts, after
+    // which the null probe can no longer tell the store is legacy and a
+    // later retraction would trust undercounted witnesses
+    val e2 = intercept[IllegalStateException] {
+      AggregateNavigator.refreshSummaries(
+        li.filter(col("ship_year") === 1996).limit(5), d)
+    }
+    assert(e2.getMessage.contains("predates row-count partials"))
   }
 
   test("retractSummariesOnce applies once; replays are skipped") {

@@ -388,6 +388,30 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("local closure orders strings by UTF-8 bytes, matching distributed min") {
+    // U+10000 (a surrogate pair in UTF-16) vs U+E000: Scala's String
+    // ordering ranks "𐀀" BELOW "" (code-unit compare,
+    // 0xD800 < 0xE000) while Spark's min over strings compares UTF-8
+    // bytes and ranks it ABOVE (F0 90 80 80 > EE 80 80) — the min root
+    // of a component containing both must not depend on which closure
+    // path ran
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    val pua = "\uE000" // private-use-area char, one UTF-16 code unit
+    val pairs = Seq((supp, pua)).toDF("i", "j")
+    def labels(): Map[String, String] = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fast = labels() // default threshold: local union-find
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    val dist = try labels() // forced distributed min-label propagation
+    finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    assert(fast == dist,
+      s"supplementary-plane min root diverged: local=$fast distributed=$dist")
+    // and the shared root is the UTF-8-least member (U+E000), not the
+    // UTF-16-least (U+10000)
+    assert(fast(supp) == pua && fast(pua) == pua,
+      s"expected the UTF-8-least root, got $fast")
+  }
+
   test("logN closure ≡ default closure on random graphs; handles a 120-chain") {
     // generative equivalence: random sparse graphs over shuffled ids
     val graphGen: Gen[List[(Long, Long)]] = for {
@@ -544,5 +568,37 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("rid", "entity_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("phonetic/affix pass helpers: a twin with a dirty block key merges only with the derived pass") {
+    // smith/smyth: 1 substitution apart AND phonetically identical
+    // (soundex S530) — but record 2's nation is typo'd, so single-pass
+    // nation blocking can never bring the pair together
+    val rows = Seq(
+      (1L, "smith", "US"), (2L, "smyth", "UX"),
+      (3L, "jones", "US"), (4L, "jonez", "US") // clean-block control pair
+    ).toDF("rid", "name", "nation")
+    def labels(df: org.apache.spark.sql.DataFrame,
+               passes: Seq[Seq[String]]): Map[Long, Long] =
+      EntityResolution.resolveMulti(df, "rid", "name", passes, maxDist = 1)
+        .select("rid", "entity_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nation-only: the dirty-key twin stays split
+    assert(labels(rows, Seq(Seq("nation"))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+    // nation OR soundex: S530 == S530 rescues the twin; controls keep
+    // their labels (OR-of-passes only ADDS reachability)
+    val (r1, sdx) = EntityResolution.soundexPass(rows, "name")
+    assert(labels(r1, Seq(Seq("nation"), sdx)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // prefix pass (first 2 chars "sm") rescues the same twin; a suffix
+    // pass cannot (smith/smyth differ in their 3-char suffixes "ith"
+    // vs "yth" — the derived key must actually AGREE to block)
+    val (r2, pfx) = EntityResolution.prefixPass(rows, "name", 2)
+    assert(labels(r2, Seq(Seq("nation"), pfx)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    val (r3, sfx) = EntityResolution.suffixPass(rows, "name", 3)
+    assert(labels(r3, Seq(Seq("nation"), sfx)) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
   }
 }

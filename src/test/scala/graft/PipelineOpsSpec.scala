@@ -2065,6 +2065,48 @@ class PipelineOpsSpec extends SparkSpec {
       "a fresh salt must reorder at least one shared member")
   }
 
+  test("DSIR bigram features separate a word-order-scrambled decoy; unigrams cannot") {
+    import spark.implicits._
+    // every doc holds the SAME 20 distinct words — ordered docs in
+    // canonical order, decoys fully reversed. Unigram histograms are
+    // bucket-for-bucket identical; only bigrams see the order.
+    val words = (1 to 20).map(i => s"w$i")
+    val fwd = words.mkString(" ")
+    val rev = words.reverse.mkString(" ")
+    val raw = ((1L to 10L).map(_ -> fwd) ++ (11L to 20L).map(_ -> rev))
+      .toDF("doc_id", "text")
+    val target = (1L to 10L).map(_ -> fwd).toDF("doc_id", "text")
+    def logwById(ngrams: Int): Map[Long, Double] =
+      graft.operators.Sampling.importanceResample(raw, target, "doc_id",
+        "text", budget = 20, buckets = 256, ngrams = ngrams)
+        .select("doc_id", "logw").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uni = logwById(1)
+    assert((1L to 20L).map(uni).distinct.size == 1,
+      s"unigram logw must be identical across ordered and reversed docs: $uni")
+    val bi = logwById(2)
+    val fwdMin = (1L to 10L).map(bi).min
+    val revMax = (11L to 20L).map(bi).max
+    assert(fwdMin > revMax,
+      s"bigram logw must strictly separate word order: fwdMin=$fwdMin revMax=$revMax")
+  }
+
+  test("shuffleShards enforces the shard-size bound with a named error") {
+    // the guard rides the pos column — materialize it (count() would
+    // prune pos away and never evaluate the check)
+    val ex = intercept[Exception] {
+      graft.operators.Sampling.shuffleShards(docs, "doc_id", numShards = 1,
+        maxShardRows = 100).agg(max("pos")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(ex).exists(m => m != null && m.contains("maxShardRows")),
+      s"expected the named shard-size error, got: ${ex.getMessage}")
+    // the default bound never fires at fixture scale
+    assert(graft.operators.Sampling.shuffleShards(docs, "doc_id", 8)
+      .count() == docs.count())
+  }
+
   test("duplicate spans: planted boilerplate found exactly; removal kills every shared gram") {
     import spark.implicits._
     // 20-token license header shared by docs 1-3, a distinct 14-token
