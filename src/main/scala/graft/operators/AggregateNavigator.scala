@@ -358,7 +358,8 @@ object AggregateNavigator {
   }
 
   private def foldIntoStore(delta: DataFrame, root: String,
-                            negate: Boolean): Seq[Summary] = {
+                            negate: Boolean,
+                            mark: Option[(String, Long)] = None): Seq[Summary] = {
     val spark = delta.sparkSession
     recoverStore(spark, root)
     // measure agg kinds are NOT recoverable from the stored schema —
@@ -418,7 +419,40 @@ object AggregateNavigator {
         merged.filter(col(RowCountCol) > 0)
       }
     writeSwapStore(spark, root, kept, deltaRaw.schema, grains, measures,
-      gidOf)
+      gidOf, mark)
+  }
+
+  /** Name of the applied-batch journal INSIDE the data dir: one file per
+    * namespace (`refresh` / `retract`) holding the highest applied batch
+    * id. The leading underscore makes Spark's parquet reader skip it. */
+  private val JournalDir = "_journal"
+
+  /** Per-namespace applied-batch watermarks of a data dir (absent
+    * journal → empty). Driver-side: the journal is O(namespaces) tiny
+    * files. */
+  private def readJournal(fs: org.apache.hadoop.fs.FileSystem,
+                          dataDir: org.apache.hadoop.fs.Path): Map[String, Long] = {
+    val j = new org.apache.hadoop.fs.Path(dataDir, JournalDir)
+    if (!fs.exists(j)) Map.empty
+    else fs.listStatus(j).toSeq.map { st =>
+      val in = fs.open(st.getPath)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      st.getPath.getName -> content.toLong
+    }.toMap
+  }
+
+  private def writeJournal(fs: org.apache.hadoop.fs.FileSystem,
+                           dataDir: org.apache.hadoop.fs.Path,
+                           entries: Map[String, Long]): Unit = {
+    if (entries.isEmpty) return
+    val j = new org.apache.hadoop.fs.Path(dataDir, JournalDir)
+    fs.mkdirs(j): Unit
+    entries.foreach { case (ns, id) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(j, ns), true)
+      try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Shared store-rewrite tail: write `kept` to a temp dir, two-rename
@@ -430,19 +464,34 @@ object AggregateNavigator {
     * one. HDFS rename reports failure by RETURNING FALSE, not throwing —
     * every return value is checked. Remaining window: a crash between
     * the two renames leaves data/ absent and data_old/ intact; the next
-    * refresh (or any caller running recoverStore) rolls it back. */
+    * refresh (or any caller running recoverStore) rolls it back.
+    *
+    * The applied-batch journal rides the swap: the previous data dir's
+    * `_journal/` is carried into the temp dir (every rewrite, journaled
+    * or not, so a manual refresh between streaming batches cannot wipe
+    * it), `mark` folds its (namespace, batchId) in as a max-watermark,
+    * and the single step-2 rename lands data and marker together —
+    * apply+mark is ATOMIC, closing the applied-but-unmarked replay
+    * window the old outside-the-store marker had. */
   private def writeSwapStore(spark: SparkSession, root: String,
                              kept: DataFrame,
                              schema: org.apache.spark.sql.types.StructType,
                              grains: Seq[(String, Seq[String])],
                              measures: Seq[NavMeasure],
-                             gidOf: Seq[String] => Long): Seq[Summary] = {
+                             gidOf: Seq[String] => Long,
+                             mark: Option[(String, Long)] = None): Seq[Summary] = {
     val tmp = s"$root/data_tmp"
     kept.write.mode("overwrite").partitionBy("gid").parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val dataP = new org.apache.hadoop.fs.Path(s"$root/data")
     val oldP = new org.apache.hadoop.fs.Path(s"$root/data_old")
+    val journal = readJournal(fs, dataP)
+    writeJournal(fs, new org.apache.hadoop.fs.Path(tmp), mark match {
+      case Some((ns, id)) =>
+        journal.updated(ns, math.max(id, journal.getOrElse(ns, Long.MinValue)))
+      case None => journal
+    })
     if (fs.exists(oldP)) require(fs.delete(oldP, true),
       s"cannot clear stale $oldP from a previous swap")
     require(fs.rename(dataP, oldP), s"swap step 1 failed: $dataP -> $oldP")
@@ -479,48 +528,58 @@ object AggregateNavigator {
       require(fs.rename(oldP, dataP), s"store recovery failed: $oldP -> $dataP")
   }
 
-  /** Apply a delta to the summary store at most once per `batchId`
-    * UNDER CRASH-FREE OPERATION — the foreachBatch building block
-    * (CubeIO.ingestIntoStarOnce's doctrine applied to summaries):
-    * at-least-once replay of a micro-batch would double-add sums/counts,
-    * so each applied batch leaves a journal marker and a replay that
-    * finds its marker skips the merge and returns false.
+  /** Apply a delta to the summary store AT MOST ONCE per `batchId`,
+    * crash-inclusive — the foreachBatch building block: at-least-once
+    * replay of a micro-batch would double-add sums/counts, so each
+    * applied batch advances a watermark in the store's `data/_journal/`
+    * and a replay at or below the watermark skips the merge and returns
+    * false.
     *
-    * Crash window (NOT at-most-once): a crash between the store swap
-    * and the marker mkdirs leaves the batch applied but unmarked, so
-    * the streaming replay applies it AGAIN — double-added sums/counts
-    * with no error raised. Making apply+mark atomic needs the marker
-    * inside the swapped data unit (a transactional table format);
-    * until then, after a crash mid-refresh, audit the last batch
-    * against the store before resuming. */
+    * The watermark is written INTO the temp dir before the store swap,
+    * so the one rename that lands the new data lands its marker with it
+    * — apply+mark is atomic, and a crash anywhere leaves either
+    * (old data, old watermark) or (new data, new watermark), never an
+    * applied-but-unmarked batch.
+    *
+    * Contract: batch ids per namespace must be monotonically increasing
+    * (the Structured Streaming foreachBatch guarantee — a replay is
+    * always of the LAST batch); an id at or below the watermark is
+    * treated as already applied. Markers written by the pre-watermark
+    * protocol (`_refresh_journal/batch=N` beside the store) are still
+    * honored for skipping. Rebuilding a store via [[buildSummaries]]
+    * RESETS the journal — resume its streams from a fresh checkpoint.
+    * A crash after the swap but before the manifest rewrite leaves the
+    * data correct and the batch marked; only the manifest's routing
+    * row counts go stale until the next applied batch rewrites them —
+    * a cost-proxy wobble, never a correctness one. */
   def refreshSummariesOnce(delta: DataFrame, root: String,
-                           batchId: Long): Boolean = {
-    val spark = delta.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$root/_refresh_journal/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(marker)) return false
-    refreshSummaries(delta, root)
-    fs.mkdirs(marker)
-    true
-  }
+                           batchId: Long): Boolean =
+    applyOnce(delta, root, batchId, "refresh", negate = false)
 
-  /** [[retractSummaries]] with the same journal protocol (and the same
-    * crash window) as [[refreshSummariesOnce]] — separate journal
-    * namespace, since a pipeline's ingest and retract streams number
-    * batches independently. The crash window is WORSE here: a replayed
-    * double-retraction only raises the over-retraction error if some
-    * cell's row count would go negative; otherwise the double
-    * subtraction is silent. */
+  /** [[retractSummaries]] with the same atomic watermark protocol as
+    * [[refreshSummariesOnce]] — separate journal namespace, since a
+    * pipeline's ingest and retract streams number batches
+    * independently. (Under the old outside-the-store marker a crashed
+    * replay could silently double-retract; the ride-the-swap watermark
+    * closes that.) */
   def retractSummariesOnce(retraction: DataFrame, root: String,
-                           batchId: Long): Boolean = {
-    val spark = retraction.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$root/_retract_journal/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(marker)) return false
-    retractSummaries(retraction, root)
-    fs.mkdirs(marker)
+                           batchId: Long): Boolean =
+    applyOnce(retraction, root, batchId, "retract", negate = true)
+
+  private def applyOnce(delta: DataFrame, root: String, batchId: Long,
+                        ns: String, negate: Boolean): Boolean = {
+    val spark = delta.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // roll back a half-finished swap before reading its journal
+    recoverStore(spark, root)
+    val legacy = new org.apache.hadoop.fs.Path(
+      s"$root/_${ns}_journal/batch=$batchId")
+    if (fs.exists(legacy)) return false
+    val wm = readJournal(fs, new org.apache.hadoop.fs.Path(s"$root/data"))
+      .get(ns)
+    if (wm.exists(batchId <= _)) return false
+    foldIntoStore(delta, root, negate, mark = Some(ns -> batchId))
     true
   }
 

@@ -4077,6 +4077,103 @@ object ExtensionQueries {
       |) sel
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q112 — HYBRID RETRIEVAL (RRF): BM25 lexical top-20 and brute-force
+  //        dense-cosine top-20 per query fused by Reciprocal Rank
+  //        Fusion (1/(60+rank), q85's round-before-rank doctrine on the
+  //        fused score), fused top-10 returned. The oracle replays BOTH
+  //        retrievers and the fusion: q85's BM25 scoring, q22's
+  //        unnest-cosine ranking (self excluded, as bruteKnn does), the
+  //        same rank-bounded union + rounded RRF sum.
+  // -------------------------------------------------------------------
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val qs = q85Queries.toDF("query_id", "qtext").join(
+      e.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "query_id")
+    sorted(graft.operators.Retrieval.hybridSearch(
+      docs(s, dir), e, qs, k = 10, cand = 20))
+  }
+
+  val q112Sql: String = {
+    val values = q85Queries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term <> '' GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), qt AS (
+      |  SELECT DISTINCT query_id, term FROM (
+      |    SELECT query_id,
+      |           unnest(string_split_regex(trim(qtext), '\\s+')) AS term
+      |    FROM q) WHERE term <> ''
+      |), lexscored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         round(sum(
+      |           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |           * (tf.tf * (1.2 + 1))
+      |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |         ), 4) AS score
+      |  FROM qt
+      |  JOIN tf USING (term)
+      |  JOIN dfreq USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats
+      |  GROUP BY 1, 2
+      |), lexrank AS (
+      |  SELECT query_id, doc_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score DESC, doc_id ASC) AS rnk
+      |  FROM lexscored
+      |), qv AS (
+      |  SELECT vec_id AS query_id, embedding AS qe
+      |  FROM embeddings WHERE vec_id IN (1, 2, 3)
+      |), dp AS (
+      |  SELECT qv.query_id, e.vec_id AS doc_id, qv.qe, e.embedding AS ce
+      |  FROM qv JOIN embeddings e ON e.vec_id != qv.query_id
+      |), dex AS (
+      |  SELECT query_id, doc_id,
+      |         unnest(qe)::DOUBLE x, unnest(ce)::DOUBLE y
+      |  FROM dp
+      |), dcos AS (
+      |  SELECT query_id, doc_id,
+      |         SUM(x*y) / sqrt(SUM(x*x)) / sqrt(SUM(y*y)) AS cos
+      |  FROM dex GROUP BY 1, 2
+      |), densrank AS (
+      |  SELECT query_id, doc_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, doc_id ASC) AS rnk
+      |  FROM dcos
+      |), fused AS (
+      |  SELECT query_id, doc_id, round(sum(1.0 / (60 + rnk)), 4) AS rrf
+      |  FROM (SELECT query_id, doc_id, rnk FROM lexrank WHERE rnk <= 20
+      |        UNION ALL
+      |        SELECT query_id, doc_id, rnk FROM densrank WHERE rnk <= 20)
+      |  GROUP BY 1, 2
+      |), final AS (
+      |  SELECT query_id, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY rrf DESC, doc_id ASC) AS INT)
+      |           AS rank,
+      |         rrf
+      |  FROM fused
+      |)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, rrf
+      |FROM final WHERE rank <= 10
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4174,6 +4271,7 @@ object ExtensionQueries {
     ("q108_duplicate_spans", q108 _, q108Sql),
     ("q109_span_removal", q109 _, q109Sql),
     ("q110_nav_retract_minmax", q110 _, q110Sql),
-    ("q111_dsir_bigram", q111 _, q111Sql)
+    ("q111_dsir_bigram", q111 _, q111Sql),
+    ("q112_hybrid_search", q112 _, q112Sql)
   )
 }

@@ -469,4 +469,39 @@ class AggregateNavigatorSpec extends SparkSpec {
       .parquet(s"$d/data").agg(sum("sum_qty")).collect()(0).get(0)
     assert(afterFirst == afterReplay)
   }
+
+  test("applied-batch watermark rides the swap: carried by unrelated rewrites, legacy markers honored, rebuild resets") {
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_wm").toString
+    AggregateNavigator.buildSummaries(li, Seq("rf" -> Seq("l_returnflag")),
+      addMeasures, d)
+    assert(AggregateNavigator.refreshSummariesOnce(
+      li.filter(col("ship_year") === 1998), d, batchId = 5L))
+    // the marker lives INSIDE the swapped data unit — the single rename
+    // that lands the new data lands its watermark with it (apply+mark
+    // atomic; no applied-but-unmarked crash window)
+    assert(new java.io.File(s"$d/data/_journal/refresh").isFile,
+      "refresh watermark must live inside data/")
+    // an unrelated plain rewrite must CARRY the journal forward — a
+    // manual retraction between streaming batches cannot wipe it
+    AggregateNavigator.retractSummaries(
+      li.filter(col("ship_year") === 1998), d)
+    assert(!AggregateNavigator.refreshSummariesOnce(li.limit(5), d, 5L),
+      "watermark lost across an unjournaled store rewrite")
+    // monotonic contract: ids at or below the watermark are applied
+    assert(!AggregateNavigator.refreshSummariesOnce(li.limit(5), d, 3L))
+    // namespaces are independent: the retract stream numbers its own
+    // batches, so retract batch 3 still applies
+    assert(AggregateNavigator.retractSummariesOnce(
+      li.filter(col("ship_year") === 1997), d, batchId = 3L))
+    // markers from the pre-watermark protocol still skip
+    assert(new java.io.File(s"$d/_refresh_journal/batch=9").mkdirs())
+    assert(!AggregateNavigator.refreshSummariesOnce(li.limit(5), d, 9L),
+      "legacy outside-the-store marker must still be honored")
+    // a rebuild is a fresh data unit: the journal resets with it
+    AggregateNavigator.buildSummaries(li, Seq("rf" -> Seq("l_returnflag")),
+      addMeasures, d)
+    assert(AggregateNavigator.refreshSummariesOnce(
+      li.filter(col("ship_year") === 1998), d, batchId = 5L),
+      "rebuild must reset the watermark journal")
+  }
 }

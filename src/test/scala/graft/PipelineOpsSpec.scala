@@ -2152,6 +2152,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ovSpans == Set((1, 30)),
       s"overlapping shared windows must merge into one span, got $ovSpans")
   }
+
+  test("RRF fusion: hand-computed scores, single-list docs fuse, agreement wins") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // retriever A ranks (d1, d2, d3); retriever B ranks (d2, d4) — with
+    // kRrf = 60: d2 = 1/62 + 1/61 = 0.0325 (round 4), d1 = 1/61 =
+    // 0.0164, d3 = 1/63 = 0.0159, d4 = 1/62 = 0.0161
+    val a = Seq((9L, 1L, 1), (9L, 2L, 2), (9L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((9L, 2L, 1), (9L, 4L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    def rrf(rs: Int*): Double =
+      math.rint(rs.map(r => 1.0 / (60 + r)).sum * 1e4) / 1e4
+    assert(got == Seq((2L, 1, rrf(2, 1)), (1L, 2, rrf(1)),
+      (4L, 3, rrf(2)), (3L, 4, rrf(3))),
+      s"hand-computed RRF order diverged: $got")
+    // ties after the 4-decimal round break by doc id ascending
+    val t1 = Seq((9L, 7L, 1)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((9L, 5L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), k = 2).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(tied == Seq((5L, 1), (7L, 2)), s"tie must break by id: $tied")
+    // column contract is enforced loudly
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a.withColumnRenamed("doc_id", "neighbor_id")), 2)
+    }
+    assert(e.getMessage.contains("query_id"))
+  }
+
+  test("hybridSearch: a doc both retrievers rank first is the fused winner") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // doc 3 is the unique lexical match AND the planted nearest vector;
+    // doc 1 is lexical-only noise, doc 2 dense-only noise
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon zeta eta theta"),
+      (3L, "needle needle needle alpha beta"),
+      (4L, "iota kappa lambda mu nu")).toDF("doc_id", "text")
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val vecs = Seq(
+      (1L, v(0.0, 1.0)), (2L, v(0.9, 0.45)), (3L, v(1.0, 0.02)),
+      (4L, v(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val qs = Seq((100L, "needle", v(1.0, 0.0)))
+      .toDF("query_id", "qtext", "qvec")
+    val top = Retrieval.hybridSearch(corpus, vecs, qs, k = 2, cand = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 3L,
+      s"doc 3 leads both retrievers; fused head was ${top.head}")
+    assert(top.forall(_.getLong(0) == 100L))
+  }
 }
 
 /** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]
