@@ -44,7 +44,12 @@ object Sampling {
     * assignment is by cumulative threshold on [[hashUniform]], so a row's
     * split depends only on (salt, id) — stable under reprocessing,
     * repartitioning, and engine choice. Change `salt` to draw a fresh
-    * independent split without touching the data. */
+    * independent split without touching the data.
+    *
+    * Leakage-safe GROUP splits are the same call keyed by the group
+    * column (`assignSplit(df, "source")`): every row of a group hashes
+    * identically, so the whole group lands in ONE split — near-dup
+    * documents sharing a crawl source can never straddle train/test. */
   def assignSplit(df: DataFrame, idCol: String,
                   splits: Seq[(String, Double)] =
                     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
@@ -247,20 +252,31 @@ object Sampling {
     // the paper's stronger feature set (`ngrams = 2`): token BIGRAMS
     // hash into the SAME bucket space alongside the unigrams — word
     // order becomes signal (a scrambled decoy corpus with identical
-    // unigram counts separates; PipelineOpsSpec pins it)
-    def feats(c: Column) = {
-      val t = toks(c)
+    // unigram counts separates; PipelineOpsSpec pins it).
+    //
+    // `t` must be a MATERIALIZED column (attribute ref), never the raw
+    // tokenize subtree: higher-order-function lambdas re-evaluate every
+    // expression inside their body per element, so an embedded
+    // regex-split would run O(tokens) times per row — measured 17× on
+    // the q111 bench line before this was hoisted. The bigram shift is
+    // a zip_with over t and its 2.. tail (lambda sees element VARIABLES
+    // only); the zip null-pads the shorter side and concat_ws would
+    // silently drop the null (a phantom trailing unigram), so the
+    // result is sliced back to n−1.
+    def featsOf(t: Column) =
       if (ngrams == 1) t
-      else concat(t, when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(array().cast("array<string>")))
-    }
+      else {
+        val n1 = greatest(size(t) - 1, lit(0))
+        concat(t, slice(
+          zip_with(t, slice(t, lit(2), n1), (a, b) => concat_ws(" ", a, b)),
+          lit(1), n1))
+      }
     def bucketOf(w: Column) =
       pmod(graft.functions.TextFunctions.tokenHash60(w), lit(buckets))
         .cast("int")
     def histogram(df: DataFrame): Map[Int, Long] =
-      df.select(explode(feats(col(textCol))).as("w"))
+      df.select(toks(col(textCol)).as("__dsir_toks"))
+        .select(explode(featsOf(col("__dsir_toks"))).as("w"))
         .groupBy(bucketOf(col("w")).as("b"))
         .agg(count(lit(1)).as("c"))
         .collect() // ≤ buckets rows — driver-bound by design
@@ -274,10 +290,12 @@ object Sampling {
         math.log((cr.getOrElse(b, 0L) + 1.0) / (totR + buckets))
     }
     val ratioLit = typedLit(ratio)
-    val logw = round(aggregate(feats(col(textCol)), lit(0.0),
+    val logw = round(aggregate(featsOf(col("__dsir_toks")), lit(0.0),
       (acc, w) => acc + element_at(ratioLit, bucketOf(w) + 1)), 4)
     val gumbel = -log(-log(hashUniform(col(idCol), salt)))
-    raw.withColumn("logw", logw)
+    raw.withColumn("__dsir_toks", toks(col(textCol)))
+      .withColumn("logw", logw)
+      .drop("__dsir_toks")
       .withColumn("g_key", round(col("logw") + gumbel, 4))
       .orderBy(col("g_key").desc, col(idCol).asc)
       .limit(budget)

@@ -981,6 +981,40 @@ object Similarity {
         (col("idx") + 1).as("rank"))
   }
 
+  /** IVF-PQ serving with EXACT re-ranking (the FAISS refine pattern):
+    * the compressed index nominates `k × refine` candidates per query by
+    * ADC distance, then ONLY those candidates are re-scored with exact
+    * cosine against the raw vector table and the true top `k` returned.
+    * This recovers almost all of the recall the residual quantization
+    * loses while still reading the raw vectors of a candidate-pruned
+    * sliver of the corpus — the standard accuracy/IO trade for a
+    * compressed 100 TB index whose raw vectors stay in parquet.
+    *
+    * `corpus` must be the id-aligned raw vector table the index was
+    * built from. Scale shape: the candidate set is queries × (k·refine)
+    * rows (request-bounded, like the q92 probe set) and broadcasts into
+    * a semi-join that prunes the raw-vector scan; per-candidate work is
+    * one exact dot; ranking is the shared bounded top-k heap. */
+  def ivfPqKnnRefined(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, corpus: DataFrame, k: Int,
+                      refine: Int = 4, nprobe: Int = 4,
+                      qId: String = "vec_id", qVec: String = "embedding",
+                      cId: String = "vec_id", cVec: String = "embedding")
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cand = ivfPqKnnStored(spark, path, queries, k = k * refine, nprobe,
+        qId, qVec)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+    val scored = corpus
+      .select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", dotp(col("qv"), col("cv")))
+    rankTopK(scored, k, corpus.schema(cId).dataType)
+  }
+
   /** Exact all-pairs near-duplicates — O(n²) cross join; the recall
     * baseline for [[nearDupPairs]] and the right tool only for corpora
     * that fit a single-stage cartesian. */

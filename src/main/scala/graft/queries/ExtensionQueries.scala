@@ -2747,6 +2747,52 @@ object ExtensionQueries {
     """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok"""
 
   // -------------------------------------------------------------------
+  // q113 — IVF-PQ WITH EXACT RE-RANKING (the FAISS refine pattern over
+  //        q92's index): the compressed index nominates k×refine ADC
+  //        candidates, exact cosine against the raw vector table
+  //        re-ranks them. Verdict pins (a) refined recall over the
+  //        perturbed-query self-retrieval harness and (b) refinement
+  //        never losing a hit the unrefined probe found (the candidate
+  //        superset argument made empirical).
+  // -------------------------------------------------------------------
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val srcs = e.filter(col("vec_id") % 25 === 0).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qrnd = new scala.util.Random(13)
+    val queries = srcs.toSeq.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * qrnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q113_refine_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Similarity.saveIvfPqIndex(e, root, nlist = 8, m = 16, ksub = 16,
+      kmeansIters = 2, pqIters = 2, replicate = 2)
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val top = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      srcs.count { case (id, _) =>
+        top.getOrElse(id + 100000L, Set.empty[Long]).contains(id) }
+    }
+    val plain = hitsOf(
+      Similarity.ivfPqKnnStored(s, root, queries, k = 5, nprobe = 8))
+    val refined = hitsOf(
+      Similarity.ivfPqKnnRefined(s, root, queries, e, k = 5, refine = 4,
+        nprobe = 8))
+    Seq((srcs.length.toLong, if (refined >= 18) 1 else 0,
+      if (refined >= plain) 1 else 0))
+      .toDF("n_queries", "recall_ok", "no_regression")
+  }
+
+  val q113Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok,
+      |       1 AS no_regression""".stripMargin
+
+  // -------------------------------------------------------------------
   // q90 — per-source duplication report: the corpus-quality summary
   //       (how much of each source is near-dup mass) composed from the
   //       shared shingle index → LSH pairs → transitive closure, joined
@@ -4272,6 +4318,7 @@ object ExtensionQueries {
     ("q109_span_removal", q109 _, q109Sql),
     ("q110_nav_retract_minmax", q110 _, q110Sql),
     ("q111_dsir_bigram", q111 _, q111Sql),
-    ("q112_hybrid_search", q112 _, q112Sql)
+    ("q112_hybrid_search", q112 _, q112Sql),
+    ("q113_ivfpq_refined", q113 _, q113Sql)
   )
 }

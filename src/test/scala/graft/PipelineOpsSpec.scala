@@ -754,6 +754,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(copyHits >= 18, s"appended copies not findable: $copyHits/20")
   }
 
+  test("IVF-PQ exact re-rank: exhaustive candidates reproduce brute force; refinement keeps recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_refine").toString
+    Similarity.saveIvfPqIndex(uniform10k, dir, nlist = 16, m = 4, ksub = 64,
+      replicate = 2)
+    // LAW: with every cell probed and k·refine covering the whole corpus,
+    // every vector is a candidate, so the exact re-rank IS brute force —
+    // row-for-row, rank-for-rank, bit-for-bit on the cosine
+    val refined = Similarity.ivfPqKnnRefined(spark, dir, plantedQueries,
+      uniform10k, k = 5, refine = 2000, nprobe = 16)
+    val brute = Similarity.bruteKnn(plantedQueries, uniform10k, k = 5)
+    assert(refined.except(brute).isEmpty && brute.except(refined).isEmpty,
+      "exhaustive-candidate refine must equal brute-force kNN exactly")
+    // modest refine never loses a planted hit the compressed probe found
+    // (candidates are a superset of the unrefined top-k, and the source
+    // has near-max exact cosine once nominated)
+    def hits(df: org.apache.spark.sql.DataFrame): Int = plantedHits(
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    val plain = hits(
+      Similarity.ivfPqKnnStored(spark, dir, plantedQueries, k = 5, nprobe = 4))
+    val ref4 = hits(Similarity.ivfPqKnnRefined(spark, dir, plantedQueries,
+      uniform10k, k = 5, refine = 4, nprobe = 4))
+    assert(ref4 >= plain && ref4 >= 18,
+      s"refined recall $ref4/20 regressed below unrefined $plain/20")
+  }
+
   test("quality classifier separates corpus from salted garbage; scoring is partition-invariant") {
     import graft.operators.Quality
     import spark.implicits._
