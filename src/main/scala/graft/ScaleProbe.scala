@@ -140,6 +140,18 @@ object ScaleProbe {
         s"subspan" -> timed(s"$tag duplicate spans") {
           graft.operators.Dedup.duplicateSpans(d, "doc_id", "text",
             minTokens = 12).count()
+        },
+        // span-level decontamination: the eval side is FIXED (replica-0
+        // docs < 500 exist identically at every factor, so the Bloom
+        // filter and semi-join right side are constant-sized); what must
+        // scale linearly is the train-side gram scan + literal Bloom
+        // probe — replicas >= 1 share no grams with eval (suffixed
+        // tokens) and are pure probe cost, so a superlinear ratio means
+        // the probe stopped cutting before the join
+        s"spandecon" -> timed(s"$tag span decontamination") {
+          graft.operators.Decontaminate.contaminatedSpans(
+            d.filter(col("doc_id") >= 500), d.filter(col("doc_id") < 500),
+            "doc_id", "text", minTokens = 12).count()
         })
       idx.unpersist()
       r

@@ -78,4 +78,80 @@ object Decontaminate {
       .withColumn("hit_share",
         round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
   }
+
+  // -------------------------------------------------------------------
+  // Span-level decontamination — [[Dedup.duplicateSpans]]'s ExactSubstr
+  // machinery pointed across the train/eval boundary: instead of scoring
+  // whole training docs by gram overlap ([[bloomLeakReport]], q39/q53),
+  // find — and remove — the exact leaked REGIONS. A benchmark question
+  // quoted inside an otherwise-clean web page keeps the page; only the
+  // quoted span is cut (the modern pre-training decontamination contract,
+  // e.g. Lee et al. 2022 §6.2 applied to eval overlap).
+  // -------------------------------------------------------------------
+
+  /** Contaminated-span report: (idCol, span_start, span_end) — every
+    * maximal run of training-doc token positions (1-based, inclusive)
+    * covered by some `minTokens`-token gram that appears VERBATIM
+    * anywhere in the eval corpus. Unlike [[Dedup.duplicateSpans]],
+    * train↔train duplication is deliberately NOT flagged — boilerplate
+    * shared only among training docs is dedup's business, not
+    * decontamination's.
+    *
+    * Scale shape (train is ~100 TB, eval sets are MBs): training gram
+    * rows never join the eval set head-on. The eval corpus's distinct
+    * gram hashes build a Bloom filter (a plan LITERAL, probed by the
+    * codegen'd `might_contain` — no false negatives, so no leaked gram
+    * escapes), which cuts the training gram stream to a sliver BEFORE
+    * the one exact semi-join that removes Bloom false positives; the
+    * eval side of that join is size-guarded broadcast. Net: one scan of
+    * the training corpus, shuffle bounded by actually-contaminated
+    * positions. */
+  def contaminatedSpans(train: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String, minTokens: Int,
+                        fpp: Double = 1e-6): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    Dedup.explodeSpanArrays(
+      Dedup.spansFromStarts(
+        contaminatedStarts(train, evalDocs, idCol, textCol, minTokens, fpp),
+        idCol, minTokens),
+      idCol)
+  }
+
+  /** Removal transform: rebuild every training doc with its eval-shared
+    * spans dropped ([[Dedup.removeDuplicateSpans]] semantics — untouched
+    * docs pass through `textCol` byte-identical, rebuilt docs are
+    * whitespace-normalized and may become empty when fully covered; all
+    * other columns pass through unchanged). */
+  def removeContaminatedSpans(train: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              minTokens: Int,
+                              fpp: Double = 1e-6): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    Dedup.removeSpansWith(train,
+      Dedup.spansFromStarts(
+        contaminatedStarts(train, evalDocs, idCol, textCol, minTokens, fpp),
+        idCol, minTokens),
+      idCol, textCol)
+  }
+
+  /** Training gram positions whose gram occurs verbatim in the eval
+    * corpus: Bloom prefilter (over xxhash64 of the 16-byte gram md5 —
+    * hashing the fixed-width digest, not the gram text, keeps the probe
+    * input tiny) then exact md5 semi-join. The eval gram set feeds both
+    * the Bloom build and the semi-join — localCheckpoint'ed so the eval
+    * corpus tokenizes once. */
+  private def contaminatedStarts(train: DataFrame, evalDocs: DataFrame,
+                                 idCol: String, textCol: String, k: Int,
+                                 fpp: Double): DataFrame = {
+    val evalGrams = Dedup.gramRows(evalDocs, idCol, textCol, k)
+      .select("__h").distinct().localCheckpoint(true)
+    val bloom = serializeBloom(
+      evalGrams.select(xxhash64(col("__h")).as("__hx")), "__hx",
+      evalGrams.count(), fpp)
+    Dedup.gramRows(train, idCol, textCol, k)
+      .filter(mightContain(bloom, xxhash64(col("__h"))))
+      .join(graft.model.Joins.maybeBroadcast(evalGrams), Seq("__h"),
+        "left_semi")
+      .select(col(idCol), col("start"))
+  }
 }

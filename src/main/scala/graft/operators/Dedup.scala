@@ -949,13 +949,7 @@ object Dedup {
     * intermediate. */
   private def duplicatedStarts(docs: DataFrame, idCol: String,
                                textCol: String, k: Int): DataFrame = {
-    val grams = docs
-      .select(col(idCol), tokens(col(textCol)).as("__ts"))
-      .where(size(col("__ts")) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), size(col("__ts")) - (k - 1)),
-        i => unhex(md5(concat_ws(" ", slice(col("__ts"), i, lit(k))))))))
-      .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("__h"))
+    val grams = gramRows(docs, idCol, textCol, k)
     val dup = grams.groupBy("__h")
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .where(col("__mn") =!= col("__mx"))
@@ -963,19 +957,64 @@ object Dedup {
     grams.join(dup, "__h").select(col(idCol), col("start"))
   }
 
-  /** Per-doc merged duplicated spans as the flat (s1, e1, s2, e2, …) int
-    * array over 1-based inclusive token positions — one groupBy(id) with
-    * a per-doc sorted collect (bounded by the doc's own token count, the
-    * same bound as holding the tokens array) and one codegen'd merge
-    * kernel ([[graft.functions.MergeSpans]]). */
-  private def spanArrays(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int): DataFrame =
-    duplicatedStarts(docs, idCol, textCol, k)
+  /** k-gram position rows (idCol, start, __h): the 16-byte md5 of every
+    * k-token gram, 1-based token position. The shared front end of the
+    * ExactSubstr family — [[duplicateSpans]] censuses these within one
+    * corpus, [[Decontaminate.contaminatedSpans]] probes them against an
+    * eval corpus. Texts never shuffle: the explode is local and only the
+    * fixed-width (id, int, 16-byte) rows move. */
+  private[operators] def gramRows(docs: DataFrame, idCol: String,
+                                  textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("__ts")) - (k - 1)),
+        i => unhex(md5(concat_ws(" ", slice(col("__ts"), i, lit(k))))))))
+      .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("__h"))
+
+  /** Per-doc merged spans as the flat (s1, e1, s2, e2, …) int array over
+    * 1-based inclusive token positions, from (idCol, start) gram-start
+    * rows — one groupBy(id) with a per-doc sorted collect (bounded by the
+    * doc's own token count, the same bound as holding the tokens array)
+    * and one codegen'd merge kernel ([[graft.functions.MergeSpans]]). */
+  private[operators] def spansFromStarts(starts: DataFrame, idCol: String,
+                                         k: Int): DataFrame =
+    starts
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("start"))).as("__starts"))
       .select(col(idCol),
         graft.functions.SpanExpressions.mergeSpans(col("__starts"), k)
           .as("__spans"))
+
+  private def spanArrays(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    spansFromStarts(duplicatedStarts(docs, idCol, textCol, k), idCol, k)
+
+  /** (idCol, span_start, span_end) rows from a flat span-array frame. */
+  private[operators] def explodeSpanArrays(spanArr: DataFrame,
+                                           idCol: String): DataFrame =
+    spanArr
+      .select(col(idCol), explode(transform(
+        // `/` is double division in Spark — cast back to int for sequence
+        sequence(lit(0), (size(col("__spans")) / 2).cast("int") - 1),
+        i => struct(
+          element_at(col("__spans"), i * 2 + 1).as("span_start"),
+          element_at(col("__spans"), i * 2 + 2).as("span_end")))).as("__sp"))
+      .select(col(idCol), col("__sp.span_start"), col("__sp.span_end"))
+
+  /** Removal against a precomputed span-array frame: covered tokens drop,
+    * span-free docs pass through `textCol` byte-identical, other columns
+    * untouched. */
+  private[operators] def removeSpansWith(docs: DataFrame, spanArr: DataFrame,
+                                         idCol: String,
+                                         textCol: String): DataFrame =
+    docs.join(spanArr, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(graft.functions.SpanExpressions.removeSpans(
+            tokens(col(textCol)), col("__spans"))))
+      .drop("__spans")
 
   /** Duplicated-span report: (idCol, span_start, span_end) — every
     * maximal run of token positions (1-based, inclusive) covered by some
@@ -984,14 +1023,7 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      minTokens: Int): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
-    spanArrays(docs, idCol, textCol, minTokens)
-      .select(col(idCol), explode(transform(
-        // `/` is double division in Spark — cast back to int for sequence
-        sequence(lit(0), (size(col("__spans")) / 2).cast("int") - 1),
-        i => struct(
-          element_at(col("__spans"), i * 2 + 1).as("span_start"),
-          element_at(col("__spans"), i * 2 + 2).as("span_end")))).as("__sp"))
-      .select(col(idCol), col("__sp.span_start"), col("__sp.span_end"))
+    explodeSpanArrays(spanArrays(docs, idCol, textCol, minTokens), idCol)
   }
 
   /** Removal transform: every duplicated span occurrence is dropped from
@@ -1003,13 +1035,7 @@ object Dedup {
     * normalized (tokens rejoined with single spaces) and may become empty
     * when fully covered. All other columns pass through unchanged. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           minTokens: Int): DataFrame = {
-    val spans = spanArrays(docs, idCol, textCol, minTokens)
-    docs.join(spans, Seq(idCol), "left")
-      .withColumn(textCol,
-        when(col("__spans").isNull, col(textCol))
-          .otherwise(graft.functions.SpanExpressions.removeSpans(
-            tokens(col(textCol)), col("__spans"))))
-      .drop("__spans")
-  }
+                           minTokens: Int): DataFrame =
+    removeSpansWith(docs, spanArrays(docs, idCol, textCol, minTokens),
+      idCol, textCol)
 }

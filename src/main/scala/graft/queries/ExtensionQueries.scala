@@ -4220,6 +4220,113 @@ object ExtensionQueries {
       |         4 NULLS FIRST""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q114 — SPAN-LEVEL DECONTAMINATION (q39/q53's modern upgrade): every
+  //        maximal training-doc token span covered by a 12-token gram
+  //        appearing verbatim in the eval corpus (source 'src0'). The
+  //        engine side goes Bloom-prefilter → exact md5 semi-join →
+  //        gaps-and-islands merge; the oracle replays the exact
+  //        construction cross-corpus in SQL. Train↔train duplication
+  //        must NOT appear (q108 covers that) — only eval leakage.
+  // -------------------------------------------------------------------
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(graft.operators.Decontaminate.contaminatedSpans(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text", minTokens = 12))
+  }
+
+  val q114Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source, t.i AS start,
+      |         md5(array_to_string(ts[t.i:t.i+11], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 10)) AS i) t
+      |  WHERE len(ts) >= 12
+      |), ev AS (
+      |  SELECT DISTINCT h FROM g WHERE source = 'src0'
+      |), ds AS (
+      |  SELECT doc_id, start FROM g
+      |  WHERE source <> 'src0' AND h IN (SELECT h FROM ev)
+      |), brk AS (
+      |  SELECT doc_id, start,
+      |         CASE WHEN start > lag(start) OVER (PARTITION BY doc_id
+      |                                            ORDER BY start) + 12
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM ds
+      |), isl AS (
+      |  SELECT doc_id, start,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      |  FROM brk
+      |)
+      |SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+      |       CAST(max(start) + 11 AS INT) AS span_end
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q115 — DECONTAMINATION REMOVAL, end-to-end: rebuild every training
+  //        doc with its eval-shared spans cut and re-tokenize. Same
+  //        arithmetic oracle as q109 (expected counts = tokens minus
+  //        covered positions, computed without seeing the rebuilt
+  //        string), restricted to the training side; clean docs must
+  //        keep toks_after = toks_before.
+  // -------------------------------------------------------------------
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val train = d.filter(col("source") =!= "src0")
+    val cleaned = graft.operators.Decontaminate.removeContaminatedSpans(
+        train, d.filter(col("source") === "src0"), "doc_id", "text",
+        minTokens = 12)
+      .select(col("doc_id"), col("text").as("__ct"))
+    sorted(train
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("toks_before"))
+      .join(cleaned, "doc_id")
+      .select(col("doc_id"), col("toks_before"),
+        when(col("__ct") === "", 0)
+          .otherwise(size(TextFunctions.tokens(col("__ct"))))
+          .as("toks_after")))
+  }
+
+  val q115Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source, t.i AS start,
+      |         md5(array_to_string(ts[t.i:t.i+11], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 10)) AS i) t
+      |  WHERE len(ts) >= 12
+      |), ev AS (
+      |  SELECT DISTINCT h FROM g WHERE source = 'src0'
+      |), ds AS (
+      |  SELECT doc_id, start FROM g
+      |  WHERE source <> 'src0' AND h IN (SELECT h FROM ev)
+      |), brk AS (
+      |  SELECT doc_id, start,
+      |         CASE WHEN start > lag(start) OVER (PARTITION BY doc_id
+      |                                            ORDER BY start) + 12
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM ds
+      |), isl AS (
+      |  SELECT doc_id, start,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, min(start) AS s, max(start) + 11 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), cov AS (
+      |  SELECT doc_id, sum(e - s + 1) AS covered FROM spans GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.ts) AS INT) AS toks_before,
+      |       CAST(len(t.ts) - coalesce(c.covered, 0) AS INT) AS toks_after
+      |FROM tok t LEFT JOIN cov c USING (doc_id)
+      |WHERE t.source <> 'src0'
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4319,6 +4426,8 @@ object ExtensionQueries {
     ("q110_nav_retract_minmax", q110 _, q110Sql),
     ("q111_dsir_bigram", q111 _, q111Sql),
     ("q112_hybrid_search", q112 _, q112Sql),
-    ("q113_ivfpq_refined", q113 _, q113Sql)
+    ("q113_ivfpq_refined", q113 _, q113Sql),
+    ("q114_span_decontaminate", q114 _, q114Sql),
+    ("q115_decontaminate_removal", q115 _, q115Sql)
   )
 }

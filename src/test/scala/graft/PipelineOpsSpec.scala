@@ -2179,6 +2179,57 @@ class PipelineOpsSpec extends SparkSpec {
       s"overlapping shared windows must merge into one span, got $ovSpans")
   }
 
+  test("span decontamination: only eval-shared regions flagged; train-train dups survive removal") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // eval set: one benchmark item of 16 tokens + an unrelated doc
+    val bench = (1 to 16).map(i => s"qa$i").mkString(" ")
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val evalD = Seq(100L -> s"${body("ev", 6)} $bench",
+      101L -> body("ez", 25)).toDF("doc_id", "text")
+    // train: doc 1 quotes the benchmark mid-doc; docs 2+3 share a
+    // 20-token boilerplate that is NOT in eval (dedup's business, not
+    // decontamination's); doc 4 is clean
+    val boiler = (1 to 20).map(i => s"bp$i").mkString(" ")
+    val train = Seq(
+      1L -> s"${body("a", 10)} $bench ${body("aa", 5)}",
+      2L -> s"$boiler ${body("b", 15)}",
+      3L -> s"${body("c", 15)} $boiler",
+      4L -> body("d", 30)).toDF("doc_id", "text")
+    val spans = Decontaminate.contaminatedSpans(train, evalD,
+        "doc_id", "text", minTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // exactly the quoted benchmark region, 1-based inclusive; the
+    // train-train boilerplate must NOT be flagged
+    assert(spans == Set((1L, 11, 26)), s"got $spans")
+    // removal: cleaned corpus shares no 12-token gram with eval; the
+    // train-train boilerplate survives verbatim; clean docs are
+    // byte-identical
+    val cleaned = Decontaminate.removeContaminatedSpans(train, evalD,
+      "doc_id", "text", minTokens = 12)
+    assert(Decontaminate.contaminatedSpans(cleaned, evalD,
+      "doc_id", "text", 12).isEmpty)
+    val byId = cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == s"${body("a", 10)} ${body("aa", 5)}",
+      "doc 1 stitches around the removed quote")
+    assert(byId(2L) == s"$boiler ${body("b", 15)}" &&
+      byId(3L) == s"${body("c", 15)} $boiler",
+      "train-train boilerplate must survive decontamination")
+    assert(byId(4L) == body("d", 30), "clean docs pass through byte-identical")
+    // overlapping eval hits inside one train doc merge to ONE span:
+    // train doc 20 holds tokens s1..s30; eval knows s1..s18 and s13..s30
+    val ovTrain = Seq(20L -> (1 to 30).map(i => s"s$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val ovEval = Seq(
+      200L -> (1 to 18).map(i => s"s$i").mkString(" "),
+      201L -> (13 to 30).map(i => s"s$i").mkString(" ")).toDF("doc_id", "text")
+    val ovSp = Decontaminate.contaminatedSpans(ovTrain, ovEval,
+        "doc_id", "text", 12)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(ovSp == Set((1, 30)),
+      s"overlapping eval hits must merge into one span, got $ovSp")
+  }
+
   test("RRF fusion: hand-computed scores, single-list docs fuse, agreement wins") {
     import spark.implicits._
     import graft.operators.Retrieval
