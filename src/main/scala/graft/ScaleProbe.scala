@@ -194,6 +194,21 @@ object ScaleProbe {
         graft.operators.Sampling.diversitySample(
           e.withColumn("cluster", pmod(col("vec_id"), lit(64))),
           "vec_id", "cluster", quota = 50).count()
+      },
+      // prototype pruning: scoring is a per-row projection against 16
+      // centroid literals (replica-0 seeds — constant at every factor),
+      // the per-cluster cuts one bounded rounded-score histogram — the
+      // honest bound is linear-in-rows; superlinear means the order
+      // statistics leaked a per-cluster sort
+      "protoprune" -> timed(s"$tag prototype prune") {
+        val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select(graft.operators.Similarity.normalize(col("embedding"))
+            .as("nv"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        graft.operators.Clustering.prototypePrune(
+          e.withColumn("cluster", pmod(col("vec_id"), lit(16)).cast("int")),
+          cents, pruneFrac = 0.25, outlierFrac = 0.05,
+          clusterCol = Some("cluster")).count()
       })
 
     // events: replicas get fresh event ids but the SAME users/timestamps,
@@ -343,6 +358,18 @@ object ScaleProbe {
           graft.operators.Sketches.termSummaryAtGrain(
             tok, Seq("g"), "term", k = 4096),
           Seq("g"), "term_mg", k = 4096, topK = 5).count()
+      },
+      // CCNet-style score bucketing: one bounded (group, rounded-score)
+      // histogram aggregation + a scan-side literal-map projection —
+      // the honest bound is linear-in-rows (the token-count score keeps
+      // histogram cells ≤ 20 strata × max doc tokens at every factor)
+      "qbuckets" -> timed(s"$tag score buckets") {
+        graft.operators.Quality.scoreBuckets(
+          d.select(col("doc_id"),
+            pmod(col("doc_id"), lit(20)).cast("string").as("src"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("double").as("s")),
+          "src", "s").count()
       },
       // fuzzy join over 16-char key prefixes at maxDist=1: the replica
       // token suffix puts ≥2 edits between any two replicas' keys, so

@@ -96,4 +96,65 @@ object Clustering {
       .distinct() // replicate > 1 finds a pair once per shared cell
     (Dedup.dropNearDups(df, pairs, idCol), pairs)
   }
+
+  /** Prototype/outlier pruning (the SSL-prototype metric of Sorscher et
+    * al. 2022, "Beyond neural scaling laws", as deployed in D4, Tirumala
+    * et al. 2023): score every row by cosine to its OWN cluster centroid
+    * (rounded to 4 decimals — `proto`), then drop, per cluster, the
+    * `pruneFrac` MOST prototypical rows (highest cosine — the redundant,
+    * "easy" mass near the cluster core) and the `outlierFrac` LEAST
+    * prototypical (far tail — noise). Keeps the informative shell in
+    * between, the published big-data pruning recipe.
+    *
+    * Cut semantics are deterministic and engine-portable: with
+    * dropTop = floor(pruneFrac·n) and dropBot = floor(outlierFrac·n)
+    * (IEEE-double products), a cluster keeps rows whose rounded cosine
+    * lies in [s_(dropBot+1), s_(n−dropTop)] (1-based order statistics of
+    * the rounded scores) — ties KEEP, so at most the requested fractions
+    * are dropped and membership never depends on partitioning.
+    *
+    * Clusters come from `clusterCol` when given (values must index
+    * `centroids`; out-of-range raises a named error) or from [[assign]]
+    * otherwise. Rows with a NULL vector (or NULL cluster) are dropped —
+    * they have no prototypicality. Output: input rows + `cluster` +
+    * `proto`.
+    *
+    * Scale shape: scoring is one codegen'd projection (k dots against
+    * centroid literals); per-cluster cuts are exact order statistics
+    * WITHOUT any per-cluster sort — cosine rounded to 4 decimals makes
+    * the (cluster, score) histogram ≤ 20,001·k cells
+    * ([[Quality.groupScoreThresholds]]'s range-bound doctrine), one
+    * bounded aggregation + a literal threshold map. */
+  def prototypePrune(df: DataFrame, centroids: Array[Array[Double]],
+                     pruneFrac: Double, outlierFrac: Double = 0.0,
+                     vecCol: String = "embedding",
+                     clusterCol: Option[String] = None,
+                     maxHistRows: Int = 1 << 20): DataFrame = {
+    require(pruneFrac >= 0 && pruneFrac < 1,
+      s"pruneFrac must lie in [0, 1), got $pruneFrac")
+    require(outlierFrac >= 0 && pruneFrac + outlierFrac < 1,
+      s"pruneFrac + outlierFrac must stay below 1, got " +
+        s"$pruneFrac + $outlierFrac")
+    val k = centroids.length
+    val withCl = clusterCol match {
+      case Some(c) => df.withColumn("cluster",
+        when(col(c).cast("long").between(0, k - 1), col(c).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"prototypePrune: cluster column '$c' value "),
+            col(c).cast("string"), lit(s" outside [0, $k)")))))
+      case None => assign(df, centroids, vecCol)
+    }
+    val nv = Similarity.normalize(col(vecCol))
+    val dots = array(centroids.toSeq.map(c => Similarity.dot(nv, lit(c))): _*)
+    val scored = withCl
+      .withColumn("proto", round(element_at(dots, col("cluster") + 1), 4))
+    val thr = Quality.groupScoreThresholds(scored, "cluster", "proto",
+      n => Seq(math.floor(outlierFrac * n).toLong + 1,
+        n - math.floor(pruneFrac * n).toLong),
+      maxHistRows)
+    val thrLit = typedLit(thr)
+    val bounds = element_at(thrLit, col("cluster").cast("string"))
+    scored.filter(col("proto") >= element_at(bounds, 1) &&
+      col("proto") <= element_at(bounds, 2))
+  }
 }

@@ -108,14 +108,10 @@ object Decontaminate {
     * positions. */
   def contaminatedSpans(train: DataFrame, evalDocs: DataFrame,
                         idCol: String, textCol: String, minTokens: Int,
-                        fpp: Double = 1e-6): DataFrame = {
-    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
-    Dedup.explodeSpanArrays(
-      Dedup.spansFromStarts(
-        contaminatedStarts(train, evalDocs, idCol, textCol, minTokens, fpp),
-        idCol, minTokens),
-      idCol)
-  }
+                        fpp: Double = 1e-6): DataFrame =
+    contaminatedSpansWith(train,
+      buildEvalIndex(evalDocs, idCol, textCol, minTokens, fpp),
+      idCol, textCol)
 
   /** Removal transform: rebuild every training doc with its eval-shared
     * spans dropped ([[Dedup.removeDuplicateSpans]] semantics — untouched
@@ -125,33 +121,93 @@ object Decontaminate {
   def removeContaminatedSpans(train: DataFrame, evalDocs: DataFrame,
                               idCol: String, textCol: String,
                               minTokens: Int,
-                              fpp: Double = 1e-6): DataFrame = {
+                              fpp: Double = 1e-6): DataFrame =
+    removeContaminatedSpansWith(train,
+      buildEvalIndex(evalDocs, idCol, textCol, minTokens, fpp),
+      idCol, textCol)
+
+  /** Leak-ATTRIBUTION report: (idCol, eval_id, n_shared) — for every
+    * (training doc, eval doc) pair sharing at least one verbatim
+    * `minTokens`-token gram, how many DISTINCT gram hashes they share.
+    * [[contaminatedSpans]] says WHERE a training doc leaks;
+    * this says WHICH eval item leaked into it — the audit a benchmark
+    * owner asks for ("which pages quote GSM8K item 417?").
+    *
+    * Same scale shape as the span path: the training side is cut to
+    * per-doc DISTINCT grams, Bloom-prefiltered by the eval gram set
+    * (plan-literal probe, no false negatives) BEFORE the one exact
+    * md5 join whose right side is the size-guarded-broadcast eval gram
+    * list; the output aggregation is keyed by (train doc, eval doc) —
+    * shuffle bounded by actual contamination, never the corpus. */
+  def attributionReport(train: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String, minTokens: Int,
+                        fpp: Double = 1e-6): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val evalG = Dedup.gramRows(evalDocs, idCol, textCol, minTokens)
+      .select(col(idCol).as("eval_id"), col("__h")).distinct()
+      .localCheckpoint(true)
+    val bloom = serializeBloom(
+      evalG.select(xxhash64(col("__h")).as("__hx")).distinct(), "__hx",
+      evalG.count(), fpp)
+    Dedup.gramRows(train, idCol, textCol, minTokens)
+      .select(col(idCol), col("__h")).distinct()
+      .filter(mightContain(bloom, xxhash64(col("__h"))))
+      .join(graft.model.Joins.maybeBroadcast(evalG), Seq("__h"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** A frozen, reusable eval-side gram index: the Bloom prefilter bytes
+    * plus the exact distinct gram-hash set (localCheckpoint'ed — the
+    * eval corpus tokenized once, however many training batches probe
+    * it). Build once with [[buildEvalIndex]]; every batch/streaming
+    * decontamination call against the same eval set shares it. */
+  final case class EvalGramIndex(bloom: Array[Byte], grams: DataFrame,
+                                 minTokens: Int)
+
+  /** Tokenize + gram-hash the eval corpus once into an [[EvalGramIndex]]
+    * ([[contaminatedSpans]]/[[removeContaminatedSpans]] build this
+    * internally; streaming decontamination builds it ONCE and probes it
+    * every micro-batch). */
+  def buildEvalIndex(evalDocs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int, fpp: Double = 1e-6): EvalGramIndex = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val evalGrams = Dedup.gramRows(evalDocs, idCol, textCol, minTokens)
+      .select("__h").distinct().localCheckpoint(true)
+    EvalGramIndex(serializeBloom(
+      evalGrams.select(xxhash64(col("__h")).as("__hx")), "__hx",
+      evalGrams.count(), fpp), evalGrams, minTokens)
+  }
+
+  /** [[contaminatedSpans]] against a prebuilt [[EvalGramIndex]]. */
+  def contaminatedSpansWith(train: DataFrame, idx: EvalGramIndex,
+                            idCol: String, textCol: String): DataFrame =
+    Dedup.explodeSpanArrays(
+      Dedup.spansFromStarts(
+        contaminatedStarts(train, idx, idCol, textCol),
+        idCol, idx.minTokens),
+      idCol)
+
+  /** [[removeContaminatedSpans]] against a prebuilt [[EvalGramIndex]]. */
+  def removeContaminatedSpansWith(train: DataFrame, idx: EvalGramIndex,
+                                  idCol: String, textCol: String): DataFrame =
     Dedup.removeSpansWith(train,
       Dedup.spansFromStarts(
-        contaminatedStarts(train, evalDocs, idCol, textCol, minTokens, fpp),
-        idCol, minTokens),
+        contaminatedStarts(train, idx, idCol, textCol),
+        idCol, idx.minTokens),
       idCol, textCol)
-  }
 
   /** Training gram positions whose gram occurs verbatim in the eval
     * corpus: Bloom prefilter (over xxhash64 of the 16-byte gram md5 —
     * hashing the fixed-width digest, not the gram text, keeps the probe
-    * input tiny) then exact md5 semi-join. The eval gram set feeds both
-    * the Bloom build and the semi-join — localCheckpoint'ed so the eval
-    * corpus tokenizes once. */
-  private def contaminatedStarts(train: DataFrame, evalDocs: DataFrame,
-                                 idCol: String, textCol: String, k: Int,
-                                 fpp: Double): DataFrame = {
-    val evalGrams = Dedup.gramRows(evalDocs, idCol, textCol, k)
-      .select("__h").distinct().localCheckpoint(true)
-    val bloom = serializeBloom(
-      evalGrams.select(xxhash64(col("__h")).as("__hx")), "__hx",
-      evalGrams.count(), fpp)
-    Dedup.gramRows(train, idCol, textCol, k)
-      .filter(mightContain(bloom, xxhash64(col("__h"))))
-      .join(graft.model.Joins.maybeBroadcast(evalGrams), Seq("__h"),
+    * input tiny) then exact md5 semi-join against the index's gram
+    * set. */
+  private def contaminatedStarts(train: DataFrame, idx: EvalGramIndex,
+                                 idCol: String,
+                                 textCol: String): DataFrame =
+    Dedup.gramRows(train, idCol, textCol, idx.minTokens)
+      .filter(mightContain(idx.bloom, xxhash64(col("__h"))))
+      .join(graft.model.Joins.maybeBroadcast(idx.grams), Seq("__h"),
         "left_semi")
       .select(col(idCol), col("start"))
-  }
 }

@@ -139,4 +139,90 @@ object Quality {
         round(org.apache.spark.ml.functions.vector_to_array(
           col(model.lr.getProbabilityCol)).getItem(1), 4).as("quality"))
   }
+
+  // -------------------------------------------------------------------
+  // Per-group exact score quantiles WITHOUT a data-sized sort — the
+  // shared machinery behind CCNet-style bucketing ([[scoreBuckets]]) and
+  // prototype pruning ([[Clustering.prototypePrune]]). Scores arrive
+  // ROUNDED to a fixed number of decimals (the repo-wide 4-decimal
+  // portability doctrine), so the (group, score) histogram is bounded by
+  // the score RANGE × 10^4 — a property of the metric, independent of
+  // row count: cosine ∈ [-1, 1] has ≤ 20,001 cells, a bigram NLL in
+  // [0, ~30] a few hundred thousand. One aggregation builds it, the
+  // driver walks the cumulative counts, thresholds return to the plan
+  // as a literal map — no window ever touches the data.
+  // -------------------------------------------------------------------
+
+  /** Per-group score thresholds from the bounded rounded-score
+    * histogram: for each group g with n non-null scores, entry i is the
+    * `ranks(n)(i)`-th smallest score (1-based; every rank must lie in
+    * [1, n]). Rows with a NULL group or score are excluded. The
+    * histogram is collected bounded: more than `maxHistRows` distinct
+    * (group, score) cells raises a NAMED error — the caller's score
+    * resolution, not the data size, sets the bound. */
+  private[operators] def groupScoreThresholds(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      ranks: Long => Seq[Long],
+      maxHistRows: Int): Map[String, Seq[Double]] = {
+    val hist = df
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"),
+        col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    // one job: the limit rides the collect, the guard checks the length
+    val rows = hist.limit(maxHistRows + 1).collect()
+    if (rows.length > maxHistRows) throw new IllegalStateException(
+      s"groupScoreThresholds: histogram exceeds maxHistRows=$maxHistRows " +
+        "distinct (group, score) cells — round scores to fewer decimals " +
+        "or raise the bound")
+    rows.groupBy(_.getString(0)).map { case (g, rs) =>
+      val sorted = rs.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      g -> ranks(n).map { k =>
+        require(k >= 1 && k <= n,
+          s"groupScoreThresholds: rank $k outside [1, $n] for group '$g'")
+        var cum = 0L
+        sorted.find { case (_, c) => cum += c; cum >= k }.get._1
+      }
+    }
+  }
+
+  /** CCNet-style per-group quality bucketing (Wenzek et al. 2020 §4.4:
+    * per-language perplexity head/middle/tail): assign every row an
+    * integer `bucket` by where its score falls among its OWN group's
+    * score distribution. `fractions` are the cumulative boundaries —
+    * the default (1/3, 2/3) yields terciles 0/1/2 with bucket 0 the
+    * LOWEST scores (score = perplexity/NLL ⇒ bucket 0 is the fluent
+    * "head"). Boundary t_i is the ceil(f_i·n)-th smallest score in the
+    * group; a row lands in bucket #{i : score > t_i}, so ties share a
+    * bucket and membership is deterministic and engine-portable (both
+    * the boundary rank and the comparison see the same rounded values —
+    * pass scores rounded to 4 decimals, the repo doctrine). The
+    * fraction·n product is evaluated in IEEE double on BOTH sides of an
+    * oracle (`ceil(f * n)` — mind engines whose decimal literals are
+    * DECIMAL-typed: cast to double first).
+    *
+    * Rows with a NULL group or score get a NULL bucket (the
+    * stratified-sampling null doctrine). Scale shape: one bounded
+    * histogram aggregation + a driver threshold walk
+    * ([[groupScoreThresholds]]) + one scan-side codegen'd projection
+    * against the literal threshold map — no join, no window, nothing
+    * data-sized moves. */
+  def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+                   fractions: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                   bucketCol: String = "bucket",
+                   maxHistRows: Int = 1 << 20): DataFrame = {
+    require(fractions.nonEmpty, "scoreBuckets needs at least one fraction")
+    require(fractions.forall(f => f > 0 && f < 1),
+      s"fractions must lie in (0, 1), got $fractions")
+    require(fractions == fractions.sorted && fractions.distinct == fractions,
+      s"fractions must be strictly increasing, got $fractions")
+    val thr = groupScoreThresholds(df, groupCol, scoreCol,
+      n => fractions.map(f => math.ceil(f * n).toLong), maxHistRows)
+    val thrLit = typedLit(thr)
+    df.withColumn(bucketCol,
+      when(col(groupCol).isNotNull && col(scoreCol).isNotNull,
+        size(filter(element_at(thrLit, col(groupCol).cast("string")),
+          t => col(scoreCol).cast("double") > t))))
+  }
 }

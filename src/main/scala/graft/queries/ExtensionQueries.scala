@@ -4327,6 +4327,299 @@ object ExtensionQueries {
       |WHERE t.source <> 'src0'
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q116 — PROTOTYPE/OUTLIER PRUNING (Sorscher et al. 2022 / D4):
+  //        score every embedding by cosine to its own cluster centroid,
+  //        drop the 30% most prototypical (redundant core) and 10%
+  //        least (noise tail) per cluster — membership-exact. Cluster
+  //        key and centroids are construction-derived (vec_id % 8; the
+  //        centroid IS the normalized seed embedding vec_id = cluster),
+  //        q97's doctrine: the oracle replays the cosine, the bounded-
+  //        histogram order statistics, and the tie-keeping cuts itself;
+  //        pairing with TRAINED k-means is ClusteringSpec's job.
+  // -------------------------------------------------------------------
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clustering, Similarity}
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val k = 8
+    val cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id")
+      .select(Similarity.normalize(col("embedding")).as("nv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    sorted(Clustering.prototypePrune(
+        e.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int")),
+        cents, pruneFrac = 0.3, outlierFrac = 0.1,
+        clusterCol = Some("cluster"))
+      .select(col("cluster"), col("vec_id"), col("proto")))
+  }
+
+  val q116Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id AS cid, embedding AS se FROM embeddings
+      |  WHERE vec_id < 8
+      |), p AS (
+      |  SELECT e.vec_id, e.vec_id % 8 AS cluster, e.embedding AS ve, s.se
+      |  FROM embeddings e JOIN s ON s.cid = e.vec_id % 8
+      |), ex AS (
+      |  SELECT vec_id, cluster, unnest(ve)::DOUBLE v, unnest(se)::DOUBLE c
+      |  FROM p
+      |), d AS (
+      |  SELECT vec_id, cluster,
+      |         round(SUM(v*c) / sqrt(SUM(v*v)) / sqrt(SUM(c*c)), 4) AS proto
+      |  FROM ex GROUP BY 1, 2
+      |), hist AS (
+      |  SELECT cluster, proto, count(*) AS cnt FROM d GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT cluster, proto,
+      |         sum(cnt) OVER (PARTITION BY cluster ORDER BY proto) AS cum,
+      |         sum(cnt) OVER (PARTITION BY cluster) AS n
+      |  FROM hist
+      |), thr AS (
+      |  SELECT cluster,
+      |         min(proto) FILTER (WHERE cum >=
+      |           floor(CAST(0.1 AS DOUBLE) * n) + 1) AS lo,
+      |         min(proto) FILTER (WHERE cum >=
+      |           n - floor(CAST(0.3 AS DOUBLE) * n)) AS hi
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT CAST(d.cluster AS INT) AS cluster, d.vec_id, d.proto
+      |FROM d JOIN thr USING (cluster)
+      |WHERE d.proto >= thr.lo AND d.proto <= thr.hi
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q117 — CCNet QUALITY BUCKETS (Wenzek et al. 2020 §4.4): score every
+  //        doc with the q83 bigram-LM NLL, then bucket per SOURCE into
+  //        terciles (0 = lowest NLL = fluent head, 2 = tail) by exact
+  //        per-group order statistics over the bounded rounded-score
+  //        histogram — never a data-sized sort. The oracle replays LM
+  //        scoring AND the ceil(f·n) boundary arithmetic (IEEE double
+  //        both sides — fraction literals cast to DOUBLE so DuckDB's
+  //        DECIMAL literals can't change the product).
+  // -------------------------------------------------------------------
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Quality}
+    val d = docs(s, dir)
+    val scoredDocs = Corpus.lmScore(d, "doc_id", "text")
+      .join(d.select("doc_id", "source"), "doc_id")
+    sorted(Quality.scoreBuckets(scoredDocs, "source", "nll")
+      .select("doc_id", "source", "nll", "bucket"))
+  }
+
+  val q117Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     w -> w <> '') AS t
+      |  FROM documents
+      |), tok AS (
+      |  SELECT unnest(t) AS w FROM toks
+      |), uni AS (
+      |  SELECT w, count(*) AS cw FROM tok GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM tok
+      |), bg AS (
+      |  SELECT doc_id, t[g.i] AS w1, t[g.i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      |  WHERE len(t) >= 2
+      |), bgc AS (
+      |  SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |         -log2((bgc.cbg + 1.0) / (uni.cw + v.v)) AS nll
+      |  FROM bg
+      |  JOIN bgc USING (w1, w2)
+      |  JOIN uni ON uni.w = bg.w1
+      |  CROSS JOIN v
+      |), sc AS (
+      |  SELECT doc_id, round(avg(nll), 4) AS nll FROM scored GROUP BY 1
+      |), scd AS (
+      |  SELECT sc.doc_id, dd.source, sc.nll
+      |  FROM sc JOIN documents dd USING (doc_id)
+      |), hist AS (
+      |  SELECT source, nll, count(*) AS cnt FROM scd GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, nll,
+      |         sum(cnt) OVER (PARTITION BY source ORDER BY nll) AS cum,
+      |         sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM hist
+      |), thr AS (
+      |  SELECT source,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.3333333333333333 AS DOUBLE) * n)) AS t1,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.6666666666666666 AS DOUBLE) * n)) AS t2
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT scd.doc_id, scd.source, scd.nll,
+      |       CAST(CASE WHEN scd.nll > t2 THEN 2
+      |                 WHEN scd.nll > t1 THEN 1 ELSE 0 END AS INT) AS bucket
+      |FROM scd JOIN thr USING (source)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q118 — LEAK ATTRIBUTION (q114's audit companion): for every
+  //        (training doc, eval doc) pair sharing a verbatim 12-token
+  //        gram, the count of DISTINCT shared gram hashes — which eval
+  //        item leaked into which page. Bloom-prefiltered exact join on
+  //        the engine side; the oracle joins the distinct gram sets
+  //        head-on.
+  // -------------------------------------------------------------------
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(graft.operators.Decontaminate.attributionReport(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text", minTokens = 12))
+  }
+
+  val q118Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source, t.i AS start,
+      |         md5(array_to_string(ts[t.i:t.i+11], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 10)) AS i) t
+      |  WHERE len(ts) >= 12
+      |), tg AS (
+      |  SELECT DISTINCT doc_id, h FROM g WHERE source <> 'src0'
+      |), eg AS (
+      |  SELECT DISTINCT doc_id AS eval_id, h FROM g WHERE source = 'src0'
+      |)
+      |SELECT tg.doc_id, eg.eval_id, count(*) AS n_shared
+      |FROM tg JOIN eg USING (h)
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q119 — END-TO-END CURATION PIPELINE v2, composing the round-12
+  //        operators as ONE oracle row (the q106 doctrine): span-level
+  //        DECONTAMINATION against the src0 eval slice → bigram-LM
+  //        scoring of the REBUILT text (model trained on the cleaned
+  //        corpus itself — the stitch-point bigrams matter) → CCNet
+  //        per-source terciles keeping head+middle → deterministic
+  //        shuffle-to-shards export. The oracle replays every stage in
+  //        SQL: the gram census + gaps-and-islands spans, the cleaned
+  //        token lists (kept positions re-stitched in order), the
+  //        Laplace bigram NLL over the cleaned corpus, the bounded-
+  //        histogram tercile cuts, and the md5 shard assignment — drift
+  //        in any stage, or in how stages compose, fails one hash.
+  //        Docs cleaned below 2 tokens drop out of LM scoring (no
+  //        bigrams) and thus out of the pipeline, both sides.
+  // -------------------------------------------------------------------
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Decontaminate, Quality, Sampling}
+    val d = docs(s, dir)
+    val cleaned = Decontaminate.removeContaminatedSpans(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text", minTokens = 12)
+    val scored = Corpus.lmScore(cleaned, "doc_id", "text")
+      .join(cleaned.select("doc_id", "source"), "doc_id")
+    val kept = Quality.scoreBuckets(scored, "source", "nll")
+      .filter(col("bucket") <= 1)
+    sorted(Sampling.shuffleShards(kept, "doc_id", numShards = 4)
+      .select("doc_id", "source", "nll", "bucket", "shard", "pos"))
+  }
+
+  val q119Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source, t.i AS start,
+      |         md5(array_to_string(ts[t.i:t.i+11], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 10)) AS i) t
+      |  WHERE len(ts) >= 12
+      |), ev AS (
+      |  SELECT DISTINCT h FROM g WHERE source = 'src0'
+      |), ds AS (
+      |  SELECT doc_id, start FROM g
+      |  WHERE source <> 'src0' AND h IN (SELECT h FROM ev)
+      |), brk AS (
+      |  SELECT doc_id, start,
+      |         CASE WHEN start > lag(start) OVER (PARTITION BY doc_id
+      |                                            ORDER BY start) + 12
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM ds
+      |), isl AS (
+      |  SELECT doc_id, start,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, min(start) AS s, max(start) + 11 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), tokpos AS (
+      |  SELECT doc_id, source, t.i AS i, ts[t.i] AS w
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) t
+      |  WHERE source <> 'src0'
+      |), keep AS (
+      |  SELECT tp.doc_id, tp.source, tp.i, tp.w
+      |  FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |                    WHERE sp.doc_id = tp.doc_id
+      |                      AND tp.i BETWEEN sp.s AND sp.e)
+      |), cl AS (
+      |  SELECT doc_id, source,
+      |         list_filter(list(w ORDER BY i), x -> x <> '') AS t
+      |  FROM keep GROUP BY 1, 2
+      |), u AS (
+      |  SELECT unnest(t) AS w FROM cl
+      |), uni AS (
+      |  SELECT w, count(*) AS cw FROM u GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM u
+      |), bg AS (
+      |  SELECT doc_id, source, t[g2.i] AS w1, t[g2.i+1] AS w2
+      |  FROM cl, LATERAL (SELECT unnest(range(1, len(t))) AS i) g2
+      |  WHERE len(t) >= 2
+      |), bgc AS (
+      |  SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2
+      |), scdoc AS (
+      |  SELECT bg.doc_id, bg.source,
+      |         -log2((bgc.cbg + 1.0) / (uni.cw + v.v)) AS nll
+      |  FROM bg JOIN bgc USING (w1, w2) JOIN uni ON uni.w = bg.w1
+      |  CROSS JOIN v
+      |), sc AS (
+      |  SELECT doc_id, source, round(avg(nll), 4) AS nll
+      |  FROM scdoc GROUP BY 1, 2
+      |), hist AS (
+      |  SELECT source, nll, count(*) AS cnt FROM sc GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, nll,
+      |         sum(cnt) OVER (PARTITION BY source ORDER BY nll) AS cum,
+      |         sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM hist
+      |), thr AS (
+      |  SELECT source,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.3333333333333333 AS DOUBLE) * n)) AS t1,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.6666666666666666 AS DOUBLE) * n)) AS t2
+      |  FROM cum GROUP BY 1
+      |), keptd AS (
+      |  SELECT sc.doc_id, sc.source, sc.nll,
+      |         CAST(CASE WHEN sc.nll > t2 THEN 2
+      |                   WHEN sc.nll > t1 THEN 1 ELSE 0 END AS INT) AS bucket
+      |  FROM sc JOIN thr USING (source)
+      |  WHERE sc.nll <= t2
+      |), h2 AS (
+      |  SELECT doc_id, source, nll, bucket,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u,
+      |         CAST(('0x' || substr(md5('|pos' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u2
+      |  FROM keptd
+      |)
+      |SELECT doc_id, source, nll, bucket,
+      |       CAST(least(floor(u * 4), 3) AS INT) AS shard,
+      |       CAST(row_number() OVER (
+      |              PARTITION BY CAST(least(floor(u * 4), 3) AS INT)
+      |              ORDER BY u2, doc_id) - 1 AS BIGINT) AS pos
+      |FROM h2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4428,6 +4721,10 @@ object ExtensionQueries {
     ("q112_hybrid_search", q112 _, q112Sql),
     ("q113_ivfpq_refined", q113 _, q113Sql),
     ("q114_span_decontaminate", q114 _, q114Sql),
-    ("q115_decontaminate_removal", q115 _, q115Sql)
+    ("q115_decontaminate_removal", q115 _, q115Sql),
+    ("q116_proto_prune", q116 _, q116Sql),
+    ("q117_ccnet_buckets", q117 _, q117Sql),
+    ("q118_leak_attribution", q118 _, q118Sql),
+    ("q119_curation_v2", q119 _, q119Sql)
   )
 }

@@ -174,6 +174,44 @@ object DocStreaming {
       .start()
   }
 
+  /** Streaming span-level decontamination — the streaming twin of
+    * [[graft.operators.Decontaminate.removeContaminatedSpans]]: the eval
+    * corpus is FROZEN at stream start into one
+    * [[graft.operators.Decontaminate.EvalGramIndex]] (Bloom filter bytes
+    * + the checkpointed exact gram set), and every micro-batch pays only
+    * its OWN gram scan + plan-literal Bloom probe + the size-guarded
+    * exact semi-join before writing its cleaned docs to a per-batch-id
+    * partition (`.../batch=<id>`, overwrite — a replayed micro-batch
+    * rewrites its own partition, so the sink is idempotent under
+    * at-least-once foreachBatch delivery; the q84/near-dup sink
+    * discipline).
+    *
+    * Deliberately STATELESS across batches: contamination is a property
+    * of (doc, frozen eval set) alone — unlike near-dup dedup there is no
+    * cross-batch index to grow, so the right streaming shape is the
+    * frozen eval index, not a stateful operator. A new eval set means a
+    * new stream (and a batch re-pass over history if retroactive
+    * cleaning is wanted). */
+  def startDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String, minTokens: Int,
+                         cleanDir: String, checkpointDir: String,
+                         fpp: Double = 1e-6,
+                         trigger: Trigger = Trigger.AvailableNow())
+  : StreamingQuery = {
+    val idx = graft.operators.Decontaminate.buildEvalIndex(
+      evalDocs, idCol, textCol, minTokens, fpp)
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      graft.operators.Decontaminate
+        .removeContaminatedSpansWith(batch, idx, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
+
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    storeDir: String): Unit =
     StoreCompaction.compact(spark, storeDir, Seq("doc_id", "s"))

@@ -143,4 +143,70 @@ class ClusteringSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window crept into the plan:\n$plan")
   }
+
+  /** Unit vector at angle θ from the first axis in the (x1, x2) plane —
+    * cosine to centroid (1, 0, …) is exactly cos θ up to float width. */
+  private def atAngle(theta: Double): Array[Float] =
+    Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+
+  test("prototype prune: exact order-statistic cuts on a known geometry") {
+    // 10 vectors at increasing angles — prototypicality (cos) strictly
+    // DECREASES with id; centroid is the first axis
+    val df = (0 until 10).map(i => (i.toLong, atAngle(0.1 + 0.15 * i)))
+      .toDF("vec_id", "embedding").withColumn("cluster", lit(0))
+    val cents = Array(Array(1.0, 0, 0, 0))
+    val kept = Clustering.prototypePrune(df, cents,
+        pruneFrac = 0.3, outlierFrac = 0.2, clusterCol = Some("cluster"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // dropTop = floor(0.3·10) = 3 most prototypical (ids 0, 1, 2);
+    // dropBot = floor(0.2·10) = 2 least (ids 8, 9) — kept is 3..7
+    assert(kept == Set(3L, 4L, 5L, 6L, 7L), s"got $kept")
+  }
+
+  test("prototype prune: ties at the cut KEEP (deterministic membership)") {
+    // three rows share the top score — a 0.4 prune (dropTop = 2) lands
+    // its threshold ON the tied score, so all three survive
+    val df = Seq(
+      (0L, atAngle(0.2)), (1L, atAngle(0.2)), (2L, atAngle(0.2)),
+      (3L, atAngle(0.9)), (4L, atAngle(1.3)))
+      .toDF("vec_id", "embedding").withColumn("cluster", lit(0))
+    val kept = Clustering.prototypePrune(df, Array(Array(1.0, 0, 0, 0)),
+        pruneFrac = 0.4, clusterCol = Some("cluster"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L), s"got $kept")
+  }
+
+  test("prototype prune: argmax-assign path respects per-cluster budgets") {
+    val data = blobs(120)
+    val df = data.map { case (id, _, v) => (id, v) }.toDF("vec_id", "embedding")
+    val cents = Clustering.train(df, k = 3, iters = 4)
+    val kept = Clustering.prototypePrune(df, cents,
+      pruneFrac = 0.25, outlierFrac = 0.1)
+    assert(kept.columns.toSeq ==
+      Seq("vec_id", "embedding", "cluster", "proto"))
+    val before = Clustering.assign(df, cents)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    before.foreach { case (c, n) =>
+      val lo = n - (0.25 * n).toLong - (0.1 * n).toLong
+      assert(after.getOrElse(c, 0L) >= lo && after(c) <= n,
+        s"cluster $c kept ${after.get(c)} of $n (floor $lo)")
+    }
+    // survivors are a subset of the input
+    val ids = df.select("vec_id").collect().map(_.getLong(0)).toSet
+    kept.select("vec_id").collect().map(_.getLong(0))
+      .foreach(id => assert(ids.contains(id)))
+  }
+
+  test("prototype prune: out-of-range cluster value fails by name") {
+    val df = Seq((0L, atAngle(0.1), 7)).toDF("vec_id", "embedding", "cluster")
+    val e = intercept[Exception] {
+      Clustering.prototypePrune(df, Array(Array(1.0, 0, 0, 0)),
+        pruneFrac = 0.2, clusterCol = Some("cluster")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("prototypePrune"),
+      s"unexpected error: ${e.getMessage}")
+  }
 }

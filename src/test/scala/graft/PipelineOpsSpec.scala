@@ -2230,6 +2230,70 @@ class PipelineOpsSpec extends SparkSpec {
       s"overlapping eval hits must merge into one span, got $ovSp")
   }
 
+  test("leak attribution: shared-gram counts per (train, eval) pair") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val bench = (1 to 16).map(i => s"qa$i").mkString(" ")
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val evalD = Seq(100L -> s"${body("ev", 6)} $bench",
+      101L -> body("ez", 25)).toDF("doc_id", "text")
+    val train = Seq(
+      1L -> s"${body("a", 10)} $bench ${body("aa", 5)}",
+      2L -> body("b", 30)).toDF("doc_id", "text")
+    val got = Decontaminate.attributionReport(train, evalD,
+        "doc_id", "text", minTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the only shared grams are the 12-grams fully inside the 16-token
+    // benchmark quote: 16 - 12 + 1 = 5 distinct grams, doc 1 × eval 100
+    assert(got == Set((1L, 100L, 5L)), s"got $got")
+  }
+
+  test("score buckets: exact per-group terciles, tie and null semantics") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // group A: scores 1..9 — boundaries at the 3rd (3.0) and 6th (6.0)
+    // smallest; group B: heavy tie at 1 pulls BOTH boundaries onto it,
+    // so bucket 1 is empty and everything above the tie jumps to 2
+    val a = (1 to 9).map(i => (s"a$i", "A", i.toDouble))
+    val b = Seq(("b1", "B", 1.0), ("b2", "B", 1.0), ("b3", "B", 1.0),
+      ("b4", "B", 1.0), ("b5", "B", 2.0), ("b6", "B", 3.0))
+    val df = (a ++ b).toDF("id", "g", "s")
+      .unionByName(Seq(("n1", Option.empty[String], Option(5.0)),
+        ("n2", Option("A"), Option.empty[Double])).toDF("id", "g", "s"))
+    val got = Quality.scoreBuckets(df, "g", "s")
+      .collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    (1 to 3).foreach(i => assert(got(s"a$i") == 0, s"a$i: ${got(s"a$i")}"))
+    (4 to 6).foreach(i => assert(got(s"a$i") == 1, s"a$i: ${got(s"a$i")}"))
+    (7 to 9).foreach(i => assert(got(s"a$i") == 2, s"a$i: ${got(s"a$i")}"))
+    (1 to 4).foreach(i => assert(got(s"b$i") == 0, s"b$i: ${got(s"b$i")}"))
+    assert(got("b5") == 2 && got("b6") == 2,
+      s"ties pull both boundaries: ${got("b5")}, ${got("b6")}")
+    assert(got("n1") == -1 && got("n2") == -1,
+      "null group or score must yield a null bucket")
+  }
+
+  test("score buckets: fraction validation and histogram guard fail by name") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val df = (1 to 50).map(i => (s"d$i", "g", i.toDouble)).toDF("id", "g", "s")
+    intercept[IllegalArgumentException] {
+      Quality.scoreBuckets(df, "g", "s", fractions = Seq(0.5, 0.3))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.scoreBuckets(df, "g", "s", fractions = Seq(0.0, 0.5))
+    }
+    val e = intercept[IllegalStateException] {
+      Quality.scoreBuckets(df, "g", "s", maxHistRows = 10)
+    }
+    assert(e.getMessage.contains("maxHistRows"), e.getMessage)
+    // a single median split works and is monotone in the score
+    val half = Quality.scoreBuckets(df, "g", "s", fractions = Seq(0.5))
+      .collect().map(r => r.getDouble(2) -> r.getInt(3)).sortBy(_._1)
+    assert(half.map(_._2).toSeq == half.map(_._2).sorted.toSeq)
+    assert(half.count(_._2 == 0) == 25 && half.count(_._2 == 1) == 25)
+  }
+
   test("RRF fusion: hand-computed scores, single-list docs fuse, agreement wins") {
     import spark.implicits._
     import graft.operators.Retrieval

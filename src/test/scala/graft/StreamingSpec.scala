@@ -158,6 +158,47 @@ class StreamingSpec extends SparkSpec {
       "a cross-batch near-dup copy survived")
   }
 
+  test("streaming decontamination equals batch removal across micro-batches") {
+    import graft.operators.Decontaminate
+    import graft.streaming.DocStreaming
+    import spark.implicits._
+    val bench = (1 to 16).map(i => s"qa$i").mkString(" ")
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val evalD = Seq(100L -> s"${body("ev", 6)} $bench").toDF("doc_id", "text")
+    // the quote appears in BOTH micro-batches — the frozen eval index
+    // must cut it wherever it lands, and clean docs must pass through
+    val wave1 = Seq(
+      1L -> s"${body("a", 10)} $bench ${body("aa", 5)}",
+      2L -> body("b", 30)).toDF("doc_id", "text")
+    val wave2 = Seq(
+      3L -> s"$bench ${body("c", 20)}",
+      4L -> body("d", 25)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decon_stream").toString
+    wave1.coalesce(1).write.mode("append").parquet(dir)
+    wave2.coalesce(1).write.mode("append").parquet(dir)
+    val clean = java.nio.file.Files.createTempDirectory("decon_clean").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("decon_ckpt").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStreaming.startDecontaminate(stream, evalD, "doc_id", "text",
+      minTokens = 12, clean, ckpt)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(clean).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Decontaminate.removeContaminatedSpans(
+        wave1.unionByName(wave2), evalD, "doc_id", "text", minTokens = 12)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch,
+      s"streaming cleaned corpus diverged from batch removal: $streamed")
+    assert(streamed(1L) == s"${body("a", 10)} ${body("aa", 5)}",
+      "mid-doc quote cut in batch 1")
+    assert(streamed(3L) == body("c", 20), "leading quote cut in batch 2")
+    assert(streamed(2L) == body("b", 30) && streamed(4L) == body("d", 25),
+      "clean docs pass through byte-identical")
+  }
+
   test("streaming BM25 ingest equals a from-scratch index; uncommitted debris is ignored") {
     import graft.operators.Corpus
     import graft.streaming.DocStreaming
