@@ -347,6 +347,24 @@ object ScaleProbe {
       "shards" -> timed(s"$tag shuffle shards") {
         graft.operators.Sampling.shuffleShards(d, "doc_id", 64).count()
       },
+      // exact-rank curriculum shards: two pivot-bounded collects + one
+      // bucket-keyed window; pivot count fixed, so per-bucket rows grow
+      // factor× — superlinear means the bucket expression degenerated
+      // into a join or the window lost its key
+      "curriculum" -> timed(s"$tag curriculum shards") {
+        graft.operators.Sampling.curriculumShards(d, "doc_id",
+          length(col("text")).cast("double"), numShards = 64,
+          pivots = 256).count()
+      },
+      // corpus-level MinHash overlap: one shingle scan + a map-side
+      // combined groupBy(source) over k mins; the pair join is on the
+      // sources-sized signature table — the honest bound is
+      // linear-in-shingles
+      "srcoverlap" -> timed(s"$tag source overlap matrix") {
+        graft.operators.Corpus.sourceOverlap(
+          d.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
+          "source", "text", n = 3, k = 32).count()
+      },
       // replica-suffixed tokens grow the vocabulary factor× but each MG
       // cell stays ≤ k entries — one token scan + a grain-sized rollup,
       // so the honest bound is linear-in-tokens

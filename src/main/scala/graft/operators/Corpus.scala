@@ -504,4 +504,47 @@ object Corpus {
       .withColumn("weight", round(col("w_raw") / col("w_tot"), 6))
       .select(col(sourceCol), col("tokens"), col("weight"))
   }
+
+  /** Pairwise CORPUS-level n-gram overlap between sources, estimated by
+    * MinHash over each source's shingle set — "how much does crawl dump A
+    * repeat crawl dump B" answered without materializing any doc-level
+    * pair join. One k-hash MinHash signature per SOURCE (not per doc):
+    * `mh_i(src) = min over src's shingles of h_i(shingle)`, the classic
+    * set-level estimator `Ĵ(A,B) = |{i : mh_i(A) = mh_i(B)}| / k`.
+    * `min` is duplicate-blind, so no per-source `distinct` is needed —
+    * the multiset min equals the set min.
+    *
+    * Scale shape: ONE scan + one `groupBy(source)` whose k min-aggregates
+    * all combine map-side (the shuffle carries ≤ sources × partitions
+    * signature rows, never shingles); the pair join runs on the
+    * sources-sized signature table (broadcast nested-loop on `<`). Raw
+    * shingles never shuffle and no doc pair is ever formed — contrast the
+    * doc-level paths in [[graft.operators.Dedup]], which this summarizes,
+    * not replaces.
+    *
+    * Hashes are md5-derived (`tokenHash60` over "i|shingle"), so the
+    * estimate itself is engine-portable and the DuckDB oracle replays the
+    * VALUES, not just the shape.
+    *
+    * Output: (src_a, src_b, matches, est_jaccard), src_a < src_b. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 3, k: Int = 32): DataFrame = {
+    require(n > 0, s"shingle width must be positive, got $n")
+    require(k > 0 && k <= 256, s"k must be in [1, 256], got $k")
+    val sh = docs
+      .select(col(sourceCol).as("src"), tokens(col(textCol)).as("toks"))
+      .select(col("src"), explode(shinglesFromTokens(col("toks"), n)).as("s"))
+    val mins = (0 until k).map(i =>
+      min(tokenHash60(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
+    val sigs = sh.groupBy("src").agg(mins.head, mins.tail: _*)
+    val a = sigs.toDF("src_a" +: (0 until k).map(i => s"a$i"): _*)
+    val b = sigs.toDF("src_b" +: (0 until k).map(i => s"b$i"): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(graft.model.Joins.maybeBroadcast(b), col("src_a") < col("src_b"))
+      .withColumn("matches", matches)
+      .withColumn("est_jaccard", round(col("matches") / lit(k.toDouble), 4))
+      .select("src_a", "src_b", "matches", "est_jaccard")
+  }
 }

@@ -363,4 +363,129 @@ object Sampling {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Leakage-safe split: near-dup CLUSTERS travel together, so a
+    * document can never sit in `train` while its near-duplicate sits in
+    * `test` (the eval-contamination hole a plain per-id hash split
+    * leaves open — the GPT-3 appendix problem). The split key is the
+    * document's connected-component root over `pairs` (any near-dup
+    * pair set: LSH, SimHash, embedding), falling back to the id for
+    * unclustered docs, then the SAME md5 threshold arithmetic as
+    * [[assignSplit]] — so on a pair-free corpus this IS `assignSplit`,
+    * bit for bit.
+    *
+    * Scale shape: the closure runs on the PAIR graph (never the
+    * corpus); the root table is cluster-membership-sized and joins back
+    * size-guarded-broadcast. Split assignment stays a pure per-row
+    * projection — reprocessing-stable, engine-portable.
+    *
+    * Output: input columns + `split`. */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    splits: Seq[(String, Double)] =
+                      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                    salt: String = ""): DataFrame = {
+    val roots = Dedup.connectedComponents(pairs).toDF("__lss_id", "__lss_root")
+    val keyed = df
+      .join(graft.model.Joins.maybeBroadcast(roots),
+        col(idCol) === col("__lss_id"), "left")
+      .withColumn("__lss_key", coalesce(col("__lss_root"), col(idCol)))
+    assignSplit(keyed, "__lss_key", splits, salt)
+      .drop("__lss_id", "__lss_root", "__lss_key")
+  }
+
+  /** Curriculum export: EXACT global rank by (score asc, id asc) turned
+    * into balanced worker shards — `shard = rank % numShards`,
+    * `pos = rank / numShards` — so W data-parallel loaders each reading
+    * their shard in `pos` order consume the corpus in interleaved global
+    * score order (the length/quality-curriculum layout). The rank is
+    * exact, yet NO global single-partition sort ever runs:
+    *
+    *   1. pick `pivots` boundary rows deterministically (smallest
+    *      md5-uniform draws — a TakeOrdered, collect is `pivots`-bounded);
+    *   2. bucket every row by "# pivots lexicographically ≤ (score, id)"
+    *      — a pure per-row loop over the pivot LITERALS (one compact
+    *      `aggregate` over a literal array, same codegen-budget shape as
+    *      the DSIR ratio lookup), so the assignment is identical in every
+    *      job that evaluates it, with no cached partitioner state;
+    *   3. count rows per bucket (collect is ≤ pivots+1 rows), cumsum
+    *      driver-side into offset literals;
+    *   4. rank = offset(bucket) + row_number within the bucket — the one
+    *      window is KEYED by bucket, and buckets are range-disjoint in
+    *      (score, id), so local order + offset IS the exact global rank.
+    *
+    * Size `pivots` to ≥ 4× the target parallelism (a bucket is one
+    * task's sort, expected rows/pivots each); any bucket over
+    * `maxBucketRows` fails by name at the (free) counts step instead of
+    * silently handing one executor an outsized sort. Ties are impossible
+    * because `idCol` must be unique; a NULL score fails by name. Prefer
+    * numeric ids: string ids order by Spark's UTF8 binary collation,
+    * which an external replay must match.
+    *
+    * Output: input columns + (shard int, pos long); rank = pos *
+    * numShards + shard. Deterministic under any input partitioning. */
+  def curriculumShards(df: DataFrame, idCol: String, score: Column,
+                       numShards: Int, pivots: Int = 256,
+                       maxBucketRows: Long = DefaultMaxShardRows): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(pivots > 0, s"pivots must be positive, got $pivots")
+    require(maxBucketRows > 0,
+      s"maxBucketRows must be positive, got $maxBucketRows")
+    val id = col(idCol)
+    val scored = df.withColumn("__cur_score",
+      when(score.isNull, raise_error(lit(
+        "curriculumShards: NULL score — a curriculum needs a total " +
+          "order; coalesce or filter NULL scores first")))
+        .otherwise(score.cast("double")))
+    // 1. deterministic pivot rows: the `pivots` smallest md5-uniform
+    //    draws over ids (order-statistics sample — uniform over rows,
+    //    stable across runs/partitionings), collected as (score, id)
+    //    boundary pairs and sorted lexicographically.
+    val pivotRows = scored
+      .select(col("__cur_score").as("ps"), id.as("pid"),
+        hashUniform(id, "curriculum|pivot").as("u"))
+      .orderBy(col("u").asc, col("pid").asc)
+      .limit(pivots)
+      .collect() // ≤ pivots rows — driver-bound by design
+    val pairs = pivotRows
+      .map(r => (r.getDouble(0), r.get(1)))
+      .sortBy(_._1) // stable sort; equal scores keep u-order — any
+    //    consistent order works: the bucket expr uses the SAME literals
+    val m = pairs.length
+    val sLit = typedLit(pairs.map(_._1).toSeq)
+    val iLit = array(pairs.map(p => lit(p._2)): _*)
+    // 2. bucket = # pivots (ps, pid) <= (score, id), lexicographic.
+    //    Equal-score pivots count monotonically whatever their stored
+    //    order, because each contributes an independent <= test.
+    def bucketExpr(sc: Column, rid: Column): Column =
+      if (m == 0) lit(0)
+      else aggregate(sequence(lit(1), lit(m)), lit(0),
+        (acc, j) => acc + when(
+          element_at(sLit, j) < sc ||
+            (element_at(sLit, j) === sc && element_at(iLit, j) <= rid),
+          1).otherwise(0))
+    val bucketed = scored.withColumn("__cur_b", bucketExpr(col("__cur_score"), id))
+    // 3. per-bucket counts -> rank offsets (collect ≤ pivots+1 rows)
+    val counts = bucketed.groupBy("__cur_b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val worst = if (counts.isEmpty) 0L else counts.values.max
+    if (worst > maxBucketRows) throw new IllegalStateException(
+      s"curriculumShards: a pivot bucket holds $worst rows > " +
+        s"maxBucketRows=$maxBucketRows — raise `pivots` (target " +
+        "rows/pivots to the executor sort spill budget) or raise " +
+        "maxBucketRows explicitly")
+    val offsets = (0 to m).scanLeft(0L)((acc, b) =>
+      acc + counts.getOrElse(b, 0L)).init
+    val offLit = typedLit(offsets)
+    // 4. keyed window only — buckets are range-disjoint in (score, id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cur_b"))
+      .orderBy(col("__cur_score").asc, id.asc)
+    val rank = element_at(offLit, col("__cur_b") + 1) +
+      (row_number().over(w) - 1).cast("long")
+    bucketed
+      .withColumn("__cur_rank", rank)
+      .withColumn("shard", pmod(col("__cur_rank"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", floor(col("__cur_rank") / numShards).cast("long"))
+      .drop("__cur_score", "__cur_b", "__cur_rank")
+  }
 }

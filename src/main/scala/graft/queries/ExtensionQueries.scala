@@ -4620,6 +4620,114 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q120 — length-curriculum shards: EXACT global rank by (n_chars,
+  //        doc_id) via pivot buckets + keyed window (no global sort),
+  //        interleaved into 8 worker shards. The oracle computes the
+  //        same rank with one ORDER BY window — legitimate in DuckDB at
+  //        oracle scale, exactly what the operator exists to AVOID at
+  //        100 TB. pivots=16 forces real multi-bucket offsets at sf0.01.
+  // -------------------------------------------------------------------
+  def q120(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.curriculumShards(docs(s, dir), "doc_id",
+      col("n_chars").cast("double"), numShards = 8, pivots = 16)
+      .select(col("doc_id"), col("shard"), col("pos")))
+
+  val q120Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id)
+      |           - 1 AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(rk % 8 AS INT) AS shard,
+      |       CAST(rk // 8 AS BIGINT) AS pos
+      |FROM r
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q121 — corpus-level source-overlap matrix: one MinHash signature per
+  //        SOURCE (k=32 md5-derived hash mins over its 3-gram shingles),
+  //        pairwise match fraction as the Jaccard estimate. md5 hashing
+  //        makes the ESTIMATE itself replayable — the oracle reproduces
+  //        the signature values, not just a reference answer.
+  // -------------------------------------------------------------------
+  def q121(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Corpus.sourceOverlap(
+      docs(s, dir), "source", "text", n = 3, k = 32))
+
+  val q121Sql: String = {
+    val k = 32
+    val mins = (0 until k).map(i =>
+      s"min(CAST(('0x' || substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS mh$i")
+      .mkString(",\n      |         ")
+    val matches = (0 until k)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents
+      |), sh AS (
+      |  SELECT source, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION ALL
+      |  SELECT source, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+      |), mh AS (
+      |  SELECT source,
+      |         $mins
+      |  FROM sh GROUP BY 1
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |       CAST($matches AS BIGINT) AS matches,
+      |       round(CAST($matches AS DOUBLE) / $k.0, 4) AS est_jaccard
+      |FROM mh a JOIN mh b ON a.source < b.source
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q122 — leakage-safe split: near-dup clusters travel together (split
+  //        key = connected-component root over the LSH pair graph,
+  //        falling back to the id), then q35's exact md5 threshold
+  //        arithmetic. Membership-level oracle: the recursive-CTE
+  //        closure (q34 vocabulary) + the same hash in DuckDB.
+  // -------------------------------------------------------------------
+  def q122(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.leakSafeSplit(docs(s, dir), "doc_id",
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.8,
+        maxDf = None, shinglesDf = Some(shingles3(s, dir))))
+      .select(col("doc_id"), col("split")))
+
+  val q122Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), h AS (
+      |  SELECT d.doc_id,
+      |         CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id)
+      |           AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           / 1152921504606846976.0 AS u
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |)
+      |SELECT doc_id,
+      |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM h
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4725,6 +4833,9 @@ object ExtensionQueries {
     ("q116_proto_prune", q116 _, q116Sql),
     ("q117_ccnet_buckets", q117 _, q117Sql),
     ("q118_leak_attribution", q118 _, q118Sql),
-    ("q119_curation_v2", q119 _, q119Sql)
+    ("q119_curation_v2", q119 _, q119Sql),
+    ("q120_curriculum_shards", q120 _, q120Sql),
+    ("q121_source_overlap", q121 _, q121Sql),
+    ("q122_leaksafe_split", q122 _, q122Sql)
   )
 }

@@ -2346,6 +2346,139 @@ class PipelineOpsSpec extends SparkSpec {
       s"doc 3 leads both retrievers; fused head was ${top.head}")
     assert(top.forall(_.getLong(0) == 100L))
   }
+
+  // ------------------------------------------------------------------
+  // curriculumShards — exact distributed rank law + guards
+  // ------------------------------------------------------------------
+
+  test("curriculumShards ≡ local exact rank; deterministic under repartition") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.curriculumShards(d, "doc_id",
+        col("n_chars").cast("double"), numShards = 4, pivots = 7)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val got = run(docs)
+    // local ground truth: rank by (score, id) computed on the driver
+    val local = docs.select(col("doc_id"), col("n_chars").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sc) => (sc, id) }
+      .zipWithIndex
+      .map { case ((id, _), rk) =>
+        id -> ((rk % 4, rk.toLong / 4))
+      }.toMap
+    assert(got == local, "distributed rank must equal the local sort rank")
+    assert(run(docs.repartition(13)) == got,
+      "assignment must not depend on input partitioning")
+  }
+
+  test("curriculumShards: score ties broken by id; duplicate scores exact") {
+    // every score equal -> rank is pure id order; pivots land on ties
+    val d = docs.select(col("doc_id")).withColumn("k", lit(1.0))
+    val got = Sampling.curriculumShards(d, "doc_id", col("k"),
+      numShards = 3, pivots = 5)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ids = d.select("doc_id").collect().map(_.getLong(0)).sorted
+    val expect = ids.zipWithIndex
+      .map { case (id, rk) => (id, rk % 3, rk.toLong / 3) }.toSet
+    assert(got.toSet == expect)
+  }
+
+  test("curriculumShards guards: NULL score and bucket overflow fail by name") {
+    val nulled = docs.withColumn("sc",
+      when(col("doc_id") === 3L, lit(null).cast("double"))
+        .otherwise(col("n_chars").cast("double")))
+    val e1 = intercept[Exception] {
+      Sampling.curriculumShards(nulled, "doc_id", col("sc"), 4).collect()
+    }
+    assert(e1.getMessage.contains("NULL score"))
+    val e2 = intercept[IllegalStateException] {
+      Sampling.curriculumShards(docs, "doc_id",
+        col("n_chars").cast("double"), numShards = 4, pivots = 2,
+        maxBucketRows = 3L).collect()
+    }
+    assert(e2.getMessage.contains("maxBucketRows"))
+  }
+
+  // ------------------------------------------------------------------
+  // leakSafeSplit — clusters travel together; unclustered ≡ assignSplit
+  // ------------------------------------------------------------------
+
+  test("leakSafeSplit: no near-dup cluster spans splits; singletons ≡ assignSplit") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+    val out = Sampling.leakSafeSplit(docs, "doc_id", pairs)
+    assert(out.count() == docs.count(), "left join must keep every doc")
+    // invariant: every component maps to exactly one split
+    val comp = Dedup.connectedComponents(pairs).toDF("doc_id", "root")
+    val spans = out.join(comp, "doc_id")
+      .groupBy("root").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    assert(spans == 0, "a near-dup cluster crossed a split boundary")
+    assert(comp.count() > 0, "fixture must actually have near-dup clusters")
+    // unclustered docs get exactly the plain hash split
+    val plain = Sampling.assignSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = comp.select("doc_id").as[Long].collect().toSet
+    out.select("doc_id", "split").as[(Long, String)].collect()
+      .filterNot { case (id, _) => clustered(id) }
+      .foreach { case (id, sp) =>
+        assert(sp == plain(id), s"singleton $id diverged from assignSplit")
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // sourceOverlap — estimator quality + set-min law
+  // ------------------------------------------------------------------
+
+  test("sourceOverlap estimate tracks exact corpus Jaccard; self-dup sources agree") {
+    import spark.implicits._
+    // three synthetic sources: A and B share half their shingle stream,
+    // C is disjoint; A2 is a row-duplicated copy of A (multiset ≠ set —
+    // the min-hash must not care)
+    val words = (0 until 40).map(i => s"w$i")
+    def doc(ws: Seq[String]) = ws.mkString(" ")
+    val a = (0 until 20).map(i => ("A", doc(words.slice(i, i + 6))))
+    val b = (0 until 20).map(i =>
+      ("B", doc(if (i < 10) words.slice(i, i + 6)
+                else words.slice(i, i + 6).map(_.toUpperCase))))
+    val c = (0 until 20).map(i => ("C", doc(words.slice(i, i + 6).map("x" + _))))
+    val a2 = (a ++ a ++ a).map { case (_, t) => ("A2", t) }
+    val df = (a ++ b ++ c ++ a2).toDF("source", "text")
+    val got = graft.operators.Corpus
+      .sourceOverlap(df, "source", "text", n = 3, k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("A", "A2")) == 1.0,
+      "row-duplicated corpus must have identical signature (set semantics)")
+    assert(got(("A", "C")) == 0.0 && got(("A2", "C")) == 0.0)
+    // exact Jaccard of A vs B shingle sets for the error bound
+    def shset(rows: Seq[(String, String)]) = rows.flatMap { case (_, t) =>
+      val ts = t.split("\\s+").toSeq
+      if (ts.length < 3) Seq(ts.mkString(" "))
+      else ts.sliding(3).map(_.mkString(" ")).toSeq
+    }.toSet
+    val exact = {
+      val sa = shset(a); val sb = shset(b)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(math.abs(got(("A", "B")) - exact) <= 0.2,
+      s"k=64 estimate ${got(("A", "B"))} too far from exact $exact")
+  }
+
+  test("sourceOverlap output shape: strict upper triangle, matches in [0,k]") {
+    val out = graft.operators.Corpus
+      .sourceOverlap(docs, "source", "text", n = 3, k = 16).collect()
+    val srcs = docs.select("source").distinct().count()
+    assert(out.length == srcs * (srcs - 1) / 2, "one row per unordered pair")
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val m = r.getLong(2)
+      assert(m >= 0 && m <= 16)
+      assert(r.getDouble(3) == math.rint(m / 16.0 * 1e4) / 1e4)
+    }
+  }
 }
 
 /** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]
