@@ -432,9 +432,10 @@ object Sampling {
       s"maxBucketRows must be positive, got $maxBucketRows")
     val id = col(idCol)
     val scored = df.withColumn("__cur_score",
-      when(score.isNull, raise_error(lit(
-        "curriculumShards: NULL score — a curriculum needs a total " +
-          "order; coalesce or filter NULL scores first")))
+      when(score.isNull || isnan(score.cast("double")), raise_error(lit(
+        "curriculumShards: NULL/NaN score — a curriculum needs a total " +
+          "order (Spark orders NaN last but compares it as largest, so " +
+          "an external replay would diverge); coalesce or filter first")))
         .otherwise(score.cast("double")))
     // 1. deterministic pivot rows: the `pivots` smallest md5-uniform
     //    draws over ids (order-statistics sample — uniform over rows,

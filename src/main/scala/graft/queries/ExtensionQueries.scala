@@ -4728,6 +4728,43 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q123 — one-pass column profiler (ingest data-quality gate): counts,
+  //        nulls, native-type min/max, HLL++ distinct. Exact fields are
+  //        replayed by the oracle; the approximate distinct gets the q31
+  //        verdict treatment (in-query 5% check vs exact, oracle pins 1).
+  // -------------------------------------------------------------------
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+    val prof = graft.operators.Profiler.profile(o, cols)
+    val exact = o
+      .agg(countDistinct(col(cols.head)).as(cols.head),
+        cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).as("exact"))): _*)).as("e"))
+      .select("e.*")
+    sorted(prof.join(exact, "column")
+      .select(col("column").as("col_name"), col("n_rows"), col("n_null"),
+        col("min_value"), col("max_value"),
+        (abs(col("approx_distinct") - col("exact"))
+          <= col("exact") * lit(0.05)).cast("int").as("distinct_ok")))
+  }
+
+  val q123Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_null,
+         |       CAST(min($c) AS VARCHAR) AS min_value,
+         |       CAST(max($c) AS VARCHAR) AS max_value,
+         |       CAST(1 AS INT) AS distinct_ok
+         |FROM orders""".stripMargin
+    Seq("o_custkey", "o_orderstatus", "o_orderpriority").map(one)
+      .mkString("", "\nUNION ALL\n", "\n") +
+      """ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4836,6 +4873,7 @@ object ExtensionQueries {
     ("q119_curation_v2", q119 _, q119Sql),
     ("q120_curriculum_shards", q120 _, q120Sql),
     ("q121_source_overlap", q121 _, q121Sql),
-    ("q122_leaksafe_split", q122 _, q122Sql)
+    ("q122_leaksafe_split", q122 _, q122Sql),
+    ("q123_profile", q123 _, q123Sql)
   )
 }

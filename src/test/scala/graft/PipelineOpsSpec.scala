@@ -2391,7 +2391,14 @@ class PipelineOpsSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       Sampling.curriculumShards(nulled, "doc_id", col("sc"), 4).collect()
     }
-    assert(e1.getMessage.contains("NULL score"))
+    assert(e1.getMessage.contains("NULL/NaN score"))
+    val nan = docs.withColumn("sc",
+      when(col("doc_id") === 3L, lit(Double.NaN))
+        .otherwise(col("n_chars").cast("double")))
+    val e1b = intercept[Exception] {
+      Sampling.curriculumShards(nan, "doc_id", col("sc"), 4).collect()
+    }
+    assert(e1b.getMessage.contains("NULL/NaN score"))
     val e2 = intercept[IllegalStateException] {
       Sampling.curriculumShards(docs, "doc_id",
         col("n_chars").cast("double"), numShards = 4, pivots = 2,
@@ -2426,6 +2433,35 @@ class PipelineOpsSpec extends SparkSpec {
       .foreach { case (id, sp) =>
         assert(sp == plain(id), s"singleton $id diverged from assignSplit")
       }
+  }
+
+  // ------------------------------------------------------------------
+  // Profiler — one-pass stats: exact fields exact, native-type min/max
+  // ------------------------------------------------------------------
+
+  test("profile: nulls, native-type min/max, distinct within rsd; one pass") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, -10.5, "b"), (2L, 9.0, "a"), (3L, null, "b"),
+      (4L, 2.0, null), (5L, -10.5, "a")
+    ).toDF("id", "x", "s")
+    val p = graft.operators.Profiler.profile(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("id") == ((5L, 0L, 5L, "1", "5")))
+    // native-type ordering: min is -10.5, NOT the string-least "2.0"
+    val (n, nulls, d, lo, hi) = p("x")
+    assert((n, nulls) == ((5L, 1L)) && lo == "-10.5" && hi == "9.0")
+    assert(d == 3L, "tiny cardinalities are exact in HLL++ sparse mode")
+    assert(p("s") == ((5L, 1L, 2L, "a", "b")))
+    // the profile is ONE aggregation: no expand (exact-distinct) node
+    val plan = graft.operators.Profiler.profile(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "profiler must not plan exact distincts")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Profiler.profile(df, Seq("nope"))
+    }
+    assert(e.getMessage.contains("no such column"))
   }
 
   // ------------------------------------------------------------------
