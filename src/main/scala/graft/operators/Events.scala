@@ -293,4 +293,45 @@ object Events {
     bounded.select(left.columns.toSeq.map(col) ++
       rPay.map(p => col("__asof").getField(p).as(p)): _*)
   }
+
+  /** Ingest-volume anomaly report: per (group, day) event counts scored
+    * against the TRAILING `window` days' mean/stddev — the monitoring
+    * query a pipeline runs before trusting a day's data (a collapsed
+    * crawler or a double-delivered feed shows up as |z| > `z` long
+    * before any content-level check fires).
+    *
+    * The window runs at DAY grain: its input is one row per (group,
+    * day) — bounded by calendar time, never by event volume (36,525
+    * rows per group-century), so the keyed window is driver-scale even
+    * at 100 TB of events; the only data-sized work is the first
+    * aggregation, which map-side combines. The current day is EXCLUDED
+    * from its own baseline (rows -window..-1): a 10× spike must not
+    * defend itself by inflating the stats it is judged against.
+    *
+    * zscore and is_anomaly are NULL while the baseline is undefined
+    * (fewer than 2 trailing days, or zero variance) — explicitly, so
+    * engines that differ on x/0 and NULL-vs-false CASE semantics
+    * replay bit-identically.
+    *
+    * Output: groupCols + (day, n, mu, sigma, zscore, is_anomaly). */
+  def volumeAnomalies(events: DataFrame, tsCol: String = "ts",
+                      groupCols: Seq[String] = Nil,
+                      window: Int = 7, z: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2 trailing days, got $window")
+    val daily = events
+      .groupBy((groupCols.map(col) :+ date_trunc("DAY", col(tsCol)).as("day")): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("day").asc).rowsBetween(-window, -1)
+    val sigma = stddev_samp(col("n")).over(w)
+    daily
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sigma", sigma)
+      .withColumn("zscore",
+        when(col("sigma").isNull || col("sigma") === 0.0, lit(null))
+          .otherwise((col("n") - col("mu")) / col("sigma")))
+      .withColumn("is_anomaly",
+        when(col("zscore").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("zscore")) > z).cast("int")))
+  }
 }

@@ -359,10 +359,25 @@ object Sampling {
     * within-partition sort feeds the writer directly. */
   def writeShards(df: DataFrame, idCol: String, numShards: Int,
                   path: String, salt: String = ""): Unit =
-    shuffleShards(df, idCol, numShards, salt)
+    writeAssigned(shuffleShards(df, idCol, numShards, salt), numShards, path)
+
+  /** Materialize ANY (shard, pos)-assigned frame ([[shuffleShards]],
+    * [[curriculumShards]]) as the loader-ready layout: parquet
+    * hive-partitioned by `shard`, each shard's rows laid down in `pos`
+    * order (repartition on the shard key → sortWithinPartitions → one
+    * writer and ONE ordered file per shard), so a training loader
+    * streams `shard=k/` sequentially with no reader-side sort. Adds
+    * nothing beyond the assignment's own shuffles — the
+    * within-partition sort feeds the writer directly. */
+  def writeAssigned(assigned: DataFrame, numShards: Int, path: String): Unit = {
+    require(assigned.columns.contains("shard") && assigned.columns.contains("pos"),
+      "writeAssigned expects a (shard, pos)-assigned frame " +
+        "(shuffleShards / curriculumShards output)")
+    assigned
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 
   /** Leakage-safe split: near-dup CLUSTERS travel together, so a
     * document can never sit in `train` while its near-duplicate sits in

@@ -4765,6 +4765,41 @@ object ExtensionQueries {
         |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q124 — ingest-volume anomaly report: per (event_type, day) counts
+  //        z-scored against the trailing-7-day mean/stddev (current day
+  //        excluded from its own baseline). NULL zscore while the
+  //        baseline is undefined — spelled out on BOTH sides because
+  //        engines disagree on x/0 and CASE-over-NULL defaults.
+  // -------------------------------------------------------------------
+  def q124(s: SparkSession, dir: String): DataFrame =
+    sorted(Events.volumeAnomalies(events(s, dir), "ts", Seq("event_type"),
+      window = 7, z = 2.0)
+      .withColumn("mu", round(col("mu"), 4))
+      .withColumn("sigma", round(col("sigma"), 4))
+      .withColumn("zscore", round(col("zscore"), 4)))
+
+  val q124Sql: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT event_type, day, n,
+      |         avg(n) OVER win AS mu,
+      |         stddev_samp(n) OVER win AS sigma
+      |  FROM d
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, day, n, round(mu, 4) AS mu, round(sigma, 4) AS sigma,
+      |       CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+      |            ELSE round((n - mu) / sigma, 4) END AS zscore,
+      |       CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+      |            WHEN abs((n - mu) / sigma) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+      |FROM w
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4874,6 +4909,7 @@ object ExtensionQueries {
     ("q120_curriculum_shards", q120 _, q120Sql),
     ("q121_source_overlap", q121 _, q121Sql),
     ("q122_leaksafe_split", q122 _, q122Sql),
-    ("q123_profile", q123 _, q123Sql)
+    ("q123_profile", q123 _, q123Sql),
+    ("q124_volume_anomalies", q124 _, q124Sql)
   )
 }

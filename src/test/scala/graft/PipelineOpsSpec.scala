@@ -2436,6 +2436,52 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // volumeAnomalies — planted spike fires; baseline excludes self
+  // ------------------------------------------------------------------
+
+  test("volumeAnomalies: planted 10× day fires, steady days don't, self excluded") {
+    import spark.implicits._
+    // 20 days × 100 events ± small wiggle, day 15 spiked to 1000
+    val rows = (1 to 20).flatMap { d =>
+      val n = if (d == 15) 1000 else 100 + (d % 3)
+      (0 until n).map(i => (f"2024-02-$d%02d 12:00:00", s"e$i"))
+    }
+    val ev = rows.toDF("ts_s", "x").select(to_timestamp(col("ts_s")).as("ts"))
+    val out = graft.operators.Events.volumeAnomalies(ev, "ts", Nil,
+      window = 7, z = 3.0)
+      .select(dayofmonth(col("day")).as("d"), col("n"), col("is_anomaly"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+    assert(out(15) == ((1000L, Some(1))), "the 10× day must flag")
+    assert(out(1)._2.isEmpty, "day 1 has no trailing baseline")
+    assert(out(2)._2.isEmpty, "day 2 has a 1-day baseline (stddev undefined)")
+    (4 to 14).foreach(d => assert(out(d)._2.contains(0), s"steady day $d flagged"))
+    // day 16's baseline CONTAINS the spike (wide sigma) -> not anomalous;
+    // if the current day leaked into its own baseline, day 15 couldn't fire
+    assert(out(16)._2.contains(0))
+  }
+
+  test("writeAssigned exports curriculumShards loader-ready; rejects unassigned frames") {
+    val path = java.nio.file.Files.createTempDirectory("curr_out").toString
+    val assigned = Sampling.curriculumShards(docs, "doc_id",
+      col("n_chars").cast("double"), numShards = 4, pivots = 8)
+    Sampling.writeAssigned(assigned, 4, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    // within every shard, pos order == ascending (n_chars, doc_id) order
+    back.select("shard", "pos", "n_chars", "doc_id").collect()
+      .groupBy(_.getInt(0)).foreach { case (_, rs) =>
+        val byPos = rs.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2).toDouble, r.getLong(3))).toSeq
+        assert(byPos == byPos.sorted, "shard not in curriculum order")
+      }
+    val e = intercept[IllegalArgumentException] {
+      Sampling.writeAssigned(docs, 4, path)
+    }
+    assert(e.getMessage.contains("(shard, pos)-assigned"))
+  }
+
+  // ------------------------------------------------------------------
   // Profiler — one-pass stats: exact fields exact, native-type min/max
   // ------------------------------------------------------------------
 
