@@ -316,17 +316,25 @@ object Events {
     * Output: groupCols + (day, n, mu, sigma, zscore, is_anomaly). */
   def volumeAnomalies(events: DataFrame, tsCol: String = "ts",
                       groupCols: Seq[String] = Nil,
-                      window: Int = 7, z: Double = 3.0): DataFrame = {
+                      window: Int = 7, z: Double = 3.0): DataFrame =
+    scoreDailyCounts(
+      events.groupBy(
+        (groupCols.map(col) :+ date_trunc("DAY", col(tsCol)).as("day")): _*)
+        .agg(count(lit(1)).as("n")),
+      groupCols, window, z)
+
+  /** The scoring tail of [[volumeAnomalies]], public so the STREAMING
+    * path can reuse it verbatim on a maintained day-count sink
+    * ([[graft.streaming.EventsStreaming.anomaliesFromSink]]): input is
+    * the already-aggregated (groupCols..., day, n) frame. */
+  def scoreDailyCounts(daily: DataFrame, groupCols: Seq[String] = Nil,
+                       window: Int = 7, z: Double = 3.0): DataFrame = {
     require(window >= 2, s"window must be >= 2 trailing days, got $window")
-    val daily = events
-      .groupBy((groupCols.map(col) :+ date_trunc("DAY", col(tsCol)).as("day")): _*)
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("day").asc).rowsBetween(-window, -1)
-    val sigma = stddev_samp(col("n")).over(w)
     daily
       .withColumn("mu", avg(col("n")).over(w))
-      .withColumn("sigma", sigma)
+      .withColumn("sigma", stddev_samp(col("n")).over(w))
       .withColumn("zscore",
         when(col("sigma").isNull || col("sigma") === 0.0, lit(null))
           .otherwise((col("n") - col("mu")) / col("sigma")))

@@ -4800,6 +4800,59 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q125 — composed pipeline v3: leakage-safe split (near-dup clusters
+  //        travel together) → train slice → EXACT length-curriculum
+  //        shards, the whole chain under ONE oracle hash (the q106/q119
+  //        doctrine): closure, md5 split, and rank arithmetic replayed
+  //        stage by stage in DuckDB.
+  // -------------------------------------------------------------------
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8,
+      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
+    val train = Sampling.leakSafeSplit(d, "doc_id", pairs)
+      .filter(col("split") === "train")
+    sorted(Sampling.curriculumShards(train, "doc_id",
+      col("n_chars").cast("double"), numShards = 4, pivots = 16)
+      .select(col("doc_id"), col("shard"), col("pos")))
+  }
+
+  val q125Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), tr AS (
+      |  SELECT d.doc_id, d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |  WHERE CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id)
+      |          AS VARCHAR)), 1, 15)) AS BIGINT)
+      |          / 1152921504606846976.0 < 0.8
+      |), r AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id)
+      |           - 1 AS rk
+      |  FROM tr
+      |)
+      |SELECT doc_id, CAST(rk % 4 AS INT) AS shard,
+      |       CAST(rk // 4 AS BIGINT) AS pos
+      |FROM r
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4910,6 +4963,7 @@ object ExtensionQueries {
     ("q121_source_overlap", q121 _, q121Sql),
     ("q122_leaksafe_split", q122 _, q122Sql),
     ("q123_profile", q123 _, q123Sql),
-    ("q124_volume_anomalies", q124 _, q124Sql)
+    ("q124_volume_anomalies", q124 _, q124Sql),
+    ("q125_split_curriculum", q125 _, q125Sql)
   )
 }

@@ -93,6 +93,38 @@ object EventsStreaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Day-grain counts for the streaming anomaly monitor: the
+    * watermarked tumbling aggregation at "1 day" width. Run it into a
+    * parquet sink via [[startToCubeSink]]; score any time with
+    * [[anomaliesFromSink]]. State is one row per open (day, group) —
+    * bounded by the watermark, independent of event volume. */
+  def dailyCounts(events: DataFrame, groupCols: Seq[String] = Nil,
+                  lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy((window(col("ts"), "1 day").as("w")) +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("w.start").as("day") +: groupCols.map(col) :+ col("n")): _*)
+
+  /** Score the maintained day-count sink with the BATCH scoring tail
+    * ([[graft.operators.Events.scoreDailyCounts]]) — the streaming twin
+    * of `volumeAnomalies`. The heavy work (per-event counting) happened
+    * incrementally in the stream; this reads the day-grain sink
+    * (calendar-bounded rows) and applies the trailing-window z-score.
+    * `max` per (day, group) makes the read idempotent under an
+    * at-least-once sink replay (a day's final count is the largest
+    * emission). Days still open behind the watermark haven't been
+    * emitted yet and are absent — by design: a day is only judged once
+    * it is complete. */
+  def anomaliesFromSink(spark: SparkSession, sinkDir: String,
+                        groupCols: Seq[String] = Nil,
+                        window: Int = 7, z: Double = 3.0): DataFrame = {
+    val daily = spark.read.parquet(sinkDir)
+      .groupBy((col("day") +: groupCols.map(col)): _*)
+      .agg(max(col("n")).as("n"))
+    graft.operators.Events.scoreDailyCounts(daily, groupCols, window, z)
+  }
+
   /** Stream-static POINT-IN-TIME enrichment: every streamed fact row is
     * joined to the dimension version valid at its own timestamp — the
     * streaming twin of the q63 batch path

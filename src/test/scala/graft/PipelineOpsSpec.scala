@@ -2371,6 +2371,31 @@ class PipelineOpsSpec extends SparkSpec {
       "assignment must not depend on input partitioning")
   }
 
+  test("curriculumShards generative: random heavy-tie scores ≡ local rank (20 seeds)") {
+    import spark.implicits._
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(160)
+      // few distinct scores -> many ties; ids shuffled so input order
+      // never accidentally equals rank order
+      val rows = rnd.shuffle((0 until n).toList)
+        .map(id => (id.toLong, rnd.nextInt(6).toDouble))
+      val d = rows.toDF("id", "sc").repartition(1 + rnd.nextInt(7))
+      val got = Sampling.curriculumShards(d, "id", col("sc"),
+        numShards = 1 + rnd.nextInt(5), pivots = 1 + rnd.nextInt(12))
+        .select("id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      val num = got.values.map(_._1).max + 1 // recover numShards lower bound
+      val local = rows.sortBy { case (id, sc) => (sc, id) }.zipWithIndex
+        .map { case ((id, _), rk) => id -> rk }.toMap
+      rows.foreach { case (id, _) =>
+        val rk = got(id)._2 * num + got(id)._1
+        assert(rk == local(id),
+          s"seed=$seed id=$id: rank $rk != local ${local(id)} (num=$num)")
+      }
+    }
+  }
+
   test("curriculumShards: score ties broken by id; duplicate scores exact") {
     // every score equal -> rank is pure id order; pivots land on ties
     val d = docs.select(col("doc_id")).withColumn("k", lit(1.0))

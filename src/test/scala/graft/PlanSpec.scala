@@ -764,6 +764,20 @@ class PlanSpec extends SparkSpec {
       "shard ranking funneled through one task — the window lost its key")
   }
 
+  test("curriculum shards: bucket-keyed rank window, literal pivots, no join") {
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.curriculumShards(d, "doc_id",
+      col("n_chars").cast("double"), numShards = 8, pivots = 16)
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    assert(nodes.contains("WindowExec"), s"expected the rank window:\n$nodes")
+    assert(!plan(out).contains("SinglePartition"),
+      "exact-rank window funneled through one task — the bucket key is gone")
+    // pivot boundaries and rank offsets ride as literals: no join anywhere
+    assert(!nodes.exists(_.contains("Join")),
+      s"bucket/offset lookup must be literal arrays, not joins:\n$nodes")
+  }
+
   test("keep-best dedup picks winners via aggregation, never a per-cluster window") {
     import spark.implicits._
     import graft.operators.Dedup

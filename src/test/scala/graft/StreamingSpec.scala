@@ -37,6 +37,29 @@ class StreamingSpec extends SparkSpec {
     assert(a.except(batch).count() == 0 && batch.except(a).count() == 0)
   }
 
+  test("streaming anomaly monitor ≡ batch volumeAnomalies on emitted days") {
+    val sink = java.nio.file.Files.createTempDirectory("anom_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("anom_ckpt").toString
+    val stream = EventsStreaming.readEvents(spark, streamDir)
+    val q = EventsStreaming.startToCubeSink(
+      EventsStreaming.dailyCounts(stream, Seq("event_type"), "1 minute"),
+      sink, ckpt)
+    q.awaitTermination(120000)
+    val streamed = EventsStreaming.anomaliesFromSink(spark, sink,
+      Seq("event_type"), window = 7, z = 2.0)
+    val emittedDays = spark.read.parquet(sink).select("day").distinct()
+    val batch = Events.volumeAnomalies(
+      graft.sources.Sources.readEvents(spark, sfDir), "ts",
+      Seq("event_type"), window = 7, z = 2.0)
+      .join(emittedDays, "day", "left_semi")
+    assert(streamed.count() > 0, "stream must emit watermark-closed days")
+    val cols = Seq("event_type", "day", "n", "mu", "sigma", "zscore", "is_anomaly")
+    val a = streamed.select(cols.head, cols.tail: _*)
+    val b = batch.select(cols.head, cols.tail: _*)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "streaming anomaly report must equal the batch report on closed days")
+  }
+
   test("stream-to-cube: windowed sink queried as a navigable cube") {
     import graft.query.dsl._
     val sink = java.nio.file.Files.createTempDirectory("cube_sink").toString
