@@ -531,8 +531,14 @@ object Corpus {
                     n: Int = 3, k: Int = 32): DataFrame = {
     require(n > 0, s"shingle width must be positive, got $n")
     require(k > 0 && k <= 256, s"k must be in [1, 256], got $k")
+    // empty tokens stripped BEFORE shingling: a blank/whitespace doc
+    // would otherwise contribute the universal shingle "" to its whole
+    // source, manufacturing overlap between disjoint corpora (tokens()
+    // on "" yields [""]); token-free docs contribute nothing
     val sh = docs
-      .select(col(sourceCol).as("src"), tokens(col(textCol)).as("toks"))
+      .select(col(sourceCol).as("src"),
+        array_remove(tokens(col(textCol)), "").as("toks"))
+      .where(size(col("toks")) >= 1)
       .select(col("src"), explode(shinglesFromTokens(col("toks"), n)).as("s"))
     val mins = (0 until k).map(i =>
       min(tokenHash60(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))

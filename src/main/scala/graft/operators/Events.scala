@@ -326,13 +326,33 @@ object Events {
   /** The scoring tail of [[volumeAnomalies]], public so the STREAMING
     * path can reuse it verbatim on a maintained day-count sink
     * ([[graft.streaming.EventsStreaming.anomaliesFromSink]]): input is
-    * the already-aggregated (groupCols..., day, n) frame. */
+    * the already-aggregated (groupCols..., day, n) frame.
+    *
+    * The day axis is DENSIFIED before scoring — each group's calendar
+    * is filled from its own first day through the GLOBAL last day with
+    * n = 0 — because the monitor's headline failure mode is a feed that
+    * goes silent: a zero-event day produces no aggregate row at all, so
+    * a ROWS frame over observed rows alone would never score it (and a
+    * long gap would silently stretch "trailing 7 days" across months).
+    * With a dense axis the row frame IS the calendar frame, and a
+    * collapsed feed fires on its first silent day. Densification stays
+    * day-grain (a sequence explode per group over its own span) — never
+    * data-sized. */
   def scoreDailyCounts(daily: DataFrame, groupCols: Seq[String] = Nil,
                        window: Int = 7, z: Double = 3.0): DataFrame = {
     require(window >= 2, s"window must be >= 2 trailing days, got $window")
-    val w = Window.partitionBy(groupCols.map(col): _*)
+    val gc = groupCols.map(col)
+    val spanEnd = daily.agg(max(col("day")).as("__gmax"))
+    val dense = daily
+      .groupBy(gc: _*).agg(min(col("day")).as("__gmin"))
+      .crossJoin(graft.model.Joins.maybeBroadcast(spanEnd))
+      .select(gc :+ explode(sequence(col("__gmin"), col("__gmax"),
+        expr("INTERVAL 1 DAY"))).as("day"): _*)
+      .join(daily, groupCols :+ "day", "left")
+      .na.fill(0L, Seq("n"))
+    val w = Window.partitionBy(gc: _*)
       .orderBy(col("day").asc).rowsBetween(-window, -1)
-    daily
+    dense
       .withColumn("mu", avg(col("n")).over(w))
       .withColumn("sigma", stddev_samp(col("n")).over(w))
       .withColumn("zscore",

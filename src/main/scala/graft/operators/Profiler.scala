@@ -30,10 +30,23 @@ import org.apache.spark.sql.functions._
 object Profiler {
 
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
-    val use = if (cols.nonEmpty) cols else df.columns.toSeq
+    // min/max need an ordering and the HLL needs a hashable type —
+    // map columns have neither. The all-columns default SKIPS them
+    // (profiling everything profilable beats aborting the gate on one
+    // metadata map); an explicitly requested unorderable column fails
+    // by name.
+    def orderable(c: String): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(df.schema(c).dataType)
+    val use =
+      if (cols.nonEmpty) cols else df.columns.toSeq.filter(orderable)
     require(use.nonEmpty, "profile: no columns to profile")
     val missing = use.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    val bad = use.filterNot(orderable)
+    require(bad.isEmpty,
+      s"profile: unorderable column type(s) (maps?) cannot be profiled: " +
+        bad.map(c => s"$c: ${df.schema(c).dataType.simpleString}").mkString(", "))
     val aggs = count(lit(1)).as("__rows") +: use.flatMap(c => Seq(
       count(col(c)).as(s"__n_$c"),
       approx_count_distinct(col(c), 0.01).as(s"__d_$c"),

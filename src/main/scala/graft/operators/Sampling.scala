@@ -446,12 +446,16 @@ object Sampling {
     require(maxBucketRows > 0,
       s"maxBucketRows must be positive, got $maxBucketRows")
     val id = col(idCol)
+    // guard on the CASTED value: a non-numeric score ("n/a") casts to
+    // NULL, which would silently sort nulls-first into the front of the
+    // curriculum if only the raw column were null-checked
+    val casted = score.cast("double")
     val scored = df.withColumn("__cur_score",
-      when(score.isNull || isnan(score.cast("double")), raise_error(lit(
+      when(casted.isNull || isnan(casted), raise_error(lit(
         "curriculumShards: NULL/NaN score — a curriculum needs a total " +
           "order (Spark orders NaN last but compares it as largest, so " +
           "an external replay would diverge); coalesce or filter first")))
-        .otherwise(score.cast("double")))
+        .otherwise(casted))
     // 1. deterministic pivot rows: the `pivots` smallest md5-uniform
     //    draws over ids (order-statistics sample — uniform over rows,
     //    stable across runs/partitionings), collected as (score, id)

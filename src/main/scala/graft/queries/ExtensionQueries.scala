@@ -4665,13 +4665,16 @@ object ExtensionQueries {
       .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH toks AS (
-      |  SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents
+      |  SELECT source, list_filter(string_split_regex(trim(text), '\\s+'),
+      |                             x -> x <> '') t
+      |  FROM documents
       |), sh AS (
       |  SELECT source, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
       |  WHERE len(t) >= 3
       |  UNION ALL
-      |  SELECT source, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+      |  SELECT source, array_to_string(t, ' ') AS s FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 2
       |), mh AS (
       |  SELECT source,
       |         $mins
@@ -4780,9 +4783,20 @@ object ExtensionQueries {
       .withColumn("zscore", round(col("zscore"), 4)))
 
   val q124Sql: String =
-    """WITH d AS (
+    """WITH d0 AS (
       |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
       |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT event_type, min(day) AS gmin FROM d0 GROUP BY 1
+      |), gmax AS (
+      |  SELECT max(day) AS gmax FROM d0
+      |), d AS (
+      |  SELECT s.event_type, gs.day, coalesce(d0.n, 0) AS n
+      |  FROM span s
+      |  CROSS JOIN gmax g
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+      |    s.gmin, g.gmax, INTERVAL 1 DAY)) AS day) gs
+      |  LEFT JOIN d0 ON d0.event_type = s.event_type AND d0.day = gs.day
       |), w AS (
       |  SELECT event_type, day, n,
       |         avg(n) OVER win AS mu,

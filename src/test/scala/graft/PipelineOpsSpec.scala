@@ -2424,6 +2424,19 @@ class PipelineOpsSpec extends SparkSpec {
       Sampling.curriculumShards(nan, "doc_id", col("sc"), 4).collect()
     }
     assert(e1b.getMessage.contains("NULL/NaN score"))
+    // a NON-NUMERIC score must fail loudly, never sort nulls-first into
+    // the front of the curriculum: under ANSI (the default) the cast
+    // itself raises CAST_INVALID_INPUT; with ANSI off the cast yields
+    // NULL and the named guard catches it (the guard checks the CASTED
+    // value for exactly this reason)
+    val textScore = docs.withColumn("sc",
+      when(col("doc_id") === 3L, lit("n/a"))
+        .otherwise(col("n_chars").cast("string")))
+    val e1c = intercept[Exception] {
+      Sampling.curriculumShards(textScore, "doc_id", col("sc"), 4).collect()
+    }
+    assert(e1c.getMessage.contains("NULL/NaN score")
+      || e1c.getMessage.contains("CAST_INVALID_INPUT"))
     val e2 = intercept[IllegalStateException] {
       Sampling.curriculumShards(docs, "doc_id",
         col("n_chars").cast("double"), numShards = 4, pivots = 2,
@@ -2464,10 +2477,12 @@ class PipelineOpsSpec extends SparkSpec {
   // volumeAnomalies — planted spike fires; baseline excludes self
   // ------------------------------------------------------------------
 
-  test("volumeAnomalies: planted 10× day fires, steady days don't, self excluded") {
+  test("volumeAnomalies: 10× spike AND silent day both fire; self excluded") {
     import spark.implicits._
-    // 20 days × 100 events ± small wiggle, day 15 spiked to 1000
-    val rows = (1 to 20).flatMap { d =>
+    // 20 days × ~100 events, day 15 spiked to 1000, day 10 fully SILENT
+    // (no rows at all — the collapsed-crawler case: only densification
+    // can score it)
+    val rows = (1 to 20).filter(_ != 10).flatMap { d =>
       val n = if (d == 15) 1000 else 100 + (d % 3)
       (0 until n).map(i => (f"2024-02-$d%02d 12:00:00", s"e$i"))
     }
@@ -2477,13 +2492,17 @@ class PipelineOpsSpec extends SparkSpec {
       .select(dayofmonth(col("day")).as("d"), col("n"), col("is_anomaly"))
       .collect().map(r => r.getInt(0) ->
         ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+    assert(out.size == 20, "the silent day must be densified into the report")
+    assert(out(10) == ((0L, Some(1))), "the zero-event day must flag")
     assert(out(15) == ((1000L, Some(1))), "the 10× day must flag")
     assert(out(1)._2.isEmpty, "day 1 has no trailing baseline")
     assert(out(2)._2.isEmpty, "day 2 has a 1-day baseline (stddev undefined)")
-    (4 to 14).foreach(d => assert(out(d)._2.contains(0), s"steady day $d flagged"))
-    // day 16's baseline CONTAINS the spike (wide sigma) -> not anomalous;
-    // if the current day leaked into its own baseline, day 15 couldn't fire
-    assert(out(16)._2.contains(0))
+    (4 to 9).foreach(d => assert(out(d)._2.contains(0), s"steady day $d flagged"))
+    // days 11-14 baseline contains the zero day (wide sigma) -> calm;
+    // day 16's contains the spike -> calm. If the current day leaked
+    // into its own baseline, neither day 10 nor 15 could fire.
+    ((11 to 14) ++ Seq(16)).foreach(d =>
+      assert(out(d)._2.contains(0), s"day $d flagged"))
   }
 
   test("writeAssigned exports curriculumShards loader-ready; rejects unassigned frames") {
@@ -2533,6 +2552,18 @@ class PipelineOpsSpec extends SparkSpec {
       graft.operators.Profiler.profile(df, Seq("nope"))
     }
     assert(e.getMessage.contains("no such column"))
+    // map columns are unorderable: the all-columns default skips them,
+    // an explicit request fails by name (not with an AnalysisException
+    // from deep inside min())
+    val withMap = df.withColumn("m",
+      map(col("id").cast("string"), col("id"))) // non-null keys (ANSI)
+    assert(graft.operators.Profiler.profile(withMap)
+      .select("column").collect().map(_.getString(0)).toSet
+      == Set("id", "x", "s"), "default profile must skip the map column")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Profiler.profile(withMap, Seq("m"))
+    }
+    assert(e2.getMessage.contains("unorderable"))
   }
 
   // ------------------------------------------------------------------
@@ -2552,7 +2583,10 @@ class PipelineOpsSpec extends SparkSpec {
                 else words.slice(i, i + 6).map(_.toUpperCase))))
     val c = (0 until 20).map(i => ("C", doc(words.slice(i, i + 6).map("x" + _))))
     val a2 = (a ++ a ++ a).map { case (_, t) => ("A2", t) }
-    val df = (a ++ b ++ c ++ a2).toDF("source", "text")
+    // blank docs planted in A and C: without empty-token stripping they
+    // would share the universal "" shingle and fake A↔C overlap
+    val blanks = Seq(("A", ""), ("A", "   "), ("C", ""))
+    val df = (a ++ b ++ c ++ a2 ++ blanks).toDF("source", "text")
     val got = graft.operators.Corpus
       .sourceOverlap(df, "source", "text", n = 3, k = 64)
       .collect()
