@@ -43,14 +43,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   */
 object AnnKernels {
 
-  /** Spark's SQL double ordering (SQLOrderingUtil.compareDoubles):
-    * -0.0 == 0.0, NaN greatest, NaN == NaN. */
+  /** Spark's SQL double ordering, called directly (not re-derived, so a
+    * Spark upgrade can never drift the kernels' tie-breaks from the
+    * expression trees they replaced): -0.0 == 0.0, NaN greatest,
+    * NaN == NaN. */
   def cmpDouble(x: Double, y: Double): Int =
-    if (x < y) -1
-    else if (x > y) 1
-    else if (x == y) 0
-    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
-    else -1
+    org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(x, y)
 
   /** Copy to a primitive array; null on a null element (post-normalize
     * vectors are containsNull=false, so this check never fires in the

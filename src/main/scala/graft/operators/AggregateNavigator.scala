@@ -323,7 +323,10 @@ object AggregateNavigator {
       s"over-retraction at $root: some cells lost more rows than " +
         "they ever held — the retraction set contains rows that were " +
         "never ingested")
-    val folded = merged.filter(col(RowCountCol) > 0)
+    // folded is consumed by every per-grain untouched branch of the
+    // final union — checkpoint it (the `touched` pattern) or the scan +
+    // fold re-executes once per grain in the write job
+    val folded = merged.filter(col(RowCountCol) > 0).localCheckpoint(true)
     // touched keys: the retraction's distinct finest-grain tuples —
     // delta-sized by construction, materialized once and fed into every
     // per-grain repair join through the size-guarded broadcast policy
@@ -332,16 +335,23 @@ object AggregateNavigator {
     val touched = retraction.select(gcols.map(col): _*).distinct()
       .localCheckpoint(true)
     val schema = retractRaw.schema
+    // repair joins are NULL-SAFE on the grain keys: a grain column can
+    // legitimately hold NULL (gid already separates "not in grain"), and
+    // an equi-join would leave NULL-keyed touched cells in "untouched"
+    // with the stale folded min/max — silently violating ≡-rebuild
+    def nullSafe(l: DataFrame, r: DataFrame, keys: Seq[String]) =
+      keys.map(k => l(k) <=> r(k)).reduce(_ && _)
     val kept = grains.map { case (_, g) =>
       val gid = gidOf(g)
       val tg = graft.model.Joins.maybeBroadcast(
         touched.select(g.map(col): _*).distinct())
-      val untouched = folded.filter(col("gid") === gid)
-        .join(tg, g, "left_anti")
+      val fg = folded.filter(col("gid") === gid)
+      val untouched = fg
+        .join(tg, nullSafe(fg, tg, g), "left_anti")
       // touched cells rebuilt wholesale from the surviving base — the
       // additive columns come out identical to the fold (rebuild ≡ fold
       // for invertible partials), min/max become correct
-      val rec = base.join(tg, g, "left_semi")
+      val rec = base.join(tg, nullSafe(base, tg, g), "left_semi")
         .groupBy(g.map(col): _*)
         .agg(measures.head.fromBase,
           (measures.tail.map(_.fromBase) :+

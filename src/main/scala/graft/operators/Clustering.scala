@@ -137,7 +137,10 @@ object Clustering {
         s"$pruneFrac + $outlierFrac")
     val k = centroids.length
     val withCl = clusterCol match {
-      case Some(c) => df.withColumn("cluster",
+      // NULL clusters DROP (the documented contract — and concat over a
+      // NULL value would otherwise null the raise_error message itself);
+      // non-NULL out-of-range values still fail by name
+      case Some(c) => df.where(col(c).isNotNull).withColumn("cluster",
         when(col(c).cast("long").between(0, k - 1), col(c).cast("int"))
           .otherwise(raise_error(concat(
             lit(s"prototypePrune: cluster column '$c' value "),

@@ -536,26 +536,29 @@ object Dedup {
       case ShortType   => Some(Ordering.by((v: Any) => v.asInstanceOf[Short].toLong))
       case IntegerType => Some(Ordering.by((v: Any) => v.asInstanceOf[Int].toLong))
       case LongType    => Some(Ordering.by((v: Any) => v.asInstanceOf[Long]))
-      // compare UTF-8 BYTES unsigned, matching Spark's min over strings
-      // (UTF8String.compareTo): Scala's String ordering compares UTF-16
-      // code units, which ranks supplementary-plane characters BELOW
-      // U+E000–U+FFFF — for ids containing such characters the local
-      // fast path would pick a different min root than the distributed
-      // path, making component labels depend on the edge-count threshold
+      // compare CODE POINTS, matching Spark's min over strings
+      // (UTF8String.compareTo = UTF-8 byte order = code-point order):
+      // Scala's String ordering compares UTF-16 code units, which ranks
+      // supplementary-plane characters BELOW U+E000–U+FFFF — for ids
+      // containing such characters the local fast path would pick a
+      // different min root than the distributed path, making component
+      // labels depend on the edge-count threshold. Iterating code points
+      // in place avoids the two fresh byte-array encodes PER COMPARISON
+      // that a getBytes(UTF_8) comparator costs inside the sort/min loop
       case StringType => Some(new Ordering[Any] {
         def compare(x: Any, y: Any): Int = {
           val a = x.asInstanceOf[String]
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val b = y.asInstanceOf[String]
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val n = math.min(a.length, b.length)
           var i = 0
-          while (i < n) {
-            val c = (a(i) & 0xff) - (b(i) & 0xff)
-            if (c != 0) return c
-            i += 1
+          var j = 0
+          while (i < a.length && j < b.length) {
+            val ca = a.codePointAt(i)
+            val cb = b.codePointAt(j)
+            if (ca != cb) return Integer.compare(ca, cb)
+            i += Character.charCount(ca)
+            j += Character.charCount(cb)
           }
-          a.length - b.length
+          Integer.compare(a.length - i, b.length - j)
         }
       })
       case _           => None

@@ -53,16 +53,39 @@ object Retrieval {
     val scored = unioned
       .groupBy("query_id", "doc_id")
       .agg(round(sum(lit(1.0) / (lit(kRrf) + col("rank"))), 4).as("rrf"))
-    // bounded top-k heap per query — the kNN ranking doctrine, never a
-    // full-relation window
-    val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
-      Encoders.product[graft.model.Aggregators.ScoredId])
-    scored
-      .groupBy("query_id")
-      .agg(topk(col("rrf"), col("doc_id").cast("long")).as("tk"))
-      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
-      .select(col("query_id"), col("it.id").as("doc_id"),
-        (col("idx") + 1).cast("int").as("rank"), col("it.score").as("rrf"))
+    // bounded top-k heap per query for integral doc ids — the kNN
+    // ranking doctrine; NON-integral ids (URL/UUID strings) fall back
+    // to a query-keyed window (never data-sized: fusion input is
+    // already ≤ queries × Σ per-retriever k), the rankTopK pattern —
+    // an unconditional cast("long") would null string ids into the
+    // heap's non-nullable encoder
+    val idType = unioned.schema("doc_id").dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId) {
+      val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
+        Encoders.product[graft.model.Aggregators.ScoredId])
+      scored
+        .groupBy("query_id")
+        .agg(topk(col("rrf"), col("doc_id").cast("long")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
+        .select(col("query_id"), col("it.id").cast(idType).as("doc_id"),
+          (col("idx") + 1).cast("int").as("rank"), col("it.score").as("rrf"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("int").as("rank"), col("rrf"))
+    }
   }
 
   /** Convenience hybrid search: BM25 over `docs(idCol, textCol)` fused

@@ -376,6 +376,33 @@ class AggregateNavigatorSpec extends SparkSpec {
     }
   }
 
+  test("min/max base repair handles NULL grain keys (null-safe repair joins)") {
+    // a grain column that is NULL for part of the data: the touched-cell
+    // repair joins must match NULL keys (<=>) or the NULL-keyed cell
+    // keeps its stale folded min/max after the minimum row is retracted
+    val withNull = li.withColumn("rf_n",
+      when(col("l_returnflag") === "N", lit(null).cast("string"))
+        .otherwise(col("l_returnflag")))
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_null").toString
+    AggregateNavigator.buildSummaries(withNull,
+      Seq("rf_n" -> Seq("rf_n")), measures, d)
+    // retract EVERY minimum-quantity row of the NULL-key cell (the
+    // quantity domain is heavily tied — one row would leave the min
+    // unchanged and prove nothing)
+    val nullRows = withNull.filter(col("rf_n").isNull)
+    val minQty = nullRows.agg(min("l_quantity")).head().getDouble(0)
+    val victim = nullRows.filter(col("l_quantity") === minQty)
+    val survivors = withNull.exceptAll(victim)
+    AggregateNavigator.retractSummariesWithBase(victim, survivors, d)
+    val got = spark.read.parquet(s"$d/data")
+      .filter(col("rf_n").isNull)
+      .select("min_qty").head().getDouble(0)
+    val want = survivors.filter(col("rf_n").isNull)
+      .agg(min("l_quantity")).head().getDouble(0)
+    assert(got == want,
+      s"NULL-keyed cell kept stale min after retraction: $got != $want")
+  }
+
   test("retractSummariesWithBase on an additive-only store takes the fold path") {
     val d = java.nio.file.Files.createTempDirectory("agg_nav_addwb").toString
     AggregateNavigator.buildSummaries(li,

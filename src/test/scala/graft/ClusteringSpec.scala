@@ -209,4 +209,16 @@ class ClusteringSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("prototypePrune"),
       s"unexpected error: ${e.getMessage}")
   }
+
+  test("prototype prune: NULL cluster rows DROP (documented), not crash") {
+    val df = Seq(
+      (0L, atAngle(0.1), Some(0)), (1L, atAngle(0.2), Some(0)),
+      (2L, atAngle(0.3), Some(0)), (3L, atAngle(0.15), None)
+    ).toDF("vec_id", "embedding", "cluster")
+    val kept = Clustering.prototypePrune(df, Array(Array(1.0, 0, 0, 0)),
+      pruneFrac = 0.0, outlierFrac = 0.0, clusterCol = Some("cluster"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L),
+      s"NULL-cluster row must be excluded, everything else kept: $kept")
+  }
 }

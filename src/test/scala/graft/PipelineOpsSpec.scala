@@ -2322,6 +2322,15 @@ class PipelineOpsSpec extends SparkSpec {
       Retrieval.rrfFuse(Seq(a.withColumnRenamed("doc_id", "neighbor_id")), 2)
     }
     assert(e.getMessage.contains("query_id"))
+    // NON-integral doc ids (URL/UUID strings) take the window fallback
+    // and round-trip untouched — an unconditional cast("long") would
+    // null them into the heap's non-nullable encoder
+    val s1 = Seq((9L, "doc-seven", 1)).toDF("query_id", "doc_id", "rank")
+    val s2 = Seq((9L, "doc-five", 1)).toDF("query_id", "doc_id", "rank")
+    val sTied = Retrieval.rrfFuse(Seq(s1, s2), k = 2).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSeq
+    assert(sTied == Seq(("doc-five", 1), ("doc-seven", 2)),
+      s"string ids must survive fusion with the same tie-break: $sTied")
   }
 
   test("hybridSearch: a doc both retrievers rank first is the fused winner") {
