@@ -109,7 +109,19 @@ object Bench {
     // `reps` is recorded in the JSON so cross-round comparisons can tell a
     // real regression from a rep-count artifact (fewer reps -> higher
     // minima); round 10 vs 11 was re-adjudicated for exactly this reason
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    println(fullJson)
+    // The harness archives only a bounded TAIL of stdout (~2000 chars) and
+    // parses a JSON line out of it; with 125+ per-query entries the full
+    // line is >4 KB, lands truncated mid-line in the tail, and nothing
+    // parses (BENCH_r12.json: parsed=null). So: persist the complete
+    // record to a file and make the FINAL stdout line a compact summary
+    // guaranteed to fit in the tail — any last-parseable-line or
+    // first-parseable-line-of-tail parser finds it whole.
+    val fullPath = java.nio.file.Paths.get("BENCH_LATEST.json").toAbsolutePath
+    scala.util.Try(java.nio.file.Files.write(fullPath,
+      (fullJson + "\n").getBytes("UTF-8"))): Unit
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

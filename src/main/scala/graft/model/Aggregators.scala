@@ -114,6 +114,92 @@ object Aggregators {
     def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
+  /** One (score, id) candidate flowing into [[TopKByScoreStr]]. */
+  final case class ScoredStrId(score: Double, id: String)
+
+  /** Bounded-buffer contents of [[TopKByScoreStr]]. */
+  final case class TopKStrBuf(items: Seq[ScoredStrId])
+
+  /** String-id heap buffer of [[TopKByScoreStr]] — the [[TopKHeap]]
+    * layout with a String id array. */
+  final case class TopKStrHeap(scores: Array[Double], ids: Array[String],
+                               n: Int)
+
+  /** Code-point string comparison — Spark's UTF8String ordering
+    * (UTF-8 byte order = code-point order). Java/Scala String ordering
+    * compares UTF-16 code units, which ranks supplementary-plane
+    * characters below U+E000–U+FFFF and would break ties differently
+    * than the row_number-window form this heap replaces (the
+    * [[graft.operators.Dedup]] localOrdering doctrine). */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** [[TopKByScore]] for STRING ids (URL/UUID-keyed corpora): the same
+    * bounded primitive min-heap under (score desc, id asc) with ids
+    * ordered by CODE POINT (Spark's string order), so heap output ≡ the
+    * window form it replaces. NaN scores and NULL ids are unrankable —
+    * dropped, matching the integral path's pre-filters. */
+  final class TopKByScoreStr(k: Int)
+      extends Aggregator[ScoredStrId, TopKStrHeap, TopKStrBuf] {
+    require(k > 0, s"k must be positive, got $k")
+    private def weaker(s1: Double, i1: String, s2: Double, i2: String): Boolean =
+      s1 < s2 || (s1 == s2 && codePointCompare(i1, i2) > 0)
+    private def swap(b: TopKStrHeap, i: Int, j: Int): Unit = {
+      val s = b.scores(i); b.scores(i) = b.scores(j); b.scores(j) = s
+      val d = b.ids(i); b.ids(i) = b.ids(j); b.ids(j) = d
+    }
+    private def insert(b: TopKStrHeap, s: Double, id: String): TopKStrHeap =
+      if (s.isNaN || id == null) b
+      else if (b.n < k) {
+        var pos = b.n
+        b.scores(pos) = s; b.ids(pos) = id
+        while (pos > 0 && {
+          val p = (pos - 1) >> 1
+          weaker(b.scores(pos), b.ids(pos), b.scores(p), b.ids(p))
+        }) { val p = (pos - 1) >> 1; swap(b, pos, p); pos = p }
+        b.copy(n = b.n + 1)
+      } else if (weaker(b.scores(0), b.ids(0), s, id)) {
+        b.scores(0) = s; b.ids(0) = id
+        var pos = 0
+        var done = false
+        while (!done) {
+          val l = 2 * pos + 1
+          val r = l + 1
+          var m = pos
+          if (l < b.n && weaker(b.scores(l), b.ids(l), b.scores(m), b.ids(m))) m = l
+          if (r < b.n && weaker(b.scores(r), b.ids(r), b.scores(m), b.ids(m))) m = r
+          if (m == pos) done = true else { swap(b, pos, m); pos = m }
+        }
+        b
+      } else b
+    def zero: TopKStrHeap =
+      TopKStrHeap(new Array[Double](k), new Array[String](k), 0)
+    def reduce(b: TopKStrHeap, a: ScoredStrId): TopKStrHeap =
+      insert(b, a.score, a.id)
+    def merge(x: TopKStrHeap, y: TopKStrHeap): TopKStrHeap = {
+      var acc = x
+      var i = 0
+      while (i < y.n) { acc = insert(acc, y.scores(i), y.ids(i)); i += 1 }
+      acc
+    }
+    def finish(b: TopKStrHeap): TopKStrBuf =
+      TopKStrBuf(Array.tabulate(b.n)(i => ScoredStrId(b.scores(i), b.ids(i)))
+        .sortWith((a, c) => a.score > c.score ||
+          (a.score == c.score && codePointCompare(a.id, c.id) < 0)).toSeq)
+    def bufferEncoder: Encoder[TopKStrHeap] = Encoders.product[TopKStrHeap]
+    def outputEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
+  }
+
   /** Misra-Gries heavy-hitters summary buffer: candidate item → count
     * lower bound, at most k entries (case-class wrapper so
     * `Encoders.product` handles the Map). */

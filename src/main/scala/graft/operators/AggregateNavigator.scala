@@ -84,7 +84,8 @@ object AggregateNavigator {
                                     grains: Seq[Seq[String]],
                                     paths: Seq[String], rows: Seq[Long],
                                     aggs: Seq[String], srcs: Seq[String],
-                                    outs: Seq[String])
+                                    outs: Seq[String],
+                                    hasRowCounts: Boolean)
 
   // The manifest is one tiny metadata record — written and read DRIVER-
   // side (hand-emitted JSON + a Jackson tree parse, both from Spark's own
@@ -112,7 +113,11 @@ object AggregateNavigator {
         s""""rows":${arr(sums.map(_.rows.toString))},""" +
         s""""aggs":${arr(measures.map(m => jstr(m.agg)))},""" +
         s""""srcs":${arr(measures.map(m => jstr(m.src)))},""" +
-        s""""outs":${arr(measures.map(m => jstr(m.name)))}}"""
+        s""""outs":${arr(measures.map(m => jstr(m.name)))},""" +
+        // store-version witness: every store this writer emits carries the
+        // hidden RowCountCol (flatPlan appends it unconditionally), so the
+        // manifest says so and readers skip the per-call legacy data scan
+        s""""has_row_counts":true}"""
     val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(dir, ".manifest.json.tmp")
@@ -157,9 +162,35 @@ object AggregateNavigator {
       val it = node.get(f).elements()
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asLong()).toSeq
     }
+    // absent field = manifest written before the flag existed → the
+    // store's row-count status is unknown and must be probed once
+    val hrc = Option(node.get("has_row_counts")).exists(_.asBoolean())
     Manifest(strs("names"), strss("grains"), strs("paths"), longs("rows"),
-      strs("aggs"), strs("srcs"), strs("outs"))
+      strs("aggs"), strs("srcs"), strs("outs"), hrc)
   }
+
+  private def parseStore(m: Manifest): (Seq[Summary], Seq[NavMeasure]) =
+    (m.names.indices.map(i =>
+      Summary(m.names(i), m.grains(i), m.paths(i), m.rows(i))),
+      m.aggs.indices.map(i => NavMeasure(m.aggs(i), m.srcs(i), m.outs(i))))
+
+  /** One-time migration probe: a store whose manifest predates the
+    * `has_row_counts` flag must prove its data carries [[RowCountCol]]
+    * before any fold trusts the emptiness witness. A single null row is
+    * proof of a legacy (pre-row-count) store → named refusal, rebuild is
+    * the only migration. On a flagged manifest this is a driver-side
+    * no-op — the per-call data scan the flag exists to kill (it was the
+    * measured q80/q84 regression). Callers that pass the probe always
+    * end in [[writeSwapStore]] → [[writeMeta]], which stamps the flag,
+    * so the probe runs at most once per store lifetime. */
+  private def requireRowCounts(m: Manifest, stored: DataFrame, root: String,
+                               action: String): Unit =
+    if (!m.hasRowCounts) {
+      val legacy = stored.filter(col(RowCountCol).isNull).limit(1).count()
+      if (legacy > 0) throw new IllegalStateException(
+        s"store at $root predates row-count partials (missing " +
+          s"$RowCountCol) — rebuild it before $action")
+    }
 
   /** Hidden per-cell row-count partial, stored alongside the declared
     * measures: retraction must DELETE a cell once every contributing
@@ -288,7 +319,8 @@ object AggregateNavigator {
                                root: String): Seq[Summary] = {
     val spark = retraction.sparkSession
     recoverStore(spark, root)
-    val (old, measures) = loadStore(spark, root)
+    val manifest = readMeta(spark, root)
+    val (old, measures) = parseStore(manifest)
     if (!measures.exists(m => m.agg == "min" || m.agg == "max"))
       return retractSummaries(retraction, root)
     val grains = old.map(s => s.name -> s.grain)
@@ -305,10 +337,7 @@ object AggregateNavigator {
         measures.collect { case m if m.agg == "min" || m.agg == "max" =>
           col(m.name) } :+ negate_(RowCountCol): _*)
     val stored = spark.read.schema(retractRaw.schema).parquet(s"$root/data")
-    val legacy = stored.filter(col(RowCountCol).isNull).limit(1).count()
-    if (legacy > 0) throw new IllegalStateException(
-      s"store at $root predates row-count partials (missing " +
-        s"$RowCountCol) — rebuild it before retracting")
+    requireRowCounts(manifest, stored, root, "retracting")
     // fold: additive columns exact everywhere; min/max columns of
     // touched cells are garbage here and get replaced below (untouched
     // cells see no retraction row, so their min/max pass through the
@@ -374,7 +403,8 @@ object AggregateNavigator {
     recoverStore(spark, root)
     // measure agg kinds are NOT recoverable from the stored schema —
     // the manifest carries the specs, one read for inventory + measures
-    val (old, measures) = loadStore(spark, root)
+    val manifest = readMeta(spark, root)
+    val (old, measures) = parseStore(manifest)
     if (negate) {
       val frozen = measures.filter(m => m.agg == "min" || m.agg == "max")
       if (frozen.nonEmpty) throw new IllegalStateException(
@@ -405,14 +435,11 @@ object AggregateNavigator {
     // refresh would backfill touched cells with delta-only (undercounted)
     // non-null __n, after which the per-cell null probe can no longer
     // tell the store is legacy and a later retraction would delete cells
-    // early or report spurious over-retraction. Refusing here keeps the
-    // null probe a reliable legacy witness; the only correct migration
-    // is a rebuild.
-    val legacy = stored.filter(col(RowCountCol).isNull).limit(1).count()
-    if (legacy > 0) throw new IllegalStateException(
-      s"store at $root predates row-count partials (missing " +
-        s"$RowCountCol) — rebuild it before refreshing or retracting " +
-        "(folding into it would corrupt the emptiness witness)")
+    // early or report spurious over-retraction. The only correct
+    // migration is a rebuild. The probe itself runs only on manifests
+    // without the has_row_counts flag (one-time, see requireRowCounts).
+    requireRowCounts(manifest, stored, root, "refreshing or retracting " +
+      "(folding into it would corrupt the emptiness witness)")
     val merged = stored.unionByName(deltaFlat)
       .groupBy((gcols.map(col) :+ col("gid")): _*)
       .agg(measures.head.fromSummary,
@@ -597,12 +624,7 @@ object AggregateNavigator {
     * specs together — the per-query fast path reads store metadata
     * exactly once (loadSummaries + storedMeasures would read it twice). */
   def loadStore(spark: SparkSession, root: String)
-  : (Seq[Summary], Seq[NavMeasure]) = {
-    val m = readMeta(spark, root)
-    (m.names.indices.map(i =>
-      Summary(m.names(i), m.grains(i), m.paths(i), m.rows(i))),
-      m.aggs.indices.map(i => NavMeasure(m.aggs(i), m.srcs(i), m.outs(i))))
-  }
+  : (Seq[Summary], Seq[NavMeasure]) = parseStore(readMeta(spark, root))
 
   /** Load the summary inventory written by [[buildSummaries]]. */
   def loadSummaries(spark: SparkSession, root: String): Seq[Summary] =

@@ -325,18 +325,42 @@ object Dedup {
   }
 
   /** 60-bit SimHash per document: bit j of the signature is the sign of
-    * Σ_tokens (±1 by bit j of the token hash). One explode + one grouped
-    * aggregation with 60 conditional sums — a single shuffle of 60 ints
-    * per doc. Multiset semantics (repeated tokens vote repeatedly). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Σ_tokens (±w by bit j of the token hash). One explode + one grouped
+    * aggregation with 60 conditional sums — a single shuffle of 60
+    * values per doc. Multiset semantics (repeated tokens vote
+    * repeatedly).
+    *
+    * `idfWeighted = false` (default): uniform ±1 votes — Charikar's
+    * original form. `idfWeighted = true`: each token votes with its
+    * smoothed idf, ln((N+1)/(df+1)) + 1 — the production weighting for
+    * TEMPLATED corpora, where boilerplate shared by most docs dominates
+    * uniform votes and collapses documents with distinct payloads into
+    * one signature; idf self-down-weights exactly those tokens (a
+    * corpus-wide token is worth ~ln(1)+1 per vote, a rare payload token
+    * ~ln(N)+1), so the signature follows the CONTENT. Costs one extra
+    * doc-frequency aggregation over (doc, token) pairs and one
+    * token-keyed join back, size-guarded broadcast when the vocabulary
+    * is small ([[graft.model.Joins.maybeBroadcast]]). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              idfWeighted: Boolean = false): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("t"))
       .withColumn("h", tokenHash60(col("t")))
+    val voting =
+      if (!idfWeighted) tok.withColumn("w", lit(1.0))
+      else {
+        val n = docs.count()
+        val idf = tok.select("doc_id", "t").distinct()
+          .groupBy("t").agg(count(lit(1)).as("__df"))
+          .select(col("t"),
+            (log(lit(n + 1.0) / (col("__df") + 1.0)) + 1.0).as("w"))
+        tok.join(graft.model.Joins.maybeBroadcast(idf), "t")
+      }
     val votes = (0 until 60).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"v$j")
     }
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val agg = voting.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val sig = (0 until 60).map { j =>
       when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -385,11 +409,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming over the
-    * 60-bit signatures, via [[hammingPairs]] banding. */
+    * 60-bit signatures, via [[hammingPairs]] banding. `idfWeighted`
+    * selects the weighted-vote signature (see [[simhash]]). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame =
-    hammingPairs(simhash(docs, idCol, textCol), "doc_id", "simhash",
-      bits = 60, maxHamming = maxHamming)
+                   maxHamming: Int = 3,
+                   idfWeighted: Boolean = false): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol, idfWeighted), "doc_id",
+      "simhash", bits = 60, maxHamming = maxHamming)
 
   /** Connected components over a near-dup pair set — the canonicalization
     * step after pair generation: near-duplication is NOT transitive, but
@@ -1041,4 +1067,72 @@ object Dedup {
                            minTokens: Int): DataFrame =
     removeSpansWith(docs, spanArrays(docs, idCol, textCol, minTokens),
       idCol, textCol)
+
+  // -------------------------------------------------------------------
+  // Paragraph-grain exact dedup — CCNet stage 1 (Wenzek et al. 2020,
+  // "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  // Data"): census every paragraph corpus-wide by a NORMALIZED hash
+  // (lowercase, non-letter characters stripped, whitespace collapsed —
+  // the paper's digit/punctuation-insensitive key), keep exactly ONE
+  // canonical occurrence of each duplicated paragraph, drop the rest,
+  // and re-stitch each affected doc from its surviving paragraphs.
+  // Boilerplate (navigation bars, cookie banners, license footers) is
+  // paragraph-shaped and survives doc-level dedup — this is the stage
+  // that removes it.
+  // -------------------------------------------------------------------
+
+  /** CCNet paragraph dedup. `sep` delimits paragraphs within `textCol`
+    * (a literal separator, not a regex; "\n" for line-grain CCNet).
+    * Canonical election is the keep-best doctrine of [[dropNearDups]]:
+    * the occurrence with the smallest (id, position) survives — min doc
+    * id corpus-wide, first occurrence within that doc (so a paragraph
+    * repeated inside one doc also collapses to its first occurrence).
+    * Paragraphs whose normalized form is EMPTY (blank lines, pure
+    * digits/punctuation) are structure, not content — never censused,
+    * always kept. Docs that lose nothing pass through `textCol`
+    * byte-identical (they skip the split/rejoin entirely); other
+    * columns pass through unchanged everywhere.
+    *
+    * Scale shape: paragraph TEXT never shuffles — each doc explodes
+    * locally to fixed-width (id, pos, 16-byte md5-of-normalized) rows
+    * and only those move. The census is one hash aggregation per gram
+    * hash with a partial-aggregable min(struct(id, pos)) winner (never
+    * a posting list: boilerplate in 100M docs costs one struct per map
+    * partition). Dropped positions join back by hash (co-partitioned),
+    * fold to one bounded int array per AFFECTED doc, and the rebuild
+    * joins that array to `docs` by id — untouched docs see a NULL and
+    * keep their original string. */
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "paragraph separator must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    // normalized census key — replayable verbatim in ANSI SQL: lower,
+    // strip non-letters (keeping whitespace), collapse runs, trim
+    def norm(p: Column): Column =
+      trim(regexp_replace(
+        regexp_replace(lower(p), "[^a-z\\s]", ""), "\\s+", " "))
+    val occ = docs
+      .select(col(idCol), posexplode(split(col(textCol), sepRe, -1)))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        norm(col("col")).as("__n"))
+      .where(col("__n") =!= "")
+      .select(col(idCol), col("pos"), unhex(md5(col("__n"))).as("__h"))
+    val winners = occ.groupBy("__h")
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("__w"),
+        count(lit(1)).as("__c"))
+      .where(col("__c") > 1) // unique paragraphs have nothing to drop
+      .select(col("__h"), col("__w.id").as("__wid"), col("__w.p").as("__wp"))
+    val drops = occ.join(winners, "__h")
+      .where(!(col(idCol) === col("__wid") && col("pos") === col("__wp")))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__dp"))
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__dp").isNull, col(textCol))
+          .otherwise(concat_ws(sep,
+            filter(split(col(textCol), sepRe, -1),
+              (_, i) => !array_contains(col("__dp"), i + 1)))))
+      .drop("__dp")
+  }
 }

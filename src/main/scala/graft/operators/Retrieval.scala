@@ -53,12 +53,11 @@ object Retrieval {
     val scored = unioned
       .groupBy("query_id", "doc_id")
       .agg(round(sum(lit(1.0) / (lit(kRrf) + col("rank"))), 4).as("rrf"))
-    // bounded top-k heap per query for integral doc ids — the kNN
-    // ranking doctrine; NON-integral ids (URL/UUID strings) fall back
-    // to a query-keyed window (never data-sized: fusion input is
-    // already ≤ queries × Σ per-retriever k), the rankTopK pattern —
-    // an unconditional cast("long") would null string ids into the
-    // heap's non-nullable encoder
+    // bounded top-k heap per query — the kNN ranking doctrine: integral
+    // ids on the primitive-long heap, string ids (URL/UUID-keyed
+    // corpora) on the code-point-ordered string heap. Only exotic id
+    // types (dates, binaries) fall back to a query-keyed window (never
+    // data-sized: fusion input is already ≤ queries × Σ per-retriever k)
     val idType = unioned.schema("doc_id").dataType
     val integralId = idType match {
       case org.apache.spark.sql.types.LongType |
@@ -75,6 +74,15 @@ object Retrieval {
         .agg(topk(col("rrf"), col("doc_id").cast("long")).as("tk"))
         .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
         .select(col("query_id"), col("it.id").cast(idType).as("doc_id"),
+          (col("idx") + 1).cast("int").as("rank"), col("it.score").as("rrf"))
+    } else if (idType == org.apache.spark.sql.types.StringType) {
+      val topk = udaf(new graft.model.Aggregators.TopKByScoreStr(k),
+        Encoders.product[graft.model.Aggregators.ScoredStrId])
+      scored
+        .groupBy("query_id")
+        .agg(topk(col("rrf"), col("doc_id")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
+        .select(col("query_id"), col("it.id").as("doc_id"),
           (col("idx") + 1).cast("int").as("rank"), col("it.score").as("rrf"))
     } else {
       val w = org.apache.spark.sql.expressions.Window
@@ -97,7 +105,11 @@ object Retrieval {
     * The dense side is the exact brute-force scorer — correct at any
     * recall target and fine when `queries` is small; swap in
     * [[Similarity.ivfKnnStored]] output via [[rrfFuse]] directly when
-    * the query stream is large or the corpus is indexed. */
+    * the query stream is large or the corpus is indexed. Query ids and
+    * doc ids are INDEPENDENT id spaces here, so the dense scorer keeps
+    * query_id == doc_id pairs (no kNN self-exclusion): a query that
+    * happens to share a number with a corpus doc must still retrieve
+    * it. */
   def hybridSearch(docs: DataFrame, embeddings: DataFrame,
                    queries: DataFrame, k: Int, cand: Int = 20,
                    kRrf: Int = 60,
@@ -110,7 +122,8 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"))
     val dense = Similarity.bruteKnn(
         queries.select(col(qIdCol), col(qVecCol)), embeddings, k = cand,
-        qId = qIdCol, qVec = qVecCol, cId = vecIdCol, cVec = vecCol)
+        qId = qIdCol, qVec = qVecCol, cId = vecIdCol, cVec = vecCol,
+        excludeSelf = false)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, dense), k, kRrf)
   }

@@ -471,18 +471,40 @@ object Sampling {
       .sortBy(_._1) // stable sort; equal scores keep u-order — any
     //    consistent order works: the bucket expr uses the SAME literals
     val m = pairs.length
-    val sLit = typedLit(pairs.map(_._1).toSeq)
-    val iLit = array(pairs.map(p => lit(p._2)): _*)
     // 2. bucket = # pivots (ps, pid) <= (score, id), lexicographic.
-    //    Equal-score pivots count monotonically whatever their stored
-    //    order, because each contributes an independent <= test.
+    //    Integral ids take the codegen'd binary-search kernel
+    //    ([[graft.functions.PivotKernels.pivotBucket]] — O(log m) per
+    //    row, pivot arrays as reference objects): the count of pivots
+    //    <= key is invariant to pivot order, so the kernel's fully
+    //    (score, id)-sorted arrays assign the SAME bucket the literal
+    //    scan does (scores normalized +0.0 so the driver sort agrees
+    //    with the kernel's primitive ==, where -0.0 == 0.0). Other id
+    //    types keep the O(m) `aggregate` over literals — each pivot is
+    //    an independent <= test, monotone under any stored order.
+    val integralId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
     def bucketExpr(sc: Column, rid: Column): Column =
       if (m == 0) lit(0)
-      else aggregate(sequence(lit(1), lit(m)), lit(0),
-        (acc, j) => acc + when(
-          element_at(sLit, j) < sc ||
-            (element_at(sLit, j) === sc && element_at(iLit, j) <= rid),
-          1).otherwise(0))
+      else if (integralId) {
+        val sorted = pairs
+          .map(p => (p._1 + 0.0, p._2.asInstanceOf[Number].longValue))
+          .sorted
+        graft.functions.PivotExpressions.pivotBucket(sc, rid.cast("long"),
+          sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+      } else {
+        val sLit = typedLit(pairs.map(_._1).toSeq)
+        val iLit = array(pairs.map(p => lit(p._2)): _*)
+        aggregate(sequence(lit(1), lit(m)), lit(0),
+          (acc, j) => acc + when(
+            element_at(sLit, j) < sc ||
+              (element_at(sLit, j) === sc && element_at(iLit, j) <= rid),
+            1).otherwise(0))
+      }
     val bucketed = scored.withColumn("__cur_b", bucketExpr(col("__cur_score"), id))
     // 3. per-bucket counts -> rank offsets (collect ≤ pivots+1 rows)
     val counts = bucketed.groupBy("__cur_b").agg(count(lit(1)).as("c"))

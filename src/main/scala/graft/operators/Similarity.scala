@@ -63,13 +63,22 @@ object Similarity {
     * the shuffle after scoring carries at most |Q|·k rows per partition,
     * never the full |Q|·|C| scored relation a row_number window would
     * move. Non-integral neighbor ids (no encoder for the bounded buffer)
-    * fall back to the window form. */
+    * fall back to the window form.
+    *
+    * `excludeSelf` (default true) drops pairs where query_id equals
+    * neighbor_id — the right semantics when queries ARE corpus rows
+    * (near-dup discovery: a vector is trivially its own nearest
+    * neighbor). Pass false when query ids live in an INDEPENDENT id
+    * space from corpus ids (hybrid retrieval: a query numbered 7 must
+    * not silently lose corpus doc 7). */
   def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                qId: String = "vec_id", qVec: String = "embedding",
-               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+               cId: String = "vec_id", cVec: String = "embedding",
+               excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
     val c = corpus.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val cond = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = c.join(broadcast(q), cond)
       .withColumn("cos", dot(col("qv"), col("cv")))
     rankTopK(scored, k, corpus.schema(cId).dataType)
   }
@@ -79,8 +88,9 @@ object Similarity {
     * Integral ids rank via the bounded
     * [[graft.model.Aggregators.TopKByScore]] aggregation (map-side
     * partial combine — the shuffle carries ≤ k rows per (partition,
-    * query), never the full scored relation); other id types fall back to
-    * the row_number window.
+    * query), never the full scored relation); string ids via the
+    * code-point-ordered [[graft.model.Aggregators.TopKByScoreStr]];
+    * only exotic id types fall back to the row_number window.
     *
     * Degenerate similarities are dropped up front: a NULL cos (null
     * embedding) would crash the aggregation's non-nullable input encoder,
@@ -108,6 +118,20 @@ object Similarity {
           posexplode(col("tk.items")).as(Seq("idx", "it")))
         .select(col("query_id"),
           col("it.id").cast(idType).as("neighbor_id"),
+          (col("idx") + 1).as("rank"), col("it.score").as("cos"))
+    } else if (idType == org.apache.spark.sql.types.StringType) {
+      // URL/UUID-keyed corpora: the code-point-ordered string heap —
+      // same bounded-shuffle shape as the integral path, same output as
+      // the window form (UTF8String order ≡ code-point order)
+      val topk = udaf(new graft.model.Aggregators.TopKByScoreStr(k),
+        org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredStrId])
+      scored
+        .groupBy("query_id")
+        .agg(topk(col("cos"), col("neighbor_id")).as("tk"))
+        .select(col("query_id"),
+          posexplode(col("tk.items")).as(Seq("idx", "it")))
+        .select(col("query_id"),
+          col("it.id").as("neighbor_id"),
           (col("idx") + 1).as("rank"), col("it.score").as("cos"))
     } else {
       val w = Window.partitionBy("query_id")

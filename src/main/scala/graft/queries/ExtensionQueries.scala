@@ -4129,8 +4129,10 @@ object ExtensionQueries {
   //        Fusion (1/(60+rank), q85's round-before-rank doctrine on the
   //        fused score), fused top-10 returned. The oracle replays BOTH
   //        retrievers and the fusion: q85's BM25 scoring, q22's
-  //        unnest-cosine ranking (self excluded, as bruteKnn does), the
-  //        same rank-bounded union + rounded RRF sum.
+  //        unnest-cosine ranking (self NOT excluded — query ids and doc
+  //        ids are independent id spaces in hybrid search, and the query
+  //        ids here deliberately collide with doc ids 1..3 to pin that),
+  //        the same rank-bounded union + rounded RRF sum.
   // -------------------------------------------------------------------
   def q112(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -4186,7 +4188,7 @@ object ExtensionQueries {
       |  FROM embeddings WHERE vec_id IN (1, 2, 3)
       |), dp AS (
       |  SELECT qv.query_id, e.vec_id AS doc_id, qv.qe, e.embedding AS ce
-      |  FROM qv JOIN embeddings e ON e.vec_id != qv.query_id
+      |  FROM qv CROSS JOIN embeddings e
       |), dex AS (
       |  SELECT query_id, doc_id,
       |         unnest(qe)::DOUBLE x, unnest(ce)::DOUBLE y
@@ -4867,6 +4869,134 @@ object ExtensionQueries {
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q126 — PARAGRAPH-GRAIN EXACT DEDUP (CCNet stage 1, Wenzek et al.
+  //        2020): plant a 3-paragraph corpus where every doc shares a
+  //        group boilerplate paragraph (case-varied on even ids to pin
+  //        the lowercase normalization), census paragraphs corpus-wide
+  //        by normalized hash, keep ONE canonical occurrence (min
+  //        (doc, pos) — the keep-best doctrine), drop the rest,
+  //        re-stitch. The oracle replays plant, normalization, census,
+  //        election, and the string re-stitch — the REBUILT TEXT is
+  //        hashed, so an off-by-one position or a dropped separator
+  //        fails the row.
+  // -------------------------------------------------------------------
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 24)
+    val ref = t.select(col("doc_id").as("rid"),
+      concat_ws(" ", slice(col("ts"), 1, 12)).as("boiler"))
+    val planted = t
+      .withColumn("rid", col("doc_id") % 7 + 1)
+      .join(ref, "rid")
+      .select(col("doc_id"), concat_ws("\n",
+        concat_ws(" ", slice(col("ts"), 1, 10)),
+        when(col("doc_id") % 2 === 0, upper(col("boiler")))
+          .otherwise(col("boiler")),
+        concat_ws(" ", slice(col("ts"), lit(11), size(col("ts")) - 10)))
+        .as("text"))
+    val deduped = graft.operators.Dedup.dropDuplicateParagraphs(
+      planted, "doc_id", "text", "\n")
+    sorted(deduped.select(col("doc_id"),
+      size(split(col("text"), "\n", -1)).cast("int").as("paras"),
+      col("text")))
+  }
+
+  val q126Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), t AS (
+      |  SELECT * FROM tok WHERE len(ts) >= 24
+      |), ref AS (
+      |  SELECT doc_id AS rid, array_to_string(ts[1:12], ' ') AS boiler
+      |  FROM t
+      |), planted AS (
+      |  SELECT t.doc_id,
+      |         array_to_string(ts[1:10], ' ') || chr(10) ||
+      |         CASE WHEN t.doc_id % 2 = 0 THEN upper(boiler) ELSE boiler END
+      |         || chr(10) || array_to_string(ts[11:], ' ') AS text
+      |  FROM t JOIN ref ON ref.rid = t.doc_id % 7 + 1
+      |), sp AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ps FROM planted
+      |), occ AS (
+      |  SELECT doc_id, u.i AS pos, u.para,
+      |         trim(regexp_replace(regexp_replace(lower(u.para),
+      |           '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+      |  FROM sp, LATERAL (SELECT unnest(ps) AS para,
+      |                           unnest(range(1, len(ps) + 1)) AS i) u
+      |), ranked AS (
+      |  SELECT doc_id, pos,
+      |         row_number() OVER (PARTITION BY md5(n)
+      |                            ORDER BY doc_id, pos) AS rn,
+      |         count(*) OVER (PARTITION BY md5(n)) AS c
+      |  FROM occ WHERE n <> ''
+      |), drops AS (
+      |  SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1
+      |), kept AS (
+      |  SELECT o.doc_id, o.pos, o.para
+      |  FROM occ o LEFT JOIN drops d
+      |    ON d.doc_id = o.doc_id AND d.pos = o.pos
+      |  WHERE d.doc_id IS NULL
+      |)
+      |SELECT doc_id, CAST(count(*) AS INT) AS paras,
+      |       string_agg(para, chr(10) ORDER BY pos) AS text
+      |FROM kept GROUP BY doc_id
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q127 — PROFILER QUANTILES (q123's numeric extension): one-pass
+  //        approximate percentiles per numeric column, judged with the
+  //        q31/q123 verdict doctrine — the EXACT interpolated quantile
+  //        is replayed by the oracle (rounded), the approximate sketch
+  //        value is pinned in-query to within 2% of the Spark-exact
+  //        value, and only the verdict int crosses the hash.
+  // -------------------------------------------------------------------
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val qs = Seq(0.25, 0.5, 0.75)
+    val qarr = array(qs.map(lit): _*)
+    val prof = graft.operators.Profiler.profile(
+      o, Seq("o_totalprice", "o_custkey"), quantiles = qs)
+    val exact = o.agg(
+        percentile(col("o_totalprice").cast("double"), qarr).as("e1"),
+        percentile(col("o_custkey").cast("double"), qarr).as("e2"))
+      .select(explode(array(
+        struct(lit("o_totalprice").as("column"), col("e1").as("ex")),
+        struct(lit("o_custkey").as("column"), col("e2").as("ex")))).as("e"))
+      .select("e.*")
+    sorted(prof.join(exact, "column")
+      .select(col("column").as("col_name"),
+        posexplode(arrays_zip(col("quantiles"), col("ex"))))
+      .select(col("col_name"), (col("pos") + 1).cast("int").as("q_idx"),
+        round(col("col.ex"), 4).as("exact_q"),
+        (abs(col("col.quantiles") - col("col.ex"))
+          <= lit(0.02) * abs(col("col.ex"))).cast("int").as("approx_ok")))
+  }
+
+  val q127Sql: String =
+    """WITH ex AS (
+      |  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+      |                       [0.25, 0.5, 0.75]) AS tp,
+      |         quantile_cont(CAST(o_custkey AS DOUBLE),
+      |                       [0.25, 0.5, 0.75]) AS ck
+      |  FROM orders
+      |)
+      |SELECT col_name, CAST(q_idx AS INT) AS q_idx,
+      |       round(v, 4) AS exact_q, CAST(1 AS INT) AS approx_ok
+      |FROM (
+      |  SELECT 'o_totalprice' AS col_name, u.i AS q_idx, u.v
+      |  FROM ex, LATERAL (SELECT unnest(tp) AS v,
+      |                           unnest(range(1, 4)) AS i) u
+      |  UNION ALL
+      |  SELECT 'o_custkey' AS col_name, u.i AS q_idx, u.v
+      |  FROM ex, LATERAL (SELECT unnest(ck) AS v,
+      |                           unnest(range(1, 4)) AS i) u
+      |)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+
   /** name -> (query fn, oracle SQL or null). */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_text_stats", q16 _, q16Sql),
@@ -4978,6 +5108,8 @@ object ExtensionQueries {
     ("q122_leaksafe_split", q122 _, q122Sql),
     ("q123_profile", q123 _, q123Sql),
     ("q124_volume_anomalies", q124 _, q124Sql),
-    ("q125_split_curriculum", q125 _, q125Sql)
+    ("q125_split_curriculum", q125 _, q125Sql),
+    ("q126_paragraph_dedup", q126 _, q126Sql),
+    ("q127_profile_quantiles", q127 _, q127Sql)
   )
 }

@@ -94,17 +94,31 @@ object EventsStreaming {
       .start()
 
   /** Day-grain counts for the streaming anomaly monitor: the
-    * watermarked tumbling aggregation at "1 day" width. Run it into a
+    * watermarked tumbling aggregation at day grain. Run it into a
     * parquet sink via [[startToCubeSink]]; score any time with
     * [[anomaliesFromSink]]. State is one row per open (day, group) —
-    * bounded by the watermark, independent of event volume. */
+    * bounded by the watermark, independent of event volume.
+    *
+    * Days are bucketed with `date_trunc('DAY', tsCol)` — the SESSION
+    * timezone's midnights, exactly like the batch twin
+    * [[graft.operators.Events.volumeAnomalies]]. (The previous
+    * `window(ts, '1 day')` form bucketed by epoch-aligned UTC midnights
+    * and broke stream≡batch in any non-UTC session.) That moves the
+    * watermark onto the truncated column — the event-time metadata must
+    * live ON the grouping attribute for state eviction — and a
+    * day-start-grain watermark advances in day quanta, so ONE extra day
+    * of slack is folded into `lateness`: every event the raw-timestamp
+    * watermark would have accepted is still accepted (a day closes at
+    * most a day later than before, and is never judged early). */
   def dailyCounts(events: DataFrame, groupCols: Seq[String] = Nil,
-                  lateness: String = "1 hour"): DataFrame =
+                  lateness: String = "1 hour",
+                  tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", lateness)
-      .groupBy((window(col("ts"), "1 day").as("w")) +: groupCols.map(col): _*)
+      .withColumn("day", date_trunc("DAY", col(tsCol)))
+      .withWatermark("day", s"$lateness 1 day")
+      .groupBy((col("day") +: groupCols.map(col)): _*)
       .agg(count(lit(1)).as("n"))
-      .select((col("w.start").as("day") +: groupCols.map(col) :+ col("n")): _*)
+      .select((col("day") +: groupCols.map(col) :+ col("n")): _*)
 
   /** Score the maintained day-count sink with the BATCH scoring tail
     * ([[graft.operators.Events.scoreDailyCounts]]) — the streaming twin

@@ -452,12 +452,33 @@ class AggregateNavigatorSpec extends SparkSpec {
     assert(ans.except(direct).isEmpty && direct.except(ans).isEmpty)
   }
 
+  /** Read/write the store manifest text (driver-side, tiny). */
+  private def manifestText(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "manifest", "manifest.json")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  /** Simulate a manifest written before the store-version flag existed. */
+  private def stripRowCountFlag(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, "manifest", "manifest.json")
+    val txt = manifestText(dir)
+    assert(txt.contains("\"has_row_counts\":true"),
+      "expected a flagged manifest to strip")
+    java.nio.file.Files.write(p,
+      txt.replace(",\"has_row_counts\":true", "").getBytes("UTF-8")): Unit
+    // the direct rewrite bypasses Hadoop's local-FS checksum layer —
+    // drop the stale .crc sidecar or the next manifest read fails
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "manifest", ".manifest.json.crc")): Unit
+  }
+
   test("retraction on a store without row-count partials fails, not guesses") {
     val d = java.nio.file.Files.createTempDirectory("agg_nav_legacy").toString
     AggregateNavigator.buildSummaries(li.filter(col("ship_year") === 1995),
       Seq("rf" -> Seq("l_returnflag")), addMeasures, d)
     // simulate a store written before RowCountCol existed: rewrite the
-    // data without the hidden column
+    // data without the hidden column AND drop the manifest's store-version
+    // flag (a true legacy manifest never had it)
     val legacy = spark.read.parquet(s"$d/data")
       .drop(AggregateNavigator.RowCountCol)
     legacy.write.mode("overwrite").partitionBy("gid").parquet(s"$d/data_new")
@@ -466,6 +487,7 @@ class AggregateNavigatorSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/data"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/data_new"),
       new org.apache.hadoop.fs.Path(s"$d/data"))
+    stripRowCountFlag(d)
     val e = intercept[IllegalStateException] {
       AggregateNavigator.retractSummaries(
         li.filter(col("ship_year") === 1995).limit(5), d)
@@ -480,6 +502,39 @@ class AggregateNavigatorSpec extends SparkSpec {
         li.filter(col("ship_year") === 1996).limit(5), d)
     }
     assert(e2.getMessage.contains("predates row-count partials"))
+  }
+
+  test("store-version flag: unflagged-but-sound store migrates via one " +
+    "probe and gets stamped; a flagged store is trusted without a scan") {
+    // migration: a store whose data HAS row counts but whose manifest
+    // predates the flag — the probe passes once, the rewrite stamps it
+    val d = java.nio.file.Files.createTempDirectory("agg_nav_flag").toString
+    AggregateNavigator.buildSummaries(li.filter(col("ship_year") === 1995),
+      Seq("rf" -> Seq("l_returnflag")), addMeasures, d)
+    assert(manifestText(d).contains("\"has_row_counts\":true"),
+      "buildSummaries must stamp the store-version flag")
+    stripRowCountFlag(d)
+    AggregateNavigator.refreshSummaries(
+      li.filter(col("ship_year") === 1996).limit(5), d)
+    assert(manifestText(d).contains("\"has_row_counts\":true"),
+      "a successful fold must re-stamp the flag")
+    // authority: once flagged, the per-call data scan is GONE — a store
+    // whose data was mangled to drop RowCountCol but whose manifest still
+    // carries the flag refreshes without the legacy refusal (the flag,
+    // not a scan, is the witness; this is the q80/q84 perf contract)
+    val d2 = java.nio.file.Files.createTempDirectory("agg_nav_flag2").toString
+    AggregateNavigator.buildSummaries(li.filter(col("ship_year") === 1995),
+      Seq("rf" -> Seq("l_returnflag")), addMeasures, d2)
+    val mangled = spark.read.parquet(s"$d2/data")
+      .drop(AggregateNavigator.RowCountCol)
+    mangled.write.mode("overwrite").partitionBy("gid").parquet(s"$d2/data_new")
+    val fs = new org.apache.hadoop.fs.Path(d2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d2/data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d2/data_new"),
+      new org.apache.hadoop.fs.Path(s"$d2/data"))
+    AggregateNavigator.refreshSummaries(
+      li.filter(col("ship_year") === 1996).limit(5), d2) // no refusal
   }
 
   test("retractSummariesOnce applies once; replays are skipped") {

@@ -46,6 +46,44 @@ class PipelineOpsSpec extends SparkSpec {
           "q106's LSH≡exact determinism is at risk")
   }
 
+  test("idf-weighted simhash separates templated docs that uniform votes collapse") {
+    import spark.implicits._
+    // 20 docs: 200 distinct boilerplate tokens shared by ALL docs + 40
+    // rare payload tokens unique to each. Uniform votes: the template's
+    // per-bit sum (σ≈14) dominates the payload's (σ≈6.3), so every
+    // signature tracks the SAME template and pairwise hamming collapses.
+    // idf weights: template tokens (df = N) carry weight 1, payload
+    // tokens (df = 1) weight ln((N+1)/2)+1 ≈ 3.4 — the payload side
+    // (σ≈21) now dominates and signatures follow the distinct content.
+    // Everything here is deterministic (fixed token strings, md5 token
+    // hashes) — the comparison is a law, not a statistical flake.
+    val template = (0 until 200).map(i => s"tmpl$i").mkString(" ")
+    val corpus = (1 to 20).map { d =>
+      val payload = (0 until 40).map(j => s"pay${d}_$j").mkString(" ")
+      (d.toLong, s"$template $payload")
+    }.toDF("doc_id", "text")
+    def pairsWithin(idf: Boolean, h: Int): Long =
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = h,
+        idfWeighted = idf).count()
+    val collapsedUniform = pairsWithin(idf = false, h = 8)
+    val collapsedWeighted = pairsWithin(idf = true, h = 8)
+    assert(collapsedUniform > 0,
+      "construction check: uniform votes must collapse some templated pair")
+    assert(collapsedWeighted < collapsedUniform,
+      s"idf weighting must separate templated docs: uniform=$collapsedUniform " +
+        s"weighted=$collapsedWeighted")
+    // the weighted signature still identifies TRUE near-dups: an exact
+    // copy of doc 1 under a new id lands at hamming 0
+    val withCopy = corpus.unionByName(
+      corpus.filter(col("doc_id") === 1L)
+        .select(lit(999L).as("doc_id"), col("text")))
+    val copyPairs = Dedup.simhashPairs(withCopy, "doc_id", "text",
+        maxHamming = 0, idfWeighted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(copyPairs.contains((1L, 999L)),
+      s"weighted simhash must still catch the exact copy: $copyPairs")
+  }
+
   test("simhash near-dups are a subset of doc pairs and deterministic") {
     val p1 = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
     val p2 = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
@@ -2322,15 +2360,81 @@ class PipelineOpsSpec extends SparkSpec {
       Retrieval.rrfFuse(Seq(a.withColumnRenamed("doc_id", "neighbor_id")), 2)
     }
     assert(e.getMessage.contains("query_id"))
-    // NON-integral doc ids (URL/UUID strings) take the window fallback
-    // and round-trip untouched — an unconditional cast("long") would
-    // null them into the heap's non-nullable encoder
+    // STRING doc ids (URL/UUID corpora) take the code-point-ordered
+    // bounded heap — same output as the window form, and no Window node
+    // in the plan
     val s1 = Seq((9L, "doc-seven", 1)).toDF("query_id", "doc_id", "rank")
     val s2 = Seq((9L, "doc-five", 1)).toDF("query_id", "doc_id", "rank")
-    val sTied = Retrieval.rrfFuse(Seq(s1, s2), k = 2).orderBy("rank")
+    val sFused = Retrieval.rrfFuse(Seq(s1, s2), k = 2)
+    val sTied = sFused.orderBy("rank")
       .collect().map(r => (r.getString(1), r.getInt(2))).toSeq
     assert(sTied == Seq(("doc-five", 1), ("doc-seven", 2)),
       s"string ids must survive fusion with the same tie-break: $sTied")
+    assert(!sFused.queryExecution.executedPlan.toString.contains("Window"),
+      "string-id fusion must rank on the bounded heap, not a window")
+  }
+
+  test("string-id top-k heap ≡ long-id heap under an order-preserving id map") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // two synthetic retrievers over 3 queries × 40 docs; zero-padded
+    // decimal strings order exactly like the longs they encode, so the
+    // long-heap fusion and the string-heap fusion must agree rank for
+    // rank — ties, truncation, and all
+    def ranking(seed: Int) = (for {
+      q <- 1 to 3
+      r <- 1 to 25
+    } yield (q.toLong, ((q * 7 + r * seed) % 40 + 1).toLong, r))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.minBy(_._3)).toSeq
+      .toDF("query_id", "doc_id", "rank")
+    val a = ranking(3)
+    val b = ranking(11)
+    val longFused = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        f"id-${r.getLong(1)}%05d").toMap
+    def asStr(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("doc_id", format_string("id-%05d", col("doc_id")))
+    val strFused = Retrieval.rrfFuse(Seq(asStr(a), asStr(b)), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(1)).toMap
+    assert(strFused == longFused,
+      s"string heap diverged from long heap:\n$strFused\nvs\n$longFused")
+    // same law for the kNN ranking tail: brute kNN over string-keyed
+    // vectors must rank exactly like the long-keyed corpus
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") <= 2)
+    val longKnn = Similarity.bruteKnn(q, vecs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        f"v${r.getLong(1)}%05d").toMap
+    val sVecs = vecs.withColumn("vec_id", format_string("v%05d", col("vec_id")))
+    val sq = sVecs.filter(col("vec_id") <= "v00002")
+    val strKnnDf = Similarity.bruteKnn(sq, sVecs, k = 5)
+    val strKnn = strKnnDf.collect()
+      .map(r => (r.getString(0).drop(1).toLong, r.getInt(2)) -> r.getString(1))
+      .toMap
+    assert(strKnn == longKnn,
+      s"string kNN heap diverged from long kNN heap:\n$strKnn\nvs\n$longKnn")
+    assert(!strKnnDf.queryExecution.executedPlan.toString.contains("Window"),
+      "string-id kNN must rank on the bounded heap, not a window")
+  }
+
+  test("bruteKnn excludeSelf=false keeps id-colliding pairs (independent id spaces)") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    // hybrid retrieval: query 1 and doc 1 are different entities that
+    // happen to share a number — the identical vector must rank first
+    val kept = Similarity.bruteKnn(q, corpus, k = 1, excludeSelf = false)
+      .collect()
+    assert(kept.head.getLong(1) == 1L && kept.head.getInt(2) == 1,
+      s"id-colliding doc must be retrievable: ${kept.toSeq}")
+    // near-dup semantics (default): a vector is trivially its own
+    // nearest neighbor — still excluded
+    val dropped = Similarity.bruteKnn(q, corpus, k = 1).collect()
+    assert(dropped.head.getLong(1) == 2L,
+      s"default kNN must keep self-exclusion: ${dropped.toSeq}")
   }
 
   test("hybridSearch: a doc both retrievers rank first is the fused winner") {
@@ -2535,8 +2639,70 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Paragraph dedup — CCNet stage 1: census, election, re-stitch
+  // ------------------------------------------------------------------
+
+  test("paragraph dedup: min-(doc,pos) election, normalization, pass-through") {
+    import spark.implicits._
+    val corpus = Seq(
+      // doc 1 holds the CANONICAL copy (min doc id) — case/punct-varied,
+      // pinned kept verbatim (normalization keys the census, never
+      // rewrites surviving text)
+      (1L, "alpha beta\nCOMMON boiler, plate!\ngamma delta"),
+      (2L, "epsilon\ncommon boiler plate\nzeta"),
+      (3L, "eta\ncommon boiler plate\ncommon boiler plate\ntheta"),
+      // no duplicated paragraph: byte-identical pass-through
+      (4L, "unique one\nunique two"),
+      // blank paragraph is structure, not content: kept, never censused
+      (5L, "iota\n\nkappa"),
+      // within-doc repetition with the corpus-wide winner INSIDE the
+      // doc: first occurrence survives, later ones drop
+      (6L, "solo\nrepeat me\nrepeat me")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(corpus, "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha beta\nCOMMON boiler, plate!\ngamma delta")
+    assert(out(2L) == "epsilon\nzeta")
+    assert(out(3L) == "eta\ntheta")
+    assert(out(4L) == "unique one\nunique two")
+    assert(out(5L) == "iota\n\nkappa")
+    assert(out(6L) == "solo\nrepeat me")
+    // duplicate-free corpora pass through byte-identical (the span-free
+    // law): the whole fixture has no repeated paragraph at sep \n\n
+    val pristine = docs.select("doc_id", "text")
+    val same = Dedup.dropDuplicateParagraphs(pristine, "doc_id", "text", "\n\n")
+    assert(same.except(pristine).isEmpty && pristine.except(same).isEmpty,
+      "a duplicate-free corpus must pass through byte-identical")
+  }
+
+  // ------------------------------------------------------------------
   // Profiler — one-pass stats: exact fields exact, native-type min/max
   // ------------------------------------------------------------------
+
+  test("profile: duplicate cols rejected by name; quantiles one-pass, numeric-only") {
+    import spark.implicits._
+    val df = (1 to 101).map(i => (i.toLong, i.toDouble, s"s$i"))
+      .toDF("id", "x", "s")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Profiler.profile(df, Seq("x", "x", "s"))
+    }
+    assert(e.getMessage.contains("duplicate column(s): x"))
+    val p = graft.operators.Profiler.profile(df, Seq("x", "s"),
+      quantiles = Seq(0.25, 0.5, 0.75))
+    val rows = p.collect().map(r => r.getString(0) -> r).toMap
+    // 1..101 uniform: exact quartiles are 26, 51, 76; the sketch is
+    // exact at this cardinality
+    val qx = rows("x").getSeq[Double](6)
+    assert(qx == Seq(26.0, 51.0, 76.0), s"quartiles of 1..101: $qx")
+    assert(rows("s").isNullAt(6), "non-numeric columns carry NULL quantiles")
+    // still ONE aggregation — no Expand, single pass
+    assert(!p.queryExecution.executedPlan.toString.contains("Expand"),
+      "quantiles must ride the single profiling aggregation")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Profiler.profile(df, Seq("x"), quantiles = Seq(1.5))
+    }
+    assert(e2.getMessage.contains("quantiles must be in [0, 1]"))
+  }
 
   test("profile: nulls, native-type min/max, distinct within rsd; one pass") {
     import spark.implicits._

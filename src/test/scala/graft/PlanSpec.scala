@@ -561,7 +561,13 @@ class PlanSpec extends SparkSpec {
       "lshKnn" -> graft.operators.Similarity.lshKnn(q, e, k = 3),
       "ivfKnn" -> graft.operators.Similarity.ivfKnn(q, e, k = 3),
       "pqKnn" -> graft.operators.Similarity.pqKnn(q, codes, model, k = 3),
-      "nearDupPairs" -> graft.operators.Similarity.nearDupPairs(e, 0.9))
+      "nearDupPairs" -> graft.operators.Similarity.nearDupPairs(e, 0.9),
+      // not ANN, but the same kernel doctrine: the curriculum pivot-
+      // bucket binary search must codegen compactly at any pivot count
+      "curriculumShards" -> graft.operators.Sampling.curriculumShards(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id",
+        org.apache.spark.sql.functions.col("n_chars").cast("double"),
+        numShards = 4, pivots = 64))
     paths.foreach { case (name, df) =>
       // collect() (not count(), which is a separate query execution) so
       // THIS queryExecution runs and AQE materializes its codegen stages

@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
       "streaming anomaly report must equal the batch report on closed days")
   }
 
+  test("dailyCounts buckets by session-timezone midnights like the batch twin") {
+    // the epoch-aligned window(ts, '1 day') form bucketed by UTC
+    // midnights; in a non-UTC session that breaks stream≡batch against
+    // Events' date_trunc('DAY') days — pin the date_trunc twin here
+    val tzConf = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzConf)
+    try {
+      spark.conf.set(tzConf, "America/New_York")
+      val sink = java.nio.file.Files.createTempDirectory("tz_sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("tz_ckpt").toString
+      val stream = EventsStreaming.readEvents(spark, streamDir)
+      val q = EventsStreaming.startToCubeSink(
+        EventsStreaming.dailyCounts(stream, Seq("event_type"), "1 minute"),
+        sink, ckpt)
+      q.awaitTermination(120000)
+      val streamed = spark.read.parquet(sink)
+        .groupBy("day", "event_type").agg(max("n").as("n"))
+      val batch = graft.sources.Sources.readEvents(spark, sfDir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.count() > 0, "stream must emit watermark-closed days")
+      // every emitted (day, type, n) must agree with the batch bucketing
+      // in the NON-UTC session timezone
+      assert(streamed.except(batch).count() == 0,
+        "streamed day buckets must match session-timezone date_trunc days")
+    } finally spark.conf.set(tzConf, saved)
+  }
+
   test("stream-to-cube: windowed sink queried as a navigable cube") {
     import graft.query.dsl._
     val sink = java.nio.file.Files.createTempDirectory("cube_sink").toString
