@@ -195,6 +195,14 @@ object ScaleProbe {
           e.withColumn("cluster", pmod(col("vec_id"), lit(64))),
           "vec_id", "cluster", quota = 50).count()
       },
+      // hard-negative mining: a FIXED replica-0 anchor set against the
+      // scaled corpus — one broadcast scan with the band filter BEFORE
+      // the bounded top-k, so the honest bound is linear-in-corpus
+      "hardneg" -> timed(s"$tag hard negatives") {
+        graft.operators.Similarity.hardNegatives(
+          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e, k = 5, lo = 0.3, hi = 0.9).count()
+      },
       // prototype pruning: scoring is a per-row projection against 16
       // centroid literals (replica-0 seeds — constant at every factor),
       // the per-cluster cuts one bounded rounded-score histogram — the
@@ -355,6 +363,26 @@ object ScaleProbe {
         graft.operators.Sampling.curriculumShards(d, "doc_id",
           length(col("text")).cast("double"), numShards = 64,
           pivots = 256).count()
+      },
+      // paragraph-grain dedup (CCNet stage 1): paragraph rows are linear
+      // in tokens, the census one partial-aggregatable min-struct groupBy
+      // (never a posting list), the rebuild a per-affected-doc bounded
+      // array join — replica-suffixed tokens share no paragraphs across
+      // replicas, so duplication structure replicates factor× and a
+      // superlinear ratio means the census or rebuild leaked a
+      // data-sized sort
+      "paradedup" -> timed(s"$tag paragraph dedup") {
+        graft.operators.Dedup.dropDuplicateParagraphs(
+          d.withColumn("text", regexp_replace(col("text"),
+            "((\\S+ ){10})", "$1\n")), "doc_id", "text").count()
+      },
+      // UniMax allocation: one map-side-combined groupBy(source) + a
+      // driver-side water-fill over the sources-sized collect — the
+      // honest bound is linear-in-rows with a constant driver tail
+      "unimax" -> timed(s"$tag unimax allocation") {
+        graft.operators.Corpus.unimaxAllocation(
+          d.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
+          "source", length(col("text")), budget = 1000000L).count()
       },
       // corpus-level MinHash overlap: one shingle scan + a map-side
       // combined groupBy(source) over k mins; the pair join is on the

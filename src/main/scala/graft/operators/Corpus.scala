@@ -505,6 +505,67 @@ object Corpus {
       .select(col(sourceCol), col("tokens"), col("weight"))
   }
 
+  /** UniMax epoch-capped corpus mixing (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): allocate a total token `budget` across
+    * sources by WATER-FILLING under a per-source repeat cap — no source
+    * is sampled beyond `maxEpochs` passes over its own tokens, and the
+    * budget freed by small (capped) sources spreads UNIFORMLY over the
+    * larger ones instead of ∝ size^T (the [[mixingWeights]] temperature
+    * knob, which still lets the largest source dominate).
+    *
+    * Allocation: capacity c_s = maxEpochs · tokens_s; find the water
+    * level L with Σ_s min(c_s, L) = budget; alloc_s = min(c_s, L). When
+    * the budget exceeds total capacity every source is capped (the
+    * budget is unreachable without raising maxEpochs — epochs says so).
+    *
+    * Shape: ONE per-source token aggregation (map-side combined); the
+    * water level is solved DRIVER-side over the sources-sized collect
+    * (the curriculumShards pivot doctrine — bounded by source count,
+    * never by corpus size) with the closed form over capacities sorted
+    * ascending: the first source whose capacity covers its fair share
+    * of the remaining budget fixes L = (budget − Σ smaller capacities)
+    * / (#sources from it on). The result is emitted as a literal
+    * sources-sized DataFrame.
+    *
+    * Output: (sourceCol, tokens, capacity, alloc_tokens, epochs,
+    * weight), weight = alloc/budget rounded 6, alloc and epochs rounded
+    * 4 — all double arithmetic in one fixed order so an external SQL
+    * replay is bit-stable. */
+  def unimaxAllocation(docs: DataFrame, sourceCol: String, tokenCol: Column,
+                       budget: Long, maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val spark = docs.sparkSession
+    val per = docs.groupBy(col(sourceCol))
+      .agg(sum(tokenCol.cast("long")).as("tokens"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+      .map { case (s, n) => (s, n, maxEpochs * n) }
+      .sortBy { case (s, _, c) => (c, s) } // ascending capacity, name tie-break
+    val k = per.length
+    require(k > 0, "unimaxAllocation: no sources")
+    // water level: scan ascending; the first capacity covering its fair
+    // share of what remains fixes L for every source from there on
+    var remaining = budget.toDouble
+    var level = Double.PositiveInfinity
+    var i = 0
+    while (i < k && level.isInfinite) {
+      val share = remaining / (k - i)
+      if (per(i)._3 >= share) level = share
+      else { remaining -= per(i)._3; i += 1 }
+    }
+    val rows = per.map { case (s, n, c) =>
+      val alloc = math.min(c, level)
+      val epochs = if (n == 0) 0.0 else alloc / n // an empty source has no epochs
+      (s, n, math.rint(c * 1e4) / 1e4, math.rint(alloc * 1e4) / 1e4,
+        math.rint(epochs * 1e4) / 1e4,
+        math.rint(alloc / budget * 1e6) / 1e6)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(sourceCol, "tokens", "capacity", "alloc_tokens",
+      "epochs", "weight")
+  }
+
   /** Pairwise CORPUS-level n-gram overlap between sources, estimated by
     * MinHash over each source's shingle set — "how much does crawl dump A
     * repeat crawl dump B" answered without materializing any doc-level

@@ -1105,19 +1105,7 @@ object Dedup {
   def dropDuplicateParagraphs(docs: DataFrame, idCol: String,
                               textCol: String,
                               sep: String = "\n"): DataFrame = {
-    require(sep.nonEmpty, "paragraph separator must be non-empty")
-    val sepRe = java.util.regex.Pattern.quote(sep)
-    // normalized census key — replayable verbatim in ANSI SQL: lower,
-    // strip non-letters (keeping whitespace), collapse runs, trim
-    def norm(p: Column): Column =
-      trim(regexp_replace(
-        regexp_replace(lower(p), "[^a-z\\s]", ""), "\\s+", " "))
-    val occ = docs
-      .select(col(idCol), posexplode(split(col(textCol), sepRe, -1)))
-      .select(col(idCol), (col("pos") + 1).as("pos"),
-        norm(col("col")).as("__n"))
-      .where(col("__n") =!= "")
-      .select(col(idCol), col("pos"), unhex(md5(col("__n"))).as("__h"))
+    val occ = paragraphOccurrences(docs, idCol, textCol, sep)
     val winners = occ.groupBy("__h")
       .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("__w"),
         count(lit(1)).as("__c"))
@@ -1125,14 +1113,117 @@ object Dedup {
       .select(col("__h"), col("__w.id").as("__wid"), col("__w.p").as("__wp"))
     val drops = occ.join(winners, "__h")
       .where(!(col(idCol) === col("__wid") && col("pos") === col("__wp")))
+    rebuildWithoutPositions(docs, drops, idCol, textCol, sep)
+  }
+
+  /** Fixed-width paragraph-occurrence rows (idCol, pos, __h): 1-based
+    * split position and the 16-byte md5 of the NORMALIZED paragraph
+    * (lower, non-letters stripped keeping whitespace, runs collapsed,
+    * trimmed — replayable verbatim in ANSI SQL). Paragraphs normalizing
+    * to "" are structure, not content — never emitted. Texts never
+    * shuffle: the split/normalize/hash is local per doc row. */
+  private def paragraphOccurrences(docs: DataFrame, idCol: String,
+                                   textCol: String, sep: String): DataFrame = {
+    require(sep.nonEmpty, "paragraph separator must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    def norm(p: Column): Column =
+      trim(regexp_replace(
+        regexp_replace(lower(p), "[^a-z\\s]", ""), "\\s+", " "))
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), sepRe, -1)))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        norm(col("col")).as("__n"))
+      .where(col("__n") =!= "")
+      .select(col(idCol), col("pos"), unhex(md5(col("__n"))).as("__h"))
+  }
+
+  /** Re-stitch each affected doc without its dropped 1-based positions
+    * (`drops`: (idCol, pos) rows — folded to one bounded int array per
+    * affected doc). Untouched docs keep their original string
+    * byte-identical (they skip the split/rejoin entirely). */
+  private def rebuildWithoutPositions(docs: DataFrame, drops: DataFrame,
+                                      idCol: String, textCol: String,
+                                      sep: String): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val perDoc = drops
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("__dp"))
-    docs.join(drops, Seq(idCol), "left")
+    docs.join(perDoc, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__dp").isNull, col(textCol))
           .otherwise(concat_ws(sep,
             filter(split(col(textCol), sepRe, -1),
               (_, i) => !array_contains(col("__dp"), i + 1)))))
       .drop("__dp")
+  }
+
+  /** Persist the paragraph census of an ingested corpus: the DISTINCT
+    * normalized-paragraph hashes, parquet at `root/hashes` — the stored
+    * half of [[dropDuplicateParagraphsDelta]] (16 bytes per distinct
+    * paragraph, orders of magnitude under the corpus). */
+  def saveParagraphStore(docs: DataFrame, idCol: String, textCol: String,
+                         root: String, sep: String = "\n"): Unit =
+    paragraphOccurrences(docs, idCol, textCol, sep)
+      .select("__h").distinct()
+      .write.mode("overwrite").parquet(s"$root/hashes")
+
+  /** INCREMENTAL paragraph dedup (the q55/q58 delta doctrine at
+    * paragraph grain): deduplicate a delta batch against the stored
+    * census without touching the ingested corpus — a delta paragraph
+    * drops when its normalized hash is already stored (some earlier doc
+    * holds the canonical copy) or loses the within-delta election
+    * (min (id, pos) keeps); survivors re-stitch, and their hashes fold
+    * into the store so the next delta sees them. Already-emitted docs
+    * are never rewritten — ≡ the batch [[dropDuplicateParagraphs]] over
+    * (ingested ∪ delta) restricted to the delta docs whenever delta ids
+    * sort after ingested ids (the append-only id contract every delta
+    * path here shares; PipelineOpsSpec pins the equivalence).
+    *
+    * Scale shape: the delta's fixed-width (id, pos, hash) rows probe a
+    * Bloom filter of the stored hashes first — bloom misses are
+    * DEFINITELY fresh and skip the store entirely, so the exact
+    * confirm join touches only the (tiny) hit set, never
+    * delta × store. The store update appends the delta's fresh distinct
+    * hashes — delta-sized, one parquet append. */
+  def dropDuplicateParagraphsDelta(delta: DataFrame, idCol: String,
+                                   textCol: String, root: String,
+                                   sep: String = "\n",
+                                   update: Boolean = true,
+                                   expectedStoreHashes: Option[Long] = None,
+                                   fpp: Double = 0.01): DataFrame = {
+    val spark = delta.sparkSession
+    val store = spark.read.parquet(s"$root/hashes")
+    val occ = paragraphOccurrences(delta, idCol, textCol, sep)
+    // the Bloom layer wants LONG keys (the docShingles doctrine) — fold
+    // the 16-byte census hash through xxhash64 for the probe only; the
+    // exact confirm joins still run on the full md5 bytes
+    val bloom = Decontaminate.serializeBloom(
+      store.select(xxhash64(col("__h")).as("__x")), "__x",
+      expectedStoreHashes.getOrElse(store.count()), fpp)
+    val hits = occ.filter(
+      Decontaminate.mightContain(bloom, xxhash64(col("__h"))))
+    // bloom hit + exact confirm → canonical already ingested → drop
+    val stored = hits.join(store, Seq("__h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    // fresh = definite misses + false positives the exact join cleared;
+    // within-delta election over exactly these (a hash that is stored
+    // must NOT also elect a delta winner)
+    val fresh = occ.filter(
+        !Decontaminate.mightContain(bloom, xxhash64(col("__h"))))
+      .unionByName(hits.join(store, Seq("__h"), "left_anti"))
+    val winners = fresh.groupBy("__h")
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("__w"),
+        count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+      .select(col("__h"), col("__w.id").as("__wid"), col("__w.p").as("__wp"))
+    val freshLosers = fresh.join(winners, "__h")
+      .where(!(col(idCol) === col("__wid") && col("pos") === col("__wp")))
+      .select(col(idCol), col("pos"))
+    val rebuilt = rebuildWithoutPositions(delta,
+      stored.unionByName(freshLosers), idCol, textCol, sep)
+    if (update)
+      fresh.select("__h").distinct()
+        .write.mode("append").parquet(s"$root/hashes")
+    rebuilt
   }
 }

@@ -83,6 +83,32 @@ object Similarity {
     rankTopK(scored, k, corpus.schema(cId).dataType)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/retriever training (the DPR
+    * recipe — Karpukhin et al. 2020, "Dense Passage Retrieval"; SimCSE's
+    * in-batch upgrade): for each anchor, the top-k corpus vectors inside
+    * the cosine band [lo, hi) — similar enough to be informative
+    * negatives, but below the near-duplicate ceiling so true positives
+    * (copies, paraphrases) are never labeled negative. Self pairs are
+    * excluded (anchors are corpus rows).
+    *
+    * Same scale shape as [[bruteKnn]]: anchors broadcast, corpus scanned
+    * once, the band filter prunes BEFORE ranking, and ranking is the
+    * bounded per-partition top-k aggregation — the shuffle carries ≤ k
+    * rows per (partition, anchor). Swap the scorer for an IVF probe via
+    * [[ivfKnnStored]] + a band filter when the corpus is indexed. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    lo: Double, hi: Double,
+                    qId: String = "vec_id", qVec: String = "embedding",
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val q = anchors.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    rankTopK(scored, k, corpus.schema(cId).dataType)
+  }
+
   /** Shared ranking tail of every kNN path: per query, the top-k scored
     * neighbors as (query_id, neighbor_id, rank, cos), (cos desc, id asc).
     * Integral ids rank via the bounded

@@ -1,0 +1,1057 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.builders.Tpch
+import graft.functions.TextFunctions
+import graft.model.{DataCube, Hierarchy, Measure}
+import graft.operators.{Dedup, Events, Sampling, Similarity}
+
+/** Corpus-curation and sampling queries: splits, mixing weights, sequence
+  * packing, chunking, stratified/diversity sampling, DSIR, quality
+  * classifier + CCNet buckets, prototype pruning, curriculum shards, and
+  * the composed end-to-end pipelines.
+  * Part of the [[ExtensionQueries]] surface (see its scaladoc for the
+  * portability conventions every oracle follows).
+  */
+private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
+
+  // -------------------------------------------------------------------
+  // q35 — deterministic train/val/test split: hash-of-id assignment
+  //       (Sampling.assignSplit), per-split count + id range + char
+  //       volume. The ORACLE CHECKS MEMBERSHIP itself (same md5-derived
+  //       uniform in DuckDB), not just sizes — a changed hash or
+  //       threshold arithmetic fails the row hash.
+  // -------------------------------------------------------------------
+  def q35(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.assignSplit(docs(s, dir), "doc_id")
+      .groupBy("split")
+      .agg(count("*").as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum("n_chars").as("sum_chars")))
+
+  val q35Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           / 1152921504606846976.0 AS u
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM h GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q40 — sequence packing: per-source streaming concat-and-cut into
+  //       512-token packs (Packing.packSummary); per-pack doc count and
+  //       token fill. Window cumsum partitions by source — no
+  //       unpartitioned-window funnel.
+  // -------------------------------------------------------------------
+  def q40(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Packing.packSummary(
+      docs(s, dir), "doc_id", TextFunctions.nTokens(col("text")),
+      budget = 512, shardCol = "source"))
+
+  val q40Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         len(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, doc_id, tok,
+      |         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id) - tok AS strt
+      |  FROM t
+      |)
+      |SELECT source, CAST(floor(strt / 512.0) AS BIGINT) AS pack_seq,
+      |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+      |FROM s GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q47 — RAG token-window chunking: width-64 windows advancing by 48
+  //       (16-token overlap), chunk text fingerprinted for cross-engine
+  //       hash comparison. Start positions = multiples of stride below
+  //       the token count in BOTH engines (range() in DuckDB, the
+  //       floor-div sequence in Spark) — the window arithmetic itself is
+  //       what the hash pins.
+  // -------------------------------------------------------------------
+  def q47(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Chunking.chunkFingerprints(
+      docs(s, dir), "doc_id", "text", width = 64, stride = 48))
+
+  val q47Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents
+      |), st AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS strt FROM toks
+      |), c AS (
+      |  SELECT doc_id, CAST(strt // 48 AS INT) AS chunk_idx,
+      |         list_slice(t, strt + 1, strt + 64) AS chunk
+      |  FROM st
+      |)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
+      |       md5(array_to_string(chunk, ' ')) AS chunk_fp
+      |FROM c
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q48 — temperature-weighted corpus mixing (tokens^0.7 sampling
+  //       weights): per-source token totals are integer-exact; the only
+  //       float arithmetic (pow + normalize) is rounded to 6 decimals in
+  //       both engines.
+  // -------------------------------------------------------------------
+  def q48(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Corpus.mixingWeights(
+      docs(s, dir), "source", TextFunctions.nTokens(col("text")),
+      temperature = 0.7))
+
+  val q48Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |           AS tokens
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT source, tokens,
+      |       round(pow(CAST(tokens AS DOUBLE), 0.7) /
+      |             (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.7)) FROM per), 6)
+      |         AS weight
+      |FROM per
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q56 — corpus-mix construction end-to-end: temperature weights (q48)
+  //       → per-source keep rates min(1, budget·w/tokens) → deterministic
+  //       hash sampling (q35's md5-u) → per-source sampled mass. The
+  //       oracle re-derives the rates from the same integer token counts
+  //       and 6-decimal-rounded weights, so the float arithmetic is
+  //       bit-identical and membership itself is checked.
+  // -------------------------------------------------------------------
+  def q56(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.sampleToBudget(
+      docs(s, dir), "doc_id", "source", TextFunctions.nTokens(col("text")),
+      budgetTokens = 10000L, temperature = 0.7)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.nTokens(col("text")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"), sum("tok").as("sum_tokens")))
+
+  val q56Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |           AS tokens
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source, tokens,
+      |         round(pow(CAST(tokens AS DOUBLE), 0.7) /
+      |               (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.7)) FROM per), 6)
+      |           AS weight
+      |  FROM per
+      |), r AS (
+      |  SELECT source, least(1.0, 10000.0 * weight / tokens) AS rate FROM w
+      |), s AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS tok
+      |  FROM documents d JOIN r USING (source)
+      |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |          / 1152921504606846976.0 < r.rate
+      |)
+      |SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+      |FROM s GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q65 — EXACT-quota stratified sample: exactly N rows per source,
+  //       membership = the quota-prefix of the per-source ranking by
+  //       the portable md5 hash (Sampling.stratifiedExactSample). The
+  //       ORACLE REPRODUCES MEMBERSHIP row-for-row (same md5-derived
+  //       ordering in DuckDB), so a changed hash, ordering, or tiebreak
+  //       fails the row hash — not just the counts.
+  // -------------------------------------------------------------------
+  def q65(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.stratifiedExactSample(docs(s, dir), "doc_id", "source",
+        Map("src1" -> 40, "src2" -> 10, "src3" -> 7))
+      .select("doc_id", "source"))
+
+  val q65Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY
+      |           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |             AS BIGINT) / 1152921504606846976.0, doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT doc_id, source FROM ranked
+      |WHERE rn <= CASE source WHEN 'src1' THEN 40 WHEN 'src2' THEN 10
+      |                        WHEN 'src3' THEN 7 ELSE 0 END
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q77 — DATA-QUALITY AUDIT: declarative constraint checks (Quality
+  //       .audit) — completeness, key uniqueness, range, accepted
+  //       values — ALL computed in one aggregation over one scan of
+  //       orders (rules 3 and 4 differ only in bound so the report
+  //       shows both a passing and a failing range rule). Exact counts;
+  //       oracle = the same metrics as a UNION ALL of plain aggregates.
+  // -------------------------------------------------------------------
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    sorted(Quality.audit(orders, Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 600000.0),
+      InRange("o_totalprice", 0.0, 100000.0),
+      AcceptedValues("o_orderpriority", Seq(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))))
+  }
+
+  val q77Sql: String =
+    """SELECT 1 AS rule_no, 'not_null' AS rule, 'o_custkey' AS target,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS violations,
+      |       CASE WHEN sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+      |            THEN 1 ELSE 0 END AS pass
+      |FROM orders
+      |UNION ALL
+      |SELECT 2, 'unique', 'o_orderkey', count(*),
+      |       CAST(count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+      |            - count(DISTINCT o_orderkey) AS BIGINT),
+      |       CASE WHEN count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+      |                 = count(DISTINCT o_orderkey) THEN 1 ELSE 0 END
+      |FROM orders
+      |UNION ALL
+      |SELECT 3, 'in_range', 'o_totalprice', count(*),
+      |       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 600000)
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       CASE WHEN sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 600000)
+      |                     THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM orders
+      |UNION ALL
+      |SELECT 4, 'in_range', 'o_totalprice', count(*),
+      |       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 100000)
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       CASE WHEN sum(CASE WHEN o_totalprice IS NOT NULL
+      |                     AND (o_totalprice < 0 OR o_totalprice > 100000)
+      |                     THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM orders
+      |UNION ALL
+      |SELECT 5, 'accepted_values', 'o_orderpriority', count(*),
+      |       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+      |                     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+      |                       '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+      |                     THEN 1 ELSE 0 END) AS BIGINT),
+      |       CASE WHEN sum(CASE WHEN o_orderpriority IS NOT NULL
+      |                     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+      |                       '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+      |                     THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM orders
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q83 — N-GRAM LM QUALITY SCORE (the perplexity filter): add-one-
+  //       smoothed bigram model trained on the corpus itself, each doc
+  //       scored by mean -log2 P(w2|w1). Bigrams come from a per-row
+  //       zip of the token array with its own tail (no self-join); the
+  //       model is two count aggregations; scoring is one shuffle join
+  //       on the bigram key. The 4-decimal rounding makes the float
+  //       mean hash-stable against summation-order drift.
+  // -------------------------------------------------------------------
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    sorted(Corpus.lmScore(docs(s, dir), "doc_id", "text"))
+  }
+
+  val q83Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     w -> w <> '') AS t
+      |  FROM documents
+      |), tok AS (
+      |  SELECT unnest(t) AS w FROM toks
+      |), uni AS (
+      |  SELECT w, count(*) AS cw FROM tok GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM tok
+      |), bg AS (
+      |  SELECT doc_id, t[g.i] AS w1, t[g.i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      |  WHERE len(t) >= 2
+      |), bgc AS (
+      |  SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |         -log2((bgc.cbg + 1.0) / (uni.cw + v.v)) AS nll
+      |  FROM bg
+      |  JOIN bgc USING (w1, w2)
+      |  JOIN uni ON uni.w = bg.w1
+      |  CROSS JOIN v
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
+      |FROM scored GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q93 — LEARNED QUALITY CLASSIFIER verdict: the CCNet/fastText-style
+  //       filter — hashed-BoW logistic regression trained to separate
+  //       the fixture corpus ("curated") from deterministic id-salted
+  //       gibberish ("crawl garbage"), evaluated on a held-out split.
+  //       LBFGS coefficients carry fp summation noise, so the
+  //       hash-checked columns are the deterministic test size plus a
+  //       wide-margin accuracy verdict (q31/q50 doctrine).
+  // -------------------------------------------------------------------
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Quality
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    // garbage shares a 200-token vocabulary (id-arithmetic draw), so the
+    // held-out half is IN-vocabulary — a per-doc-unique salt would make
+    // every test token OOV and the verdict would measure the prior
+    val garbage = d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("gk_"),
+          pmod(col("doc_id") * 7 + lit(i * 13), lit(200)))): _*).as("text"))
+    val all = d.withColumn("label", lit(1))
+      .unionByName(garbage.withColumn("label", lit(0)))
+    val train = all.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = all.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val model = Quality.trainQualityClassifier(train, "text", "label",
+      numFeatures = 1 << 16, maxIter = 10)
+    val scored = Quality.scoreQuality(model, test, "doc_id", "text")
+      .join(test.select("doc_id", "label"), "doc_id")
+    val row = scored.agg(count(lit(1)).as("n"),
+      sum(when((col("quality") >= 0.5).cast("int") === col("label"), 1L)
+        .otherwise(0L)).as("correct")).head()
+    val (n, correct) = (row.getLong(0), row.getLong(1))
+    Seq((n, if (correct >= (n * 0.95).toLong) 1 else 0))
+      .toDF("n_test", "acc_ok")
+  }
+
+  val q93Sql: String =
+    """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+      |          + (SELECT count(*) FROM documents WHERE (doc_id + 100000) % 2 = 1)
+      |        AS BIGINT) AS n_test,
+      |       1 AS acc_ok""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q104 — IMPORTANCE RESAMPLING toward a target distribution (the DSIR
+  //        recipe): raw = all documents, target = the English slice;
+  //        every doc scored by the add-one-smoothed hashed-unigram
+  //        log-likelihood ratio over 256 buckets, the top 50 selected by
+  //        the md5-Gumbel-perturbed key. Spark side is two B-bounded
+  //        histogram scans + a pure per-row projection; the oracle
+  //        replays the identical arithmetic (md5 bucket hash, Laplace
+  //        smoothing, natural logs, 4-decimal rounding, Gumbel from the
+  //        same md5 uniform).
+  // -------------------------------------------------------------------
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(Sampling.importanceResample(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", budget = 50, buckets = 256)
+      .select("doc_id", "logw", "g_key"))
+  }
+
+  val q104Sql: String =
+    """WITH raww AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM documents
+      |), tgtw AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM documents WHERE lang = 'en'
+      |), rb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM raww GROUP BY 1
+      |), tb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM tgtw GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM raww) AS tr,
+      |         (SELECT count(*) FROM tgtw) AS tt
+      |), perdoc AS (
+      |  SELECT r.doc_id,
+      |         sum(ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 256)) -
+      |             ln((rb.c + 1.0) / (tot.tr + 256))) AS lw
+      |  FROM (SELECT doc_id,
+      |               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+      |        FROM raww) r
+      |  JOIN rb USING (b) LEFT JOIN tb USING (b) CROSS JOIN tot
+      |  GROUP BY 1
+      |), keyed AS (
+      |  SELECT d.doc_id, round(coalesce(p.lw, 0.0), 4) AS logw,
+      |         round(round(coalesce(p.lw, 0.0), 4) + -ln(-ln(
+      |           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |                AS BIGINT) / 1152921504606846976.0)), 4) AS g_key
+      |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      |)
+      |SELECT * FROM (
+      |  SELECT doc_id, logw, g_key FROM keyed
+      |  ORDER BY g_key DESC, doc_id LIMIT 50
+      |) sel
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q105 — DETERMINISTIC SHUFFLE-TO-SHARDS export: every document gets a
+  //        shard in [0, 8) and a dense within-shard position, both pure
+  //        md5 functions of the id (independent draws for assignment vs
+  //        order). The oracle checks the FULL (shard, pos) assignment —
+  //        a changed hash, shard arithmetic, or ordering tie-break fails
+  //        the row hash.
+  // -------------------------------------------------------------------
+  def q105(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.shuffleShards(docs(s, dir), "doc_id", numShards = 8)
+      .select("doc_id", "shard", "pos"))
+
+  val q105Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u,
+      |         CAST(('0x' || substr(md5('|pos' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u2
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(least(floor(u * 8), 7) AS INT) AS shard,
+      |       CAST(row_number() OVER (
+      |              PARTITION BY CAST(least(floor(u * 8), 7) AS INT)
+      |              ORDER BY u2, doc_id) - 1 AS BIGINT) AS pos
+      |FROM h
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q106 — END-TO-END CURATION PIPELINE, the canonical LLM-data recipe
+  //        as ONE composed oracle row: length filter → near-dup dedup
+  //        with keep-best survivor selection → DSIR importance
+  //        resampling toward the English slice → deterministic
+  //        shuffle-to-shards export. Four operators composed exactly as
+  //        a user would chain them; the oracle replays the whole chain
+  //        (shingle CTE + recursive closure + keep-best ranking + md5
+  //        bucket LM + Gumbel selection + shard assignment) in SQL, so
+  //        any drift in ANY stage (or in how stages compose) fails one
+  //        hash.
+  // -------------------------------------------------------------------
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = array_remove(TextFunctions.tokens(col("text")), "")
+    val filtered = d.filter(size(toks) >= 30)
+    val pairs = Dedup.minhashLsh(filtered, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+    val deduped = Dedup.dropNearDupsKeepBest(filtered, pairs,
+      "doc_id", "n_chars")
+    val resampled = Sampling.importanceResample(deduped,
+      deduped.filter(col("lang") === "en"), "doc_id", "text",
+      budget = 100, buckets = 256)
+    val sharded = Sampling.shuffleShards(resampled, "doc_id", numShards = 4)
+    sorted(sharded.select("doc_id", "lang", "logw", "shard", "pos"))
+  }
+
+  val q106Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, text, n_chars,
+      |         string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), f AS (
+      |  SELECT * FROM toks
+      |  WHERE len(list_filter(t, w -> w <> '')) >= 30
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+      |  FROM f, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) g
+      |  WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') AS s FROM f WHERE len(t) < 3
+      |), sh AS (
+      |  SELECT * FROM sh0
+      |  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 256)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) n FROM sh GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), ranked AS (
+      |  SELECT c.doc_id,
+      |         row_number() OVER (PARTITION BY c.component
+      |                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN f d USING (doc_id)
+      |), dd AS (
+      |  SELECT f.doc_id, f.lang, f.text FROM f
+      |  LEFT JOIN ranked r USING (doc_id)
+      |  WHERE r.doc_id IS NULL OR r.rn = 1
+      |), raww AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM dd
+      |), tgtw AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            w -> w <> '')) AS w
+      |  FROM dd WHERE lang = 'en'
+      |), rb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM raww GROUP BY 1
+      |), tb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM tgtw GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM raww) AS tr,
+      |         (SELECT count(*) FROM tgtw) AS tt
+      |), perdoc AS (
+      |  SELECT r.doc_id,
+      |         sum(ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 256)) -
+      |             ln((rb.c + 1.0) / (tot.tr + 256))) AS lw
+      |  FROM (SELECT doc_id,
+      |               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+      |        FROM raww) r
+      |  JOIN rb USING (b) LEFT JOIN tb USING (b) CROSS JOIN tot
+      |  GROUP BY 1
+      |), keyed AS (
+      |  SELECT d.doc_id, d.lang, round(coalesce(p.lw, 0.0), 4) AS logw,
+      |         round(round(coalesce(p.lw, 0.0), 4) + -ln(-ln(
+      |           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |                AS BIGINT) / 1152921504606846976.0)), 4) AS g_key
+      |  FROM dd d LEFT JOIN perdoc p USING (doc_id)
+      |), sel AS (
+      |  SELECT doc_id, lang, logw FROM keyed
+      |  ORDER BY g_key DESC, doc_id LIMIT 100
+      |), h AS (
+      |  SELECT doc_id, lang, logw,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u,
+      |         CAST(('0x' || substr(md5('|pos' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u2
+      |  FROM sel
+      |)
+      |SELECT doc_id, lang, logw, CAST(least(floor(u * 4), 3) AS INT) AS shard,
+      |       CAST(row_number() OVER (
+      |              PARTITION BY CAST(least(floor(u * 4), 3) AS INT)
+      |              ORDER BY u2, doc_id) - 1 AS BIGINT) AS pos
+      |FROM h
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q111 — DSIR WITH BIGRAM FEATURES (q104's stronger variant, per the
+  //        paper): token bigrams hash into the same bucket space as the
+  //        unigrams, so word ORDER carries signal. The oracle replays
+  //        the combined unigram+bigram stream bucket-for-bucket.
+  // -------------------------------------------------------------------
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(Sampling.importanceResample(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", budget = 50, buckets = 256, ngrams = 2)
+      .select("doc_id", "logw", "g_key"))
+  }
+
+  val q111Sql: String =
+    """WITH toksrc AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     w -> w <> '') AS t
+      |  FROM documents
+      |), feats AS (
+      |  SELECT doc_id, lang, unnest(t) AS w FROM toksrc
+      |  UNION ALL
+      |  SELECT doc_id, lang, t[g.i] || ' ' || t[g.i+1] AS w
+      |  FROM toksrc, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      |  WHERE len(t) >= 2
+      |), rb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM feats GROUP BY 1
+      |), tb AS (
+      |  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |         count(*) AS c
+      |  FROM feats WHERE lang = 'en' GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM feats) AS tr,
+      |         (SELECT count(*) FROM feats WHERE lang = 'en') AS tt
+      |), perdoc AS (
+      |  SELECT r.doc_id,
+      |         sum(ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 256)) -
+      |             ln((rb.c + 1.0) / (tot.tr + 256))) AS lw
+      |  FROM (SELECT doc_id,
+      |               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+      |        FROM feats) r
+      |  JOIN rb USING (b) LEFT JOIN tb USING (b) CROSS JOIN tot
+      |  GROUP BY 1
+      |), keyed AS (
+      |  SELECT d.doc_id, round(coalesce(p.lw, 0.0), 4) AS logw,
+      |         round(round(coalesce(p.lw, 0.0), 4) + -ln(-ln(
+      |           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |                AS BIGINT) / 1152921504606846976.0)), 4) AS g_key
+      |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      |)
+      |SELECT * FROM (
+      |  SELECT doc_id, logw, g_key FROM keyed
+      |  ORDER BY g_key DESC, doc_id LIMIT 50
+      |) sel
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q116 — PROTOTYPE/OUTLIER PRUNING (Sorscher et al. 2022 / D4):
+  //        score every embedding by cosine to its own cluster centroid,
+  //        drop the 30% most prototypical (redundant core) and 10%
+  //        least (noise tail) per cluster — membership-exact. Cluster
+  //        key and centroids are construction-derived (vec_id % 8; the
+  //        centroid IS the normalized seed embedding vec_id = cluster),
+  //        q97's doctrine: the oracle replays the cosine, the bounded-
+  //        histogram order statistics, and the tie-keeping cuts itself;
+  //        pairing with TRAINED k-means is ClusteringSpec's job.
+  // -------------------------------------------------------------------
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clustering, Similarity}
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val k = 8
+    val cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id")
+      .select(Similarity.normalize(col("embedding")).as("nv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    sorted(Clustering.prototypePrune(
+        e.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int")),
+        cents, pruneFrac = 0.3, outlierFrac = 0.1,
+        clusterCol = Some("cluster"))
+      .select(col("cluster"), col("vec_id"), col("proto")))
+  }
+
+  val q116Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id AS cid, embedding AS se FROM embeddings
+      |  WHERE vec_id < 8
+      |), p AS (
+      |  SELECT e.vec_id, e.vec_id % 8 AS cluster, e.embedding AS ve, s.se
+      |  FROM embeddings e JOIN s ON s.cid = e.vec_id % 8
+      |), ex AS (
+      |  SELECT vec_id, cluster, unnest(ve)::DOUBLE v, unnest(se)::DOUBLE c
+      |  FROM p
+      |), d AS (
+      |  SELECT vec_id, cluster,
+      |         round(SUM(v*c) / sqrt(SUM(v*v)) / sqrt(SUM(c*c)), 4) AS proto
+      |  FROM ex GROUP BY 1, 2
+      |), hist AS (
+      |  SELECT cluster, proto, count(*) AS cnt FROM d GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT cluster, proto,
+      |         sum(cnt) OVER (PARTITION BY cluster ORDER BY proto) AS cum,
+      |         sum(cnt) OVER (PARTITION BY cluster) AS n
+      |  FROM hist
+      |), thr AS (
+      |  SELECT cluster,
+      |         min(proto) FILTER (WHERE cum >=
+      |           floor(CAST(0.1 AS DOUBLE) * n) + 1) AS lo,
+      |         min(proto) FILTER (WHERE cum >=
+      |           n - floor(CAST(0.3 AS DOUBLE) * n)) AS hi
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT CAST(d.cluster AS INT) AS cluster, d.vec_id, d.proto
+      |FROM d JOIN thr USING (cluster)
+      |WHERE d.proto >= thr.lo AND d.proto <= thr.hi
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q117 — CCNet QUALITY BUCKETS (Wenzek et al. 2020 §4.4): score every
+  //        doc with the q83 bigram-LM NLL, then bucket per SOURCE into
+  //        terciles (0 = lowest NLL = fluent head, 2 = tail) by exact
+  //        per-group order statistics over the bounded rounded-score
+  //        histogram — never a data-sized sort. The oracle replays LM
+  //        scoring AND the ceil(f·n) boundary arithmetic (IEEE double
+  //        both sides — fraction literals cast to DOUBLE so DuckDB's
+  //        DECIMAL literals can't change the product).
+  // -------------------------------------------------------------------
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Quality}
+    val d = docs(s, dir)
+    val scoredDocs = Corpus.lmScore(d, "doc_id", "text")
+      .join(d.select("doc_id", "source"), "doc_id")
+    sorted(Quality.scoreBuckets(scoredDocs, "source", "nll")
+      .select("doc_id", "source", "nll", "bucket"))
+  }
+
+  val q117Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     w -> w <> '') AS t
+      |  FROM documents
+      |), tok AS (
+      |  SELECT unnest(t) AS w FROM toks
+      |), uni AS (
+      |  SELECT w, count(*) AS cw FROM tok GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM tok
+      |), bg AS (
+      |  SELECT doc_id, t[g.i] AS w1, t[g.i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      |  WHERE len(t) >= 2
+      |), bgc AS (
+      |  SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |         -log2((bgc.cbg + 1.0) / (uni.cw + v.v)) AS nll
+      |  FROM bg
+      |  JOIN bgc USING (w1, w2)
+      |  JOIN uni ON uni.w = bg.w1
+      |  CROSS JOIN v
+      |), sc AS (
+      |  SELECT doc_id, round(avg(nll), 4) AS nll FROM scored GROUP BY 1
+      |), scd AS (
+      |  SELECT sc.doc_id, dd.source, sc.nll
+      |  FROM sc JOIN documents dd USING (doc_id)
+      |), hist AS (
+      |  SELECT source, nll, count(*) AS cnt FROM scd GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, nll,
+      |         sum(cnt) OVER (PARTITION BY source ORDER BY nll) AS cum,
+      |         sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM hist
+      |), thr AS (
+      |  SELECT source,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.3333333333333333 AS DOUBLE) * n)) AS t1,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.6666666666666666 AS DOUBLE) * n)) AS t2
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT scd.doc_id, scd.source, scd.nll,
+      |       CAST(CASE WHEN scd.nll > t2 THEN 2
+      |                 WHEN scd.nll > t1 THEN 1 ELSE 0 END AS INT) AS bucket
+      |FROM scd JOIN thr USING (source)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q119 — END-TO-END CURATION PIPELINE v2, composing the round-12
+  //        operators as ONE oracle row (the q106 doctrine): span-level
+  //        DECONTAMINATION against the src0 eval slice → bigram-LM
+  //        scoring of the REBUILT text (model trained on the cleaned
+  //        corpus itself — the stitch-point bigrams matter) → CCNet
+  //        per-source terciles keeping head+middle → deterministic
+  //        shuffle-to-shards export. The oracle replays every stage in
+  //        SQL: the gram census + gaps-and-islands spans, the cleaned
+  //        token lists (kept positions re-stitched in order), the
+  //        Laplace bigram NLL over the cleaned corpus, the bounded-
+  //        histogram tercile cuts, and the md5 shard assignment — drift
+  //        in any stage, or in how stages compose, fails one hash.
+  //        Docs cleaned below 2 tokens drop out of LM scoring (no
+  //        bigrams) and thus out of the pipeline, both sides.
+  // -------------------------------------------------------------------
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Decontaminate, Quality, Sampling}
+    val d = docs(s, dir)
+    val cleaned = Decontaminate.removeContaminatedSpans(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text", minTokens = 12)
+    val scored = Corpus.lmScore(cleaned, "doc_id", "text")
+      .join(cleaned.select("doc_id", "source"), "doc_id")
+    val kept = Quality.scoreBuckets(scored, "source", "nll")
+      .filter(col("bucket") <= 1)
+    sorted(Sampling.shuffleShards(kept, "doc_id", numShards = 4)
+      .select("doc_id", "source", "nll", "bucket", "shard", "pos"))
+  }
+
+  val q119Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source, t.i AS start,
+      |         md5(array_to_string(ts[t.i:t.i+11], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 10)) AS i) t
+      |  WHERE len(ts) >= 12
+      |), ev AS (
+      |  SELECT DISTINCT h FROM g WHERE source = 'src0'
+      |), ds AS (
+      |  SELECT doc_id, start FROM g
+      |  WHERE source <> 'src0' AND h IN (SELECT h FROM ev)
+      |), brk AS (
+      |  SELECT doc_id, start,
+      |         CASE WHEN start > lag(start) OVER (PARTITION BY doc_id
+      |                                            ORDER BY start) + 12
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM ds
+      |), isl AS (
+      |  SELECT doc_id, start,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, min(start) AS s, max(start) + 11 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), tokpos AS (
+      |  SELECT doc_id, source, t.i AS i, ts[t.i] AS w
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) t
+      |  WHERE source <> 'src0'
+      |), keep AS (
+      |  SELECT tp.doc_id, tp.source, tp.i, tp.w
+      |  FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |                    WHERE sp.doc_id = tp.doc_id
+      |                      AND tp.i BETWEEN sp.s AND sp.e)
+      |), cl AS (
+      |  SELECT doc_id, source,
+      |         list_filter(list(w ORDER BY i), x -> x <> '') AS t
+      |  FROM keep GROUP BY 1, 2
+      |), u AS (
+      |  SELECT unnest(t) AS w FROM cl
+      |), uni AS (
+      |  SELECT w, count(*) AS cw FROM u GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM u
+      |), bg AS (
+      |  SELECT doc_id, source, t[g2.i] AS w1, t[g2.i+1] AS w2
+      |  FROM cl, LATERAL (SELECT unnest(range(1, len(t))) AS i) g2
+      |  WHERE len(t) >= 2
+      |), bgc AS (
+      |  SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2
+      |), scdoc AS (
+      |  SELECT bg.doc_id, bg.source,
+      |         -log2((bgc.cbg + 1.0) / (uni.cw + v.v)) AS nll
+      |  FROM bg JOIN bgc USING (w1, w2) JOIN uni ON uni.w = bg.w1
+      |  CROSS JOIN v
+      |), sc AS (
+      |  SELECT doc_id, source, round(avg(nll), 4) AS nll
+      |  FROM scdoc GROUP BY 1, 2
+      |), hist AS (
+      |  SELECT source, nll, count(*) AS cnt FROM sc GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, nll,
+      |         sum(cnt) OVER (PARTITION BY source ORDER BY nll) AS cum,
+      |         sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM hist
+      |), thr AS (
+      |  SELECT source,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.3333333333333333 AS DOUBLE) * n)) AS t1,
+      |         min(nll) FILTER (WHERE cum >=
+      |           ceiling(CAST(0.6666666666666666 AS DOUBLE) * n)) AS t2
+      |  FROM cum GROUP BY 1
+      |), keptd AS (
+      |  SELECT sc.doc_id, sc.source, sc.nll,
+      |         CAST(CASE WHEN sc.nll > t2 THEN 2
+      |                   WHEN sc.nll > t1 THEN 1 ELSE 0 END AS INT) AS bucket
+      |  FROM sc JOIN thr USING (source)
+      |  WHERE sc.nll <= t2
+      |), h2 AS (
+      |  SELECT doc_id, source, nll, bucket,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u,
+      |         CAST(('0x' || substr(md5('|pos' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) / 1152921504606846976.0 AS u2
+      |  FROM keptd
+      |)
+      |SELECT doc_id, source, nll, bucket,
+      |       CAST(least(floor(u * 4), 3) AS INT) AS shard,
+      |       CAST(row_number() OVER (
+      |              PARTITION BY CAST(least(floor(u * 4), 3) AS INT)
+      |              ORDER BY u2, doc_id) - 1 AS BIGINT) AS pos
+      |FROM h2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q120 — length-curriculum shards: EXACT global rank by (n_chars,
+  //        doc_id) via pivot buckets + keyed window (no global sort),
+  //        interleaved into 8 worker shards. The oracle computes the
+  //        same rank with one ORDER BY window — legitimate in DuckDB at
+  //        oracle scale, exactly what the operator exists to AVOID at
+  //        100 TB. pivots=16 forces real multi-bucket offsets at sf0.01.
+  // -------------------------------------------------------------------
+  def q120(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.curriculumShards(docs(s, dir), "doc_id",
+      col("n_chars").cast("double"), numShards = 8, pivots = 16)
+      .select(col("doc_id"), col("shard"), col("pos")))
+
+  val q120Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id)
+      |           - 1 AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(rk % 8 AS INT) AS shard,
+      |       CAST(rk // 8 AS BIGINT) AS pos
+      |FROM r
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q122 — leakage-safe split: near-dup clusters travel together (split
+  //        key = connected-component root over the LSH pair graph,
+  //        falling back to the id), then q35's exact md5 threshold
+  //        arithmetic. Membership-level oracle: the recursive-CTE
+  //        closure (q34 vocabulary) + the same hash in DuckDB.
+  // -------------------------------------------------------------------
+  def q122(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.leakSafeSplit(docs(s, dir), "doc_id",
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.8,
+        maxDf = None, shinglesDf = Some(shingles3(s, dir))))
+      .select(col("doc_id"), col("split")))
+
+  val q122Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), h AS (
+      |  SELECT d.doc_id,
+      |         CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id)
+      |           AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           / 1152921504606846976.0 AS u
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |)
+      |SELECT doc_id,
+      |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM h
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q125 — composed pipeline v3: leakage-safe split (near-dup clusters
+  //        travel together) → train slice → EXACT length-curriculum
+  //        shards, the whole chain under ONE oracle hash (the q106/q119
+  //        doctrine): closure, md5 split, and rank arithmetic replayed
+  //        stage by stage in DuckDB.
+  // -------------------------------------------------------------------
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8,
+      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
+    val train = Sampling.leakSafeSplit(d, "doc_id", pairs)
+      .filter(col("split") === "train")
+    sorted(Sampling.curriculumShards(train, "doc_id",
+      col("n_chars").cast("double"), numShards = 4, pivots = 16)
+      .select(col("doc_id"), col("shard"), col("pos")))
+  }
+
+  val q125Sql: String = {
+    val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    cte + """, jp AS (
+      |  SELECT i, j
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+      |), edges AS (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), tr AS (
+      |  SELECT d.doc_id, d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |  WHERE CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id)
+      |          AS VARCHAR)), 1, 15)) AS BIGINT)
+      |          / 1152921504606846976.0 < 0.8
+      |), r AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id)
+      |           - 1 AS rk
+      |  FROM tr
+      |)
+      |SELECT doc_id, CAST(rk % 4 AS INT) AS shard,
+      |       CAST(rk // 4 AS BIGINT) AS pos
+      |FROM r
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q128 — UNIMAX EPOCH-CAPPED MIXING (Chung et al. 2023): allocate a
+  //        1.5×-total-tokens budget across three planted skew classes
+  //        (big 6 : mid 3 : small 1 by doc id) by water-filling under a
+  //        2-epoch repeat cap — 'small' and 'mid' hit the cap, 'big'
+  //        absorbs the freed budget at the water level. The oracle
+  //        replays the census, the ascending-capacity scan, the closed-
+  //        form level, and every rounded output column.
+  // -------------------------------------------------------------------
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("src",
+      when(col("doc_id") % 10 < 6, "big")
+        .when(col("doc_id") % 10 < 9, "mid").otherwise("small"))
+    val total = d.agg(sum(col("n_chars").cast("long")))
+      .collect()(0).getLong(0)
+    sorted(graft.operators.Corpus.unimaxAllocation(
+      d, "src", col("n_chars"), budget = 3L * total / 2L, maxEpochs = 2.0))
+  }
+
+  val q128Sql: String =
+    """WITH d AS (
+      |  SELECT CASE WHEN doc_id % 10 < 6 THEN 'big'
+      |              WHEN doc_id % 10 < 9 THEN 'mid'
+      |              ELSE 'small' END AS src,
+      |         n_chars
+      |  FROM documents
+      |), per AS (
+      |  SELECT src, CAST(sum(n_chars) AS BIGINT) AS tokens
+      |  FROM d GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(3 * sum(tokens) // 2 AS DOUBLE) AS b,
+      |         count(*) AS k
+      |  FROM per
+      |), o AS (
+      |  SELECT src, tokens, 2.0 * tokens AS cap,
+      |         row_number() OVER (ORDER BY 2.0 * tokens, src) AS i,
+      |         coalesce(sum(2.0 * tokens) OVER (
+      |           ORDER BY 2.0 * tokens, src
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM per
+      |), lev AS (
+      |  SELECT (b - pfx) / (k - i + 1) AS lc
+      |  FROM o, tot WHERE cap >= (b - pfx) / (k - i + 1)
+      |  ORDER BY i LIMIT 1
+      |)
+      |SELECT src, tokens, round(cap, 4) AS capacity,
+      |       round(least(cap, lc), 4) AS alloc_tokens,
+      |       round(least(cap, lc) / tokens, 4) AS epochs,
+      |       round(least(cap, lc) / b, 6) AS weight
+      |FROM o CROSS JOIN lev CROSS JOIN tot
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+}

@@ -2676,6 +2676,104 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // UniMax mixing — water-filling under the epoch cap
+  // ------------------------------------------------------------------
+
+  test("unimax: hand-computed water level, caps bind, budget exactly spent") {
+    import spark.implicits._
+    // tokens big=600 mid=300 small=100, cap 2 epochs → capacities
+    // (1200, 600, 200); budget 1500: small caps at 200 (share 500),
+    // mid caps at 600 (share 650), big takes the level 700
+    val docs = (Seq.fill(6)("big") ++ Seq.fill(3)("mid") ++ Seq("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, 100L) }
+      .toDF("doc_id", "src", "n_tok")
+    val out = graft.operators.Corpus.unimaxAllocation(
+        docs, "src", col("n_tok"), budget = 1500L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("small") == ((100L, 200.0, 2.0, 0.133333)))
+    assert(out("mid") == ((300L, 600.0, 2.0, 0.4)))
+    assert(out("big") == ((600L, 700.0, 1.1667, 0.466667)))
+    assert(out.values.map(_._2).sum == 1500.0, "budget exactly spent")
+    // budget beyond total capacity: every source caps, epochs = maxEpochs
+    val capped = graft.operators.Corpus.unimaxAllocation(
+        docs, "src", col("n_tok"), budget = 5000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(capped == Map("big" -> ((1200.0, 2.0)), "mid" -> ((600.0, 2.0)),
+      "small" -> ((200.0, 2.0))))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental paragraph dedup — delta ≡ batch, store chaining
+  // ------------------------------------------------------------------
+
+  test("paragraph delta ≡ batch on appended ids; the store chains deltas") {
+    import spark.implicits._
+    val ingested = Seq(
+      (1L, "alpha one\nshared boiler text\nomega one"),
+      (2L, "alpha two\nshared boiler text\nomega two"),
+      (3L, "alpha three\nonly in store\nomega three")
+    ).toDF("doc_id", "text")
+    val delta1 = Seq(
+      (10L, "fresh ten\nshared boiler text\nnew paragraph here"),
+      (11L, "fresh eleven\nnew paragraph here\ntail eleven")
+    ).toDF("doc_id", "text")
+    val delta2 = Seq(
+      // hits delta1's 'new paragraph here' (now stored) AND the
+      // original boiler; keeps only its own fresh content
+      (20L, "fresh twenty\nnew paragraph here\nshared boiler text")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("para_store").toString
+    Dedup.saveParagraphStore(ingested, "doc_id", "text", root)
+    val out1 = Dedup.dropDuplicateParagraphsDelta(delta1, "doc_id", "text", root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch equivalence: same corpus deduped whole, restricted to delta ids
+    val batch = Dedup.dropDuplicateParagraphs(
+        ingested.unionByName(delta1), "doc_id", "text")
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out1 == batch, s"delta must equal batch on appended ids:\n$out1\nvs\n$batch")
+    assert(out1(10L) == "fresh ten\nnew paragraph here",
+      "stored boiler drops; delta-first occurrence of the fresh para keeps")
+    assert(out1(11L) == "fresh eleven\ntail eleven",
+      "within-delta duplicate loses to doc 10's earlier occurrence")
+    // the store was updated with delta1's fresh hashes
+    val out2 = Dedup.dropDuplicateParagraphsDelta(delta2, "doc_id", "text", root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(20L) == "fresh twenty",
+      s"both stored paragraphs must drop in the second delta: ${out2(20L)}")
+  }
+
+  // ------------------------------------------------------------------
+  // Hard negatives — band semantics, near-dup ceiling
+  // ------------------------------------------------------------------
+
+  test("hardNegatives keeps only the cosine band, ranked, self excluded") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // anchor 1 at (1,0); candidates at known cosines: 0.95 (near-dup,
+    // excluded high), 0.6 and 0.45 (in band), 0.1 (excluded low)
+    val corpus = Seq(
+      (1L, v(1, 0)),
+      (2L, v(0.95, math.sqrt(1 - 0.95 * 0.95))),
+      (3L, v(0.6, 0.8)),
+      (4L, v(0.45, math.sqrt(1 - 0.45 * 0.45))),
+      (5L, v(0.1, math.sqrt(1 - 0.01)))).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(
+        corpus.filter(col("vec_id") === 1L), corpus, k = 5,
+        lo = 0.3, hi = 0.9)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((3L, 1), (4L, 2)),
+      s"band [0.3, 0.9) keeps exactly cos 0.6 then 0.45: $got")
+    // k truncates within the band
+    val k1 = Similarity.hardNegatives(
+        corpus.filter(col("vec_id") === 1L), corpus, k = 1,
+        lo = 0.3, hi = 0.9).collect()
+    assert(k1.length == 1 && k1.head.getLong(1) == 3L)
+  }
+
+  // ------------------------------------------------------------------
   // Profiler — one-pass stats: exact fields exact, native-type min/max
   // ------------------------------------------------------------------
 
