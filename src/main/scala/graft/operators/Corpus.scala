@@ -614,4 +614,86 @@ object Corpus {
       .withColumn("est_jaccard", round(col("matches") / lit(k.toDouble), 4))
       .select("src_a", "src_b", "matches", "est_jaccard")
   }
+
+  /** Per-source distribution-drift report: KL and Jensen–Shannon
+    * divergence of each source's unigram distribution against the whole
+    * corpus — the monitoring number behind "did this month's crawl shift
+    * vocabulary?" and the corpus-level companion of [[Sampling
+    * .importanceResample]]'s per-doc importance weights. [[sourceOverlap]]
+    * answers "how much VERBATIM text do sources share"; this answers
+    * "how differently do they WRITE" — near-zero JS with low overlap
+    * means paraphrased/templated near-duplication that no exact-gram
+    * check sees.
+    *
+    * Vocabulary: the global top-`maxVocab` terms (count desc, term asc —
+    * a deterministic, engine-replayable tie-break) kept verbatim; the
+    * long tail folds into one `<oov>` bucket (a literal token spelled
+    * `<oov>` in the data folds into the same bucket — the merge is
+    * deterministic on both engines, so it cannot drift an oracle).
+    * Probabilities are add-one smoothed over the B = |vocab| + 1 buckets
+    * so zero-count terms contribute finite KL:
+    * `P_s(b) = (c_sb + 1) / (n_s + B)`, `Q(b)` the corpus analog;
+    * `JS = (KL(P‖M) + KL(Q‖M)) / 2` with `M = (P + Q) / 2` (natural log;
+    * JS ∈ [0, ln 2]).
+    *
+    * Scale shape: ONE token scan feeds a (source, term) census whose
+    * counts combine map-side (the [[bm25Index]] shuffle bound — vocab ×
+    * sources, never token instances); the top-V cut is a TakeOrdered
+    * (per-partition top-V, no global sort); everything after runs on
+    * BOUNDED frames — the sources × (V+1) smoothing grid comes from a
+    * broadcast cross join of two V-or-smaller sides, and the divergence
+    * sums reduce that grid. Raw text never shuffles.
+    *
+    * Output: (sourceCol, tokens, kl, js), divergences rounded to 6 (the
+    * grid is ≤ V+1 terms per source, so float re-association noise is
+    * orders below the rounding step). */
+  def divergenceReport(docs: DataFrame, sourceCol: String, textCol: String,
+                       maxVocab: Int = 512): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be positive, got $maxVocab")
+    val census = docs
+      .select(col(sourceCol).as("src"),
+        explode(array_remove(tokens(col(textCol)), "")).as("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as("c"))
+    val topV = census.groupBy("term").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("term").asc)
+      .limit(maxVocab)
+      .select("term")
+    // fold the tail into <oov> BEFORE the grid: the re-aggregation keyed
+    // by (src, bucket) is bounded by sources × (V+1)
+    val bucketed = census
+      .join(graft.model.Joins.maybeBroadcast(
+        topV.withColumn("__kept", lit(true))), Seq("term"), "left")
+      .withColumn("b", when(col("__kept"), col("term")).otherwise(lit("<oov>")))
+      .groupBy("src", "b").agg(sum("c").as("c"))
+    val buckets = topV.select(col("term").as("b"))
+      .unionAll(docs.sparkSession.range(1).select(lit("<oov>").as("b")))
+    val nb = buckets.agg(count(lit(1)).as("bn"))
+    val srcs = bucketed.select("src").distinct()
+    val grid = srcs
+      .crossJoin(graft.model.Joins.maybeBroadcast(buckets))
+      .join(bucketed, Seq("src", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val perSrc = grid.groupBy("src").agg(sum("c").as("n_s"))
+    val global = grid.groupBy("b").agg(sum("c").as("cg"))
+    val totals = global.agg(sum("cg").as("n_g"))
+    val p = col("c") + lit(1.0)
+    val q = col("cg") + lit(1.0)
+    val scored = grid
+      .join(graft.model.Joins.maybeBroadcast(perSrc), Seq("src"))
+      .join(graft.model.Joins.maybeBroadcast(global), Seq("b"))
+      .crossJoin(graft.model.Joins.maybeBroadcast(nb))
+      .crossJoin(graft.model.Joins.maybeBroadcast(totals))
+      .withColumn("ps", p / (col("n_s") + col("bn")))
+      .withColumn("qs", q / (col("n_g") + col("bn")))
+      .withColumn("ms", (col("ps") + col("qs")) / lit(2.0))
+    scored.groupBy("src")
+      .agg(
+        // the grid carries every bucket for every source, so n_s is
+        // recoverable from any row; max = the constant
+        max(col("n_s")).as("tokens"),
+        round(sum(col("ps") * log(col("ps") / col("qs"))), 6).as("kl"),
+        round(sum(col("ps") * log(col("ps") / col("ms"))
+          + col("qs") * log(col("qs") / col("ms"))) / lit(2.0), 6).as("js"))
+      .select(col("src").as(sourceCol), col("tokens"), col("kl"), col("js"))
+  }
 }

@@ -210,4 +210,57 @@ object Decontaminate {
       .join(graft.model.Joins.maybeBroadcast(idx.grams), Seq("__h"),
         "left_semi")
       .select(col(idCol), col("start"))
+
+  /** Per-doc NOVELTY score of a delta batch against a frozen corpus gram
+    * index: (idCol, n_grams, n_seen, novelty) where `n_grams` is the
+    * doc's distinct `minTokens`-token gram count, `n_seen` how many of
+    * those occur verbatim anywhere in the indexed corpus, and
+    * `novelty = (n_grams − n_seen) / n_grams` — the memorization-risk /
+    * freshness signal ("is this crawl increment new text, or a re-crawl
+    * of what we already have?"). The same verbatim-overlap machinery as
+    * decontamination, pointed at the corpus itself instead of an eval
+    * set, and scoring instead of cutting.
+    *
+    * EXACT despite the Bloom: misses are definitely-novel (one-sided
+    * filter, no false negatives), and the false-positive sliver that
+    * survives the probe is removed by the exact md5 join against the
+    * index's gram set — the [[contaminatedSpans]] shape, so the delta
+    * never joins the corpus head-on and the shuffle is bounded by
+    * actually-seen grams. Docs shorter than `minTokens` tokens have no
+    * grams to judge: n_grams = 0, novelty = NULL (not 1.0 — "no
+    * evidence" is not "all new").
+    *
+    * Build the index once with [[buildEvalIndex]] over the stored
+    * corpus; every delta batch probes the same frozen index. */
+  def noveltyReportWith(delta: DataFrame, idx: EvalGramIndex,
+                        idCol: String, textCol: String): DataFrame = {
+    val g = Dedup.gramRows(delta, idCol, textCol, idx.minTokens)
+      .select(col(idCol), col("__h")).distinct()
+    val per = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val seen = g
+      .filter(mightContain(idx.bloom, xxhash64(col("__h"))))
+      .join(graft.model.Joins.maybeBroadcast(idx.grams), Seq("__h"),
+        "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    delta.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .join(seen, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(col("n_grams") > 0,
+          round((col("n_grams") - coalesce(col("n_seen"), lit(0L)))
+            .cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+  }
+
+  /** [[noveltyReportWith]] with the index built in place — corpus
+    * tokenized once; prefer the `With` form when scoring several delta
+    * batches against the same corpus. */
+  def noveltyReport(corpus: DataFrame, delta: DataFrame, idCol: String,
+                    textCol: String, minTokens: Int,
+                    fpp: Double = 1e-6): DataFrame =
+    noveltyReportWith(delta,
+      buildEvalIndex(corpus, idCol, textCol, minTokens, fpp),
+      idCol, textCol)
 }

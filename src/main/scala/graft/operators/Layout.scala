@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Multi-dimensional data LAYOUT clustering — Z-order (Morton-curve)
+  * addressing, the lakehouse `OPTIMIZE ZORDER BY` operation: co-locate
+  * rows that are close in SEVERAL columns at once so min/max file
+  * statistics prune scans on ANY of the clustered columns, not just the
+  * first sort key. A plain `ORDER BY (a, b)` clusters perfectly on `a`
+  * and not at all on `b`; the Z-address interleaves the bits of both, so
+  * a range predicate on either column touches O(selectivity) of the
+  * files instead of all of them. At 100 TB this is the difference
+  * between a full scan and reading a handful of row groups when the
+  * query filters on the *second* dimension.
+  *
+  * Scale shape: ONE min/max aggregation per call produces a single stats
+  * row (broadcast by AQE via the single-row cross join — the
+  * [[Corpus.mixingWeights]] doctrine, nothing collects to the driver);
+  * the Z-address itself is pure integer arithmetic per row — scale,
+  * then bit-interleave via a `shiftright`/`bitwiseAND`/`shiftleft` chain
+  * that stays inside whole-stage codegen (bits × ncols terms, bounded by
+  * the [[ZMaxTotalBits]] require). The clustering write is ONE
+  * `repartitionByRange` on the address (sampled range boundaries — no
+  * global sort) plus a partition-local sort.
+  *
+  * All arithmetic is exact long math (integral `div`, never double
+  * division), so an external SQL engine replays the addresses
+  * bit-for-bit.
+  */
+object Layout {
+
+  /** Interleaved addresses stay inside one signed long. */
+  val ZMaxTotalBits = 62
+
+  /** Exact integral division (SQL `div`) — `(a / b).cast("long")` rides
+    * through a double and corrupts quotients past 2^53; key spaces at
+    * 100 TB are full-range longs. */
+  private def ldiv(a: Column, b: Column): Column =
+    Bridge.column(new IntegralDivide(Bridge.expression(a),
+      Bridge.expression(b)))
+
+  /** Per-column bucket in [0, 2^bits): rank-free min/max scaling
+    * `((v − min) · 2^bits) div (max − min + 1)` — exact long math, and
+    * the `+ 1` keeps `v = max` inside the top bucket. NULLs scale to
+    * bucket 0 (they sort first, matching the NULLS FIRST convention
+    * everywhere else in this library).
+    *
+    * `(v − min) · 2^bits` must fit in a signed long, so the column RANGE
+    * is capped at 2^(63−bits) — enforced IN-PLAN by `raise_error` (the
+    * [[Sampling.shuffleShards]] self-enforcing-guard doctrine: a
+    * full-range key space fails by name, never wraps silently).
+    * `max − min` is computed with `try_subtract` so the range > 2^63
+    * case surfaces as NULL for the guard instead of tripping the ANSI
+    * overflow error before the named message can fire. */
+  private def bucketOf(v: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val span = try_subtract(mx, mn) // NULL ⇔ range > 2^63 (mx ≥ mn by construction)
+    val guarded = when(
+      span.isNull || span > lit(Long.MaxValue >> bits),
+      raise_error(concat(lit(s"Layout: column range exceeds 2^${63 - bits} " +
+        s"at bits=$bits (min="), mn.cast("string"), lit(", max="),
+        mx.cast("string"),
+        lit(") — lower bits or pre-bucket the column"))).cast("long")
+    ).otherwise(span + lit(1L))
+    ldiv((coalesce(v, mn) - mn) * lit(1L << bits), guarded)
+  }
+
+  /** Morton interleave of pre-scaled buckets: bit b of column c lands at
+    * position `b · ncols + c` — column order is significant only below
+    * bit granularity. Pure long bit ops; stays in codegen. */
+  private[operators] def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    val terms = for {
+      b <- 0 until bits
+      (c, ci) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + ci)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Append the Z-address of `cols` as `zCol`. Columns must be integral
+    * (cast your dates/decimals to their underlying long first); every
+    * other column passes through unchanged. Stats come from the frame
+    * itself — address values are comparable only WITHIN one call. */
+  def zAddress(df: DataFrame, cols: Seq[String], bits: Int = 8,
+               zCol: String = "__z"): DataFrame = {
+    require(cols.size >= 2,
+      s"Z-ordering needs at least 2 columns, got ${cols.size} " +
+        "(one column is a plain sort)")
+    require(bits >= 1 && cols.size * bits <= ZMaxTotalBits,
+      s"bits must be in [1, ${ZMaxTotalBits / cols.size}] for " +
+        s"${cols.size} columns, got $bits")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    require(cols.distinct.size == cols.size,
+      s"duplicate Z-order columns: ${cols.diff(cols.distinct).mkString(", ")}")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val buckets = cols.map(c => bucketOf(col(c).cast("long"),
+      coalesce(col(s"__mn_$c"), lit(0L)), coalesce(col(s"__mx_$c"), lit(0L)),
+      bits))
+    df.crossJoin(graft.model.Joins.maybeBroadcast(stats))
+      .withColumn(zCol, interleave(buckets, bits))
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
+  /** Cluster the frame along the Z-curve: range-partition on the
+    * address (sampled boundaries — no global sort) and sort each
+    * partition locally, so every output file covers a compact Z-range
+    * and carries tight min/max stats on EVERY clustered column. The
+    * address column is dropped — it is a layout device, not data. */
+  def zorder(df: DataFrame, cols: Seq[String], bits: Int = 8,
+             numPartitions: Option[Int] = None): DataFrame = {
+    val z = zAddress(df, cols, bits)
+    val ranged = numPartitions
+      .map(n => z.repartitionByRange(n, col("__z")))
+      .getOrElse(z.repartitionByRange(col("__z")))
+    ranged.sortWithinPartitions("__z").drop("__z")
+  }
+
+  /** Clustering-quality report: bucket the curve into `2^prefixBits`
+    * consecutive Z-ranges and report, per range, the row count and the
+    * min/max span of every clustered column — the numbers a file-skipping
+    * scan planner would see as per-file statistics. Tight spans on every
+    * column = the layout prunes on every column. One aggregation, output
+    * bounded by 2^prefixBits rows. */
+  def zProfile(df: DataFrame, cols: Seq[String], bits: Int = 8,
+               prefixBits: Int = 4): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= cols.size * bits,
+      s"prefixBits must be in [1, ${cols.size * bits}], got $prefixBits")
+    val spans = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    zAddress(df, cols, bits)
+      .withColumn("z_range",
+        shiftright(col("__z"), cols.size * bits - prefixBits))
+      .groupBy("z_range")
+      .agg(count(lit(1)).as("n_rows"), spans: _*)
+  }
+}

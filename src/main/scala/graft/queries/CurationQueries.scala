@@ -1054,4 +1054,58 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |FROM o CROSS JOIN lev CROSS JOIN tot
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q133 — PER-SOURCE DISTRIBUTION DRIFT: KL and Jensen–Shannon
+  //        divergence of each source's unigram distribution vs the whole
+  //        corpus, over the global top-256 vocabulary + one <oov>
+  //        bucket, add-one smoothed. The "did this month's crawl shift
+  //        vocabulary?" monitor. Deterministic vocabulary cut (count
+  //        desc, term asc) and natural-log arithmetic in one fixed
+  //        order, rounded 6 — the oracle replays the numbers.
+  // -------------------------------------------------------------------
+  def q133(s: SparkSession, dir: String): DataFrame =
+    sorted(graft.operators.Corpus.divergenceReport(
+      docs(s, dir), "source", "text", maxVocab = 256))
+
+  val q133Sql: String =
+    """WITH tok AS (
+      |  SELECT source AS src,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            x -> x <> '')) AS term
+      |  FROM documents
+      |), census AS (
+      |  SELECT src, term, count(*) AS c FROM tok GROUP BY 1, 2
+      |), topv AS (
+      |  SELECT term FROM (SELECT term, sum(c) AS ct FROM census GROUP BY 1)
+      |  ORDER BY ct DESC, term LIMIT 256
+      |), bucketed AS (
+      |  SELECT src, CASE WHEN term IN (SELECT term FROM topv)
+      |              THEN term ELSE '<oov>' END AS b, sum(c) AS c
+      |  FROM census GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT term AS b FROM topv UNION ALL SELECT '<oov>'
+      |), nb AS (SELECT count(*) AS bn FROM buckets
+      |), srcs AS (SELECT DISTINCT src FROM census
+      |), grid AS (
+      |  SELECT s.src, k.b, coalesce(bc.c, 0) AS c
+      |  FROM srcs s CROSS JOIN buckets k
+      |  LEFT JOIN bucketed bc ON bc.src = s.src AND bc.b = k.b
+      |), ns AS (SELECT src, sum(c) AS n_s FROM grid GROUP BY 1
+      |), gl AS (SELECT b, sum(c) AS cg FROM grid GROUP BY 1
+      |), tot AS (SELECT sum(cg) AS n_g FROM gl
+      |), scored AS (
+      |  SELECT g.src,
+      |         (g.c + 1.0) / (ns.n_s + nb.bn) AS ps,
+      |         (gl.cg + 1.0) / (tot.n_g + nb.bn) AS qs,
+      |         ns.n_s
+      |  FROM grid g JOIN ns USING (src) JOIN gl USING (b), nb, tot
+      |)
+      |SELECT src AS source, CAST(max(n_s) AS BIGINT) AS tokens,
+      |       round(sum(ps * ln(ps / qs)), 6) AS kl,
+      |       round(sum(ps * ln(ps / ((ps + qs) / 2))
+      |               + qs * ln(qs / ((ps + qs) / 2))) / 2, 6) AS js
+      |FROM scored GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
 }

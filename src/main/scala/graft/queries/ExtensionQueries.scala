@@ -139,6 +139,9 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q127_profile_quantiles", q127 _, q127Sql),
     ("q128_unimax_mixing", q128 _, q128Sql),
     ("q129_paragraph_delta", q129 _, q129Sql),
-    ("q130_hard_negatives", q130 _, q130Sql)
+    ("q130_hard_negatives", q130 _, q130Sql),
+    ("q131_zorder_profile", q131 _, q131Sql),
+    ("q132_novelty", q132 _, q132Sql),
+    ("q133_divergence", q133 _, q133Sql)
   )
 }

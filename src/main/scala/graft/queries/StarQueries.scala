@@ -1648,4 +1648,46 @@ private[queries] trait StarQueries { self: ExtensionQueryHelpers =>
       |)
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q131 — Z-ORDER LAYOUT PROFILE: Morton-interleave (l_partkey,
+  //        l_suppkey) at 8 bits each, bucket the curve into 16
+  //        consecutive ranges, and report per range the row count and
+  //        the min/max span of BOTH columns — the per-file statistics a
+  //        skipping scan planner would see after `OPTIMIZE ZORDER BY`.
+  //        Exact long math end to end (integral div + bit interleave),
+  //        so the oracle replays the addresses bit-for-bit.
+  // -------------------------------------------------------------------
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    sorted(graft.operators.Layout.zProfile(
+      li, Seq("l_partkey", "l_suppkey"), bits = 8, prefixBits = 4))
+  }
+
+  val q131Sql: String = {
+    // ((bp >> b) & 1) << (b*2)  |  ((bs >> b) & 1) << (b*2 + 1)
+    val terms = (0 until 8).flatMap(b => Seq(
+      s"(((bp >> $b) & 1) << ${b * 2})",
+      s"(((bs >> $b) & 1) << ${b * 2 + 1})"))
+    s"""WITH st AS (
+      |  SELECT min(l_partkey) mnp, max(l_partkey) mxp,
+      |         min(l_suppkey) mns, max(l_suppkey) mxs
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         ((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS bp,
+      |         ((l_suppkey - mns) * 256) // (mxs - mns + 1) AS bs
+      |  FROM lineitem, st
+      |), z AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         ${terms.mkString(" | ")} AS zv
+      |  FROM b
+      |)
+      |SELECT zv >> 12 AS z_range, count(*) AS n_rows,
+      |       min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+      |       min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+      |FROM z GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+  }
 }

@@ -1298,4 +1298,46 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |FROM (SELECT DISTINCT doc_id FROM planted WHERE doc_id % 2 = 1) p
       |LEFT JOIN reb r ON r.doc_id = p.doc_id
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q132 — DELTA NOVELTY vs the stored corpus: per delta doc (odd ids),
+  //        how many of its distinct 8-token grams occur verbatim in the
+  //        stored half (even ids) — novelty = fraction unseen, the
+  //        "is this crawl increment new text?" signal. Engine side is
+  //        Bloom-prefiltered + exact-join confirmed (EXACT result); the
+  //        oracle joins the distinct gram sets head-on.
+  // -------------------------------------------------------------------
+  def q132(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    sorted(graft.operators.Decontaminate.noveltyReport(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", minTokens = 8))
+  }
+
+  val q132Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id,
+      |         md5(array_to_string(ts[t.i:t.i+7], ' ')) AS h
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) t
+      |  WHERE len(ts) >= 8
+      |), corp AS (
+      |  SELECT DISTINCT h FROM g WHERE doc_id % 2 = 0
+      |), per AS (
+      |  SELECT doc_id, count(*) AS n_grams,
+      |         sum(CASE WHEN h IN (SELECT h FROM corp)
+      |             THEN 1 ELSE 0 END) AS n_seen
+      |  FROM g WHERE doc_id % 2 = 1 GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+      |       coalesce(p.n_seen, 0) AS n_seen,
+      |       CASE WHEN p.n_grams > 0
+      |            THEN round((p.n_grams - p.n_seen) * 1.0 / p.n_grams, 6)
+      |       END AS novelty
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |WHERE d.doc_id % 2 = 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
 }

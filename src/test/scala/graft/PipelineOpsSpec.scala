@@ -2893,6 +2893,108 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getDouble(3) == math.rint(m / 16.0 * 1e4) / 1e4)
     }
   }
+
+  // ---------------------------------------------------------------- novelty
+
+  test("noveltyReport: copied deltas score 0, fresh 1, short NULL, mixed exact") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, w), (2L, (1 to 40).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val mixed = ((1 to 20).map(i => s"w$i") ++ (1 to 20).map(i => s"m$i"))
+      .mkString(" ")
+    val delta = Seq(
+      (10L, w),                                   // verbatim re-crawl
+      (11L, (1 to 40).map(i => s"f$i").mkString(" ")), // fresh text
+      (12L, mixed),                               // half re-crawl
+      (13L, "too short to gram")                  // < minTokens tokens
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate
+      .noveltyReport(corpus, delta, "doc_id", "text", minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getDouble(3) == 0.0)
+    assert(out(11L).getDouble(3) == 1.0)
+    assert(out(13L).getLong(1) == 0L && out(13L).getLong(2) == 0L
+      && out(13L).isNullAt(3))
+    // mixed: the 13 grams fully inside the w-prefix (starts 1..13) are
+    // seen; the 20 grams crossing into m-tokens are not — 33 total
+    val m = out(12L)
+    assert(m.getLong(1) == 33L && m.getLong(2) == 13L)
+    assert(m.getDouble(3) == math.rint(20.0 / 33.0 * 1e6) / 1e6)
+  }
+
+  test("noveltyReport ≡ head-on gram anti-join (bloom exactness law)") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val out = graft.operators.Decontaminate
+      .noveltyReport(corpus, delta, "doc_id", "text", minTokens = 8)
+    // re-derive with no bloom: distinct 8-token md5 grams, plain joins
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 7),
+        i => md5(concat_ws(" ", slice(col("ts"), i, lit(8)))))).as("h"))
+      .distinct()
+    val cg = grams(corpus).select("h").distinct()
+    val dg = grams(delta)
+    val expect = delta.select("doc_id")
+      .join(dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "left")
+      .join(dg.join(cg, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_seen")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(col("n_grams") > 0,
+          round((col("n_grams") - coalesce(col("n_seen"), lit(0L)))
+            .cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+    assert(out.orderBy("doc_id").collect().toSeq
+      == expect.orderBy("doc_id").collect().toSeq)
+  }
+
+  // -------------------------------------------------------------- divergence
+
+  test("divergenceReport matches the closed-form KL/JS on a planted corpus") {
+    import spark.implicits._
+    val planted = Seq(
+      ("A", "x x y"), ("B", "x z z")
+    ).toDF("source", "text")
+    val out = graft.operators.Corpus
+      .divergenceReport(planted, "source", "text", maxVocab = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // vocab (count desc, term asc): x, z; y folds to <oov>; B = 3
+    val counts = Map("A" -> Seq(2L, 0L, 1L), "B" -> Seq(1L, 2L, 0L))
+    val globalC = Seq(3L, 2L, 1L)
+    val bigN = 6L
+    for ((s, cs) <- counts) {
+      val ps = cs.map(c => (c + 1.0) / (3 + 3))
+      val qs = globalC.map(c => (c + 1.0) / (bigN + 3))
+      val kl = ps.zip(qs).map { case (p, q) => p * math.log(p / q) }.sum
+      val js = ps.zip(qs).map { case (p, q) =>
+        val m = (p + q) / 2.0
+        p * math.log(p / m) + q * math.log(q / m)
+      }.sum / 2.0
+      val r = out(s)
+      assert(r.getLong(1) == 3L, s"tokens of $s")
+      assert(r.getDouble(2) == math.rint(kl * 1e6) / 1e6, s"kl of $s")
+      assert(r.getDouble(3) == math.rint(js * 1e6) / 1e6, s"js of $s")
+    }
+  }
+
+  test("divergence laws on the fixture: kl >= 0, js in [0, ln 2]") {
+    val out = graft.operators.Corpus
+      .divergenceReport(docs, "source", "text", maxVocab = 64).collect()
+    assert(out.length == docs.select("source").distinct().count())
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"negative KL for ${r.getString(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= math.log(2.0) + 1e-9,
+        s"JS out of range for ${r.getString(0)}")
+    }
+  }
 }
 
 /** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]
