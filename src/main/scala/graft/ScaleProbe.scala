@@ -435,6 +435,46 @@ object ScaleProbe {
         val m = graft.operators.Bpe.trainBpe(d, "text", numMerges = 32)
         graft.operators.Bpe.encodeTokenCounts(d, "doc_id", "text", m)
           .count()
+      },
+      // Z-order profile: one min/max stats row + per-row long bit math +
+      // a 2^prefixBits-group aggregation — the honest bound is one scan
+      "zprofile" -> timed(s"$tag z-order profile") {
+        graft.operators.Layout.zProfile(
+          d.select(col("doc_id"), length(col("text")).as("len")),
+          Seq("doc_id", "len"), bits = 8, prefixBits = 4).count()
+      },
+      // delta novelty: index build is linear-in-corpus-tokens, the probe
+      // Bloom-cuts the delta gram stream before the one exact semi-join —
+      // replica-suffixed grams are replica-disjoint, so the seen set and
+      // the join stay linear; superlinear means the delta met the corpus
+      // head-on
+      "novelty" -> timed(s"$tag delta novelty") {
+        graft.operators.Decontaminate.noveltyReport(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minTokens = 8).count()
+      },
+      // distribution drift: one token scan into a map-side-combined
+      // census; replica suffixes grow the vocabulary factor× but the
+      // top-V cut is a TakeOrdered and everything downstream runs on the
+      // bounded sources × (V+1) grid — the honest bound is linear-in-tokens
+      "divergence" -> timed(s"$tag divergence report") {
+        graft.operators.Corpus.divergenceReport(
+          d.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
+          "source", "text", maxVocab = 256).count()
+      },
+      // Gopher rules: pure per-row native expressions, no shuffle at all —
+      // anything above linear means an expression fell out of codegen
+      "gopher" -> timed(s"$tag gopher quality rules") {
+        graft.operators.Quality.gopherReport(d, "doc_id", "text").count()
+      },
+      // compaction plan: one range partition + a partition-KEYED window +
+      // a <= numPartitions offsets collect — superlinear means the
+      // prefix sum degenerated into a single-partition window
+      "compaction" -> timed(s"$tag compaction plan") {
+        graft.operators.Layout.compactionPlan(
+          d.select(col("doc_id"),
+            (length(col("text")) + lit(1)).cast("long").as("bytes")),
+          Seq("doc_id"), "bytes", targetSize = 1L << 16).count()
       })
 
     // BM25 store: build is one tokenize pass (linear); the probe's fixed

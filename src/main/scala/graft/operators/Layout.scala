@@ -140,4 +140,86 @@ object Layout {
       .groupBy("z_range")
       .agg(count(lit(1)).as("n_rows"), spans: _*)
   }
+
+  /** EXACT global running total of an integral column in `orderCols`
+    * order, WITHOUT a global sort or a single-partition window: range-
+    * partition on the keys (sampled boundaries), window INSIDE each
+    * partition (keyed — every executor works), then shift each
+    * partition by the broadcast totals of the partitions before it (one
+    * bounded collect, ≤ numPartitions rows). The two jobs see the same
+    * partition assignment because the staged frame is checkpointed —
+    * range boundaries are sampled, and resampling between the offsets
+    * job and the output job could move a row across partitions.
+    *
+    * The result is partition-independent (a row's running total depends
+    * only on the global order), so sampled boundaries never leak into
+    * the output. Ties take SQL RANGE-frame semantics — all peers of a
+    * key get the total THROUGH the tie group — which every engine
+    * agrees on, so duplicate keys stay oracle-replayable.
+    *
+    * Integral values only: a double prefix sum re-associates differently
+    * under every partitioning, and this operator's contract is
+    * bit-stable output. */
+  def prefixSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                outCol: String = "running_total",
+                numPartitions: Option[Int] = None): DataFrame = {
+    require(orderCols.nonEmpty, "prefixSum needs at least one order column")
+    val missing = (orderCols :+ valueCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val integral = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    val vt = df.schema(valueCol).dataType.toString
+    require(integral.contains(vt),
+      s"prefixSum needs an integral value column, $valueCol is $vt " +
+        "(double prefix sums re-associate; pre-scale to long)")
+    val keys = orderCols.map(col)
+    val staged = numPartitions
+      .map(n => df.repartitionByRange(n, keys: _*))
+      .getOrElse(df.repartitionByRange(keys: _*))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // partition totals, in range (= pid) order: pid p's offset is the
+    // sum of every earlier partition's total
+    val totals = staged.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("long")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0 -> 0L) {
+      case ((_, acc), (pid, t)) => pid -> (acc + t)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
+      .toMap
+    val offLit = typedLit(offsets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(keys: _*)
+    staged
+      .withColumn(outCol,
+        sum(col(valueCol).cast("long")).over(w) +
+          coalesce(element_at(offLit, col("__pid")), lit(0L)))
+      .drop("__pid")
+  }
+
+  /** Compaction plan — the lakehouse `OPTIMIZE` bin-packing step: assign
+    * every file of a manifest to a compaction group of ~`targetSize`
+    * consecutive bytes in `orderCols` order (order by Z-range to keep
+    * [[zorder]]'s clustering through the rewrite). A file's group is the
+    * bin holding its first byte, `(running_total − size) / targetSize`
+    * (exact integral math — replayable); files larger than `targetSize`
+    * own their group. Negative sizes fail by name IN-PLAN (the
+    * self-enforcing-guard doctrine).
+    *
+    * Scale shape: one [[prefixSum]] (range partition + keyed window +
+    * a ≤ numPartitions collect) over the MANIFEST — metadata, ~800k rows
+    * for 100 TB of 128 MB files — then a per-row projection. The data
+    * files themselves are never read. */
+  def compactionPlan(files: DataFrame, orderCols: Seq[String],
+                     sizeCol: String, targetSize: Long,
+                     groupCol: String = "file_group"): DataFrame = {
+    require(targetSize >= 1, s"targetSize must be positive, got $targetSize")
+    val sized = prefixSum(files, orderCols, sizeCol, "__cum")
+    val size = col(sizeCol).cast("long")
+    val guarded = when(size < 0, raise_error(concat(
+      lit(s"compactionPlan: negative $sizeCol ("), size.cast("string"),
+      lit(")"))).cast("long")).otherwise(col("__cum") - size)
+    sized
+      .withColumn(groupCol, ldiv(guarded, lit(targetSize)))
+      .drop("__cum")
+  }
 }

@@ -225,4 +225,83 @@ object Quality {
         size(filter(element_at(thrLit, col(groupCol).cast("string")),
           t => col(scoreCol).cast("double") > t))))
   }
+
+  /** Tunable thresholds for [[gopherReport]]; defaults are the published
+    * MassiveWeb values (Rae et al. 2021, Gopher, Appendix A1.1). */
+  final case class GopherParams(
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.1,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwordHits: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+
+  /** The Gopher / MassiveWeb document-quality rule set (Rae et al. 2021,
+    * Appendix A1.1) — the standard composite pre-filter every published
+    * LLM data pipeline runs before dedup: per doc, the seven repetition-
+    * free rules as EXACT integer/ratio metrics plus a combined verdict.
+    *
+    * Output per row: `n_words` (whitespace tokens), `mean_word_len`,
+    * `symbol_ratio` (`#` and `...` occurrences per word), `bullet_ratio`
+    * (fraction of lines whose first non-space char is `-`/`*`/`•`),
+    * `ellipsis_ratio` (fraction of lines ending `...` after rtrim),
+    * `alpha_ratio` (fraction of words containing a letter),
+    * `stop_hits` (how many DISTINCT words of `params.stopwords` appear,
+    * case-folded), and `passes` (1 iff every rule holds). Ratio columns
+    * are rounded to 6 decimals for display; rule comparisons use the
+    * UNROUNDED values (exact integer divisions — engine-replayable).
+    * Empty/whitespace-only docs have no words: the word-based ratios are
+    * NULL (never NaN — engines disagree on 0/0) and `passes` = 0; the
+    * line-based ratios stay defined (a doc always has ≥ 1 line).
+    *
+    * Scale shape: pure per-row native expressions over one scan — no
+    * UDF, no join, no shuffle; the filter composes with any downstream
+    * operator at zero extra jobs. The unicode ellipsis `…` is
+    * deliberately not counted (corpora normalize it upstream; counting
+    * both would double-count normalized text). */
+  def gopherReport(docs: DataFrame, idCol: String, textCol: String,
+                   params: GopherParams = GopherParams()): DataFrame = {
+    val p = params
+    require(p.minWords >= 1 && p.maxWords >= p.minWords,
+      s"need 1 <= minWords <= maxWords, got ${p.minWords}..${p.maxWords}")
+    require(p.stopwords.nonEmpty, "stopwords must not be empty")
+    val t = col(textCol)
+    val ts = array_remove(split(trim(t), "\\s+"), "")
+    val lines = split(t, "\n")
+    val nWords = size(ts).cast("long")
+    val sumLen = aggregate(ts, lit(0L), (a, x) => a + length(x))
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nEll = ((length(t) - length(replace(t, lit("..."), lit(""))))
+      .cast("long") / lit(3L)).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+      .cast("long")
+    val nEllLine = size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$")))
+      .cast("long")
+    val nAlpha = size(filter(ts, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      transform(ts, x => lower(x)),
+      typedLit(p.stopwords))).cast("int")
+    val d = lit(1.0) // one double division per ratio, same on both engines
+    val hasWords = nWords > lit(0L)
+    val meanLen = when(hasWords, sumLen * d / nWords)
+    val symbolR = when(hasWords, (nHash + nEll) * d / nWords)
+    val bulletR = nBullet * d / nLines // nLines >= 1 always
+    val ellR = nEllLine * d / nLines
+    val alphaR = when(hasWords, nAlpha * d / nWords)
+    val passes = (nWords >= p.minWords && nWords <= p.maxWords &&
+      meanLen >= p.minMeanWordLen && meanLen <= p.maxMeanWordLen &&
+      symbolR <= p.maxSymbolRatio && bulletR <= p.maxBulletRatio &&
+      ellR <= p.maxEllipsisRatio && alphaR >= p.minAlphaRatio &&
+      stopHits >= p.minStopwordHits).cast("int")
+    docs.select(col(idCol), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolR, 6).as("symbol_ratio"),
+      round(bulletR, 6).as("bullet_ratio"),
+      round(ellR, 6).as("ellipsis_ratio"),
+      round(alphaR, 6).as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      coalesce(passes, lit(0)).as("passes"))
+  }
 }

@@ -1108,4 +1108,86 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |FROM scored GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q134 — GOPHER QUALITY RULES (Rae et al. 2021, Appendix A1.1): the
+  //        standard composite document pre-filter, planted so every rule
+  //        actually fires on the fixture (which has no newlines, bullets,
+  //        symbols, or ellipses of its own): %7 docs get a bullet intro
+  //        line, %13 docs collapse to a 2-word stub (word-count fail),
+  //        %11 docs get hash symbols, %17 docs get 15 numeric tokens
+  //        (alpha-ratio fail), %5 docs get a trailing '...' line. The
+  //        oracle replays the plant and EVERY metric exactly — ratios are
+  //        exact integer divisions, so the verdict ints hash-match.
+  // -------------------------------------------------------------------
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"), concat(
+      when(col("doc_id") % 7 === 0, lit("- promo listing\n")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("tiny doc")).otherwise(col("text")),
+      when(col("doc_id") % 11 === 0, lit(" ### ###")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit(" 101 202 303 404 505 606 707 808 909 111 212 313 414 515 616"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\nto be continued ..."))
+        .otherwise(lit(""))).as("text"))
+    sorted(graft.operators.Quality.gopherReport(planted, "doc_id", "text",
+      graft.operators.Quality.GopherParams(minWords = 10, maxWords = 1000,
+        stopwords = Seq("the", "a", "data", "value", "table"))))
+  }
+
+  val q134Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '- promo listing' || chr(10) ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN 'tiny doc' ELSE text END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' ### ###' ELSE '' END ||
+      |    CASE WHEN doc_id % 17 = 0
+      |      THEN ' 101 202 303 404 505 606 707 808 909 111 212 313 414 515 616'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued ...'
+      |      ELSE '' END AS text
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM base
+      |), r AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+      |    length(text) - length(replace(text, '#', '')) AS n_hash,
+      |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+      |    len(ls) AS n_lines,
+      |    len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+      |    len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS n_eline,
+      |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+      |    len(list_intersect(list_transform(ws, x -> lower(x)),
+      |        ['the', 'a', 'data', 'value', 'table'])) AS stop_hits
+      |  FROM m
+      |), v AS (
+      |  SELECT doc_id, n_words,
+      |    CASE WHEN n_words > 0 THEN sum_len * 1.0 / n_words END AS ml,
+      |    CASE WHEN n_words > 0 THEN (n_hash + n_ell) * 1.0 / n_words END AS sy,
+      |    n_bullet * 1.0 / n_lines AS bl,
+      |    n_eline * 1.0 / n_lines AS el,
+      |    CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words END AS al,
+      |    stop_hits
+      |  FROM r
+      |)
+      |SELECT doc_id, n_words,
+      |  round(ml, 6) AS mean_word_len,
+      |  round(sy, 6) AS symbol_ratio,
+      |  round(bl, 6) AS bullet_ratio,
+      |  round(el, 6) AS ellipsis_ratio,
+      |  round(al, 6) AS alpha_ratio,
+      |  CAST(stop_hits AS INT) AS stop_hits,
+      |  CAST(coalesce(CAST(
+      |    n_words BETWEEN 10 AND 1000 AND ml BETWEEN 3.0 AND 10.0
+      |    AND sy <= 0.1 AND bl <= 0.1 AND el <= 0.3 AND al >= 0.8
+      |    AND stop_hits >= 2 AS INT), 0) AS INT) AS passes
+      |FROM v
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST,
+      |         9 NULLS FIRST""".stripMargin
 }

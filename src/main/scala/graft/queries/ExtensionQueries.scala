@@ -142,6 +142,8 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q130_hard_negatives", q130 _, q130Sql),
     ("q131_zorder_profile", q131 _, q131Sql),
     ("q132_novelty", q132 _, q132Sql),
-    ("q133_divergence", q133 _, q133Sql)
+    ("q133_divergence", q133 _, q133Sql),
+    ("q134_gopher_rules", q134 _, q134Sql),
+    ("q135_compaction_plan", q135 _, q135Sql)
   )
 }

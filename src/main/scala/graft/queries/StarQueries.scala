@@ -1690,4 +1690,39 @@ private[queries] trait StarQueries { self: ExtensionQueryHelpers =>
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q135 — COMPACTION PLAN (the lakehouse OPTIMIZE bin-packing step):
+  //        treat each l_orderkey's lineitems as one "file" (size = row
+  //        count), bin-pack files into ~64-row groups in key order via
+  //        the exact distributed prefix sum (range partition + keyed
+  //        window + bounded offsets — no global sort, no single-
+  //        partition window), and report per group the file count, total
+  //        size, and key span. group = (running_total − size) / target,
+  //        exact integer math — the oracle replays it with one window.
+  // -------------------------------------------------------------------
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val files = li.groupBy("l_orderkey").agg(count(lit(1)).as("bytes"))
+    val plan = graft.operators.Layout.compactionPlan(
+      files, Seq("l_orderkey"), "bytes", targetSize = 64)
+    sorted(plan.groupBy("file_group").agg(
+      count(lit(1)).as("n_files"), sum("bytes").as("bytes"),
+      min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key")))
+  }
+
+  val q135Sql: String =
+    """WITH f AS (
+      |  SELECT l_orderkey, count(*) AS bytes FROM lineitem GROUP BY 1
+      |), c AS (
+      |  SELECT l_orderkey, bytes,
+      |         sum(bytes) OVER (ORDER BY l_orderkey) AS cum
+      |  FROM f
+      |)
+      |SELECT CAST((cum - bytes) // 64 AS BIGINT) AS file_group,
+      |       count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
+      |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      |FROM c GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST""".stripMargin
 }

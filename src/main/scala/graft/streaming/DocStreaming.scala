@@ -212,6 +212,38 @@ object DocStreaming {
       .start()
   }
 
+  /** Streaming novelty scoring — the streaming twin of
+    * [[graft.operators.Decontaminate.noveltyReport]]: the stored corpus
+    * is FROZEN at stream start into one gram index, and every
+    * micro-batch of crawl increments writes its per-doc novelty report
+    * (n_grams / n_seen / novelty) to a per-batch-id overwrite partition
+    * — the monitoring feed behind "is this crawl stream still finding
+    * new text?". Same stateless shape and idempotent-sink discipline as
+    * [[startDecontaminate]]: novelty is a property of (doc, frozen
+    * corpus) alone; to score against a corpus that includes earlier
+    * batches, restart the stream with a re-frozen index (chasing the
+    * corpus within a stream would make every trigger pay an index
+    * rebuild). */
+  def startNoveltyScore(docs: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, minTokens: Int,
+                        reportDir: String, checkpointDir: String,
+                        fpp: Double = 1e-6,
+                        trigger: Trigger = Trigger.AvailableNow())
+  : StreamingQuery = {
+    val idx = graft.operators.Decontaminate.buildEvalIndex(
+      corpus, idCol, textCol, minTokens, fpp)
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      graft.operators.Decontaminate
+        .noveltyReportWith(batch, idx, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch)
+      .trigger(trigger)
+      .start()
+  }
+
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    storeDir: String): Unit =
     StoreCompaction.compact(spark, storeDir, Seq("doc_id", "s"))

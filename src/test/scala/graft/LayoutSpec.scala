@@ -96,6 +96,64 @@ class LayoutSpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("prefixSum ≡ local running total across partitions, ties share totals") {
+    // unique-key case over several range partitions
+    val rows = (0L until 500L).map(i => ((i * 37) % 501, i % 13 + 1))
+    val df = rows.toDF("k", "v")
+    val got = Layout.prefixSum(df, Seq("k"), "v", numPartitions = Some(7))
+      .select("k", "running_total").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, v) =>
+      acc += v
+      assert(got(k) == acc, s"running total at k=$k")
+    }
+    // duplicate keys: RANGE-frame semantics — every peer gets the total
+    // THROUGH the tie group (what any SQL engine computes)
+    val dup = Seq((1L, 10L), (2L, 1L), (2L, 2L), (2L, 4L), (3L, 100L))
+      .toDF("k", "v")
+    val d = Layout.prefixSum(dup, Seq("k"), "v", numPartitions = Some(3))
+      .select("k", "running_total").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.filter(_._1 == 2L).map(_._2).toSet == Set(17L))
+    assert(d.filter(_._1 == 3L).map(_._2).toSet == Set(117L))
+  }
+
+  test("compactionPlan bins by first byte; groups are contiguous and full") {
+    val files = (1L to 200L).map(k => (k, (k * 7) % 23 + 1)).toDF("k", "sz")
+    val local = (1L to 200L).map(k => (k, (k * 7) % 23 + 1)).sortBy(_._1)
+    val target = 50L
+    var acc = 0L
+    val expect = local.map { case (k, sz) =>
+      val g = acc / target; acc += sz; k -> g
+    }.toMap
+    val got = Layout.compactionPlan(files, Seq("k"), "sz", target)
+      .select("k", "file_group").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // every group except possibly the last holds >= target bytes once its
+    // successor exists (first-byte binning can overhang, never undershoot)
+    val sizes = local.toMap
+    val byG = got.toSeq.groupBy(_._2).view.mapValues(_.map(x => sizes(x._1)).sum)
+    val maxG = byG.keys.max
+    byG.foreach { case (g, total) =>
+      if (g < maxG) assert(total + 23 >= target, s"group $g underfilled: $total")
+    }
+  }
+
+  test("compactionPlan: negative sizes and non-integral sizes fail by name") {
+    val neg = Seq((1L, 5L), (2L, -1L)).toDF("k", "sz")
+    val e = intercept[Exception] {
+      Layout.compactionPlan(neg, Seq("k"), "sz", 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("negative sz")))
+    val dbl = Seq((1L, 1.5)).toDF("k", "sz")
+    assert(intercept[IllegalArgumentException](
+      Layout.prefixSum(dbl, Seq("k"), "sz")).getMessage.contains("integral"))
+  }
+
   test("argument validation is named and driver-side") {
     val df = Seq((1L, 2L)).toDF("x", "y")
     assert(intercept[IllegalArgumentException](

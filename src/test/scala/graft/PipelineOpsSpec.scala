@@ -2995,6 +2995,65 @@ class PipelineOpsSpec extends SparkSpec {
         s"JS out of range for ${r.getString(0)}")
     }
   }
+
+  // ------------------------------------------------------------ gopher rules
+
+  test("gopherReport: every rule fires on its planted doc, clean doc passes") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val good = "the data value and tools go well with more the data rows here now"
+    val corpus = Seq(
+      (1L, good),                                         // passes everything
+      (2L, "- item one\nthe body of and that have with text here"), // bullet
+      (3L, "the data ### and ## more with # text here now"),        // symbols
+      (4L, "the lead and line with words here\nto be continued ..."), // ellipsis
+      (5L, "the 11 22 33 44 55 66 77 88 and"),            // alpha < 0.8
+      (6L, "hi"),                                         // < minWords
+      (7L, ""),                                           // no words at all
+      (8L, "zz qq rr ss tt uu vv ww xx yy")               // 0 stopword hits
+    ).toDF("doc_id", "text")
+    val out = Quality.gopherReport(corpus, "doc_id", "text",
+        Quality.GopherParams(minWords = 5, maxWords = 100))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val g1 = out(1L)
+    val w = good.split("\\s+")
+    assert(g1.getLong(1) == w.length)
+    assert(g1.getDouble(2) ==
+      math.rint(w.map(_.length).sum.toDouble / w.length * 1e6) / 1e6)
+    assert(g1.getDouble(3) == 0.0 && g1.getDouble(4) == 0.0
+      && g1.getDouble(5) == 0.0 && g1.getDouble(6) == 1.0)
+    assert(g1.getInt(7) == 3 && g1.getInt(8) == 1) // the/and/with
+
+    assert(out(2L).getDouble(4) == 0.5 && out(2L).getInt(8) == 0)
+    assert(out(3L).getDouble(3) ==
+      math.rint(6.0 / 11 * 1e6) / 1e6 && out(3L).getInt(8) == 0)
+    assert(out(4L).getDouble(5) == 0.5 && out(4L).getInt(8) == 0)
+    assert(out(5L).getDouble(6) == 0.2 && out(5L).getInt(8) == 0)
+    assert(out(6L).getLong(1) == 1L && out(6L).getInt(8) == 0)
+    val empty = out(7L)
+    assert(empty.getLong(1) == 0L && empty.isNullAt(2) && empty.isNullAt(3)
+      && empty.isNullAt(6) && empty.getInt(8) == 0)
+    assert(!empty.isNullAt(4) && empty.getDouble(4) == 0.0) // lines exist
+    assert(out(8L).getInt(7) == 0 && out(8L).getInt(8) == 0)
+  }
+
+  test("gopherReport fixture laws: ratios bounded, verdict consistent") {
+    import graft.operators.Quality
+    val out = Quality.gopherReport(docs, "doc_id", "text",
+      Quality.GopherParams(minWords = 10, maxWords = 1000,
+        stopwords = Seq("the", "a", "data", "value", "table"))).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      for (i <- Seq(3, 4, 5, 6) if !r.isNullAt(i))
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0,
+          s"ratio $i out of range for doc ${r.getLong(0)}")
+      assert(r.getInt(8) == 0 || r.getInt(8) == 1)
+      if (r.getLong(1) == 0L) assert(r.getInt(8) == 0)
+    }
+    // fixture docs are clean prose-like token streams: most should pass
+    assert(out.count(_.getInt(8) == 1) > out.length / 2)
+  }
 }
 
 /** A stand-in for an ffmpeg binding behind the [[Multimodal.VideoDecoder]]

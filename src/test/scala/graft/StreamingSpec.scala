@@ -254,6 +254,43 @@ class StreamingSpec extends SparkSpec {
       "clean docs pass through byte-identical")
   }
 
+  test("streaming novelty scoring equals batch noveltyReport across micro-batches") {
+    import graft.operators.Decontaminate
+    import graft.streaming.DocStreaming
+    import spark.implicits._
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(100L -> body("w", 40), 101L -> body("c", 40))
+      .toDF("doc_id", "text")
+    // wave 1: a verbatim re-crawl + fresh text; wave 2: half-copied + short
+    val wave1 = Seq(1L -> body("w", 40), 2L -> body("f", 40))
+      .toDF("doc_id", "text")
+    val wave2 = Seq(
+      3L -> s"${body("w", 20)} ${body("m", 20)}",
+      4L -> "too short to gram").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("nov_stream").toString
+    wave1.coalesce(1).write.mode("append").parquet(dir)
+    wave2.coalesce(1).write.mode("append").parquet(dir)
+    val rep = java.nio.file.Files.createTempDirectory("nov_rep").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nov_ckpt").toString
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    DocStreaming.startNoveltyScore(stream, corpus, "doc_id", "text",
+      minTokens = 8, rep, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(rep)
+      .select("doc_id", "n_grams", "n_seen", "novelty")
+      .orderBy("doc_id").collect().toSeq
+    val batch = Decontaminate.noveltyReport(corpus,
+        wave1.unionByName(wave2), "doc_id", "text", minTokens = 8)
+      .select("doc_id", "n_grams", "n_seen", "novelty")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch,
+      s"streaming novelty diverged from batch: $streamed vs $batch")
+    val byId = streamed.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(3) == 0.0, "re-crawl must score 0")
+    assert(byId(2L).getDouble(3) == 1.0, "fresh text must score 1")
+    assert(byId(4L).isNullAt(3), "sub-gram doc must score NULL")
+  }
+
   test("streaming BM25 ingest equals a from-scratch index; uncommitted debris is ignored") {
     import graft.operators.Corpus
     import graft.streaming.DocStreaming
