@@ -467,6 +467,12 @@ object ScaleProbe {
       "gopher" -> timed(s"$tag gopher quality rules") {
         graft.operators.Quality.gopherReport(d, "doc_id", "text").count()
       },
+      // Gopher repetition: line + gram censuses are (id, value)-keyed
+      // partial-aggregatable shuffles, the top gram a min_by — linear in
+      // tokens; superlinear means a census lost its doc key
+      "repetition" -> timed(s"$tag repetition report") {
+        graft.operators.Quality.repetitionReport(d, "doc_id", "text").count()
+      },
       // compaction plan: one range partition + a partition-KEYED window +
       // a <= numPartitions offsets collect — superlinear means the
       // prefix sum degenerated into a single-partition window

@@ -162,6 +162,72 @@ object TextFunctions {
     * the text column. Pattern-match recall is the usual regex-PII
     * tradeoff — extend the pattern list per policy, keeping to the
     * Java∩RE2 subset if oracle parity must hold. */
+  /** HTML → text extraction, the FIRST stage of every crawl pipeline
+    * (the trafilatura/jusText job reduced to its deterministic core):
+    * drop comments and `script`/`style` blocks wholesale (their content
+    * is code, not prose — a naive tag-strip would leak `var x = 1 < 2`
+    * into the corpus), replace every remaining tag with a space (so
+    * `</h1><p>` cannot weld two words together), decode the six
+    * entities that dominate real markup (`&amp;` LAST, so a literal
+    * `&amp;lt;` decodes to the text `&lt;`, not to `<`), and collapse
+    * whitespace. Pure per-row regex chain — no UDF, composable with
+    * scan pruning; every pattern is RE2-compatible so an external
+    * engine replays the extraction byte-for-byte. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?s)<!--.*?-->", " "),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "),
+        "&lt;", "<"),
+        "&gt;", ">"),
+        "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** URL canonicalization — the standard pre-dedup normalization for
+    * crawl corpora (two crawls of one page must map to ONE key before
+    * URL-level dedup can work): lowercase scheme and host, strip a
+    * leading `www.`, strip the scheme's default port (`:80` for http,
+    * `:443` for https — others kept), drop the fragment, drop tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`), SORT the surviving query
+    * parameters (param order is not page identity), and collapse any
+    * trailing slash run on the path (empty path → `/`). Userinfo and
+    * non-default ports pass through lowercased — they ARE identity.
+    * Strings without a `scheme://` prefix are returned trimmed and
+    * untouched (relative links are not canonicalizable without a base).
+    *
+    * Pure per-row regex + array HOFs (split → filter → sort → rejoin) —
+    * no UDF; every pattern is RE2-compatible, so an external engine
+    * replays the canonical form byte-for-byte. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val auth0 = lower(regexp_extract(afterScheme, "^([^/?]*)", 1))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val pathq = regexp_replace(afterScheme, "^[^/?]*", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)=")))
+    val qstr = when(size(params) > 0,
+      concat(lit("?"), concat_ws("&", params))).otherwise(lit(""))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), auth, path, qstr))
+  }
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

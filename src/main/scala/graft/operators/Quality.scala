@@ -304,4 +304,90 @@ object Quality {
       stopHits.as("stop_hits"),
       coalesce(passes, lit(0)).as("passes"))
   }
+
+  /** The Gopher REPETITION rule family (Rae et al. 2021, Appendix A1.1
+    * — the other half of [[gopherReport]]): per-doc fractions of
+    * repeated content, the signal behind "drop pages that are mostly
+    * boilerplate repeating itself". Published implementations disagree
+    * on the exact denominators; this one pins (and documents) the
+    * portable choice so an external engine replays every number:
+    *
+    *  - `dup_line_frac`: occurrences belonging to a line value seen ≥ 2
+    *    times in the doc, over all lines (exact string match).
+    *  - `dup_line_char_frac`: the same occurrences weighted by line
+    *    character length, over the summed length of all lines.
+    *  - `top_ngram_char_frac`: the most frequent `topN`-gram's
+    *    occurrences × gram character length (tokens + single joining
+    *    spaces), over `length(text)`. Ties break to the
+    *    lexicographically smallest gram.
+    *  - `dup_ngram_char_frac`: Σ over `dupN`-grams seen ≥ 2 times of
+    *    occurrences × gram length, over `length(text)`. Overlapping
+    *    occurrences are each counted (the cheap published convention),
+    *    so heavy repetition can push the RAW fraction past 1 — it is
+    *    reported uncapped because it ranks, not measures.
+    *
+    * Docs with no `topN`-gram (under `topN` tokens) report NULL gram
+    * fractions; a doc with no duplicated lines/grams reports 0.
+    *
+    * Scale shape: lines and grams explode to (id, value) rows and
+    * census by (id, value) — partial-aggregatable keyed shuffles,
+    * linear in tokens; the per-doc roll-up is a second keyed
+    * aggregation; the top gram is a `min_by` (never a per-doc sort or
+    * window); raw text never joins anything. */
+  def repetitionReport(docs: DataFrame, idCol: String, textCol: String,
+                       topN: Int = 2, dupN: Int = 3): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"ngram sizes must be >= 1: $topN, $dupN")
+    val id = col(idCol)
+    val base = docs.select(id, col(textCol).as("__t"),
+      array_remove(split(trim(col(textCol)), "\\s+"), "").as("__ts"),
+      split(col(textCol), "\n").as("__ls"))
+
+    // line census: (id, line) occurrences, then per-doc duplicate mass
+    val lineStats = base
+      .select(id, explode(col("__ls")).as("l"))
+      .groupBy(id, col("l")).agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(
+        sum(col("c")).as("n_lines"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_l"),
+        sum(col("c") * length(col("l"))).as("chars_l"),
+        sum(when(col("c") >= 2, col("c") * length(col("l")))
+          .otherwise(lit(0L))).as("dup_lc"))
+
+    def gramRows(n: Int) = base
+      .where(size(col("__ts")) >= n)
+      .select(id, explode(transform(
+        sequence(lit(1), size(col("__ts")) - (n - 1)),
+        i => concat_ws(" ", slice(col("__ts"), i, lit(n))))).as("g"))
+      .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+
+    // most frequent topN-gram: ties to the smallest gram — min_by over
+    // the (-count, gram) ordering struct, one aggregation, no window
+    val topStats = gramRows(topN)
+      .groupBy(id).agg(
+        min_by(struct(col("c"), length(col("g")).as("gl")),
+          struct((-col("c")).as("nc"), col("g"))).as("tg"))
+      .select(id, col("tg.c").as("top_c"), col("tg.gl").as("top_len"))
+    val dupStats = gramRows(dupN)
+      .groupBy(id).agg(
+        sum(when(col("c") >= 2, col("c") * length(col("g")))
+          .otherwise(lit(0L))).as("dup_gc"))
+
+    base.select(id, length(col("__t")).cast("long").as("__n"))
+      .join(lineStats, Seq(idCol), "left")
+      .join(topStats, Seq(idCol), "left")
+      .join(dupStats, Seq(idCol), "left")
+      .select(id,
+        col("n_lines"),
+        round(col("dup_l") * lit(1.0) / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        when(col("chars_l") > 0,
+          round(col("dup_lc") * lit(1.0) / col("chars_l"), 6))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"),
+        when(col("top_c").isNotNull && col("__n") > 0,
+          round(col("top_c") * col("top_len") * lit(1.0) / col("__n"), 6))
+          .as("top_ngram_char_frac"),
+        when(col("__n") > 0,
+          round(coalesce(col("dup_gc"), lit(0L)) * lit(1.0) / col("__n"), 6))
+          .as("dup_ngram_char_frac"))
+  }
 }

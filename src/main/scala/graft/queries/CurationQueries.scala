@@ -1190,4 +1190,84 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST,
       |         9 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q136 — GOPHER REPETITION RULES: duplicate-line fraction (count and
+  //        char-weighted), top 2-gram char fraction, duplicate 3-gram
+  //        char fraction. %3 docs get the doc's first-10-token chunk
+  //        appended TWICE as separate lines (duplicate lines + inflated
+  //        gram counts); the rest measure the fixture's natural
+  //        repetition. The oracle replays plant, line census, gram
+  //        censuses, the (count desc, gram asc) top-gram election, and
+  //        every fraction.
+  // -------------------------------------------------------------------
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"), col("text"),
+      TextFunctions.tokens(col("text")).as("ts"))
+    val chunk = concat_ws(" ", slice(col("ts"), 1, 10))
+    val planted = t.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0 && size(col("ts")) >= 10,
+        concat(col("text"), lit("\n"), chunk, lit("\n"), chunk))
+        .otherwise(col("text")).as("text"))
+    sorted(graft.operators.Quality.repetitionReport(
+      planted, "doc_id", "text", topN = 2, dupN = 3))
+  }
+
+  val q136Sql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, text,
+      |         string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 AND len(ts) >= 10
+      |      THEN text || chr(10) || array_to_string(ts[1:10], ' ')
+      |                || chr(10) || array_to_string(ts[1:10], ' ')
+      |      ELSE text END AS text
+      |  FROM t0
+      |), m AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM base
+      |), lc AS (
+      |  SELECT doc_id, l, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(ls) AS l FROM m) GROUP BY 1, 2
+      |), lstat AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+      |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_l,
+      |    sum(c * length(l)) AS chars_l,
+      |    sum(CASE WHEN c >= 2 THEN c * length(l) ELSE 0 END) AS dup_lc
+      |  FROM lc GROUP BY 1
+      |), g2 AS (
+      |  SELECT doc_id, array_to_string(ws[r.i:r.i+1], ' ') AS g, count(*) AS c
+      |  FROM m, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+      |  WHERE len(ws) >= 2 GROUP BY 1, 2
+      |), top2 AS (
+      |  SELECT doc_id, c AS top_c, length(g) AS top_len
+      |  FROM g2
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1
+      |), g3 AS (
+      |  SELECT doc_id, array_to_string(ws[r.i:r.i+2], ' ') AS g, count(*) AS c
+      |  FROM m, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+      |  WHERE len(ws) >= 3 GROUP BY 1, 2
+      |), dup3 AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_gc
+      |  FROM g3 GROUP BY 1
+      |)
+      |SELECT m.doc_id, n_lines,
+      |  round(dup_l * 1.0 / n_lines, 6) AS dup_line_frac,
+      |  CASE WHEN chars_l > 0 THEN round(dup_lc * 1.0 / chars_l, 6)
+      |       ELSE 0.0 END AS dup_line_char_frac,
+      |  CASE WHEN top_c IS NOT NULL AND length(m.text) > 0
+      |       THEN round(top_c * top_len * 1.0 / length(m.text), 6)
+      |  END AS top_ngram_char_frac,
+      |  CASE WHEN length(m.text) > 0
+      |       THEN round(coalesce(dup_gc, 0) * 1.0 / length(m.text), 6)
+      |  END AS dup_ngram_char_frac
+      |FROM m JOIN lstat USING (doc_id) LEFT JOIN top2 USING (doc_id)
+      |       LEFT JOIN dup3 USING (doc_id)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+      |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
 }

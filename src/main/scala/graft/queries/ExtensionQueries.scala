@@ -144,6 +144,9 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q132_novelty", q132 _, q132Sql),
     ("q133_divergence", q133 _, q133Sql),
     ("q134_gopher_rules", q134 _, q134Sql),
-    ("q135_compaction_plan", q135 _, q135Sql)
+    ("q135_compaction_plan", q135 _, q135Sql),
+    ("q136_repetition_rules", q136 _, q136Sql),
+    ("q137_html_extract", q137 _, q137Sql),
+    ("q138_url_canonical", q138 _, q138Sql)
   )
 }

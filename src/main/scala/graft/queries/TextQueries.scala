@@ -1340,4 +1340,148 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |WHERE d.doc_id % 2 = 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q137 — HTML → TEXT EXTRACTION (the first stage of a crawl pipeline):
+  //        wrap every fixture doc in deterministic markup — title,
+  //        script block carrying a bare `<` (the naive-tag-strip trap),
+  //        style block, comment, heading/paragraph split mid-text, and
+  //        entity-encoded tail — then extract with stripHtml. The
+  //        EXTRACTED STRING is hashed, so a leaked script token, welded
+  //        words at a tag boundary, or a wrong entity-decode order all
+  //        fail the row. The oracle replays the wrap and the exact
+  //        regex chain (all RE2-compatible patterns).
+  // -------------------------------------------------------------------
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 6)
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><style>p { color: red }</style></head><body><h1>"),
+      concat_ws(" ", slice(col("ts"), 1, 5)),
+      lit("</h1><!-- hidden --><p>"),
+      concat_ws(" ", slice(col("ts"), lit(6), size(col("ts")) - 5)),
+      lit(" &amp; more &lt;tags&gt;</p></body></html>"))
+    val ex = t.select(col("doc_id"), TextFunctions.stripHtml(html).as("text"))
+    sorted(ex.select(col("doc_id"), col("text"),
+      TextFunctions.nTokens(col("text")).as("n_tokens")))
+  }
+
+  val q137Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 6
+      |), h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><script type="text/javascript">var x = 1 < 2;' ||
+      |    '</script><style>p { color: red }</style></head><body><h1>' ||
+      |    array_to_string(ts[1:5], ' ') || '</h1><!-- hidden --><p>' ||
+      |    array_to_string(ts[6:len(ts)], ' ') ||
+      |    ' &amp; more &lt;tags&gt;</p></body></html>' AS html
+      |  FROM t
+      |), x AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |        '(?s)<!--.*?-->', ' ', 'g'),
+      |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g'),
+      |    '\s+', ' ', 'g')) AS text
+      |  FROM h
+      |)
+      |SELECT doc_id, text,
+      |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+      |         AS n_tokens
+      |FROM x
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q138 — URL CANONICALIZATION (the pre-dedup key for crawl corpora):
+  //        plant per-doc URLs exercising every rule at once — upper-case
+  //        scheme/host, www. prefix, default :80 port, trailing slash,
+  //        tracking params (utm_/gclid) mixed INTO the params in two
+  //        different orders, fragments — and canonicalize. Docs sharing
+  //        (host, path) collapse to one canonical key across all the
+  //        surface variants. The canonical STRING is hashed; the oracle
+  //        replays the plant and the full rule chain (regex + list
+  //        filter/sort — all RE2/portable).
+  // -------------------------------------------------------------------
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Example"), (id % 50).cast("string"), lit(".COM"),
+      when(id % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Path/"), (id % 20).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
+        .otherwise(lit("?a=1&b=2&gclid=xyz")),
+      when(id % 7 === 0, lit("#section")).otherwise(lit("")))
+    sorted(docs(s, dir).select(col("doc_id"), url.as("url"))
+      .withColumn("canonical",
+        TextFunctions.canonicalizeUrl(col("url"))))
+  }
+
+  val q138Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      |    '/Path/' || CAST(doc_id % 20 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+      |          ELSE '?a=1&b=2&gclid=xyz' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, url, trim(url) AS u0,
+      |    regexp_replace(trim(url), '#.*$', '', 'g') AS nofrag
+      |  FROM u
+      |), p AS (
+      |  SELECT doc_id, url, u0,
+      |    lower(regexp_extract(nofrag,
+      |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS aft
+      |  FROM c
+      |), q AS (
+      |  SELECT doc_id, url, u0, scheme,
+      |    regexp_replace(lower(regexp_extract(aft, '^([^/?]*)', 1)),
+      |      '^www\.', '') AS auth1,
+      |    regexp_replace(aft, '^[^/?]*', '') AS pathq
+      |  FROM p
+      |), r AS (
+      |  SELECT doc_id, url, u0, scheme, pathq,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+      |         ELSE auth1 END AS auth,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+      |      '/+$', '') AS path1,
+      |    regexp_extract(pathq, '\?(.*)$', 1) AS qs
+      |  FROM q
+      |), f AS (
+      |  SELECT doc_id, url, u0, scheme, auth,
+      |    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
+      |    list_sort(list_filter(string_split(qs, '&'), x ->
+      |      x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)=')))
+      |      AS ps
+      |  FROM r
+      |)
+      |SELECT doc_id, url,
+      |  CASE WHEN scheme = '' THEN u0
+      |       ELSE scheme || '://' || auth || path ||
+      |            (CASE WHEN len(ps) > 0
+      |                  THEN '?' || array_to_string(ps, '&') ELSE '' END)
+      |  END AS canonical
+      |FROM f
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 }

@@ -3038,6 +3038,89 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(8L).getInt(7) == 0 && out(8L).getInt(8) == 0)
   }
 
+  test("stripHtml: blocks dropped whole, tags spaced, entities decoded in order") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.stripHtml
+    val cases = Seq(
+      // script content with a bare `<` must vanish entirely, not leak
+      ("<p>a</p><script>if (x < 3) alert('hi')</script><p>b</p>", "a b"),
+      // multi-line style block (the (?s) flag), uppercase tag names
+      ("<STYLE>\np { x }\n</STYLE>before<BR/>after", "before after"),
+      // comments spanning lines; tags become spaces, never welds
+      ("one<!-- two\nthree --><b>four</b>five", "one four five"),
+      // entity decode order: a literal &amp;lt; is the TEXT "&lt;"
+      ("x &amp;lt; y &lt; z &quot;q&quot; &#39;s&#39; &nbsp;w", // decode
+        "x &lt; y < z \"q\" 's' w"),
+      ("plain text, no markup", "plain text, no markup"),
+      ("", ""))
+    val out = cases.map(_._1).toDF("h")
+      .select(stripHtml(col("h")).as("t")).collect().map(_.getString(0))
+    cases.map(_._2).zip(out).zipWithIndex.foreach { case ((exp, got), i) =>
+      assert(got == exp, s"case $i: expected '$exp', got '$got'")
+    }
+  }
+
+  test("canonicalizeUrl: every rule, and only identity-preserving ones") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val cases = Seq(
+      // scheme/host case, www., default port, fragment, trailing slash
+      ("HTTPS://WWW.Example.COM:443/A/B/#x", "https://example.com/A/B"),
+      // path case PRESERVED; params sorted; tracking dropped
+      ("http://a.com/P?z=1&utm_source=rss&a=2&fbclid=F", "http://a.com/P?a=2&z=1"),
+      // non-default port and userinfo kept (they ARE identity)
+      ("http://U:p@A.com:8080/x", "http://u:p@a.com:8080/x"),
+      // https keeps :80 (not its default); http keeps :443
+      ("https://a.com:80/", "https://a.com:80/"),
+      // empty path normalizes to /; query-only URL keeps params
+      ("http://A.com?b=2&a=1", "http://a.com/?a=1&b=2"),
+      // all params tracking -> no query at all
+      ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
+      // not a URL: trimmed passthrough
+      ("  not a url  ", "not a url"))
+    val out = cases.map(_._1).toDF("u")
+      .select(canonicalizeUrl(col("u")).as("c")).collect().map(_.getString(0))
+    cases.map(_._2).zip(out).zipWithIndex.foreach { case ((exp, got), i) =>
+      assert(got == exp, s"case $i: expected '$exp', got '$got'")
+    }
+    // the dedup law: surface variants of one page share one key
+    val variants = Seq(
+      "http://www.site.com/p?a=1&b=2",
+      "HTTP://SITE.com:80/p/?b=2&a=1&utm_c=9#top")
+    val keys = variants.toDF("u")
+      .select(canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSet
+    assert(keys == Set("http://site.com/p?a=1&b=2"), s"variants split: $keys")
+  }
+
+  test("repetitionReport: hand-computed fractions on a planted doc") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // 3 lines: "a b c d" twice (duplicates) + "x y z" once
+    val text = "a b c d\nx y z\na b c d"
+    val corpus = Seq((1L, text), (2L, "p q r s t"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Quality.repetitionReport(corpus, "doc_id", "text",
+        topN = 2, dupN = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L)                       // n_lines
+    assert(r1.getDouble(2) == math.rint(2.0 / 3 * 1e6) / 1e6) // 2 dup lines
+    // dup chars: 2*7 of 7+5+7 line chars
+    assert(r1.getDouble(3) == math.rint(14.0 / 19 * 1e6) / 1e6)
+    // 2-grams: "a b","b c","c d" twice each; "d x","z a" etc once; the
+    // tie among count-2 grams breaks to "a b" (len 3); text len 21
+    assert(r1.getDouble(4) == math.rint(2.0 * 3 / 21 * 1e6) / 1e6)
+    // duplicated 3-grams: "a b c","b c d" twice each, len 5 -> 2*5+2*5
+    assert(r1.getDouble(5) == math.rint(20.0 / 21 * 1e6) / 1e6)
+    val r2 = out(2L) // no repetition at all
+    assert(r2.getLong(1) == 1L && r2.getDouble(2) == 0.0
+      && r2.getDouble(3) == 0.0 && r2.getDouble(5) == 0.0)
+    assert(r2.getDouble(4) == math.rint(1.0 * 3 / 9 * 1e6) / 1e6) // "p q" once
+    val r3 = out(3L) // empty doc: one empty line, no grams
+    assert(r3.getLong(1) == 1L && r3.getDouble(2) == 0.0
+      && r3.getDouble(3) == 0.0 && r3.isNullAt(4) && r3.isNullAt(5))
+  }
+
   test("gopherReport fixture laws: ratios bounded, verdict consistent") {
     import graft.operators.Quality
     val out = Quality.gopherReport(docs, "doc_id", "text",
