@@ -1270,4 +1270,182 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |       LEFT JOIN dup3 USING (doc_id)
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q139 — CURATION PIPELINE v3: the CRAWL-side recipe composed as ONE
+  //        oracle row — HTML extraction (q137's wrap) → Gopher quality
+  //        gate (q134's rules over the EXTRACTED text) → URL dedup
+  //        (q138's plant + canonicalization, keep min doc id per
+  //        canonical AMONG quality survivors) → deterministic
+  //        shuffle-to-shards (q105's md5 assignment). Output is the
+  //        per-shard doc count + token mass; drift in ANY stage (a
+  //        leaked script token shifting a word count, a wrong entity
+  //        decode changing a stopword hit, a dedup winner flip, a shard
+  //        hash change) fails the single hash.
+  // -------------------------------------------------------------------
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 6)
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><style>p { color: red }</style></head><body><h1>"),
+      concat_ws(" ", slice(col("ts"), 1, 5)),
+      lit("</h1><!-- hidden --><p>"),
+      concat_ws(" ", slice(col("ts"), lit(6), size(col("ts")) - 5)),
+      lit(" &amp; more &lt;tags&gt;</p></body></html>"))
+    val extracted = t.select(col("doc_id"),
+      TextFunctions.stripHtml(html).as("text"))
+    val gop = graft.operators.Quality.gopherReport(extracted, "doc_id",
+      "text", graft.operators.Quality.GopherParams(minWords = 10,
+        maxWords = 1000,
+        stopwords = Seq("the", "a", "data", "value", "table")))
+    val kept = extracted.join(
+      gop.where(col("passes") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Example"), (id % 50).cast("string"), lit(".COM"),
+      when(id % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Path/"), (id % 20).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
+        .otherwise(lit("?a=1&b=2&gclid=xyz")),
+      when(id % 7 === 0, lit("#section")).otherwise(lit("")))
+    val canon = kept.select(col("doc_id"),
+      TextFunctions.canonicalizeUrl(url).as("canonical"))
+    val winners = canon.groupBy("canonical").agg(min("doc_id").as("doc_id"))
+    val surv = kept.join(winners.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sharded = graft.operators.Sampling.shuffleShards(
+      surv, "doc_id", numShards = 8)
+    sorted(sharded.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.nTokens(col("text")).cast("long"))
+        .as("total_tokens")))
+  }
+
+  val q139Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 6
+      |), h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><script type="text/javascript">var x = 1 < 2;' ||
+      |    '</script><style>p { color: red }</style></head><body><h1>' ||
+      |    array_to_string(ts[1:5], ' ') || '</h1><!-- hidden --><p>' ||
+      |    array_to_string(ts[6:len(ts)], ' ') ||
+      |    ' &amp; more &lt;tags&gt;</p></body></html>' AS html
+      |  FROM t
+      |), x AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |        '(?s)<!--.*?-->', ' ', 'g'),
+      |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g'),
+      |    '\s+', ' ', 'g')) AS text
+      |  FROM h
+      |), w AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'), y -> y <> '') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM x
+      |), v AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    list_sum(list_transform(ws, y -> length(y))) AS sum_len,
+      |    length(text) - length(replace(text, '#', '')) AS n_hash,
+      |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+      |    len(ls) AS n_lines,
+      |    len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+      |    len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS n_eline,
+      |    len(list_filter(ws, y -> regexp_matches(y, '[A-Za-z]'))) AS n_alpha,
+      |    len(list_intersect(list_transform(ws, y -> lower(y)),
+      |        ['the', 'a', 'data', 'value', 'table'])) AS stop_hits
+      |  FROM w
+      |), kept AS (
+      |  SELECT doc_id, text, n_words FROM v
+      |  WHERE n_words BETWEEN 10 AND 1000
+      |    AND sum_len * 1.0 / n_words BETWEEN 3.0 AND 10.0
+      |    AND (n_hash + n_ell) * 1.0 / n_words <= 0.1
+      |    AND n_bullet * 1.0 / n_lines <= 0.1
+      |    AND n_eline * 1.0 / n_lines <= 0.3
+      |    AND n_alpha * 1.0 / n_words >= 0.8
+      |    AND stop_hits >= 2
+      |), u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      |    '/Path/' || CAST(doc_id % 20 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+      |          ELSE '?a=1&b=2&gclid=xyz' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
+      |  FROM kept
+      |), cu AS (
+      |  SELECT doc_id, trim(url) AS u0,
+      |    regexp_replace(trim(url), '#.*$', '', 'g') AS nofrag
+      |  FROM u
+      |), cp AS (
+      |  SELECT doc_id, u0,
+      |    lower(regexp_extract(nofrag,
+      |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS aft
+      |  FROM cu
+      |), cq AS (
+      |  SELECT doc_id, u0, scheme,
+      |    regexp_replace(lower(regexp_extract(aft, '^([^/?]*)', 1)),
+      |      '^www\.', '') AS auth1,
+      |    regexp_replace(aft, '^[^/?]*', '') AS pathq
+      |  FROM cp
+      |), cr AS (
+      |  SELECT doc_id, u0, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+      |         ELSE auth1 END AS auth,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+      |      '/+$', '') AS path1,
+      |    regexp_extract(pathq, '\?(.*)$', 1) AS qs
+      |  FROM cq
+      |), cf AS (
+      |  SELECT doc_id, u0, scheme, auth,
+      |    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
+      |    list_sort(list_filter(string_split(qs, '&'), y ->
+      |      y <> '' AND NOT regexp_matches(y, '^(utm_[^=]*|gclid|fbclid)=')))
+      |      AS ps
+      |  FROM cr
+      |), canon AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme = '' THEN u0
+      |         ELSE scheme || '://' || auth || path ||
+      |              (CASE WHEN len(ps) > 0
+      |                    THEN '?' || array_to_string(ps, '&') ELSE '' END)
+      |    END AS canonical
+      |  FROM cf
+      |), win AS (
+      |  SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical
+      |), surv AS (
+      |  SELECT k.doc_id, k.n_words FROM kept k
+      |  JOIN win ON win.doc_id = k.doc_id
+      |), sh AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(least(floor(
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) / 1152921504606846976.0 * 8), 7) AS INT) AS shard
+      |  FROM surv
+      |)
+      |SELECT shard, count(*) AS n_docs,
+      |       CAST(sum(n_words) AS BIGINT) AS total_tokens
+      |FROM sh GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 }

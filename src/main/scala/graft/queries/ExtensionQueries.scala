@@ -147,6 +147,7 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q135_compaction_plan", q135 _, q135Sql),
     ("q136_repetition_rules", q136 _, q136Sql),
     ("q137_html_extract", q137 _, q137Sql),
-    ("q138_url_canonical", q138 _, q138Sql)
+    ("q138_url_canonical", q138 _, q138Sql),
+    ("q139_curation_v3", q139 _, q139Sql)
   )
 }
