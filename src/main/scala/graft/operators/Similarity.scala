@@ -425,10 +425,19 @@ object Similarity {
     * threshold for the target filesystem. */
   def saveIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
                    kmeansIters: Int = 3, replicate: Int = 2,
-                   cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
-    val cBuild = corpus.select(col(cId).as("neighbor_id"),
-      normalize(col(cVec)).as("cv")).persist()
+    val missing = metaCols.filterNot(corpus.columns.contains)
+    require(missing.isEmpty,
+      s"metaCols not in corpus: ${missing.mkString(", ")}")
+    require(!metaCols.exists(Set("neighbor_id", "cv", "cell")),
+      "metaCols may not shadow the index columns neighbor_id/cv/cell")
+    // metaCols ride along INTO the stored cells so filtered search
+    // (ivfKnnStored's `where`) can push its predicate to the parquet
+    // scan of the probed cells — filtered ANN without a post-join
+    val cBuild = corpus.select((col(cId).as("neighbor_id") +:
+      normalize(col(cVec)).as("cv") +: metaCols.map(col)): _*).persist()
     try {
       val cents = trainCentroids(cBuild, nlist, kmeansIters)
       import spark.implicits._
@@ -482,17 +491,29 @@ object Similarity {
     * index scan to exactly the probed cells — the dominant cost scales
     * with `nprobe/nlist` of the index, not its size. Centroids are a tiny
     * nlist×dim driver read (same contract as the in-memory build). */
+  /** `where` enables FILTERED vector search — "top-k neighbors among
+    * corpus rows satisfying a metadata predicate" (per-source search,
+    * date-scoped search, permission scopes): the predicate may reference
+    * any `metaCols` column stored by [[saveIvfIndex]] and is applied to
+    * the stored scan BEFORE the probe join, so Spark pushes it into the
+    * parquet read of the probed cells (row groups that fail it are never
+    * decoded — pinned in PlanSpec). This is pre-filtering, the FAISS
+    * `IDSelector` semantics: the top-k is exact over the filtered cell
+    * contents, and recall vs a filtered brute-force scan is the same IVF
+    * cell-boundary recall as the unfiltered path. */
   def ivfKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, k: Int, nprobe: Int = 4,
-                   qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
+                   qId: String = "vec_id", qVec: String = "embedding",
+                   where: Option[Column] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
     val probed = q.withColumn("cell",
       explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
-    val stored = readIvfCorpus(spark, path)
-    require(stored.columns.contains("cv"),
+    val storedAll = readIvfCorpus(spark, path)
+    require(storedAll.columns.contains("cv"),
       s"$path/corpus lacks raw vectors — a compressed saveIvfPqIndex " +
         "layout? (use ivfPqKnnStored for that)")
+    val stored = where.map(storedAll.filter).getOrElse(storedAll)
     rankTopK(
       stored.join(broadcast(probed), "cell")
         .filter(col("query_id") =!= col("neighbor_id"))

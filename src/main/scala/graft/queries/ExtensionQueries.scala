@@ -148,6 +148,7 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q136_repetition_rules", q136 _, q136Sql),
     ("q137_html_extract", q137 _, q137Sql),
     ("q138_url_canonical", q138 _, q138Sql),
-    ("q139_curation_v3", q139 _, q139Sql)
+    ("q139_curation_v3", q139 _, q139Sql),
+    ("q140_filtered_knn", q140 _, q140Sql)
   )
 }

@@ -51,6 +51,44 @@ private[queries] trait RetrievalAnnQueries { self: ExtensionQueryHelpers =>
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
+  // q140 — FILTERED vector search (pre-filter / FAISS IDSelector
+  //        semantics): top-k among corpus vectors satisfying a metadata
+  //        predicate (vec_id % 3 = 1 — per-source search, date scopes,
+  //        permission filters at serving time). Exact over the filtered
+  //        corpus; the stored-IVF twin pushes the SAME predicate into
+  //        the parquet scan of the probed cells (PlanSpec pins the
+  //        pushdown; PipelineOpsSpec gates its recall vs this result).
+  // -------------------------------------------------------------------
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    sorted(Similarity.bruteKnn(q, e.filter(col("vec_id") % 3 === 1), k = 5)
+      .withColumn("cos", round(col("cos"), 4)))
+  }
+
+  val q140Sql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      |p AS (
+      |  SELECT q.vec_id query_id, e.vec_id neighbor_id, q.embedding qe, e.embedding ce
+      |  FROM q JOIN embeddings e ON e.vec_id != q.vec_id AND e.vec_id % 3 = 1
+      |), ex AS (
+      |  SELECT query_id, neighbor_id,
+      |         unnest(qe)::DOUBLE qv, unnest(ce)::DOUBLE cv
+      |  FROM p
+      |), d AS (
+      |  SELECT query_id, neighbor_id,
+      |         SUM(qv*cv) / sqrt(SUM(qv*qv)) / sqrt(SUM(cv*cv)) AS cos
+      |  FROM ex GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+      |         round(cos, 4) AS cos
+      |  FROM d
+      |)
+      |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 5
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
   // q23 — embedding near-duplicate pairs (cosine ≥ threshold)
   // -------------------------------------------------------------------
   def q23(s: SparkSession, dir: String): DataFrame =

@@ -491,6 +491,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"index scan is not partition-pruned:\n${scanLine.getOrElse("<no scan>")}")
   }
 
+  test("filtered stored-IVF: predicate pushed to the index scan, recall vs filtered brute") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filt").toString
+    val withMeta = seeded10k
+      .withColumn("grp", pmod(col("vec_id"), lit(3)).cast("int"))
+    Similarity.saveIvfIndex(withMeta, dir, nlist = 16, replicate = 2,
+      metaCols = Seq("grp"))
+    val q = seeded10k.filter(col("vec_id") < 20)
+    val served = Similarity.ivfKnnStored(spark, dir, q, k = 5, nprobe = 4,
+      where = Some(col("grp") === 1))
+    val brute = Similarity.bruteKnn(q, withMeta.filter(col("grp") === 1), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = recallVsBrute(served, brute)
+    assert(recall >= 0.9, s"filtered stored-IVF recall@5 = $recall < 0.9")
+    served.collect().foreach(r =>
+      assert(r.getLong(1) % 3 == 1, s"neighbor ${r.getLong(1)} escaped the filter"))
+    // the metadata predicate reaches the parquet scan of the probed cells
+    val scanLine = served.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("Scan parquet") && l.contains("corpus"))
+    assert(scanLine.exists(l => l.contains("PushedFilters: [") &&
+      l.contains("grp")),
+      s"grp predicate not pushed to the scan:\n${scanLine.getOrElse("<no scan>")}")
+    // metaCols validation is named and driver-side
+    assert(intercept[IllegalArgumentException](
+      Similarity.saveIvfIndex(withMeta, dir, metaCols = Seq("nope")))
+      .getMessage.contains("nope"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.saveIvfIndex(withMeta.withColumn("cell", lit(1)), dir,
+        metaCols = Seq("cell"))).getMessage.contains("shadow"))
+  }
+
   test("incremental embedding near-dup delta: re-ingests drop surely, recall >= 0.9 on perturbed, fresh survive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf_delta").toString
