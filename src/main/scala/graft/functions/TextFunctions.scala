@@ -211,7 +211,9 @@ object TextFunctions {
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val afterScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val auth0 = lower(regexp_extract(afterScheme, "^([^/?]*)", 1))
-    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    // the host starts after any userinfo '@' — anchor the www-strip to
+    // either position so 'u:p@www.site.com' and 'www.site.com' agree
+    val auth1 = regexp_replace(auth0, "(^|@)www\\.", "$1")
     val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
       .otherwise(auth1)
@@ -221,7 +223,9 @@ object TextFunctions {
     val path = when(path1 === "", lit("/")).otherwise(path1)
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
     val params = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)=")))
+      // (=|$): a bare '?gclid' (no value) is the same tracker as
+      // '?gclid=x' and must not split the dedup key
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)")))
     val qstr = when(size(params) > 0,
       concat(lit("?"), concat_ws("&", params))).otherwise(lit(""))
     when(scheme === "", u)

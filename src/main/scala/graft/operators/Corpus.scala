@@ -539,9 +539,14 @@ object Corpus {
     val spark = docs.sparkSession
     val per = docs.groupBy(col(sourceCol))
       .agg(sum(tokenCol.cast("long")).as("tokens"))
-      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+      .collect()
+      // a NULL source stays a distinct NULL group (never folded into a
+      // source literally named "null"); an all-NULL token sum is 0
+      .map(r => (if (r.isNullAt(0)) null else String.valueOf(r.get(0)),
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
       .map { case (s, n) => (s, n, maxEpochs * n) }
-      .sortBy { case (s, _, c) => (c, s) } // ascending capacity, name tie-break
+      // ascending capacity, name tie-break (NULL source sorts first)
+      .sortBy { case (s, _, c) => (c, if (s == null) "" else " " + s) }
     val k = per.length
     require(k > 0, "unimaxAllocation: no sources")
     // water level: scan ascending; the first capacity covering its fair
@@ -654,7 +659,12 @@ object Corpus {
       .select(col(sourceCol).as("src"),
         explode(array_remove(tokens(col(textCol)), "")).as("term"))
       .groupBy("src", "term").agg(count(lit(1)).as("c"))
-    val topV = census.groupBy("term").agg(sum("c").as("ct"))
+    // the literal token '<oov>' can never be a KEPT vocabulary term —
+    // it must fold into the tail bucket (otherwise a corpus where it
+    // makes the top-V would put '<oov>' into `buckets` twice and
+    // double-count that bucket in the smoothing grid)
+    val topV = census.filter(col("term") =!= "<oov>")
+      .groupBy("term").agg(sum("c").as("ct"))
       .orderBy(col("ct").desc, col("term").asc)
       .limit(maxVocab)
       .select("term")

@@ -1126,9 +1126,12 @@ object Dedup {
                                    textCol: String, sep: String): DataFrame = {
     require(sep.nonEmpty, "paragraph separator must be non-empty")
     val sepRe = java.util.regex.Pattern.quote(sep)
+    // \p{L} keeps letters of EVERY script — an [a-z]-only class would
+    // normalize all non-Latin text to "" and make paragraph dedup a
+    // silent no-op on the multilingual corpora CCNet targets
     def norm(p: Column): Column =
       trim(regexp_replace(
-        regexp_replace(lower(p), "[^a-z\\s]", ""), "\\s+", " "))
+        regexp_replace(lower(p), "[^\\p{L}\\s]", ""), "\\s+", " "))
     docs
       .select(col(idCol), posexplode(split(col(textCol), sepRe, -1)))
       .select(col(idCol), (col("pos") + 1).as("pos"),
@@ -1165,7 +1168,11 @@ object Dedup {
                          root: String, sep: String = "\n"): Unit =
     paragraphOccurrences(docs, idCol, textCol, sep)
       .select("__h").distinct()
-      .write.mode("overwrite").parquet(s"$root/hashes")
+      // hive batch partitions from day one (the initial corpus is batch
+      // -1) so every delta append is a per-batch overwrite dir — the
+      // replay-idempotent sink discipline
+      .withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$root/hashes")
 
   /** INCREMENTAL paragraph dedup (the q55/q58 delta doctrine at
     * paragraph grain): deduplicate a delta batch against the stored
@@ -1183,16 +1190,31 @@ object Dedup {
     * Bloom filter of the stored hashes first — bloom misses are
     * DEFINITELY fresh and skip the store entirely, so the exact
     * confirm join touches only the (tiny) hit set, never
-    * delta × store. The store update appends the delta's fresh distinct
-    * hashes — delta-sized, one parquet append. */
+    * delta × store.
+    *
+    * The store update writes the delta's fresh distinct hashes to a
+    * per-batch overwrite partition (`hashes/batch=<id>`). Pass a STABLE
+    * `batchId` to make retries idempotent: the probe EXCLUDES the
+    * call's own batch partition from the store read, so a re-run after
+    * a downstream failure sees exactly the pre-call store (its earlier
+    * partial append cannot make the delta's own paragraphs look
+    * "already ingested" and silently strip every doc) and overwrites
+    * its own partition. Without `batchId` a fresh id is allocated per
+    * call — fine for one-shot pipelines, NOT retry-safe. */
   def dropDuplicateParagraphsDelta(delta: DataFrame, idCol: String,
                                    textCol: String, root: String,
                                    sep: String = "\n",
                                    update: Boolean = true,
                                    expectedStoreHashes: Option[Long] = None,
-                                   fpp: Double = 0.01): DataFrame = {
+                                   fpp: Double = 0.01,
+                                   batchId: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
-    val store = spark.read.parquet(s"$root/hashes")
+    val storeAll = spark.read.parquet(s"$root/hashes")
+    require(storeAll.columns.contains("batch"),
+      s"$root/hashes predates batch partitions — rebuild it with " +
+        "saveParagraphStore")
+    val store = batchId.map(b => storeAll.filter(col("batch") =!= b))
+      .getOrElse(storeAll).select("__h")
     val occ = paragraphOccurrences(delta, idCol, textCol, sep)
     // the Bloom layer wants LONG keys (the docShingles doctrine) — fold
     // the 16-byte census hash through xxhash64 for the probe only; the
@@ -1221,9 +1243,22 @@ object Dedup {
       .select(col(idCol), col("pos"))
     val rebuilt = rebuildWithoutPositions(delta,
       stored.unionByName(freshLosers), idCol, textCol, sep)
-    if (update)
+    if (update) {
+      val bid = batchId.getOrElse(nextParagraphBatch(spark, root))
       fresh.select("__h").distinct()
-        .write.mode("append").parquet(s"$root/hashes")
+        .write.mode("overwrite").parquet(s"$root/hashes/batch=$bid")
+    }
     rebuilt
+  }
+
+  /** Next free batch id of a paragraph store — driver-side listing of
+    * the hive `batch=` dirs (O(batches) tiny names). */
+  private def nextParagraphBatch(spark: org.apache.spark.sql.SparkSession,
+                                 root: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/hashes")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.drop(6).toLong }
+      .foldLeft(-1L)(math.max) + 1
   }
 }

@@ -181,7 +181,11 @@ object Layout {
     // sum of every earlier partition's total
     val totals = staged.groupBy("__pid")
       .agg(sum(col(valueCol).cast("long")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect()
+      // an all-NULL partition sums to NULL — it contributes 0 to every
+      // later partition's offset (sum() skips NULLs row-wise too)
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     val offsets = totals.scanLeft(0 -> 0L) {
       case ((_, acc), (pid, t)) => pid -> (acc + t)
     }.sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
@@ -198,26 +202,40 @@ object Layout {
 
   /** Compaction plan — the lakehouse `OPTIMIZE` bin-packing step: assign
     * every file of a manifest to a compaction group of ~`targetSize`
-    * consecutive bytes in `orderCols` order (order by Z-range to keep
-    * [[zorder]]'s clustering through the rewrite). A file's group is the
-    * bin holding its first byte, `(running_total − size) / targetSize`
-    * (exact integral math — replayable); files larger than `targetSize`
-    * own their group. Negative sizes fail by name IN-PLAN (the
-    * self-enforcing-guard doctrine).
+    * consecutive bytes in `orderCols` order (order by (Z-range, path) to
+    * keep [[zorder]]'s clustering through the rewrite). A file's group
+    * is the bin holding its first byte,
+    * `(running_total − size) / targetSize` (exact integral math —
+    * replayable); files larger than `targetSize` own their group.
+    *
+    * `orderCols` must identify each file UNIQUELY (include the path):
+    * tied keys have no defined first byte — [[prefixSum]]'s RANGE-frame
+    * tie semantics would hand every peer the tie group's total and
+    * mis-bin the whole group — so duplicates fail by name IN-PLAN, as
+    * do negative or NULL sizes (the self-enforcing-guard doctrine).
     *
     * Scale shape: one [[prefixSum]] (range partition + keyed window +
-    * a ≤ numPartitions collect) over the MANIFEST — metadata, ~800k rows
-    * for 100 TB of 128 MB files — then a per-row projection. The data
-    * files themselves are never read. */
+    * a ≤ numPartitions collect) plus one key-keyed duplicate-check
+    * window over the MANIFEST — metadata, ~800k rows for 100 TB of
+    * 128 MB files — then a per-row projection. The data files
+    * themselves are never read. */
   def compactionPlan(files: DataFrame, orderCols: Seq[String],
                      sizeCol: String, targetSize: Long,
                      groupCol: String = "file_group"): DataFrame = {
     require(targetSize >= 1, s"targetSize must be positive, got $targetSize")
     val sized = prefixSum(files, orderCols, sizeCol, "__cum")
     val size = col(sizeCol).cast("long")
-    val guarded = when(size < 0, raise_error(concat(
-      lit(s"compactionPlan: negative $sizeCol ("), size.cast("string"),
-      lit(")"))).cast("long")).otherwise(col("__cum") - size)
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(orderCols.map(col): _*)
+    val guarded = when(size.isNull || size < 0, raise_error(concat(
+      lit(s"compactionPlan: negative or NULL $sizeCol ("),
+      coalesce(size.cast("string"), lit("NULL")), lit(")"))).cast("long"))
+      .when(count(lit(1)).over(dupW) > 1, raise_error(concat(
+        lit("compactionPlan: duplicate key ("),
+        concat_ws(", ", orderCols.map(c => col(c).cast("string")): _*),
+        lit(") — orderCols must identify each file uniquely (add the " +
+          "path)"))).cast("long"))
+      .otherwise(col("__cum") - size)
     sized
       .withColumn(groupCol, ldiv(guarded, lit(targetSize)))
       .drop("__cum")

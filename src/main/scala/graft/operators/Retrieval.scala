@@ -105,8 +105,9 @@ object Retrieval {
     * The dense side is the exact brute-force scorer — correct at any
     * recall target and fine when `queries` is small; swap in
     * [[Similarity.ivfKnnStored]] output via [[rrfFuse]] directly when
-    * the query stream is large or the corpus is indexed. Query ids and
-    * doc ids are INDEPENDENT id spaces here, so the dense scorer keeps
+    * the query stream is large or the corpus is indexed — and pass
+    * `excludeSelf = false` there too. Query ids and doc ids are
+    * INDEPENDENT id spaces here, so the dense scorer keeps
     * query_id == doc_id pairs (no kNN self-exclusion): a query that
     * happens to share a number with a corpus doc must still retrieve
     * it. */

@@ -259,7 +259,8 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
              replicate: Int = 2,
              qId: String = "vec_id", qVec: String = "embedding",
-             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+             cId: String = "vec_id", cVec: String = "embedding",
+             excludeSelf: Boolean = true): DataFrame = {
     // Build-time cache: the index build runs several driver actions (count,
     // sample, one aggregation per k-means iteration) over the normalized
     // corpus — persist for THOSE, and unpersist as soon as the centroids
@@ -288,7 +289,8 @@ object Similarity {
     val probed = q.withColumn("cell", explode(topCells(col("qv"), refined, nprobe)))
     rankTopK(
       probed.join(assigned, "cell")
-        .filter(col("query_id") =!= col("neighbor_id"))
+        .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+                else lit(true))
         .select(col("query_id"), col("neighbor_id"),
           dotp(col("qv"), col("cv")).as("cos"))
         .distinct(),
@@ -504,7 +506,8 @@ object Similarity {
   def ivfKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, k: Int, nprobe: Int = 4,
                    qId: String = "vec_id", qVec: String = "embedding",
-                   where: Option[Column] = None): DataFrame = {
+                   where: Option[Column] = None,
+                   excludeSelf: Boolean = true): DataFrame = {
     val cents = readCentroids(spark, path)
     val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
     val probed = q.withColumn("cell",
@@ -516,7 +519,12 @@ object Similarity {
     val stored = where.map(storedAll.filter).getOrElse(storedAll)
     rankTopK(
       stored.join(broadcast(probed), "cell")
-        .filter(col("query_id") =!= col("neighbor_id"))
+        // hybrid-retrieval callers (rrfFuse over a large query stream)
+        // have INDEPENDENT query/doc id spaces: pass excludeSelf = false
+        // there, exactly like bruteKnn — an id collision must not
+        // silently drop a corpus doc from the ranking
+        .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+                else lit(true))
         .select(col("query_id"), col("neighbor_id"),
           dotp(col("qv"), col("cv")).as("cos"))
         .distinct(),

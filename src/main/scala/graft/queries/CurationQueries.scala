@@ -1077,7 +1077,8 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |), census AS (
       |  SELECT src, term, count(*) AS c FROM tok GROUP BY 1, 2
       |), topv AS (
-      |  SELECT term FROM (SELECT term, sum(c) AS ct FROM census GROUP BY 1)
+      |  SELECT term FROM (SELECT term, sum(c) AS ct FROM census
+      |                    WHERE term <> '<oov>' GROUP BY 1)
       |  ORDER BY ct DESC, term LIMIT 256
       |), bucketed AS (
       |  SELECT src, CASE WHEN term IN (SELECT term FROM topv)
@@ -1405,7 +1406,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |), cq AS (
       |  SELECT doc_id, u0, scheme,
       |    regexp_replace(lower(regexp_extract(aft, '^([^/?]*)', 1)),
-      |      '^www\.', '') AS auth1,
+      |      '(^|@)www\.', '\1', 'g') AS auth1,
       |    regexp_replace(aft, '^[^/?]*', '') AS pathq
       |  FROM cp
       |), cr AS (
@@ -1421,7 +1422,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |  SELECT doc_id, u0, scheme, auth,
       |    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
       |    list_sort(list_filter(string_split(qs, '&'), y ->
-      |      y <> '' AND NOT regexp_matches(y, '^(utm_[^=]*|gclid|fbclid)=')))
+      |      y <> '' AND NOT regexp_matches(y, '^(utm_[^=]*|gclid|fbclid)(=|$)')))
       |      AS ps
       |  FROM cr
       |), canon AS (

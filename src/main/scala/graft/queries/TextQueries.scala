@@ -1194,7 +1194,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |), occ AS (
       |  SELECT doc_id, u.i AS pos, u.para,
       |         trim(regexp_replace(regexp_replace(lower(u.para),
-      |           '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+      |           '[^\p{L}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
       |  FROM sp, LATERAL (SELECT unnest(ps) AS para,
       |                           unnest(range(1, len(ps) + 1)) AS i) u
       |), ranked AS (
@@ -1262,7 +1262,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |), occ AS (
       |  SELECT doc_id, u.i AS pos, u.para,
       |         trim(regexp_replace(regexp_replace(lower(u.para),
-      |           '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+      |           '[^\p{L}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
       |  FROM sp, LATERAL (SELECT unnest(ps) AS para,
       |                           unnest(range(1, len(ps) + 1)) AS i) u
       |), ev AS (
@@ -1456,7 +1456,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |), q AS (
       |  SELECT doc_id, url, u0, scheme,
       |    regexp_replace(lower(regexp_extract(aft, '^([^/?]*)', 1)),
-      |      '^www\.', '') AS auth1,
+      |      '(^|@)www\.', '\1', 'g') AS auth1,
       |    regexp_replace(aft, '^[^/?]*', '') AS pathq
       |  FROM p
       |), r AS (
@@ -1472,7 +1472,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |  SELECT doc_id, url, u0, scheme, auth,
       |    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
       |    list_sort(list_filter(string_split(qs, '&'), x ->
-      |      x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)=')))
+      |      x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=|$)')))
       |      AS ps
       |  FROM r
       |)

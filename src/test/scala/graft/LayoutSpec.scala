@@ -141,17 +141,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("compactionPlan: negative sizes and non-integral sizes fail by name") {
+  test("compactionPlan: negative/NULL sizes and duplicate keys fail by name") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
     val neg = Seq((1L, 5L), (2L, -1L)).toDF("k", "sz")
     val e = intercept[Exception] {
       Layout.compactionPlan(neg, Seq("k"), "sz", 10).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
-    assert(msgs(e).exists(m => m != null && m.contains("negative sz")))
+    assert(msgs(e).exists(m => m != null && m.contains("negative or NULL sz")))
     val dbl = Seq((1L, 1.5)).toDF("k", "sz")
     assert(intercept[IllegalArgumentException](
       Layout.prefixSum(dbl, Seq("k"), "sz")).getMessage.contains("integral"))
+    // tied keys have no defined first byte — must fail, never mis-bin
+    val dup = Seq((1L, 5L), (1L, 6L), (2L, 7L)).toDF("k", "sz")
+    val d = intercept[Exception] {
+      Layout.compactionPlan(dup, Seq("k"), "sz", 10).collect()
+    }
+    assert(msgs(d).exists(m => m != null && m.contains("duplicate key")),
+      s"wrong failure: ${d.getMessage}")
+    // NULL size names itself rather than poisoning the bin arithmetic
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("k", "sz")
+    val n = intercept[Exception] {
+      Layout.compactionPlan(withNull, Seq("k"), "sz", 10).collect()
+    }
+    assert(msgs(n).exists(m => m != null && m.contains("negative or NULL sz")))
+  }
+
+  test("prefixSum tolerates all-NULL partitions (0-contribution offsets)") {
+    val df = Seq((1L, Some(3L)), (2L, None), (3L, None), (4L, Some(5L)))
+      .toDF("k", "v")
+    val got = Layout.prefixSum(df, Seq("k"), "v", numPartitions = Some(4))
+      .select("k", "running_total").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got(1L) == 3L && got(4L) == 8L)
   }
 
   test("argument validation is named and driver-side") {

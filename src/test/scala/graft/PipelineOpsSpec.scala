@@ -2775,6 +2775,67 @@ class PipelineOpsSpec extends SparkSpec {
       s"both stored paragraphs must drop in the second delta: ${out2(20L)}")
   }
 
+  test("paragraph delta retry with a pinned batchId is idempotent") {
+    import spark.implicits._
+    val ingested = Seq((1L, "shared boiler text\nbody one")).toDF("doc_id", "text")
+    val delta = Seq((10L, "fresh ten\nshared boiler text")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("para_retry").toString
+    Dedup.saveParagraphStore(ingested, "doc_id", "text", root)
+    def run() = Dedup.dropDuplicateParagraphsDelta(delta, "doc_id", "text",
+      root, batchId = Some(7L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = run()
+    // the failure mode the batch partition exists for: the first call's
+    // append already landed; a retry must NOT see its own hashes as
+    // "already ingested" and strip the delta to nothing
+    val retry = run()
+    assert(first == retry, s"retry diverged: $first vs $retry")
+    assert(first(10L) == "fresh ten", s"wrong survivors: $first")
+  }
+
+  test("paragraph dedup censuses non-Latin scripts (unicode normalization)") {
+    import spark.implicits._
+    // the same CJK boilerplate paragraph in two docs: it must census and
+    // the later occurrence must drop — an [a-z]-only normalization would
+    // fold it to "" (structure) and keep both copies
+    val docs = Seq(
+      (1L, "数据 管道 样板\nуникальный текст один"),
+      (2L, "数据 管道 样板\nуникальный текст два")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "数据 管道 样板\nуникальный текст один",
+      "canonical copy (min doc, pos) keeps")
+    assert(out(2L) == "уникальный текст два",
+      s"CJK boilerplate must drop from doc 2, got '${out(2L)}'")
+  }
+
+  test("divergenceReport: a literal <oov> token folds into the tail bucket") {
+    import spark.implicits._
+    // '<oov>' appears often enough to top any vocabulary cut — it must
+    // STILL fold into the tail bucket (kept verbatim it would appear
+    // twice in the bucket list and double-count in the smoothing grid)
+    val planted = Seq(
+      ("A", "<oov> <oov> <oov> x y"), ("B", "<oov> <oov> x z")
+    ).toDF("source", "text")
+    val out = graft.operators.Corpus
+      .divergenceReport(planted, "source", "text", maxVocab = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // vocab (term count desc, asc, <oov> excluded): x, y|z -> x, y
+    // buckets: x, y, <oov>; A = [1x, 1y, 3oov], B = [1x, 0y, 3oov(2oov+z)]
+    val counts = Map("A" -> Seq(1L, 1L, 3L), "B" -> Seq(1L, 0L, 3L))
+    val globalC = Seq(2L, 1L, 6L)
+    for ((s, cs) <- counts) {
+      val n = cs.sum
+      val ps = cs.map(c => (c + 1.0) / (n + 3))
+      val qs = globalC.map(c => (c + 1.0) / (9.0 + 3))
+      val kl = ps.zip(qs).map { case (p, q) => p * math.log(p / q) }.sum
+      val r = out(s)
+      assert(r.getLong(1) == n, s"tokens of $s")
+      assert(r.getDouble(2) == math.rint(kl * 1e6) / 1e6, s"kl of $s")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Hard negatives — band semantics, near-dup ceiling
   // ------------------------------------------------------------------
@@ -3106,6 +3167,12 @@ class PipelineOpsSpec extends SparkSpec {
       ("http://A.com?b=2&a=1", "http://a.com/?a=1&b=2"),
       // all params tracking -> no query at all
       ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
+      // www. strips even behind userinfo (host starts after the '@')
+      ("http://u:p@WWW.Site.com/x", "http://u:p@site.com/x"),
+      // a BARE tracker (no '=') is the same tracker
+      ("http://a.com/x?gclid&b=1", "http://a.com/x?b=1"),
+      // ...but a prefix-sharing REAL param survives
+      ("http://a.com/x?gclidx=1", "http://a.com/x?gclidx=1"),
       // not a URL: trimmed passthrough
       ("  not a url  ", "not a url"))
     val out = cases.map(_._1).toDF("u")
