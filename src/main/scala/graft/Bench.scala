@@ -8,6 +8,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated query-name filter for focused A/B runs
+    // (e.g. the round-13 q81/q82 regression adjudication); timing
+    // semantics are untouched — unselected queries are just skipped
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +35,7 @@ object Bench {
     // primed for the timed plans; data volume stays negligible.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).foreach { case (name, fn) =>
         // a warmup failure usually predicts a timed-section failure; name
         // it now so the breakage is visible before the metrics line
         try fn(spark, warmDir).count() catch {
@@ -76,7 +82,7 @@ object Bench {
     // after the builds have already spent their minutes
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt).getOrElse(3))
-    val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
@@ -109,7 +115,21 @@ object Bench {
     // `reps` is recorded in the JSON so cross-round comparisons can tell a
     // real regression from a rep-count artifact (fewer reps -> higher
     // minima); round 10 vs 11 was re-adjudicated for exactly this reason
-    val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    // machine state travels IN the artifact: the round-13 star-query
+    // investigation burned a day proving a cross-round delta was
+    // environmental — load average, JVM/GC identity, and core count in
+    // the JSON make that diagnosable from the artifact alone
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val rt = Runtime.getRuntime
+    val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    val gcNames = {
+      val it = gcs.iterator(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().getName
+      b.result().mkString("+")
+    }
+    val machine =
+      s""""machine":{"load_avg":${num(os.getSystemLoadAverage)},"available_processors":${rt.availableProcessors},"max_heap_mb":${rt.maxMemory / (1024 * 1024)},"jvm":"${System.getProperty("java.vm.version")}","gc":"$gcNames"}"""
+    val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(fullJson)
     // The harness archives only a bounded TAIL of stdout (~2000 chars) and
     // parses a JSON line out of it; with 125+ per-query entries the full
@@ -121,7 +141,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("BENCH_LATEST.json").toAbsolutePath
     scala.util.Try(java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes("UTF-8"))): Unit
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -546,7 +546,7 @@ object Corpus {
         if (r.isNullAt(1)) 0L else r.getLong(1)))
       .map { case (s, n) => (s, n, maxEpochs * n) }
       // ascending capacity, name tie-break (NULL source sorts first)
-      .sortBy { case (s, _, c) => (c, if (s == null) "" else " " + s) }
+      .sortBy { case (s, _, c) => (c, if (s == null) "" else "\u0000" + s) }
     val k = per.length
     require(k > 0, "unimaxAllocation: no sources")
     // water level: scan ascending; the first capacity covering its fair
@@ -655,10 +655,18 @@ object Corpus {
   def divergenceReport(docs: DataFrame, sourceCol: String, textCol: String,
                        maxVocab: Int = 512): DataFrame = {
     require(maxVocab >= 1, s"maxVocab must be positive, got $maxVocab")
+    // a NULL source is a real group (mirrors unimaxAllocation), but the
+    // equi-joins below never match NULL = NULL — so key the whole
+    // pipeline on a prefix-encoded non-null surrogate ("0" for NULL,
+    // "1" + value otherwise: collision-proof) and carry the original
+    // value alongside to map back in the output
     val census = docs
-      .select(col(sourceCol).as("src"),
+      .select(col(sourceCol).as("__srco"),
         explode(array_remove(tokens(col(textCol)), "")).as("term"))
-      .groupBy("src", "term").agg(count(lit(1)).as("c"))
+      .withColumn("src", when(col("__srco").isNull, lit("0"))
+        .otherwise(concat(lit("1"), col("__srco").cast("string"))))
+      .groupBy("src", "term").agg(count(lit(1)).as("c"),
+        first("__srco").as("__srco"))
     // the literal token '<oov>' can never be a KEPT vocabulary term —
     // it must fold into the tail bucket (otherwise a corpus where it
     // makes the top-V would put '<oov>' into `buckets` twice and
@@ -674,14 +682,17 @@ object Corpus {
       .join(graft.model.Joins.maybeBroadcast(
         topV.withColumn("__kept", lit(true))), Seq("term"), "left")
       .withColumn("b", when(col("__kept"), col("term")).otherwise(lit("<oov>")))
-      .groupBy("src", "b").agg(sum("c").as("c"))
+      .groupBy("src", "b").agg(sum("c").as("c"),
+        first("__srco").as("__srco"))
+    // sources-sized surrogate→original map for the final output
+    val srcMap = bucketed.select("src", "__srco").distinct()
     val buckets = topV.select(col("term").as("b"))
       .unionAll(docs.sparkSession.range(1).select(lit("<oov>").as("b")))
     val nb = buckets.agg(count(lit(1)).as("bn"))
     val srcs = bucketed.select("src").distinct()
     val grid = srcs
       .crossJoin(graft.model.Joins.maybeBroadcast(buckets))
-      .join(bucketed, Seq("src", "b"), "left")
+      .join(bucketed.select("src", "b", "c"), Seq("src", "b"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
     val perSrc = grid.groupBy("src").agg(sum("c").as("n_s"))
     val global = grid.groupBy("b").agg(sum("c").as("cg"))
@@ -704,6 +715,8 @@ object Corpus {
         round(sum(col("ps") * log(col("ps") / col("qs"))), 6).as("kl"),
         round(sum(col("ps") * log(col("ps") / col("ms"))
           + col("qs") * log(col("qs") / col("ms"))) / lit(2.0), 6).as("js"))
-      .select(col("src").as(sourceCol), col("tokens"), col("kl"), col("js"))
+      .join(graft.model.Joins.maybeBroadcast(srcMap), Seq("src"))
+      .select(col("__srco").as(sourceCol), col("tokens"), col("kl"),
+        col("js"))
   }
 }

@@ -234,17 +234,28 @@ object Decontaminate {
     * corpus; every delta batch probes the same frozen index. */
   def noveltyReportWith(delta: DataFrame, idx: EvalGramIndex,
                         idCol: String, textCol: String): DataFrame = {
+    // ONE pass over the delta: left-join the (distinct) gram rows to
+    // the index with a seen flag and take both counts in a single
+    // aggregation, instead of deriving the gram subtree twice (once
+    // for n_grams, once bloom-filtered for n_seen) — at 100 TB the
+    // old shape tokenized the delta twice. With a broadcastable index
+    // the join adds no shuffle; when it must shuffle, the one extra
+    // gram-keyed exchange replaces a whole second tokenize+distinct.
+    // The Bloom stays as a cheap probe-skip on the flag: misses are
+    // definitely-unseen (no false negatives), so rows failing it never
+    // need the exact flag to be consulted.
     val g = Dedup.gramRows(delta, idCol, textCol, idx.minTokens)
       .select(col(idCol), col("__h")).distinct()
-    val per = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val seen = g
-      .filter(mightContain(idx.bloom, xxhash64(col("__h"))))
-      .join(graft.model.Joins.maybeBroadcast(idx.grams), Seq("__h"),
-        "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    val flagged = graft.model.Joins.maybeBroadcast(
+      idx.grams.select(col("__h")).withColumn("__seen", lit(true)))
+    val per = g
+      .join(flagged, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(mightContain(idx.bloom, xxhash64(col("__h"))) &&
+          col("__seen"), lit(1))).as("n_seen"))
     delta.select(col(idCol))
       .join(per, Seq(idCol), "left")
-      .join(seen, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_seen"), lit(0L)).as("n_seen"),

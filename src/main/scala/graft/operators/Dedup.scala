@@ -1116,6 +1116,38 @@ object Dedup {
     rebuildWithoutPositions(docs, drops, idCol, textCol, sep)
   }
 
+  /** WITHIN-document repetition removal — the C4/Gopher "fix" stage
+    * that salvages a boilerplate-heavy document instead of dropping it:
+    * drop all-but-FIRST occurrences of each duplicate line (normalized
+    * as in [[dropDuplicateParagraphs]]) inside each document and
+    * re-stitch. Cross-document boilerplate is
+    * [[dropDuplicateParagraphs]]'s job; this one NEVER looks across
+    * documents — a line shared by every doc but unique within each is
+    * kept everywhere — so after it
+    * [[graft.operators.Quality.repetitionReport]]'s duplicate-line
+    * fraction of the output is ~0 (law-tested).
+    *
+    * Lines normalizing to "" (blank, digits/punct-only) are structure,
+    * not content — always kept, even when repeated; docs that lose
+    * nothing pass through `textCol` byte-identical.
+    *
+    * Scale shape: line TEXT never shuffles — only fixed-width
+    * (id, pos, 16-byte hash) rows move, through ONE aggregation keyed
+    * by (id, hash) whose per-group state is bounded by one doc's
+    * repeats of one line; dropped positions fold to one bounded int
+    * array per AFFECTED doc and untouched docs skip the split/rejoin. */
+  def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
+                          sep: String = "\n"): DataFrame = {
+    val occ = paragraphOccurrences(docs, idCol, textCol, sep)
+    val drops = occ.groupBy(col(idCol), col("__h"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .where(size(col("__ps")) > 1)
+      .select(col(idCol),
+        explode(slice(col("__ps"), lit(2), size(col("__ps")) - 1))
+          .as("pos"))
+    rebuildWithoutPositions(docs, drops, idCol, textCol, sep)
+  }
+
   /** Fixed-width paragraph-occurrence rows (idCol, pos, __h): 1-based
     * split position and the 16-byte md5 of the NORMALIZED paragraph
     * (lower, non-letters stripped keeping whitespace, runs collapsed,
@@ -1208,6 +1240,13 @@ object Dedup {
                                    expectedStoreHashes: Option[Long] = None,
                                    fpp: Double = 0.01,
                                    batchId: Option[Long] = None): DataFrame = {
+    // batch -1 is RESERVED for the initial corpus partition written by
+    // saveParagraphStore: a delta claiming it would exclude the whole
+    // initial store from the probe (every stored paragraph looks fresh)
+    // and then overwrite hashes/batch=-1, destroying the census
+    require(batchId.forall(_ >= 0),
+      s"batchId must be >= 0 (got ${batchId.get}) — batch -1 is " +
+        "reserved for the initial corpus written by saveParagraphStore")
     val spark = delta.sparkSession
     val storeAll = spark.read.parquet(s"$root/hashes")
     require(storeAll.columns.contains("batch"),

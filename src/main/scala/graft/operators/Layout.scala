@@ -57,14 +57,21 @@ object Layout {
     * overflow error before the named message can fire. */
   private def bucketOf(v: Column, mn: Column, mx: Column, bits: Int): Column = {
     val span = try_subtract(mx, mn) // NULL ⇔ range > 2^63 (mx ≥ mn by construction)
+    // the numerator uses try_* and WRAPS the guard (a division's left
+    // child is evaluated first in both interpreted and codegen paths),
+    // so under spark.sql.ansi.enabled a full-range column still fails
+    // with the NAMED error below — never a generic ARITHMETIC_OVERFLOW
+    // from (v − min) · 2^bits racing ahead of the denominator guard
+    val num = try_multiply(try_subtract(coalesce(v, mn), mn),
+      lit(1L << bits))
     val guarded = when(
       span.isNull || span > lit(Long.MaxValue >> bits),
       raise_error(concat(lit(s"Layout: column range exceeds 2^${63 - bits} " +
         s"at bits=$bits (min="), mn.cast("string"), lit(", max="),
         mx.cast("string"),
         lit(") — lower bits or pre-bucket the column"))).cast("long")
-    ).otherwise(span + lit(1L))
-    ldiv((coalesce(v, mn) - mn) * lit(1L << bits), guarded)
+    ).otherwise(num)
+    ldiv(guarded, span + lit(1L))
   }
 
   /** Morton interleave of pre-scaled buckets: bit b of column c lands at
@@ -95,6 +102,16 @@ object Layout {
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
     require(cols.distinct.size == cols.size,
       s"duplicate Z-order columns: ${cols.diff(cols.distinct).mkString(", ")}")
+    // same named integral guard as prefixSum: a silent cast("long") of
+    // a double column truncates toward zero and quietly degrades the
+    // clustering — reject by name instead
+    val integral = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    val nonIntegral =
+      cols.filter(c => !integral.contains(df.schema(c).dataType.toString))
+    require(nonIntegral.isEmpty,
+      s"zAddress needs integral columns, got non-integral " +
+        s"${nonIntegral.map(c => s"$c: ${df.schema(c).dataType}").mkString(", ")} " +
+        "(cast dates/decimals/doubles to their underlying long first)")
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__mn_$c"),
       max(col(c).cast("long")).as(s"__mx_$c")))

@@ -149,6 +149,7 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q137_html_extract", q137 _, q137Sql),
     ("q138_url_canonical", q138 _, q138Sql),
     ("q139_curation_v3", q139 _, q139Sql),
-    ("q140_filtered_knn", q140 _, q140Sql)
+    ("q140_filtered_knn", q140 _, q140Sql),
+    ("q141_repeated_lines", q141 _, q141Sql)
   )
 }

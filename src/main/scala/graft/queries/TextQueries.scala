@@ -1332,7 +1332,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |  FROM g WHERE doc_id % 2 = 1 GROUP BY 1
       |)
       |SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
-      |       coalesce(p.n_seen, 0) AS n_seen,
+      |       CAST(coalesce(p.n_seen, 0) AS BIGINT) AS n_seen,
       |       CASE WHEN p.n_grams > 0
       |            THEN round((p.n_grams - p.n_seen) * 1.0 / p.n_grams, 6)
       |       END AS novelty
@@ -1483,5 +1483,98 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
       |                  THEN '?' || array_to_string(ps, '&') ELSE '' END)
       |  END AS canonical
       |FROM f
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q141 — WITHIN-DOCUMENT REPETITION REMOVAL (the C4/Gopher FIX stage:
+  //        salvage a boilerplate-heavy doc instead of dropping it):
+  //        plant an 8-line corpus where each doc repeats its OWN boiler
+  //        line three times (once case-varied, pinning normalization),
+  //        carries a line shared across docs but unique within each
+  //        (must be KEPT everywhere — within-doc scope), and a repeated
+  //        pure-punctuation line (structure — kept though duplicated).
+  //        Drop all-but-first occurrences per doc, re-stitch; the
+  //        oracle replays plant, normalization, per-doc census, and the
+  //        string re-stitch — the REBUILT TEXT is hashed.
+  // -------------------------------------------------------------------
+  /** Planted 8-line corpus: per doc with ≥ 24 tokens — own first-10
+    * tokens, own boiler (tokens 11..18), the GROUP's common line (first
+    * 12 tokens of doc `doc_id % 7 + 1`), a structure line, the boiler
+    * again (upper-cased on even ids), the tail tokens, the structure
+    * line again, and the boiler a third time. */
+  private def plantedRepetitionCorpus(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 24)
+    val ref = t.select(col("doc_id").as("rid"),
+      concat_ws(" ", slice(col("ts"), 1, 12)).as("common"))
+    def boiler = concat_ws(" ", slice(col("ts"), 11, 8))
+    t.withColumn("rid", col("doc_id") % 7 + 1)
+      .join(ref, "rid")
+      .select(col("doc_id"), concat_ws("\n",
+        concat_ws(" ", slice(col("ts"), 1, 10)),
+        boiler,
+        col("common"),
+        lit("### 42 ###"),
+        when(col("doc_id") % 2 === 0, upper(boiler)).otherwise(boiler),
+        concat_ws(" ", slice(col("ts"), lit(19), size(col("ts")) - 18)),
+        lit("### 42 ###"),
+        boiler).as("text"))
+  }
+
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val fixed = graft.operators.Dedup.removeRepeatedLines(
+      plantedRepetitionCorpus(s, dir), "doc_id", "text", "\n")
+    sorted(fixed.select(col("doc_id"),
+      paraCount(col("text")).as("lines"), col("text")))
+  }
+
+  val q141Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), t AS (
+      |  SELECT * FROM tok WHERE len(ts) >= 24
+      |), ref AS (
+      |  SELECT doc_id AS rid, array_to_string(ts[1:12], ' ') AS common
+      |  FROM t
+      |), planted AS (
+      |  SELECT t.doc_id,
+      |         array_to_string(ts[1:10], ' ') || chr(10) ||
+      |         array_to_string(ts[11:18], ' ') || chr(10) ||
+      |         common || chr(10) ||
+      |         '### 42 ###' || chr(10) ||
+      |         CASE WHEN t.doc_id % 2 = 0
+      |              THEN upper(array_to_string(ts[11:18], ' '))
+      |              ELSE array_to_string(ts[11:18], ' ') END || chr(10) ||
+      |         array_to_string(ts[19:], ' ') || chr(10) ||
+      |         '### 42 ###' || chr(10) ||
+      |         array_to_string(ts[11:18], ' ') AS text
+      |  FROM t JOIN ref ON ref.rid = t.doc_id % 7 + 1
+      |), sp AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ps FROM planted
+      |), occ AS (
+      |  SELECT doc_id, u.i AS pos, u.para,
+      |         trim(regexp_replace(regexp_replace(lower(u.para),
+      |           '[^\p{L}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+      |  FROM sp, LATERAL (SELECT unnest(ps) AS para,
+      |                           unnest(range(1, len(ps) + 1)) AS i) u
+      |), ranked AS (
+      |  SELECT doc_id, pos,
+      |         row_number() OVER (PARTITION BY doc_id, md5(n)
+      |                            ORDER BY pos) AS rn
+      |  FROM occ WHERE n <> ''
+      |), drops AS (
+      |  SELECT doc_id, pos FROM ranked WHERE rn > 1
+      |), kept AS (
+      |  SELECT o.doc_id, o.pos, o.para
+      |  FROM occ o LEFT JOIN drops d
+      |    ON d.doc_id = o.doc_id AND d.pos = o.pos
+      |  WHERE d.doc_id IS NULL
+      |)
+      |SELECT doc_id, CAST(count(*) AS INT) AS lines,
+      |       string_agg(para, chr(10) ORDER BY pos) AS text
+      |FROM kept GROUP BY doc_id
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 }

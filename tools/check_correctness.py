@@ -58,11 +58,63 @@ def compare(name, spark_df, oracle_df):
             if neq.any():
                 i = neq.idxmax()
                 issues.append(f"col {col} ({x.dtype} vs {y.dtype}): {int(neq.sum())} mismatches (e.g. row {i}: {xs[i]!r} vs {ys[i]!r})")
-    # dtype visibility (informational)
+    # dtype drift is a FAILURE, not a note: the driver hashes TYPED
+    # values, so spark int64 vs oracle float64 (e.g. a DuckDB HUGEINT
+    # from sum(CASE...)) breaks its hash even when every value is
+    # numerically equal — exactly how q132 shipped red in round 13.
     for col in a.columns:
         if str(a[col].dtype) != str(b[col].dtype):
-            issues.append(f"NOTE dtype {col}: spark={a[col].dtype} oracle={b[col].dtype}")
+            issues.append(f"dtype {col}: spark={a[col].dtype} oracle={b[col].dtype} (driver hashes typed values — cast the oracle)")
     return issues
+
+
+# Oracle output types must be ones pandas materializes identically to
+# Spark's parquet types. HUGEINT (DuckDB's sum(CASE...)/sum(int) result)
+# lands as float64 while Spark writes int64 — the q132 failure class.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                 "FLOAT", "VARCHAR", "DATE", "BOOLEAN"}
+ALLOWED_PREFIXES = ("DECIMAL(", "TIMESTAMP")  # both sides land float64 / datetime64
+
+
+def sweep_oracle_types(con, oracle):
+    """One-shot assertion over every oracle SQL's DuckDB result types."""
+    bad = 0
+    for name in sorted(oracle):
+        try:
+            desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+        except Exception as e:
+            print(f"FAIL type-sweep {name}: DESCRIBE error: {e}")
+            bad += 1
+            continue
+        for cname, ctype, *_ in desc:
+            t = ctype.upper()
+            if t in ALLOWED_TYPES or t.startswith(ALLOWED_PREFIXES):
+                continue
+            print(f"FAIL type-sweep {name}: column {cname} is {ctype} — "
+                  f"pandas will not materialize it like Spark's parquet "
+                  f"type (CAST it in the oracle SQL)")
+            bad += 1
+    print(f"pin  oracle type sweep: {len(oracle)} oracles, {bad} bad columns")
+    return bad == 0
+
+
+def selftest():
+    """The replica must FAIL on a planted HUGEINT column (q132 class)."""
+    con = duckdb.connect()
+    spark_df = con.execute("SELECT 1::BIGINT AS k, 3::BIGINT AS n").df()
+    oracle_df = con.execute(
+        "SELECT 1::BIGINT AS k, sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n"
+        " FROM (SELECT unnest([1, 2, 3]) AS x)").df()
+    issues = compare("selftest", spark_df, oracle_df)
+    real = [i for i in issues if not i.startswith("NOTE")]
+    if not real:
+        sys.exit("SELFTEST FAIL: planted HUGEINT column was not flagged")
+    print(f"selftest ok: planted HUGEINT flagged -> {real}")
+    sweep = sweep_oracle_types(con, {"planted": "SELECT sum(CASE WHEN 1=1 THEN 1 ELSE 0 END) AS n"})
+    if sweep:
+        sys.exit("SELFTEST FAIL: type sweep passed a HUGEINT oracle")
+    print("selftest ok: type sweep flags HUGEINT")
+    sys.exit(0)
 
 
 MAX_DF = 256  # Dedup.DefaultMaxDf — mirrored by the q58 oracle cap
@@ -158,6 +210,8 @@ FROM d"""
 
 
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
     if "--no-run" not in sys.argv:
         run_verify()
     con = duckdb.connect()
@@ -167,6 +221,8 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     ok = fail = 0
+    if not sweep_oracle_types(con, oracle):
+        fail += 1
     if not pin_q58_margins(con):
         fail += 1
     if not pin_q59_margins(con):
