@@ -473,6 +473,30 @@ object ScaleProbe {
       "repetition" -> timed(s"$tag repetition report") {
         graft.operators.Quality.repetitionReport(d, "doc_id", "text").count()
       },
+      // within-doc repeated-line removal: the census is (id, hash)-keyed
+      // and partial-aggregatable, the rebuild a per-affected-doc bounded
+      // array join — replica-suffixed lines never collide across
+      // replicas, so duplication structure replicates factor× and a
+      // superlinear ratio means the census or rebuild leaked a
+      // data-sized sort (same doctrine as paradedup, scoped per doc)
+      "replines" -> timed(s"$tag repeated-line removal") {
+        graft.operators.Dedup.removeRepeatedLines(
+          d.withColumn("text", regexp_replace(col("text"),
+            "((\\S+ ){10})", "$1\n")), "doc_id", "text").count()
+      },
+      // trained language-ID: training is maxIter gradient aggregations
+      // over one hashed char-gram featurization (linear in chars, fixed
+      // feature width), scoring one broadcast-coefficient projection —
+      // superlinear means the featurization fell out of codegen or the
+      // label map degenerated into a join
+      "langid" -> timed(s"$tag trained language-id") {
+        val labeled = d.withColumn("lang",
+          element_at(array(lit("aa"), lit("bb"), lit("cc")),
+            pmod(col("doc_id"), lit(3)).cast("int") + 1))
+        val m = graft.operators.Quality.trainLangId(labeled, "text", "lang",
+          numFeatures = 1 << 16, maxIter = 5)
+        graft.operators.Quality.predictLang(m, d, "doc_id", "text").count()
+      },
       // compaction plan: one range partition + a partition-KEYED window +
       // a <= numPartitions offsets collect — superlinear means the
       // prefix sum degenerated into a single-partition window

@@ -190,6 +190,38 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** [[stripHtml]] preserving PARAGRAPH STRUCTURE: block-level tag
+    * boundaries (`p div h1–h6 li ul ol tr table blockquote section
+    * article` and `br`) become newlines BEFORE the generic tag strip,
+    * so the extracted text keeps one line per block — the shape the
+    * paragraph/line dedup stages need (a real extractor emits blocks;
+    * [[stripHtml]]'s single-line collapse is the bag-of-words shape).
+    * Within lines whitespace collapses to single spaces, newline runs
+    * collapse to one, and edge newlines are trimmed. Same comment /
+    * script / style removal and entity decode as [[stripHtml]]; every
+    * pattern is RE2-compatible for external replay. */
+  def stripHtmlBlocks(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?s)<!--.*?-->", " "),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val withBreaks = regexp_replace(noBlocks,
+      "(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|tr|table|blockquote|section|" +
+        "article)\\b[^>]*|br\\s*/?)>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "),
+        "&lt;", "<"),
+        "&gt;", ">"),
+        "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    val squashed = regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \\t\\r\\f]+", " "), " ?\\n ?", "\n"), "\\n+", "\n")
+    trim(regexp_replace(squashed, "^\\n+|\\n+$", ""))
+  }
+
   /** URL canonicalization — the standard pre-dedup normalization for
     * crawl corpora (two crawls of one page must map to ONE key before
     * URL-level dedup can work): lowercase scheme and host, strip a

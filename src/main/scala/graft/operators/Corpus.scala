@@ -571,6 +571,67 @@ object Corpus {
       "epochs", "weight")
   }
 
+  /** [[unimaxAllocation]] as a PLAN instead of a driver round-trip:
+    * the per-source census, the ascending water-fill, and the weights
+    * all stay inside one logical plan, so the allocation COMPOSES into
+    * a larger pipeline (the input subtree is not executed twice for a
+    * driver-side budget scalar) and the budget is expressed as a
+    * FRACTION of the observed total (`budgetNum/budgetDen × total
+    * tokens`) rather than a precomputed literal.
+    *
+    * The water-fill windows run over the per-source frame — K rows for
+    * K sources, one partition BY CONSTRUCTION (the same bounded-frame
+    * doctrine as the profiler): ascending-capacity prefix sums, then
+    * the first source whose capacity covers its fair share of what
+    * remains fixes the level for everyone after (identical arithmetic
+    * and rounding to [[unimaxAllocation]] — same fixed evaluation
+    * order, so the two forms agree to the printed digit). NULL sources
+    * are real groups and sort first (asc_nulls_first), mirroring the
+    * driver-side form.
+    *
+    * Output: (sourceCol, tokens, capacity, alloc_tokens, epochs,
+    * weight) — [[unimaxAllocation]]'s schema. */
+  def unimaxWeights(docs: DataFrame, sourceCol: String, tokenCol: Column,
+                    budgetNum: Long = 1L, budgetDen: Long = 1L,
+                    maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0,
+      s"budget fraction must be positive, got $budgetNum/$budgetDen")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val per = docs.groupBy(col(sourceCol).as("__src"))
+      .agg(coalesce(sum(tokenCol.cast("long")), lit(0L)).as("tokens"))
+      .withColumn("cap", lit(maxEpochs) * col("tokens"))
+    val asc = Window.orderBy(col("cap").asc_nulls_first,
+      col("__src").asc_nulls_first)
+    val all = asc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withB = per
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__pfx", coalesce(sum(col("cap")).over(
+        asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("__k", count(lit(1)).over(all))
+      // integer floor division BEFORE the double cast — the driver-side
+      // form computes budget as a Long, and the replayed arithmetic
+      // must see the identical value
+      .withColumn("__b", floor(lit(budgetNum) * sum(col("tokens")).over(all)
+        / lit(budgetDen)).cast("double"))
+    val share = (col("__b") - col("__pfx")) / (col("__k") - col("__i") + 1)
+    val lev = withB
+      .withColumn("__share", share)
+      // no covering source (budget above total capacity) ⇒ the level is
+      // unbounded and every source gets its full capacity — the driver
+      // form's Infinity case
+      .withColumn("__lc", coalesce(first(
+        when(col("cap") >= col("__share"), col("__share")), true).over(all),
+        lit(Double.PositiveInfinity)))
+    lev.select(col("__src").as(sourceCol), col("tokens"),
+      round(col("cap"), 4).as("capacity"),
+      round(least(col("cap"), col("__lc")), 4).as("alloc_tokens"),
+      round(when(col("tokens") === 0, lit(0.0))
+        .otherwise(least(col("cap"), col("__lc")) / col("tokens")), 4)
+        .as("epochs"),
+      round(least(col("cap"), col("__lc")) / col("__b"), 6).as("weight"))
+  }
+
   /** Pairwise CORPUS-level n-gram overlap between sources, estimated by
     * MinHash over each source's shingle set — "how much does crawl dump A
     * repeat crawl dump B" answered without materializing any doc-level

@@ -57,11 +57,13 @@ object Layout {
     * overflow error before the named message can fire. */
   private def bucketOf(v: Column, mn: Column, mx: Column, bits: Int): Column = {
     val span = try_subtract(mx, mn) // NULL ⇔ range > 2^63 (mx ≥ mn by construction)
-    // the numerator uses try_* and WRAPS the guard (a division's left
-    // child is evaluated first in both interpreted and codegen paths),
-    // so under spark.sql.ansi.enabled a full-range column still fails
-    // with the NAMED error below — never a generic ARITHMETIC_OVERFLOW
-    // from (v − min) · 2^bits racing ahead of the denominator guard
+    // the numerator uses try_* so it can never throw a generic
+    // ARITHMETIC_OVERFLOW under spark.sql.ansi.enabled (it yields NULL
+    // instead); the NAMED guard stays on the DENOMINATOR, which
+    // division codegen evaluates FIRST (divide-by-zero check) — so a
+    // full-range column fails by name in codegen, and in interpreted
+    // eval the try_* numerator quietly nulls before the denominator's
+    // raise_error fires. Either path, the named error wins.
     val num = try_multiply(try_subtract(coalesce(v, mn), mn),
       lit(1L << bits))
     val guarded = when(
@@ -70,8 +72,8 @@ object Layout {
         s"at bits=$bits (min="), mn.cast("string"), lit(", max="),
         mx.cast("string"),
         lit(") — lower bits or pre-bucket the column"))).cast("long")
-    ).otherwise(num)
-    ldiv(guarded, span + lit(1L))
+    ).otherwise(span + lit(1L))
+    ldiv(num, guarded)
   }
 
   /** Morton interleave of pre-scaled buckets: bit b of column c lands at

@@ -141,6 +141,83 @@ object Quality {
   }
 
   // -------------------------------------------------------------------
+  // Trained language-ID — the fastText-shaped pipeline stage (Joulin et
+  // al. 2017: hashed char n-grams + multinomial logistic regression),
+  // the same machinery as the quality classifier pointed at language
+  // labels. The heuristic TextFunctions.langId stays the zero-setup
+  // fallback; this is the trained stage a multilingual crawl needs.
+  // Scoring is a per-row sparse dot against the BROADCAST coefficient
+  // matrix (LogisticRegressionModel.transform) — no shuffle, no UDF,
+  // linear in characters at any corpus size.
+  // -------------------------------------------------------------------
+
+  /** A fitted language-ID model: hashed char-n-gram multinomial LR plus
+    * the label inventory (prediction index → language). */
+  final case class LangIdModel(
+      lr: org.apache.spark.ml.classification.LogisticRegressionModel,
+      numFeatures: Int, gramN: Int, labels: Seq[String])
+
+  /** Hashed char n-gram featurization: lowercase, collapse whitespace,
+    * pad with one boundary space each side (word-initial/final shapes
+    * are features — the fastText trick), then every n-char window.
+    * Pure column expressions — text never leaves its row. */
+  private def charGramFeatures(df: DataFrame, textCol: String,
+                               numFeatures: Int, gramN: Int): DataFrame = {
+    val t = concat(lit(" "),
+      regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " "),
+      lit(" "))
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (gramN - 1), lit(1))),
+      i => t.substr(i, lit(gramN)))
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__grams").setOutputCol("__feat")
+      .setNumFeatures(numFeatures)
+    tf.transform(df.withColumn("__grams", grams))
+  }
+
+  /** Fit language-ID on a labeled corpus (`langCol`: language tag, ≥ 2
+    * distinct values; NULL-lang rows are skipped). The label inventory
+    * is a languages-sized driver collect; training is one cached
+    * featurization + `maxIter` distributed gradient aggregations. */
+  def trainLangId(labeled: DataFrame, textCol: String, langCol: String,
+                  numFeatures: Int = 1 << 18, gramN: Int = 3,
+                  maxIter: Int = 20, regParam: Double = 1e-4): LangIdModel = {
+    require(gramN >= 1, s"gramN must be positive, got $gramN")
+    val labels = labeled.select(col(langCol).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .filter(_ != null).sorted.toSeq
+    require(labels.size >= 2,
+      s"trainLangId needs >= 2 languages, got ${labels.mkString(", ")}")
+    val idx = map(labels.zipWithIndex.flatMap { case (l, i) =>
+      Seq(lit(l), lit(i.toDouble)) }: _*)
+    val feats = charGramFeatures(
+      labeled.filter(col(langCol).isNotNull), textCol, numFeatures, gramN)
+      .select(col("__feat"),
+        element_at(idx, col(langCol).cast("string")).as("__label"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("__feat").setLabelCol("__label")
+      .setFamily("multinomial")
+      .setMaxIter(maxIter).setRegParam(regParam)
+    LangIdModel(lr.fit(feats), numFeatures, gramN, labels)
+  }
+
+  /** Predict: (idCol, lang, confidence = max class probability rounded
+    * to 4 decimals). One broadcast-coefficient projection over one
+    * scan — the [[scoreQuality]] shape with an argmax on top. */
+  def predictLang(model: LangIdModel, docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val feats = charGramFeatures(docs, textCol, model.numFeatures,
+      model.gramN)
+    val labArr = array(model.labels.map(lit): _*)
+    model.lr.transform(feats)
+      .select(col(idCol),
+        element_at(labArr,
+          col(model.lr.getPredictionCol).cast("int") + 1).as("lang"),
+        round(array_max(org.apache.spark.ml.functions.vector_to_array(
+          col(model.lr.getProbabilityCol))), 4).as("confidence"))
+  }
+
+  // -------------------------------------------------------------------
   // Per-group exact score quantiles WITHOUT a data-sized sort — the
   // shared machinery behind CCNet-style bucketing ([[scoreBuckets]]) and
   // prototype pruning ([[Clustering.prototypePrune]]). Scores arrive

@@ -349,6 +349,396 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |       1 AS acc_ok""".stripMargin
 
   // -------------------------------------------------------------------
+  // q142 — TRAINED LANGUAGE-ID verdict (fastText shape: hashed char
+  //        n-grams + multinomial LR): three pseudo-languages planted by
+  //        id arithmetic with disjoint character inventories (prefixes
+  //        ka/zo/mx, offset numeral ranges), trained on even ids,
+  //        evaluated held-out on odd ids. LBFGS coefficients carry fp
+  //        noise, so the hash-checked columns are the deterministic
+  //        test size plus a wide-margin accuracy verdict (q93 doctrine).
+  //        The heuristic q17 langId stays the zero-setup fallback.
+  // -------------------------------------------------------------------
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Quality
+    val li = pmod(col("doc_id"), lit(3)).cast("int")
+    val planted = docs(s, dir).select(col("doc_id"),
+      element_at(array(lit("aa"), lit("bb"), lit("cc")), li + 1).as("lang"),
+      concat_ws(" ", (0 until 30).map(i =>
+        concat(element_at(array(lit("ka"), lit("zo"), lit("mx")), li + 1),
+          lit("_"),
+          pmod(col("doc_id") * 7 + lit(i * 13), lit(150)) + li * 150)): _*)
+        .as("text"))
+    val train = planted.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = planted.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val model = Quality.trainLangId(train, "text", "lang",
+      numFeatures = 1 << 16, maxIter = 10)
+    val pred = Quality.predictLang(model, test, "doc_id", "text")
+      .select(col("doc_id"), col("lang").as("pred"))
+    val row = pred.join(test.select("doc_id", "lang"), "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("ok"))
+      .head()
+    val (n, correct) = (row.getLong(0), row.getLong(1))
+    Seq((n, if (correct >= (n * 0.95).toLong) 1 else 0))
+      .toDF("n_test", "acc_ok")
+  }
+
+  val q142Sql: String =
+    """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+      |        AS BIGINT) AS n_test,
+      |       1 AS acc_ok""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q143 — CURATION PIPELINE v4: the full RefinedWeb/CCNet chain as ONE
+  //        oracle row. TEN composed stages: block-preserving HTML
+  //        extraction → language-ID gate (keep en; docs planted French
+  //        by id arithmetic must drop) → Gopher quality gate →
+  //        WITHIN-doc repeated-line removal (each doc repeats its own
+  //        boiler line, once case-varied) → CROSS-doc paragraph dedup
+  //        (group boilerplate + the "Doc <n>" title lines, which all
+  //        normalize to "doc" — one global winner) → post-dedup length
+  //        re-gate → MinHash near-dup drop with keep-best (longest
+  //        text) → span decontamination against the raw src0 slice
+  //        (the planted group boiler of an src0 ref doc is itself a
+  //        12-gram leak — cut where it survived dedup) → UniMax
+  //        allocation at budget 3/2 · total, 2 epochs max (the
+  //        PLAN-composed unimaxWeights, so the chain is one DAG) →
+  //        deterministic shuffle-to-shards. Output: per (shard, source)
+  //        doc count, token mass, and the source's UniMax weight —
+  //        drift in ANY stage or stage boundary fails one hash.
+  // -------------------------------------------------------------------
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Decontaminate, Dedup, Quality, Sampling}
+    val t = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 24)
+    val ref = t.select(col("doc_id").as("rid"),
+      concat_ws(" ", slice(col("ts"), 1, 12)).as("boiler"))
+    def own = concat_ws(" ", slice(col("ts"), 11, 8))
+    val frPad = Seq.fill(2)(
+      "le la les et en du des un une est").mkString(" ")
+    val body = when(pmod(col("doc_id"), lit(11)) === 3,
+      concat(lit("<p>"), lit(frPad), lit("</p>")))
+      .otherwise(concat(
+        lit("<p>"), concat_ws(" ", slice(col("ts"), 1, 10)),
+        lit("</p><p>"),
+        when(pmod(col("doc_id"), lit(2)) === 0, upper(col("boiler")))
+          .otherwise(col("boiler")),
+        lit("</p><!-- hidden --><p>"), own, lit("</p><p>"), own,
+        lit("</p><p>"),
+        concat_ws(" ", slice(col("ts"), lit(19), size(col("ts")) - 18)),
+        lit(" &amp; more</p>")))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><style>p { color: red }</style></head><body>"), body,
+      lit("</body></html>"))
+    val planted = t.withColumn("rid", col("doc_id") % 7 + 1)
+      .join(ref, "rid")
+      .select(col("doc_id"), col("source"), html.as("html"))
+    val extracted = planted.select(col("doc_id"), col("source"),
+      TextFunctions.stripHtmlBlocks(col("html")).as("text"))
+    val en = extracted.where(TextFunctions.langId(col("text")) === "en")
+    val gop = Quality.gopherReport(en, "doc_id", "text",
+      Quality.GopherParams(minWords = 10, maxWords = 1000,
+        stopwords = Seq("the", "a", "data", "value", "table")))
+    val kept = en.join(gop.where(col("passes") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val fixed = Dedup.removeRepeatedLines(kept, "doc_id", "text")
+    val para = Dedup.dropDuplicateParagraphs(fixed, "doc_id", "text")
+    def toksOf(c: Column) = array_remove(TextFunctions.tokens(c), "")
+    val regated = para.where(size(toksOf(col("text"))) >= 10)
+    val sized = regated.withColumn("n_chars2", length(col("text")))
+    val pairs = Dedup.minhashLsh(sized, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+    val deduped = Dedup.dropNearDupsKeepBest(sized, pairs,
+      "doc_id", "n_chars2")
+    val evalDocs = docs(s, dir).where(col("source") === "src0")
+    val cleaned = Decontaminate.removeContaminatedSpans(
+      deduped.where(col("source") =!= "src0"), evalDocs,
+      "doc_id", "text", minTokens = 12)
+    val alloc = Corpus.unimaxWeights(cleaned, "source",
+      size(toksOf(col("text"))), budgetNum = 3L, budgetDen = 2L,
+      maxEpochs = 2.0)
+    val sharded = Sampling.shuffleShards(cleaned, "doc_id", numShards = 8)
+    val out = sharded.groupBy("shard", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toksOf(col("text"))).cast("long")).as("total_tokens"))
+      .join(alloc.select(col("source"), col("weight")), Seq("source"))
+    sorted(out.select(col("shard"), col("source"), col("n_docs"),
+      col("total_tokens"), col("weight")))
+  }
+
+  /** q143's oracle: every stage replayed in SQL — plant, block-aware
+    * extraction, stopword language-ID, Gopher rules, within-doc then
+    * cross-doc line dedup with renumbered positions, the length
+    * re-gate, exact-Jaccard pairs + recursive closure + keep-best, the
+    * 12-gram decontamination islands, the UniMax water-fill, and the
+    * md5 shard assignment. Built programmatically so the language
+    * profiles stay single-sourced from [[TextFunctions.langProfiles]]. */
+  val q143Sql: String = {
+    val profs = TextFunctions.langProfiles.sortBy(_._1)
+    val hitExprs = profs.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, y -> y IN ($lst))) AS h_$l"
+    }.mkString(",\n      |         ")
+    val g = profs.map { case (l, _) => s"h_$l" }
+      .mkString("greatest(", ", ", ")")
+    // stripHtmlBlocks' chain, generated by a fold so the nesting is
+    // balanced by construction (pattern, replacement) in engine order
+    val extractExpr = Seq(
+      ("'(?s)<!--.*?-->'", "' '"),
+      ("'(?is)<script[^>]*>.*?</script>'", "' '"),
+      ("'(?is)<style[^>]*>.*?</style>'", "' '"),
+      ("'(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|tr|table|blockquote|section|article)\\b[^>]*|br\\s*/?)>'",
+        "chr(10)"),
+      ("'<[^>]+>'", "' '"),
+      ("'&nbsp;'", "' '"),
+      ("'&lt;'", "'<'"),
+      ("'&gt;'", "'>'"),
+      ("'&quot;'", "'\"'"),
+      ("'&#39;'", "chr(39)"),
+      ("'&amp;'", "'&'"),
+      ("'[ \\t\\r\\f]+'", "' '"),
+      ("' ?\\n ?'", "chr(10)"),
+      ("'\\n+'", "chr(10)"),
+      ("'^\\n+|\\n+$$'", "''")
+    ).foldLeft("html") { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, $pat, $rep, 'g')"
+    }
+    s"""WITH RECURSIVE t AS MATERIALIZED (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 24
+      |), ref AS MATERIALIZED (
+      |  SELECT doc_id AS rid, array_to_string(ts[1:12], ' ') AS boiler
+      |  FROM t
+      |), h AS MATERIALIZED (
+      |  SELECT t.doc_id, t.source,
+      |    '<html><head><title>Doc ' || CAST(t.doc_id AS VARCHAR) ||
+      |    '</title><script type="text/javascript">var x = 1 < 2;' ||
+      |    '</script><style>p { color: red }</style></head><body>' ||
+      |    CASE WHEN t.doc_id % 11 = 3
+      |         THEN '<p>le la les et en du des un une est ' ||
+      |              'le la les et en du des un une est</p>'
+      |         ELSE '<p>' || array_to_string(ts[1:10], ' ') || '</p><p>' ||
+      |              (CASE WHEN t.doc_id % 2 = 0 THEN upper(boiler)
+      |                    ELSE boiler END) ||
+      |              '</p><!-- hidden --><p>' ||
+      |              array_to_string(ts[11:18], ' ') || '</p><p>' ||
+      |              array_to_string(ts[11:18], ' ') || '</p><p>' ||
+      |              array_to_string(ts[19:], ' ') || ' &amp; more</p>'
+      |    END || '</body></html>' AS html
+      |  FROM t JOIN ref ON ref.rid = t.doc_id % 7 + 1
+      |), x AS MATERIALIZED (
+      |  SELECT doc_id, source, trim($extractExpr) AS text
+      |  FROM h
+      |), lt AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |         string_split_regex(trim(text), '\\s+') AS toks
+      |  FROM x
+      |), lh AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |         $hitExprs
+      |  FROM lt
+      |), en AS MATERIALIZED (
+      |  SELECT doc_id, source, text FROM lh
+      |  WHERE $g > 0 AND h_en = $g AND h_de < $g
+      |), w AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                y -> y <> '') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM en
+      |), v AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    list_sum(list_transform(ws, y -> length(y))) AS sum_len,
+      |    length(text) - length(replace(text, '#', '')) AS n_hash,
+      |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+      |    len(ls) AS n_lines,
+      |    len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+      |    len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS n_eline,
+      |    len(list_filter(ws, y -> regexp_matches(y, '[A-Za-z]'))) AS n_alpha,
+      |    len(list_intersect(list_transform(ws, y -> lower(y)),
+      |        ['the', 'a', 'data', 'value', 'table'])) AS stop_hits
+      |  FROM w
+      |), kept AS MATERIALIZED (
+      |  SELECT doc_id, source, text FROM v
+      |  WHERE n_words BETWEEN 10 AND 1000
+      |    AND sum_len * 1.0 / n_words BETWEEN 3.0 AND 10.0
+      |    AND (n_hash + n_ell) * 1.0 / n_words <= 0.1
+      |    AND n_bullet * 1.0 / n_lines <= 0.1
+      |    AND n_eline * 1.0 / n_lines <= 0.3
+      |    AND n_alpha * 1.0 / n_words >= 0.8
+      |    AND stop_hits >= 2
+      |), sp AS MATERIALIZED (
+      |  SELECT doc_id, source, string_split(text, chr(10)) AS ps FROM kept
+      |), occ AS MATERIALIZED (
+      |  SELECT doc_id, source, u.i AS pos, u.para,
+      |         trim(regexp_replace(regexp_replace(lower(u.para),
+      |           '[^\\p{L}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS n
+      |  FROM sp, LATERAL (SELECT unnest(ps) AS para,
+      |                           unnest(range(1, len(ps) + 1)) AS i) u
+      |), d1 AS MATERIALIZED (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |           row_number() OVER (PARTITION BY doc_id, md5(n)
+      |                              ORDER BY pos) AS rn
+      |    FROM occ WHERE n <> '')
+      |  WHERE rn > 1
+      |), k1 AS MATERIALIZED (
+      |  SELECT o.doc_id, o.source, o.para, o.n,
+      |         row_number() OVER (PARTITION BY o.doc_id
+      |                            ORDER BY o.pos) AS np
+      |  FROM occ o LEFT JOIN d1 ON d1.doc_id = o.doc_id AND d1.pos = o.pos
+      |  WHERE d1.doc_id IS NULL
+      |), d2 AS MATERIALIZED (
+      |  SELECT doc_id, np FROM (
+      |    SELECT doc_id, np,
+      |           row_number() OVER (PARTITION BY md5(n)
+      |                              ORDER BY doc_id, np) AS rn,
+      |           count(*) OVER (PARTITION BY md5(n)) AS c
+      |    FROM k1 WHERE n <> '')
+      |  WHERE c > 1 AND rn > 1
+      |), k2 AS MATERIALIZED (
+      |  SELECT k1.doc_id, k1.source, k1.para, k1.np
+      |  FROM k1 LEFT JOIN d2 ON d2.doc_id = k1.doc_id AND d2.np = k1.np
+      |  WHERE d2.doc_id IS NULL
+      |), reb AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |         string_agg(para, chr(10) ORDER BY np) AS text
+      |  FROM k2 GROUP BY 1, 2
+      |), rg AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                y -> y <> '') AS tks
+      |  FROM reb
+      |  WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |                        y -> y <> '')) >= 10
+      |), sh0 AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |         tks[gg.i] || ' ' || tks[gg.i+1] || ' ' || tks[gg.i+2] AS sgl
+      |  FROM rg, LATERAL (SELECT unnest(range(1, len(tks)-1)) AS i) gg
+      |  WHERE len(tks) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(tks, ' ') FROM rg WHERE len(tks) < 3
+      |), shc AS MATERIALIZED (
+      |  SELECT * FROM sh0
+      |  WHERE sgl IN (SELECT sgl FROM sh0 GROUP BY sgl
+      |                HAVING count(*) <= 256)
+      |), sizes AS MATERIALIZED (
+      |  SELECT doc_id, count(*) nsh FROM shc GROUP BY 1
+      |), prs AS MATERIALIZED (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |  FROM shc a JOIN shc b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), jp AS MATERIALIZED (
+      |  SELECT i, j
+      |  FROM prs JOIN sizes sa ON sa.doc_id = i
+      |           JOIN sizes sb ON sb.doc_id = j
+      |  WHERE inter * 1.0 / (sa.nsh + sb.nsh - inter) >= 0.8
+      |), edges AS MATERIALIZED (
+      |  SELECT i AS a, j AS b FROM jp UNION SELECT j, i FROM jp
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS MATERIALIZED (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), rankd AS MATERIALIZED (
+      |  SELECT c.doc_id,
+      |         row_number() OVER (PARTITION BY c.component
+      |                            ORDER BY length(d.text) DESC,
+      |                                     c.doc_id) AS rn
+      |  FROM comp c JOIN rg d USING (doc_id)
+      |), dd AS MATERIALIZED (
+      |  SELECT rg.doc_id, rg.source, rg.tks FROM rg
+      |  LEFT JOIN rankd r USING (doc_id)
+      |  WHERE r.doc_id IS NULL OR r.rn = 1
+      |), evg AS MATERIALIZED (
+      |  SELECT DISTINCT md5(array_to_string(ets[gi.i:gi.i+11], ' ')) AS gh
+      |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS ets
+      |        FROM documents WHERE source = 'src0') e,
+      |       LATERAL (SELECT unnest(range(1, len(ets) - 10)) AS i) gi
+      |  WHERE len(ets) >= 12
+      |), trg AS MATERIALIZED (
+      |  SELECT doc_id, gi.i AS strt,
+      |         md5(array_to_string(tks[gi.i:gi.i+11], ' ')) AS gh
+      |  FROM dd, LATERAL (SELECT unnest(range(1, len(tks) - 10)) AS i) gi
+      |  WHERE source <> 'src0' AND len(tks) >= 12
+      |), ds AS MATERIALIZED (
+      |  SELECT doc_id, strt FROM trg WHERE gh IN (SELECT gh FROM evg)
+      |), brk AS MATERIALIZED (
+      |  SELECT doc_id, strt,
+      |         CASE WHEN strt > lag(strt) OVER (PARTITION BY doc_id
+      |                                          ORDER BY strt) + 12
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM ds
+      |), isl AS MATERIALIZED (
+      |  SELECT doc_id, strt,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY strt) AS grp
+      |  FROM brk
+      |), spans AS MATERIALIZED (
+      |  SELECT doc_id, min(strt) AS s, max(strt) + 11 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), trtok AS MATERIALIZED (
+      |  SELECT doc_id, source, gi.i AS i, tks[gi.i] AS wrd
+      |  FROM dd, LATERAL (SELECT unnest(range(1, len(tks) + 1)) AS i) gi
+      |  WHERE source <> 'src0'
+      |), keep AS MATERIALIZED (
+      |  SELECT tp.doc_id, tp.source, tp.i, tp.wrd FROM trtok tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |                    WHERE sp.doc_id = tp.doc_id
+      |                      AND tp.i BETWEEN sp.s AND sp.e)
+      |), cl AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |         list_filter(list(wrd ORDER BY i), y -> y <> '') AS ct
+      |  FROM keep GROUP BY 1, 2
+      |), cln AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source, coalesce(len(cl.ct), 0) AS ntok
+      |  FROM (SELECT doc_id, source FROM dd WHERE source <> 'src0') d
+      |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+      |), per AS MATERIALIZED (
+      |  SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens
+      |  FROM cln GROUP BY 1
+      |), tot AS MATERIALIZED (
+      |  SELECT CAST(3 * sum(tokens) // 2 AS DOUBLE) AS b, count(*) AS kk
+      |  FROM per
+      |), o AS MATERIALIZED (
+      |  SELECT source, tokens, 2.0 * tokens AS cap,
+      |         row_number() OVER (ORDER BY 2.0 * tokens, source) AS i,
+      |         coalesce(sum(2.0 * tokens) OVER (
+      |           ORDER BY 2.0 * tokens, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM per
+      |), levl AS MATERIALIZED (
+      |  SELECT (b - pfx) / (kk - i + 1) AS lc
+      |  FROM o, tot WHERE cap >= (b - pfx) / (kk - i + 1)
+      |  ORDER BY i LIMIT 1
+      |), wts AS MATERIALIZED (
+      |  SELECT source, round(least(cap, lc) / b, 6) AS weight
+      |  FROM o CROSS JOIN levl CROSS JOIN tot
+      |), shd AS MATERIALIZED (
+      |  SELECT doc_id, source, ntok,
+      |    CAST(least(floor(
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) / 1152921504606846976.0 * 8), 7) AS INT) AS shard
+      |  FROM cln
+      |)
+      |SELECT shard, sh.source, count(*) AS n_docs,
+      |       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |       w.weight
+      |FROM shd sh JOIN wts w ON w.source = sh.source
+      |GROUP BY shard, sh.source, w.weight
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q104 — IMPORTANCE RESAMPLING toward a target distribution (the DSIR
   //        recipe): raw = all documents, target = the English slice;
   //        every doc scored by the add-one-smoothed hashed-unigram

@@ -150,6 +150,8 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q138_url_canonical", q138 _, q138Sql),
     ("q139_curation_v3", q139 _, q139Sql),
     ("q140_filtered_knn", q140 _, q140Sql),
-    ("q141_repeated_lines", q141 _, q141Sql)
+    ("q141_repeated_lines", q141 _, q141Sql),
+    ("q142_langid_trained", q142 _, q142Sql),
+    ("q143_curation_v4", q143 _, q143Sql)
   )
 }

@@ -794,4 +794,27 @@ class PlanSpec extends SparkSpec {
     assert(!nodes.contains("WindowExec"),
       s"winner selection must be the min_by aggregation, not a window:\n$nodes")
   }
+
+  test("novelty scoring tokenizes the delta ONCE (fused seen-flag join)") {
+    import graft.operators.Decontaminate
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = Decontaminate.buildEvalIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 8)
+    val out = Decontaminate.noveltyReportWith(
+      docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
+    out.count() // materialize so AQE's final plan is inspectable
+    val nodes = runtimePlanNodes(out.queryExecution.executedPlan)
+    // one Generate = one gram explode = one tokenization of the delta
+    val gens = nodes.count(_.getClass.getSimpleName == "GenerateExec")
+    assert(gens == 1,
+      s"expected ONE delta gram subtree, found $gens Generate nodes")
+    // the only parquet scan that reads the text column is that subtree;
+    // the id-only join-back scan is column-pruned
+    val textScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "text") => f
+    }
+    assert(textScans.size == 1,
+      s"expected one text-reading scan of the delta, got ${textScans.size}")
+  }
 }
