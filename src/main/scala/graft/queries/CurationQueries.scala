@@ -435,11 +435,19 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
         "</script><style>p { color: red }</style></head><body>"), body,
       lit("</body></html>"))
+    // Stage boundaries are localCheckpoint'ed — the production shape: a
+    // real pipeline materializes between stages (CCNet writes each
+    // stage's output). Composed lazily instead, every stage's 2-3
+    // internal self-references MULTIPLY down the chain: the un-cut
+    // ten-stage plan re-derived the extraction subtree 288 times
+    // (measured at sf0.001) with zero exchange reuse. Each cut makes
+    // its stage compute exactly once.
     val planted = t.withColumn("rid", col("doc_id") % 7 + 1)
       .join(ref, "rid")
       .select(col("doc_id"), col("source"), html.as("html"))
     val extracted = planted.select(col("doc_id"), col("source"),
       TextFunctions.stripHtmlBlocks(col("html")).as("text"))
+      .localCheckpoint(true)
     val en = extracted.where(TextFunctions.langId(col("text")) === "en")
     val gop = Quality.gopherReport(en, "doc_id", "text",
       Quality.GopherParams(minWords = 10, maxWords = 1000,
@@ -447,10 +455,12 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     val kept = en.join(gop.where(col("passes") === 1).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val fixed = Dedup.removeRepeatedLines(kept, "doc_id", "text")
+      .localCheckpoint(true)
     val para = Dedup.dropDuplicateParagraphs(fixed, "doc_id", "text")
     def toksOf(c: Column) = array_remove(TextFunctions.tokens(c), "")
     val regated = para.where(size(toksOf(col("text"))) >= 10)
     val sized = regated.withColumn("n_chars2", length(col("text")))
+      .localCheckpoint(true)
     val pairs = Dedup.minhashLsh(sized, "doc_id", "text",
       n = 3, k = 32, bands = 8, threshold = 0.8)
     val deduped = Dedup.dropNearDupsKeepBest(sized, pairs,
@@ -459,6 +469,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     val cleaned = Decontaminate.removeContaminatedSpans(
       deduped.where(col("source") =!= "src0"), evalDocs,
       "doc_id", "text", minTokens = 12)
+      .localCheckpoint(true)
     val alloc = Corpus.unimaxWeights(cleaned, "source",
       size(toksOf(col("text"))), budgetNum = 3L, budgetDen = 2L,
       maxEpochs = 2.0)
