@@ -719,15 +719,18 @@ object Corpus {
     // a NULL source is a real group (mirrors unimaxAllocation), but the
     // equi-joins below never match NULL = NULL — so key the whole
     // pipeline on a prefix-encoded non-null surrogate ("0" for NULL,
-    // "1" + value otherwise: collision-proof) and carry the original
-    // value alongside to map back in the output
+    // "1" + value otherwise: collision-proof) and map back via a
+    // sources-sized broadcast at the end. The surrogate is built in the
+    // SAME projection as the explode (computed once per doc, replicated
+    // by Generate — never per token), and nothing extra rides the
+    // census shuffle: the map-back table comes from its own
+    // column-pruned, sources-bounded distinct over the input.
+    def surrogate(c: Column): Column = when(c.isNull, lit("0"))
+      .otherwise(concat(lit("1"), c.cast("string")))
     val census = docs
-      .select(col(sourceCol).as("__srco"),
+      .select(surrogate(col(sourceCol)).as("src"),
         explode(array_remove(tokens(col(textCol)), "")).as("term"))
-      .withColumn("src", when(col("__srco").isNull, lit("0"))
-        .otherwise(concat(lit("1"), col("__srco").cast("string"))))
-      .groupBy("src", "term").agg(count(lit(1)).as("c"),
-        first("__srco").as("__srco"))
+      .groupBy("src", "term").agg(count(lit(1)).as("c"))
     // the literal token '<oov>' can never be a KEPT vocabulary term —
     // it must fold into the tail bucket (otherwise a corpus where it
     // makes the top-V would put '<oov>' into `buckets` twice and
@@ -743,10 +746,10 @@ object Corpus {
       .join(graft.model.Joins.maybeBroadcast(
         topV.withColumn("__kept", lit(true))), Seq("term"), "left")
       .withColumn("b", when(col("__kept"), col("term")).otherwise(lit("<oov>")))
-      .groupBy("src", "b").agg(sum("c").as("c"),
-        first("__srco").as("__srco"))
-    // sources-sized surrogate→original map for the final output
-    val srcMap = bucketed.select("src", "__srco").distinct()
+      .groupBy("src", "b").agg(sum("c").as("c"))
+    // sources-sized surrogate→original map (column-pruned scan)
+    val srcMap = docs.select(col(sourceCol).as("__srco")).distinct()
+      .select(surrogate(col("__srco")).as("src"), col("__srco"))
     val buckets = topV.select(col("term").as("b"))
       .unionAll(docs.sparkSession.range(1).select(lit("<oov>").as("b")))
     val nb = buckets.agg(count(lit(1)).as("bn"))
