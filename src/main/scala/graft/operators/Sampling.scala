@@ -349,6 +349,46 @@ object Sampling {
     * row widths; exports with wide rows should pass a lower bound. */
   val DefaultMaxShardRows: Long = 1L << 27
 
+  /** GPT-style SEQUENCE PACKING — the pretraining export's last mile:
+    * lay the corpus out in the deterministic md5-shuffled order (the
+    * [[shuffleShards]] key doctrine: depends only on (salt, id), stable
+    * under reprocessing), CONCATENATE it conceptually, and cut every
+    * `seqLen` tokens; a document spans exactly the training sequences
+    * its token interval covers (boundary splits are the standard
+    * contract — no padding waste, no doc loss).
+    *
+    * Output per doc: `n_tokens`, `start` (0-based offset of the doc's
+    * first token in the global stream), `seq_first`/`seq_last` (the
+    * sequence ids covering it; NULL for token-free docs — they occupy
+    * no interval). Integral `div` end to end, so the assignment is
+    * exact past 2^53 tokens and an external SQL window replays it.
+    *
+    * Scale shape: ONE exact distributed running total
+    * ([[Layout.prefixSum]] — range partition on the shuffle key, KEYED
+    * windows, a ≤ numPartitions offsets collect; no global sort, no
+    * single-partition window), then per-row arithmetic. Negative token
+    * counts fail by name in-plan. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+                    seqLen: Long, salt: String = "",
+                    numPartitions: Option[Int] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val keyed = df.select(col(idCol),
+      when(tokenCol.cast("long") < 0, raise_error(concat(
+        lit("packSequences: negative token count for "),
+        col(idCol).cast("string")))).otherwise(tokenCol.cast("long"))
+        .as("n_tokens"))
+      .withColumn("__u", hashUniform(col(idCol), salt))
+    val summed = graft.operators.Layout.prefixSum(keyed,
+      Seq("__u", idCol), "n_tokens", "__cum", numPartitions)
+    summed
+      .withColumn("start", col("__cum") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("start"),
+        expr(s"CASE WHEN n_tokens > 0 THEN start div ${seqLen}L END")
+          .as("seq_first"),
+        expr(s"CASE WHEN n_tokens > 0 THEN (__cum - 1L) div ${seqLen}L END")
+          .as("seq_last"))
+  }
+
   /** Materialize [[shuffleShards]] as the on-disk training export:
     * parquet hive-partitioned by `shard`, with each shard's rows laid
     * down in `pos` order (repartition on the shard key →

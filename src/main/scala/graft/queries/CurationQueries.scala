@@ -482,6 +482,43 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       col("total_tokens"), col("weight")))
   }
 
+  // -------------------------------------------------------------------
+  // q144 — SEQUENCE PACKING (the pretraining export's last mile): the
+  //        corpus in deterministic md5-shuffled order, conceptually
+  //        concatenated and cut every 512 tokens; each doc reports its
+  //        global token offset and the sequence ids it spans (boundary
+  //        splits are the standard contract). Exact distributed prefix
+  //        sum — no global sort — with integral div end to end, so the
+  //        oracle's ONE window replays every offset bit-for-bit.
+  // -------------------------------------------------------------------
+  def q144(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.packSequences(docs(s, dir), "doc_id",
+      TextFunctions.nTokens(col("text")), seqLen = 512)
+      .select("doc_id", "n_tokens", "start", "seq_first", "seq_last"))
+
+  val q144Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |         AS BIGINT) / 1152921504606846976.0 AS u
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY u, doc_id) AS BIGINT) AS cum
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens,
+      |  CAST(cum - n_tokens AS BIGINT) AS start,
+      |  CASE WHEN n_tokens > 0
+      |       THEN CAST((cum - n_tokens) // 512 AS BIGINT) END AS seq_first,
+      |  CASE WHEN n_tokens > 0
+      |       THEN CAST((cum - 1) // 512 AS BIGINT) END AS seq_last
+      |FROM c
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+
   /** q143's oracle: every stage replayed in SQL — plant, block-aware
     * extraction, stopword language-ID, Gopher rules, within-doc then
     * cross-doc line dedup with renumbered positions, the length

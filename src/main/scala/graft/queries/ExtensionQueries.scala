@@ -152,6 +152,7 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q140_filtered_knn", q140 _, q140Sql),
     ("q141_repeated_lines", q141 _, q141Sql),
     ("q142_langid_trained", q142 _, q142Sql),
-    ("q143_curation_v4", q143 _, q143Sql)
+    ("q143_curation_v4", q143 _, q143Sql),
+    ("q144_sequence_packing", q144 _, q144Sql)
   )
 }

@@ -230,4 +230,56 @@ class Round14Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  // ------------------------------------------------------------------
+  // sequence packing
+  // ------------------------------------------------------------------
+
+  test("packSequences: doc intervals tile the stream exactly, seq ids cover") {
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => (i, (i % 37 + 1).toInt))
+      .toDF("doc_id", "n")
+    val out = Sampling.packSequences(docs, "doc_id", col("n"), seqLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = out.map(_._2).sum
+    // intervals are disjoint and contiguous: sorted by start, each doc
+    // begins exactly where the previous ended
+    val byStart = out.sortBy(_._3)
+    byStart.zip(byStart.drop(1)).foreach { case (a, b) =>
+      assert(a._3 + a._2 == b._3, s"gap/overlap between $a and $b") }
+    assert(byStart.head._3 == 0L)
+    assert(byStart.last._3 + byStart.last._2 == total)
+    // seq ids are the covering interval at L=64
+    out.foreach { case (_, n, start, sf, sl) =>
+      assert(sf == start / 64)
+      assert(sl == (start + n - 1) / 64)
+    }
+  }
+
+  test("packSequences: zero-token docs occupy no interval, order is stable") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, 5), (2L, 0), (3L, 7)).toDF("doc_id", "n")
+    val out = Sampling.packSequences(docs, "doc_id", col("n"), seqLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None
+         else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(out(2L)._1 == 0L && out(2L)._3.isEmpty)
+    // stability: a second run assigns identical offsets
+    val out2 = Sampling.packSequences(docs.repartition(5), "doc_id",
+      col("n"), seqLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.view.mapValues(_._2).toMap == out2)
+  }
+
+  test("packSequences: negative token counts fail by name") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, -3)).toDF("doc_id", "n")
+    val e = intercept[Exception] {
+      Sampling.packSequences(docs, "doc_id", col("n"), seqLen = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("packSequences")))
+  }
 }
