@@ -632,6 +632,47 @@ object Corpus {
       round(least(col("cap"), col("__lc")) / col("__b"), 6).as("weight"))
   }
 
+  /** Deterministic WEIGHTED INTERLEAVE — the epoch schedule a training
+    * loader reads once mixing weights are fixed (e.g. from
+    * [[unimaxWeights]]): source s contributes its k-th document
+    * (k = 1-based rank in the deterministic md5-shuffled per-source
+    * order) at interleave key `k / w_s`, so every PREFIX of the global
+    * key order carries sources in ~weight proportion — smooth weighted
+    * round-robin, the classic virtual-time scheduler. The global order
+    * materializes as the (shard, pos) loader layout via the exact
+    * pivot-bucket rank machinery ([[Sampling.curriculumShards]]) — no
+    * global sort, no single-partition window; key ties break by id,
+    * so the schedule is engine-replayable.
+    *
+    * `weights`: (sourceCol, weight) rows, weights positive. A document
+    * whose source is missing from `weights`, NULL, or non-positive
+    * fails BY NAME — silently dropping a source from the schedule is a
+    * training-mix bug, not a default (a zero-weight source cannot be
+    * scheduled; filter it out explicitly first).
+    *
+    * Scale shape: one broadcast weight join, one SOURCE-keyed rank
+    * window, then curriculumShards' bounded-pivot exact rank. */
+  def interleaveByWeight(docs: DataFrame, idCol: String, sourceCol: String,
+                         weights: DataFrame, numShards: Int,
+                         pivots: Int = 256, salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = graft.model.Joins.maybeBroadcast(
+      weights.select(col(sourceCol), col("weight").cast("double").as("__w")))
+    val joined = docs.join(w, Seq(sourceCol), "left")
+      .withColumn("__w",
+        when(col("__w").isNull || col("__w") <= 0, raise_error(concat(
+          lit("interleaveByWeight: missing or non-positive weight for " +
+            "source "),
+          coalesce(col(sourceCol).cast("string"), lit("NULL")))))
+          .otherwise(col("__w")))
+    val perSrc = Window.partitionBy(col(sourceCol))
+      .orderBy(graft.operators.Sampling.hashUniform(col(idCol), salt).asc,
+        col(idCol).asc)
+    val key = row_number().over(perSrc).cast("double") / col("__w")
+    Sampling.curriculumShards(joined.withColumn("__key", key), idCol,
+      col("__key"), numShards, pivots).drop("__key", "__w")
+  }
+
   /** Pairwise CORPUS-level n-gram overlap between sources, estimated by
     * MinHash over each source's shingle set — "how much does crawl dump A
     * repeat crawl dump B" answered without materializing any doc-level

@@ -519,6 +519,70 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q145 — WEIGHTED SOURCE INTERLEAVE (the epoch schedule): UniMax
+  //        picks the mixing weights, then each source's k-th document
+  //        (deterministic md5-shuffled per-source order) lands at
+  //        interleave key k / w — smooth weighted round-robin — and the
+  //        global key order becomes the (shard, pos) loader layout via
+  //        the exact pivot-bucket rank (no global sort). Oracle replays
+  //        the water-fill, the per-source ranks, the key arithmetic,
+  //        and the global order in plain windows.
+  // -------------------------------------------------------------------
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val d = docs(s, dir)
+    val alloc = Corpus.unimaxWeights(d, "source",
+      TextFunctions.nTokens(col("text")), budgetNum = 3L, budgetDen = 2L,
+      maxEpochs = 2.0)
+    sorted(Corpus.interleaveByWeight(d, "doc_id", "source",
+      alloc.select(col("source"), col("weight")), numShards = 8,
+      pivots = 64)
+      .select("doc_id", "source", "shard", "pos"))
+  }
+
+  val q145Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents
+      |), per AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS tokens FROM t GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(3 * sum(tokens) // 2 AS DOUBLE) AS b, count(*) AS kk
+      |  FROM per
+      |), o AS (
+      |  SELECT source, tokens, 2.0 * tokens AS cap,
+      |         row_number() OVER (ORDER BY 2.0 * tokens, source) AS i,
+      |         coalesce(sum(2.0 * tokens) OVER (
+      |           ORDER BY 2.0 * tokens, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM per
+      |), levl AS (
+      |  SELECT (b - pfx) / (kk - i + 1) AS lc
+      |  FROM o, tot WHERE cap >= (b - pfx) / (kk - i + 1)
+      |  ORDER BY i LIMIT 1
+      |), wts AS (
+      |  SELECT source, round(least(cap, lc) / b, 6) AS w
+      |  FROM o CROSS JOIN levl CROSS JOIN tot
+      |), keyed AS (
+      |  SELECT t.doc_id, t.source,
+      |    row_number() OVER (PARTITION BY t.source ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) / 1152921504606846976.0,
+      |      t.doc_id) / w.w AS key
+      |  FROM t JOIN wts w USING (source)
+      |), r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (ORDER BY key, doc_id) - 1 AS rk
+      |  FROM keyed
+      |)
+      |SELECT doc_id, source, CAST(rk % 8 AS INT) AS shard,
+      |       CAST(rk // 8 AS BIGINT) AS pos
+      |FROM r
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+
   /** q143's oracle: every stage replayed in SQL — plant, block-aware
     * extraction, stopword language-ID, Gopher rules, within-doc then
     * cross-doc line dedup with renumbered positions, the length

@@ -153,6 +153,7 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q141_repeated_lines", q141 _, q141Sql),
     ("q142_langid_trained", q142 _, q142Sql),
     ("q143_curation_v4", q143 _, q143Sql),
-    ("q144_sequence_packing", q144 _, q144Sql)
+    ("q144_sequence_packing", q144 _, q144Sql),
+    ("q145_weighted_interleave", q145 _, q145Sql)
   )
 }

@@ -272,6 +272,51 @@ class Round14Spec extends SparkSpec {
     assert(out.view.mapValues(_._2).toMap == out2)
   }
 
+  // ------------------------------------------------------------------
+  // weighted interleave
+  // ------------------------------------------------------------------
+
+  test("interleaveByWeight: every prefix carries sources in ~weight proportion") {
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "heavy" else "light")).toDF("doc_id", "source")
+    val w = Seq(("heavy", 0.75), ("light", 0.25)).toDF("source", "weight")
+    val out = Corpus.interleaveByWeight(docs, "doc_id", "source", w,
+      numShards = 1, pivots = 16)
+      .orderBy("pos").select("source").collect().map(_.getString(0))
+    // heavy has 100 docs at weight .75, light 200 at .25: until heavy
+    // exhausts (key 100/.75 ≈ 133), prefixes should run ~3:1 heavy
+    val prefix = out.take(80)
+    val heavy = prefix.count(_ == "heavy")
+    assert(heavy >= 50 && heavy <= 70,
+      s"80-prefix heavy count $heavy outside the ~60 ± 10 band")
+    // and the whole schedule is a permutation of the corpus
+    assert(out.length == 300)
+  }
+
+  test("interleaveByWeight: deterministic under repartitioning") {
+    val docs = (1L to 120L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val w = (0 until 4).map(i => (s"s$i", 0.1 + i * 0.2)).toDF("source", "weight")
+    val a = Corpus.interleaveByWeight(docs, "doc_id", "source", w, 4)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Corpus.interleaveByWeight(docs.repartition(7), "doc_id",
+      "source", w, 4)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("interleaveByWeight: a source missing from the weights fails by name") {
+    val docs = Seq((1L, "known"), (2L, "unknown")).toDF("doc_id", "source")
+    val w = Seq(("known", 1.0)).toDF("source", "weight")
+    val e = intercept[Exception] {
+      Corpus.interleaveByWeight(docs, "doc_id", "source", w, 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("interleaveByWeight")))
+  }
+
   test("packSequences: negative token counts fail by name") {
     import graft.operators.Sampling
     val docs = Seq((1L, -3)).toDF("doc_id", "n")
