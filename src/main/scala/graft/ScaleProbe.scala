@@ -217,6 +217,36 @@ object ScaleProbe {
           e.withColumn("cluster", pmod(col("vec_id"), lit(16)).cast("int")),
           cents, pruneFrac = 0.25, outlierFrac = 0.05,
           clusterCol = Some("cluster")).count()
+      },
+      // SQ8: the grid is ONE min/max aggregation, encode a scan-side
+      // projection, search the broadcast-query corpus scan (bruteKnn's
+      // shape over reconstructions) — the honest bound is linear-in-rows
+      "sq8" -> timed(s"$tag SQ8 train+encode+kNN (fixed query set)") {
+        val m = graft.operators.Similarity.trainSq(e)
+        val codes = graft.operators.Similarity.sqEncode(e, m)
+        graft.operators.Similarity.sqKnn(
+          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          codes, m, 5).count()
+      },
+      // random projection: dOut dotp kernels per row (scan-side), the
+      // reduced-space nomination a broadcast scan, the exact re-rank
+      // bounded by |Q|·k·refine rows — linear-in-corpus
+      "rpknn" -> timed(s"$tag RP reduce+refine kNN (fixed query set)") {
+        graft.operators.Similarity.rpKnnRefined(
+          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e, k = 5, dOut = 16, refine = 4).count()
+      },
+      // IVF-SQ8: build is Lloyd aggregations + a residual min/max
+      // aggregation + a cell-partitioned code write (all linear); the
+      // probe reads nprobe/nlist of the code partitions for a FIXED
+      // query set — linear-in-corpus with a small constant
+      "ivfsq" -> timed(s"$tag IVF-SQ8 save+probe (fixed query set)") {
+        val root = s"/tmp/graft_probe_ivfsq_${e.hashCode}"
+        graft.operators.Similarity.saveIvfSqIndex(e, root, nlist = 32,
+          kmeansIters = 2)
+        graft.operators.Similarity.ivfSqKnnStored(spark, root,
+          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          k = 5, nprobe = 4).count()
       })
 
     // events: replicas get fresh event ids but the SAME users/timestamps,
@@ -278,6 +308,20 @@ object ScaleProbe {
           lit(1L).as("n_orders"))
       Map("ingest" -> timed(s"$tag star ingest (1-year delta)") {
         graft.io.CubeIO.ingestIntoStar(spark, star, delta)
+      },
+      // bucketed layout: the write is the one-time hash shuffle (linear),
+      // the self-join on the bucket key is then Exchange-free scans —
+      // superlinear here would mean the co-location contract broke and
+      // the join re-shuffled the scaled table
+      "bucketjoin" -> timed(s"$tag bucketed write + co-located join") {
+        val t = s"graft_probe_bucketed_$n"
+        graft.operators.Layout.saveBucketed(
+          on.select("o_orderkey", "o_orderpriority", "cents"), t,
+          "o_orderkey", numBuckets = 16, sortCols = Seq("o_orderkey"),
+          path = Some(s"/tmp/graft_probe_bucketed_$n"))
+        val b = spark.table(t)
+        b.join(b.select(col("o_orderkey"), col("cents").as("c2")),
+          "o_orderkey").count()
       })
     }
 

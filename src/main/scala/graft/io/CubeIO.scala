@@ -148,12 +148,8 @@ object CubeIO {
     * table; read back with `spark.table(name)`. */
   def saveFactBucketed(cube: DataCube, tableName: String, bucketKey: String,
                        buckets: Int): Unit =
-    cube.fact.data.write
-      .mode("overwrite")
-      .bucketBy(buckets, bucketKey)
-      .sortBy(bucketKey)
-      .format("parquet")
-      .saveAsTable(tableName)
+    graft.operators.Layout.saveBucketed(cube.fact.data, tableName,
+      bucketKey, buckets, sortCols = Seq(bucketKey))
 
   /** Star metadata as typed rows — written and read by Spark's own JSON
     * codec with this explicit schema (never inference, never hand-rolled

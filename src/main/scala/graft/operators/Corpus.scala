@@ -632,6 +632,52 @@ object Corpus {
       round(least(col("cap"), col("__lc")) / col("__b"), 6).as("weight"))
   }
 
+  /** TEMPERATURE-SAMPLED mixing — the mT5/XLM-R standard (Xue et al.
+    * 2021 §3.1; Conneau et al. 2020 §3): source s's budget share is
+    * ∝ tokens_s^alpha (alpha = 1/T; the published default 0.3), the
+    * smooth power-law alternative to [[unimaxWeights]]' hard epoch cap —
+    * low-resource sources are upsampled, high-resource downweighted,
+    * with no cliff. Same plan-composed shape as unimaxWeights: ONE
+    * per-source census aggregation, then windows over the K-source
+    * frame (one partition by construction); budget is a FRACTION of the
+    * observed total (`budgetNum/budgetDen × total tokens`, floored as a
+    * Long like the UniMax forms). NULL sources are real groups. An
+    * empty source (0 tokens) gets weight 0 and 0 epochs.
+    *
+    * Unlike UniMax, temperature sampling can assign a small source MORE
+    * than its data once (epochs > 1 means repetition) — that is the
+    * published behavior, not a bug; cap-sensitive pipelines should use
+    * [[unimaxWeights]].
+    *
+    * Output: (sourceCol, tokens, weight, alloc_tokens, epochs) — weight
+    * rounded to 6, tokens-like columns to 4, the shared display
+    * convention. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+                         tokenCol: Column, alpha: Double = 0.3,
+                         budgetNum: Long = 1L, budgetDen: Long = 1L)
+  : DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetNum > 0 && budgetDen > 0,
+      s"budget fraction must be positive, got $budgetNum/$budgetDen")
+    val per = docs.groupBy(col(sourceCol).as("__src"))
+      .agg(coalesce(sum(tokenCol.cast("long")), lit(0L)).as("tokens"))
+      .withColumn("__w", pow(col("tokens").cast("double"), lit(alpha)))
+    val all = Window.orderBy(col("__src").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withT = per
+      .withColumn("__sumw", sum(col("__w")).over(all))
+      .withColumn("__b", floor(lit(budgetNum) * sum(col("tokens")).over(all)
+        / lit(budgetDen)).cast("double"))
+    val weight = when(col("__sumw") > 0, col("__w") / col("__sumw"))
+      .otherwise(lit(0.0))
+    val alloc = col("__b") * weight
+    withT.select(col("__src").as(sourceCol), col("tokens"),
+      round(weight, 6).as("weight"),
+      round(alloc, 4).as("alloc_tokens"),
+      round(when(col("tokens") === 0, lit(0.0))
+        .otherwise(alloc / col("tokens")), 4).as("epochs"))
+  }
+
   /** Deterministic WEIGHTED INTERLEAVE — the epoch schedule a training
     * loader reads once mixing weights are fixed (e.g. from
     * [[unimaxWeights]]): source s contributes its k-th document

@@ -259,4 +259,37 @@ object Layout {
       .withColumn(groupCol, ldiv(guarded, lit(targetSize)))
       .drop("__cum")
   }
+
+  /** Write `df` as a BUCKETED parquet table (hash-partitioned into
+    * `numBuckets` files per write-task group on `bucketCol`, optionally
+    * sorted within buckets): the one-time shuffle that buys every LATER
+    * equi-join / aggregation on `bucketCol` a shuffle-free plan — Spark's
+    * bucketed scan reports `HashPartitioning(bucketCol, numBuckets)`, so
+    * a join of two tables bucketed the same way needs NO Exchange on
+    * either side (Round14Spec pins that plan). At 100 TB this is the
+    * difference between re-shuffling the fact table on every query and
+    * paying the shuffle once at ingest — the same trade the IVF store
+    * makes for vectors, applied to the star schema. The table is
+    * registered in the session catalog under `table` — EXTERNAL when
+    * `path` is given (data lives there), managed (warehouse dir)
+    * otherwise; mode overwrite replaces both. The cube-fact form
+    * ([[graft.io.CubeIO.saveFactBucketed]]) delegates here.
+    *
+    * Bucket-count choice at scale: buckets are per-task output files, so
+    * pick `numBuckets` ≈ target parallelism of the downstream joins (a
+    * power of two keeps future split/merge cheap); 8 suits the local
+    * fixtures, 4096-ish suits a 1000-executor cluster. */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String,
+                   numBuckets: Int, sortCols: Seq[String] = Nil,
+                   path: Option[String] = None): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(df.columns.contains(bucketCol),
+      s"saveBucketed: no column $bucketCol in ${df.columns.mkString(", ")}")
+    val w0 = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    val w = if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*)
+            else w1
+    w.saveAsTable(table)
+  }
 }

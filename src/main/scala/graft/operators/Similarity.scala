@@ -867,14 +867,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .withColumn("score",
         -graft.functions.AnnExpressions.adcSum(col("dtab"), col("pq_code")))
-    val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
-      org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
-    scored
-      .groupBy("query_id")
-      .agg(topk(col("score"), col("neighbor_id").cast("long")).as("tk"))
-      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
-      .select(col("query_id"), col("it.id").as("neighbor_id"),
-        (col("idx") + 1).as("rank"))
+    topkRanks(scored, k)
   }
 
   /** Build and PERSIST the compressed serving layout — IVF cells × PQ
@@ -1050,6 +1043,14 @@ object Similarity {
       // distinct would let one neighbor occupy two top-k slots
       .groupBy("query_id", "neighbor_id")
       .agg(max("score").as("score"))
+    topkRanks(scored, k)
+  }
+
+  /** Bounded top-k tail shared by the stored compressed probes: long-id
+    * heap over (query_id, neighbor_id, score) → (query_id, neighbor_id,
+    * rank) — map-side partial combine, the shuffle carries ≤ k rows per
+    * (partition, query). */
+  private def topkRanks(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
     scored
@@ -1058,6 +1059,26 @@ object Similarity {
       .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
       .select(col("query_id"), col("it.id").as("neighbor_id"),
         (col("idx") + 1).as("rank"))
+  }
+
+  /** Exact re-rank of a nominated (query_id, neighbor_id) set against
+    * the raw vector table — the FAISS refine tail every compressed
+    * nomination path shares ([[ivfPqKnnRefined]], [[sqKnnRefined]],
+    * [[rpKnnRefined]], [[ivfSqKnnRefined]]): the candidate set is
+    * request-bounded (|Q|·k·refine rows), so it broadcasts into a
+    * semi-join that prunes the raw scan; per-candidate work is one
+    * exact dot; ranking is the shared bounded top-k. */
+  private def refineExact(cand: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int,
+                          qId: String, qVec: String,
+                          cId: String, cVec: String): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+    val scored = corpus
+      .select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", dotp(col("qv"), col("cv")))
+    rankTopK(scored, k, corpus.schema(cId).dataType)
   }
 
   /** IVF-PQ serving with EXACT re-ranking (the FAISS refine pattern):
@@ -1085,13 +1106,320 @@ object Similarity {
     val cand = ivfPqKnnStored(spark, path, queries, k = k * refine, nprobe,
         qId, qVec)
       .select("query_id", "neighbor_id")
+    refineExact(cand, queries, corpus, k, qId, qVec, cId, cVec)
+  }
+
+  // -------------------------------------------------------------------
+  // SCALAR QUANTIZATION (SQ8) — the uniform per-dimension int8 grid
+  // (FAISS ScalarQuantizer QT_8bit; Milvus/Lucene SQ8). Complements PQ:
+  // PQ learns a codebook (16× compression, lossy subspace geometry);
+  // SQ8 is training-free, 4× compression, near-lossless ranking — the
+  // production default when recall matters more than RAM. Codes are
+  // array<int> of 0..255: parquet dictionary/bit-packing stores them in
+  // ~1 byte each on disk, which is where the 100 TB win lives (the scan
+  // reads a quarter of the float bytes); scoring reconstructs the
+  // corpus vector ONCE per row in a scan-side projection and the
+  // pairwise hot loop stays the codegen'd dotp kernel.
+  // -------------------------------------------------------------------
+
+  /** Per-dimension uniform quantization grid over the TRAINING corpus:
+    * `code = round((v − min) · 255 / span)`, reconstruction
+    * `min + code · span / 255`. Exact, training-free statistics (one
+    * min/max aggregation) — deterministic for a given corpus. */
+  final case class SqModel(mins: Array[Double], spans: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** Learn the per-dimension (min, span) grid: ONE distributed
+    * aggregation with 2·dim partial min/max slots — no shuffle of the
+    * vectors, no explode (an n×dim position explode would shuffle the
+    * whole corpus). min/max are order-insensitive, so the model is
+    * bit-identical however the corpus is partitioned. */
+  def trainSq(corpus: DataFrame, vecCol: String = "embedding"): SqModel = {
+    val probe = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head(1)
+    require(probe.nonEmpty, "trainSq: no non-null vectors to train on")
+    val dim = probe(0).getInt(0)
+    require(dim > 0, "trainSq: zero-length vectors")
+    val v = col(vecCol).cast("array<double>")
+    val aggs = (1 to dim).flatMap(i =>
+      Seq(min(element_at(v, i)), max(element_at(v, i))))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).head()
+    val mins = Array.tabulate(dim)(i => r.getDouble(2 * i))
+    val spans = Array.tabulate(dim)(i => r.getDouble(2 * i + 1) - mins(i))
+    SqModel(mins, spans)
+  }
+
+  /** int8 code array for one vector: per dimension
+    * `clamp(⌊(v − min)·255/span + 0.5⌋, 0, 255)`; a degenerate (span ≤ 0)
+    * dimension codes to 0. The exact IEEE evaluation order is part of
+    * the contract (the q146 oracle replays it in DuckDB). */
+  private def sqCodes(vec: Column, m: SqModel): Column = {
+    val d = zip_with(vec.cast("array<double>"), lit(m.mins), (x, mn) => x - mn)
+    zip_with(d, lit(m.spans), (dd, sp) =>
+      when(sp <= lit(0.0), lit(0))
+        .otherwise(least(lit(255), greatest(lit(0),
+          floor(dd * lit(255.0) / sp + lit(0.5)).cast("int")))))
+  }
+
+  /** Reconstructed (dequantized) vector: `min + code·span/255`. */
+  private[graft] def sqReconstruct(codes: Column, m: SqModel): Column = {
+    val t = zip_with(codes.cast("array<double>"), lit(m.spans),
+      (c, sp) => c * sp / lit(255.0))
+    zip_with(t, lit(m.mins), (x, mn) => mn + x)
+  }
+
+  /** Encode a corpus: (id, codes) — a scan-side projection, no shuffle.
+    * NULL vectors encode to NULL codes (and score as "not a neighbor"
+    * downstream, the [[rankTopK]] contract). */
+  def sqEncode(df: DataFrame, model: SqModel, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"), sqCodes(col(vecCol), model).as("codes"))
+
+  /** Exact top-k over the QUANTIZED corpus: cosine of the raw query
+    * against the per-row reconstruction. Same scale shape as
+    * [[bruteKnn]] — queries broadcast, corpus codes scanned once,
+    * reconstruction + normalization happen once per corpus row BELOW
+    * the join (the pairwise loop is the codegen'd dotp), ranking is the
+    * bounded per-partition top-k aggregation. */
+  def sqKnn(queries: DataFrame, codes: DataFrame, model: SqModel, k: Int,
+            qId: String = "vec_id", qVec: String = "embedding",
+            cId: String = "vec_id", codesCol: String = "codes",
+            excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
-    val scored = corpus
-      .select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
-      .join(broadcast(cand), "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("cos", dotp(col("qv"), col("cv")))
-    rankTopK(scored, k, corpus.schema(cId).dataType)
+    val c = codes.select(col(cId).as("neighbor_id"),
+      normalize(sqReconstruct(col(codesCol), model)).as("cv"))
+    val cond = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = c.join(broadcast(q), cond)
+      .withColumn("cos", dot(col("qv"), col("cv")))
+    rankTopK(scored, k, codes.schema(cId).dataType)
+  }
+
+  /** SQ8 nomination + exact re-rank (the FAISS refine pattern, as
+    * [[ivfPqKnnRefined]]): the compressed scan nominates k·refine
+    * candidates, raw vectors re-score only those. The raw corpus is
+    * touched for |Q|·k·refine rows, not scanned. */
+  def sqKnnRefined(queries: DataFrame, codes: DataFrame, model: SqModel,
+                   corpus: DataFrame, k: Int, refine: Int = 4,
+                   qId: String = "vec_id", qVec: String = "embedding",
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   codesCol: String = "codes",
+                   excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cand = sqKnn(queries, codes, model, k * refine, qId, qVec, cId,
+        codesCol, excludeSelf)
+      .select("query_id", "neighbor_id")
+    refineExact(cand, queries, corpus, k, qId, qVec, cId, cVec)
+  }
+
+  /** Build and PERSIST the IVF-SQ8 serving layout (FAISS
+    * `IndexIVFScalarQuantizer`): coarse centroids prune the probe to
+    * whole hive partitions (the [[ivfKnnStored]] shape) and cells store
+    * int8 codes of the RESIDUAL v − centroid(cell) — the residual's
+    * spread is the within-cell scatter, so the same 8 bits/dim
+    * reconstruct far tighter than a raw-sphere grid (the [[saveIvfPqIndex]]
+    * move with a training-free quantizer). On disk: centroids +
+    * per-dim (min, span) grid + cell-partitioned code parquet; raw
+    * vectors are NOT stored. */
+  def saveIvfSqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                     kmeansIters: Int = 3, replicate: Int = 2,
+                     cId: String = "vec_id", cVec: String = "embedding")
+  : SqModel = {
+    val spark = corpus.sparkSession
+    val cBuild = corpus.select(col(cId).as("neighbor_id"),
+      normalize(col(cVec)).as("cv")).persist()
+    try {
+      val cents = trainCentroids(cBuild, nlist, kmeansIters)
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = cBuild
+        .withColumn("cell",
+          explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+        .withColumn("res", zip_with(col("cv"),
+          element_at(centLit, col("cell") + 1), (a, b) => a - b))
+        .persist()
+      try {
+        val model = trainSq(assigned.select(col("res")), "res")
+        import spark.implicits._
+        cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        model.mins.indices.map(i => (i, model.mins(i), model.spans(i))).toSeq
+          .toDF("i", "mn", "span")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
+        assigned
+          .select(col("neighbor_id"),
+            sqCodes(col("res"), model).as("sq_code"), col("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+        model
+      } finally assigned.unpersist(): Unit
+    } finally cBuild.unpersist(): Unit
+  }
+
+  /** Append new vectors to a stored [[saveIvfSqIndex]] at delta cost:
+    * assign to the EXISTING centroids, residual-encode on the EXISTING
+    * grid, append into the cell partitions — the index is never read or
+    * rewritten. Same drift contract as [[appendToIvfPqIndex]]: once
+    * appended volume rivals the corpus, rebuild offline at a NEW path. */
+  def appendToIvfSqIndex(delta: DataFrame, path: String,
+                         replicate: Int = 2, cId: String = "vec_id",
+                         cVec: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val cents = readCentroids(spark, path)
+    val model = readSqModel(spark, path)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    delta.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
+      .withColumn("cell",
+        explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+      .withColumn("res", zip_with(col("cv"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("neighbor_id"),
+        sqCodes(col("res"), model).as("sq_code"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  private def readSqModel(spark: org.apache.spark.sql.SparkSession,
+                          path: String): SqModel = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/sq")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir),
+      s"$path/sq does not exist — not a saveIvfSqIndex layout")
+    val rows = spark.read.parquet(s"$path/sq").collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    require(rows.nonEmpty, s"$path/sq is empty — not a saveIvfSqIndex layout")
+    val dim = rows.keys.max + 1
+    SqModel(Array.tabulate(dim)(i => rows(i)._1),
+      Array.tabulate(dim)(i => rows(i)._2))
+  }
+
+  /** Approximate top-k against a stored [[saveIvfSqIndex]]: probed cells
+    * prune as whole partitions (static literal IN, as [[ivfPqKnnStored]]);
+    * scoring DECOMPOSES the reconstruction dot so the per-candidate work
+    * is ONE codegen'd dotp over the code array — never a per-candidate
+    * zip_with:
+    *   q·v̂ = q·(centroid + mn + c⊙span/255)
+    *       = [q·centroid + q·mn]  (per (query, cell), broadcast side)
+    *       + (q⊙span/255)·c      (dotp against the candidate's codes)
+    * Ranks by inner product of the reconstruction (candidates are
+    * near-unit residual reconstructions, the [[ivfPqKnnStored]] metric
+    * contract); use [[ivfSqKnnRefined]] for exact-cosine output. */
+  def ivfSqKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 4,
+                     qId: String = "vec_id", qVec: String = "embedding")
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = readCentroids(spark, path)
+    val model = readSqModel(spark, path)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val wLit = lit(model.spans.map(_ / 255.0))
+    val probed = queries
+      .select(col(qId).as("query_id"), normalize(col(qVec)).as("qv"))
+      .withColumn("cell",
+        explode(topCells(col("qv"), cents, math.min(nprobe, cents.length))))
+      .select(col("query_id"), col("cell"),
+        (dotp(col("qv"), element_at(centLit, col("cell") + 1)) +
+          dotp(col("qv"), lit(model.mins))).as("base"),
+        zip_with(col("qv"), wLit, (q, w) => q * w).as("wq"))
+    val stored = readIvfCorpus(spark, path)
+    require(stored.columns.contains("sq_code"),
+      s"$path/corpus lacks sq_code — not a saveIvfSqIndex layout " +
+        "(use ivfKnnStored / ivfPqKnnStored for those)")
+    val probedCells = probed.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    require(probedCells.size <= cents.length,
+      s"probed cell set (${probedCells.size}) exceeds nlist " +
+        s"(${cents.length}) — corrupt index layout at $path?")
+    val scored = stored.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probed), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("base") +
+          dotp(col("sq_code").cast("array<double>"), col("wq"))).as("score"))
+      // replicated copies carry per-cell residual approximations — keep
+      // the best, as ivfPqKnnStored
+      .groupBy("query_id", "neighbor_id")
+      .agg(max("score").as("score"))
+    topkRanks(scored, k)
+  }
+
+  /** IVF-SQ8 nomination + exact re-rank (the shared refine tail). */
+  def ivfSqKnnRefined(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, corpus: DataFrame, k: Int,
+                      refine: Int = 4, nprobe: Int = 4,
+                      qId: String = "vec_id", qVec: String = "embedding",
+                      cId: String = "vec_id", cVec: String = "embedding")
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cand = ivfSqKnnStored(spark, path, queries, k = k * refine, nprobe,
+        qId, qVec)
+      .select("query_id", "neighbor_id")
+    refineExact(cand, queries, corpus, k, qId, qVec, cId, cVec)
+  }
+
+  // -------------------------------------------------------------------
+  // RANDOM PROJECTION (Johnson–Lindenstrauss) — deterministic signed
+  // projection to a lower dimension (Achlioptas 2003's database-friendly
+  // ±1 matrix). The third compression lane next to PQ (learned) and SQ8
+  // (per-dim grid): dimension itself shrinks, so every downstream
+  // pairwise op (near-dup, kNN nomination, clustering) pays dOut ≪ dIn
+  // multiplies per pair. The matrix is md5-derived (planeVector family)
+  // — no RNG state, bit-identical across runs, engines, partitionings.
+  // -------------------------------------------------------------------
+
+  /** Row `j` of the dOut×dIn sign matrix: entries ±1/√dOut from the md5
+    * stream, seed-tagged so independent projections coexist. */
+  private def rpRow(seed: Int, j: Int, dIn: Int, dOut: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = 1.0 / math.sqrt(dOut.toDouble)
+    Array.tabulate(dIn) { i =>
+      val hex = md.digest(s"rp|$seed|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 0L) s else -s
+    }
+  }
+
+  /** Project a dIn-vector column to dOut dimensions: dOut codegen'd
+    * dotp kernels against constant rows — a scan-side map, no shuffle,
+    * no UDF. Linear by construction, E[⟨Rx,Ry⟩] = ⟨x,y⟩ (JL). */
+  def randomProject(vec: Column, dIn: Int, dOut: Int, seed: Int = 0): Column = {
+    require(dIn > 0, s"dIn must be positive, got $dIn")
+    require(dOut > 0 && dOut <= dIn,
+      s"dOut must be in [1, dIn=$dIn], got $dOut")
+    val v = vec.cast("array<double>")
+    array((0 until dOut).map(j => dotp(v, lit(rpRow(seed, j, dIn, dOut)))): _*)
+  }
+
+  /** Reduced-space nomination + exact re-rank: both sides project to
+    * dOut (scan-side), the candidate generation runs [[bruteKnn]]'s
+    * broadcast shape at dOut-wide dot products (4× fewer multiplies at
+    * 64→16), and only |Q|·k·refine raw vectors are re-scored exactly.
+    * At 100 TB the projected corpus is also 4× fewer bytes to scan when
+    * materialized ([[randomProject]] composes with a parquet write). */
+  def rpKnnRefined(queries: DataFrame, corpus: DataFrame, k: Int,
+                   dOut: Int, refine: Int = 4, seed: Int = 0,
+                   qId: String = "vec_id", qVec: String = "embedding",
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val probe = corpus.filter(col(cVec).isNotNull)
+      .select(size(col(cVec)).as("d")).head(1)
+    require(probe.nonEmpty, "rpKnnRefined: no non-null corpus vectors")
+    val dIn = probe(0).getInt(0)
+    val qr = queries.select(col(qId).as("query_id"),
+      normalize(randomProject(col(qVec), dIn, dOut, seed)).as("qv"))
+    val cr = corpus.select(col(cId).as("neighbor_id"),
+      normalize(randomProject(col(cVec), dIn, dOut, seed)).as("cv"))
+    val cond = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val nominated = rankTopK(
+      cr.join(broadcast(qr), cond)
+        .withColumn("cos", dotp(col("qv"), col("cv"))),
+      k * refine, corpus.schema(cId).dataType)
+      .select("query_id", "neighbor_id")
+    refineExact(nominated, queries, corpus, k, qId, qVec, cId, cVec)
   }
 
   /** Exact all-pairs near-duplicates — O(n²) cross join; the recall

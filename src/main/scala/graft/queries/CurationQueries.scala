@@ -1558,6 +1558,48 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
+  // q150 — TEMPERATURE-SAMPLED MIXING (the mT5/XLM-R power law next to
+  //        q128's UniMax cap): the q128 planted 6:3:1 skew, alpha = 0.3,
+  //        budget = 1× total — share ∝ tokens^0.3, so `small` upsamples
+  //        (epochs > 1) and `big` downweights, with no epoch cliff. The
+  //        oracle replays census → pow → normalize → allocation with the
+  //        engine's evaluation order; round-6/round-4 display absorbs
+  //        window summation order.
+  // -------------------------------------------------------------------
+  def q150(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("src",
+      when(col("doc_id") % 10 < 6, "big")
+        .when(col("doc_id") % 10 < 9, "mid").otherwise("small"))
+    sorted(graft.operators.Corpus.temperatureWeights(
+      d, "src", col("n_chars"), alpha = 0.3))
+  }
+
+  val q150Sql: String =
+    """WITH d AS (
+      |  SELECT CASE WHEN doc_id % 10 < 6 THEN 'big'
+      |              WHEN doc_id % 10 < 9 THEN 'mid'
+      |              ELSE 'small' END AS src,
+      |         n_chars
+      |  FROM documents
+      |), per AS (
+      |  SELECT src, CAST(sum(n_chars) AS BIGINT) AS tokens
+      |  FROM d GROUP BY 1
+      |), t AS (
+      |  SELECT src, tokens,
+      |         pow(CAST(tokens AS DOUBLE), 0.3) AS w,
+      |         sum(pow(CAST(tokens AS DOUBLE), 0.3)) OVER () AS sumw,
+      |         CAST((1 * sum(tokens) OVER ()) // 1 AS DOUBLE) AS b
+      |  FROM per
+      |)
+      |SELECT src, tokens,
+      |       round(w / sumw, 6) AS weight,
+      |       round(b * (w / sumw), 4) AS alloc_tokens,
+      |       round(b * (w / sumw) / tokens, 4) AS epochs
+      |FROM t
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
   // q133 — PER-SOURCE DISTRIBUTION DRIFT: KL and Jensen–Shannon
   //        divergence of each source's unigram distribution vs the whole
   //        corpus, over the global top-256 vocabulary + one <oov>

@@ -154,6 +154,11 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q142_langid_trained", q142 _, q142Sql),
     ("q143_curation_v4", q143 _, q143Sql),
     ("q144_sequence_packing", q144 _, q144Sql),
-    ("q145_weighted_interleave", q145 _, q145Sql)
+    ("q145_weighted_interleave", q145 _, q145Sql),
+    ("q146_sq8_knn", q146 _, q146Sql),
+    ("q147_rp_knn", q147 _, q147Sql), // verdict + Round14Spec JL laws
+    ("q148_bucketed_join", q148 _, q148Sql),
+    ("q149_ivfsq_stored", q149 _, q149Sql), // verdict + Round14Spec SQ laws
+    ("q150_temperature_mix", q150 _, q150Sql)
   )
 }

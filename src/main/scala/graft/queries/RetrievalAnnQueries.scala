@@ -1171,4 +1171,135 @@ private[queries] trait RetrievalAnnQueries { self: ExtensionQueryHelpers =>
       |)
       |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 5
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q146 — SCALAR-QUANTIZED (SQ8) kNN: train the per-dimension int8
+  //        grid on the corpus, encode, and rank by cosine of the raw
+  //        query against the per-row RECONSTRUCTION. The whole path is
+  //        deterministic arithmetic (no codebooks, no sampling), so —
+  //        unlike PQ's verdict row — the oracle replays quantization,
+  //        dequantization, and ranking IN FULL in DuckDB: per-dim
+  //        min/max → code = ⌊(v−mn)·255/span + 0.5⌋ clamped → recon =
+  //        mn + c·span/255 → q22's cosine/rank tail (round-4 absorbs
+  //        summation order, the proven q22 convention).
+  // -------------------------------------------------------------------
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = Similarity.trainSq(e)
+    val codes = Similarity.sqEncode(e, model)
+    sorted(Similarity.sqKnn(e.filter(col("vec_id") < 5), codes, model, k = 5)
+      .withColumn("cos", round(col("cos"), 4)))
+  }
+
+  val q146Sql: String =
+    """WITH pos AS (
+      |  SELECT e.vec_id, g.i, e.embedding[g.i]::DOUBLE AS v
+      |  FROM embeddings e,
+      |       LATERAL (SELECT unnest(range(1, len(e.embedding)+1)) AS i) g
+      |), stats AS (
+      |  SELECT i, min(v) AS mn, max(v) - min(v) AS span FROM pos GROUP BY i
+      |), recon AS (
+      |  SELECT p.vec_id, p.i,
+      |         s.mn + (CASE WHEN s.span <= 0 THEN 0
+      |                      ELSE least(255, greatest(0,
+      |                        CAST(floor((p.v - s.mn) * 255.0 / s.span + 0.5)
+      |                          AS INT))) END) * s.span / 255.0 AS r
+      |  FROM pos p JOIN stats s USING (i)
+      |), q AS (
+      |  SELECT vec_id, i, v FROM pos WHERE vec_id < 5
+      |), d AS (
+      |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+      |         SUM(q.v*r.r) / sqrt(SUM(q.v*q.v)) / sqrt(SUM(r.r*r.r)) AS cos
+      |  FROM q JOIN recon r ON q.i = r.i AND r.vec_id != q.vec_id
+      |  GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+      |         round(cos, 4) AS cos
+      |  FROM d
+      |)
+      |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 5
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q147 — RANDOM-PROJECTION kNN verdict (q91 doctrine — the reduced
+  //        space is exact arithmetic but candidate membership is an
+  //        approximation, so the hash-checked columns are the
+  //        deterministic shape plus a robust-margin verdict): project
+  //        dim 64 → 16 with the deterministic ±1/√16 JL matrix, nominate
+  //        k×refine in the reduced space, exact re-rank, and require
+  //        that ≥ 90% of 20 planted perturbed queries retrieve their
+  //        source vector in the top-5. `no_regression` pins the refine
+  //        step never losing a hit the reduced-only ranking found.
+  // -------------------------------------------------------------------
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val srcs = e.filter(col("vec_id") % 25 === 0).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qrnd = new scala.util.Random(17)
+    val queries = srcs.toSeq.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * qrnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    def hitsOf(df: DataFrame): Int = {
+      val top = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      srcs.count { case (id, _) =>
+        top.getOrElse(id + 100000L, Set.empty[Long]).contains(id) }
+    }
+    val refined = hitsOf(
+      Similarity.rpKnnRefined(queries, e, k = 5, dOut = 16, refine = 4))
+    val reducedOnly = hitsOf(
+      Similarity.rpKnnRefined(queries, e, k = 5, dOut = 16, refine = 1))
+    Seq((srcs.length.toLong, if (refined >= 18) 1 else 0,
+      if (refined >= reducedOnly) 1 else 0))
+      .toDF("n_queries", "recall_ok", "no_regression")
+  }
+
+  val q147Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok,
+      |       1 AS no_regression""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q149 — IVF-SQ8 SERVING verdict (q92/q113 doctrine): the residual
+  //        int8 index persisted (cells × sq codes on disk, no raw
+  //        vectors), probed through the static-pruned scan, with exact
+  //        re-ranking — save → reload → probe → refine all under the
+  //        planted-perturbation recall verdict. nprobe=8 of nlist=8
+  //        keeps the planted cell surely probed at fixture scale.
+  // -------------------------------------------------------------------
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val srcs = e.filter(col("vec_id") % 25 === 0).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qrnd = new scala.util.Random(19)
+    val queries = srcs.toSeq.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * qrnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q149_ivfsq_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.operators.Similarity.saveIvfSqIndex(e, root, nlist = 8,
+      kmeansIters = 2, replicate = 2)
+    def hitsOf(df: DataFrame): Int = {
+      val top = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      srcs.count { case (id, _) =>
+        top.getOrElse(id + 100000L, Set.empty[Long]).contains(id) }
+    }
+    val plain = hitsOf(graft.operators.Similarity.ivfSqKnnStored(
+      s, root, queries, k = 5, nprobe = 8))
+    val refined = hitsOf(graft.operators.Similarity.ivfSqKnnRefined(
+      s, root, queries, e, k = 5, refine = 4, nprobe = 8))
+    Seq((srcs.length.toLong, if (refined >= 18) 1 else 0,
+      if (refined >= plain) 1 else 0))
+      .toDF("n_queries", "recall_ok", "no_regression")
+  }
+
+  val q149Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok,
+      |       1 AS no_regression""".stripMargin
 }

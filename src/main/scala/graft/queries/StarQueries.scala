@@ -1725,4 +1725,52 @@ private[queries] trait StarQueries { self: ExtensionQueryHelpers =>
       |FROM c GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
       |         5 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q148 — BUCKETED CO-LOCATED JOIN (Layout.saveBucketed): lineitem and
+  //        orders written bucketed-by-orderkey (8 buckets, sorted within
+  //        bucket), then joined through the CATALOG tables — the bucketed
+  //        scans report HashPartitioning(orderkey, 8), so the join runs
+  //        with NO Exchange on either side (Round14Spec pins zero
+  //        shuffles below the join). The one-time write shuffle is the
+  //        ingest cost every later orderkey join stops paying — at 100 TB
+  //        the fact table re-shuffle IS the query cost, so this is the
+  //        headline storage-layout win. Values: revenue per priority in
+  //        exact cents, replayed by a plain DuckDB join+agg (the layout
+  //        must not change a single answer).
+  // -------------------------------------------------------------------
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q148_bucketed_" +
+      Integer.toHexString(dir.hashCode)
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    Layout.saveBucketed(li, "graft_q148_li", "l_orderkey", numBuckets = 8,
+      sortCols = Seq("l_orderkey"), path = Some(s"$root/li"))
+    Layout.saveBucketed(ord, "graft_q148_ord", "o_orderkey", numBuckets = 8,
+      sortCols = Seq("o_orderkey"), path = Some(s"$root/ord"))
+    val j = bucketedOrderkeyJoin(s)
+    sorted(j.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_items"),
+      sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        lit(100)).cast("long")).as("revenue_cents")))
+  }
+
+  /** The post-ingest join of q148's two bucketed catalog tables — split
+    * out so Round14Spec can pin its physical plan (no Exchange below the
+    * join) against exactly the frame the query aggregates. */
+  private[graft] def bucketedOrderkeyJoin(s: SparkSession): DataFrame =
+    s.table("graft_q148_li")
+      .join(s.table("graft_q148_ord"),
+        col("l_orderkey") === col("o_orderkey"))
+
+  val q148Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |         AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 }

@@ -327,4 +327,302 @@ class Round14Spec extends SparkSpec {
       if (t == null) Nil else t.getMessage +: msgs(t.getCause)
     assert(msgs(e).exists(m => m != null && m.contains("packSequences")))
   }
+
+  // ------------------------------------------------------------------
+  // SQ8 scalar quantization (Similarity.trainSq/sqEncode/sqKnn)
+  // ------------------------------------------------------------------
+
+  import graft.operators.Similarity
+
+  /** 24 deterministic spread-out vectors in dim 8 (hash-derived — no
+    * RNG state, same fixture every run). */
+  private def vecFixture = {
+    val rows = (0 until 24).map { id =>
+      val v = Array.tabulate(8) { d =>
+        val h = ((id * 31 + d) * 2654435761L) & 0xffff
+        (h.toFloat / 65535f) * 2f - 1f
+      }
+      (id.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("sq8 round-trip error is bounded by half a grid step per dimension") {
+    val df = vecFixture
+    val m = Similarity.trainSq(df)
+    val codes = Similarity.sqEncode(df, m)
+    val raw = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val recs = codes.select(col("vec_id"),
+        graft.operators.Similarity.sqReconstruct(col("codes"), m))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    recs.foreach { case (id, rec) =>
+      rec.indices.foreach { d =>
+        val err = math.abs(rec(d) - raw(id)(d).toDouble)
+        val bound = m.spans(d) / 255.0 / 2.0 + 1e-12
+        assert(err <= bound, s"vec $id dim $d: |recon-raw|=$err > $bound")
+      }
+    }
+  }
+
+  test("trainSq is partition-invariant (min/max are order-insensitive)") {
+    val df = vecFixture
+    val a = Similarity.trainSq(df)
+    val b = Similarity.trainSq(df.repartition(7))
+    assert(a.mins.toSeq == b.mins.toSeq && a.spans.toSeq == b.spans.toSeq)
+  }
+
+  test("sqKnn self-retrieval: every vector's reconstruction ranks itself first") {
+    val df = vecFixture
+    val m = Similarity.trainSq(df)
+    val codes = Similarity.sqEncode(df, m)
+    val top1 = Similarity.sqKnn(df, codes, m, k = 1, excludeSelf = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1.size == 24)
+    top1.foreach { case (q, n) => assert(q == n, s"query $q got $n") }
+  }
+
+  test("sqKnnRefined(refine=1) == exact re-rank of sqKnn's own candidates") {
+    val df = vecFixture
+    val m = Similarity.trainSq(df)
+    val codes = Similarity.sqEncode(df, m)
+    val refined = Similarity.sqKnnRefined(df.filter(col("vec_id") < 4),
+        codes, m, df, k = 3, refine = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // candidates come from the quantized ranking; scores/order from the
+    // exact one — membership must match sqKnn's top-3 set exactly
+    val nominated = Similarity.sqKnn(df.filter(col("vec_id") < 4),
+        codes, m, k = 3)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    refined.groupBy(_._1._1).foreach { case (q, rows) =>
+      assert(rows.values.toSet == nominated(q),
+        s"query $q: refined set ${rows.values.toSet} != nominated ${nominated(q)}")
+    }
+  }
+
+  test("sqKnn NULL vectors: encode to NULL codes and never rank") {
+    val df = vecFixture.union(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val m = Similarity.trainSq(df)
+    val codes = Similarity.sqEncode(df, m)
+    assert(codes.filter(col("vec_id") === 99L).head().isNullAt(1))
+    val out = Similarity.sqKnn(df.filter(col("vec_id") < 2), codes, m, k = 30)
+    assert(out.filter(col("neighbor_id") === 99L).count() == 0)
+  }
+
+  // ------------------------------------------------------------------
+  // Temperature-sampled mixing (Corpus.temperatureWeights)
+  // ------------------------------------------------------------------
+
+  test("temperatureWeights: closed-form shares on a planted skew") {
+    val docs = Seq.tabulate(111) { i =>
+      val src = if (i < 100) "big" else if (i < 110) "mid" else "small"
+      (i.toLong, src, 10) // 1000 / 100 / 10 tokens
+    }.toDF("doc_id", "src", "n")
+    val out = Corpus.temperatureWeights(docs, "src", col("n"), alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    val w = Map("big" -> math.sqrt(1000.0), "mid" -> math.sqrt(100.0),
+      "small" -> math.sqrt(10.0))
+    val sumw = w.values.sum
+    Seq("big", "mid", "small").foreach { s =>
+      val (tokens, weight, epochs) = out(s)
+      val expW = math.rint(w(s) / sumw * 1e6) / 1e6
+      assert(weight == expW, s"$s weight $weight != $expW")
+      val expE = math.rint(1110.0 * (w(s) / sumw) / tokens * 1e4) / 1e4
+      assert(epochs == expE, s"$s epochs $epochs != $expE")
+    }
+    // the power law upsamples the small source and downweights the big
+    assert(out("small")._3 > 1.0 && out("big")._3 < 1.0)
+  }
+
+  test("temperatureWeights: alpha=1 is proportional sampling (epochs=1)") {
+    val docs = Seq((1L, "a", 30), (2L, "b", 70)).toDF("doc_id", "src", "n")
+    val out = Corpus.temperatureWeights(docs, "src", col("n"), alpha = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(4))))
+      .toMap
+    assert(out("a") == ((0.3, 1.0)) && out("b") == ((0.7, 1.0)))
+  }
+
+  test("temperatureWeights is partition-invariant and keeps NULL sources") {
+    val docs = Seq(Some("a"), Some("a"), Some("b"), None)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s.orNull, 10 + i) }
+      .toDF("doc_id", "src", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Corpus.temperatureWeights(d, "src", col("n"))
+        .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+          r.getLong(1), r.getDouble(2))).toSet
+    val a = run(docs)
+    assert(a == run(docs.repartition(5)))
+    assert(a.exists(_._1 == null), "NULL source dropped from the mix")
+  }
+
+  test("temperatureWeights rejects bad alpha by name") {
+    val docs = Seq((1L, "a", 1)).toDF("doc_id", "src", "n")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.temperatureWeights(docs, "src", col("n"), alpha = 0.0)
+    }
+    assert(e.getMessage.contains("alpha"))
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-SQ8 stored index (saveIvfSqIndex / ivfSqKnnStored)
+  // ------------------------------------------------------------------
+
+  test("ivfSq store round-trips the grid and serves self-retrieval") {
+    val df = vecFixture
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_r14spec_ivfsq"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val model = Similarity.saveIvfSqIndex(df, root, nlist = 4,
+      kmeansIters = 2, replicate = 2)
+    // stored grid == trained grid (read path decodes what the write wrote)
+    val stored = spark.read.parquet(s"$root/sq").collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    model.mins.indices.foreach { i =>
+      assert(stored(i) == ((model.mins(i), model.spans(i)))) }
+    // full probe (nprobe = nlist) of slightly perturbed copies of every
+    // vector retrieves the source at rank 1 via the refine tail
+    val qs = df.collect().map { r =>
+      (r.getLong(0) + 1000L,
+        r.getSeq[Float](1).toArray.map(x => x + 1e-4f))
+    }.toSeq.toDF("vec_id", "embedding")
+    val top1 = Similarity.ivfSqKnnRefined(spark, root, qs, df, k = 1,
+        refine = 4, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (q, n) => assert(q - 1000L == n, s"query $q got $n") }
+    // replicated copies never occupy two top-k slots
+    val top5 = Similarity.ivfSqKnnStored(spark, root, qs, k = 5, nprobe = 4)
+    val dup = top5.groupBy(col("query_id"), col("neighbor_id"))
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0, s"$dup duplicate (query, neighbor) rows in top-k")
+    // compressed layout stores codes, never vectors; the probe scan is
+    // statically partition-pruned to the probed cells (literal IN)
+    val schema = spark.read.parquet(s"$root/corpus").columns.toSet
+    assert(schema == Set("neighbor_id", "sq_code", "cell"),
+      s"compressed layout must not store vectors: $schema")
+    val pruned = Similarity.ivfSqKnnStored(spark, root, qs, k = 5, nprobe = 2)
+    pruned.collect()
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("Scan parquet") && l.contains("corpus"))
+    assert(scanLine.exists(l => l.contains("PartitionFilters: [") &&
+      (l.contains(" INSET ") || l.contains(" IN ("))),
+      s"IVF-SQ8 scan is not partition-pruned:\n${scanLine.getOrElse("<no scan>")}")
+  }
+
+  test("appendToIvfSqIndex: appended copies surface without a rebuild") {
+    val df = vecFixture
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_r14spec_ivfsq_app"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Similarity.saveIvfSqIndex(df, root, nlist = 4, kmeansIters = 2)
+    // exact copies of vectors 0..3 under fresh ids
+    val delta = df.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfSqIndex(delta, root)
+    val top = Similarity.ivfSqKnnStored(spark, root,
+        df.filter(col("vec_id") < 4), k = 3, nprobe = 4)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 4L).foreach { q =>
+      assert(top(q).contains(q + 500L),
+        s"appended copy of $q missing from its top-3: ${top(q)}")
+    }
+  }
+
+  test("ivfSqKnnStored refuses a PQ layout by name") {
+    val df = vecFixture
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_r14spec_ivfsq_pq"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Similarity.saveIvfPqIndex(df, root, nlist = 2, m = 4, ksub = 4,
+      kmeansIters = 1, pqIters = 1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSqKnnStored(spark, root, df.limit(1), k = 1)
+    }
+    assert(e.getMessage.contains("sq"), e.getMessage)
+  }
+
+  // ------------------------------------------------------------------
+  // Random projection (Similarity.randomProject / rpKnnRefined)
+  // ------------------------------------------------------------------
+
+  test("randomProject is deterministic and partition-invariant") {
+    val df = vecFixture
+    def proj(d: org.apache.spark.sql.DataFrame) = d.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), dIn = 8, dOut = 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(proj(df) == proj(df.repartition(5)))
+  }
+
+  test("randomProject is linear: proj(a)+proj(b) ≈ proj(a+b)") {
+    val df = vecFixture.limit(6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val sums = df.toSeq.combinations(2).map { case Seq((ia, a), (ib, b)) =>
+      (ia * 100 + ib, a.zip(b).map { case (x, y) => x + y })
+    }.toSeq
+    val sumProj = sums.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.randomProject(col("embedding"), 8, 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val parts = df.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.randomProject(col("embedding"), 8, 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    df.toSeq.combinations(2).foreach { case Seq((ia, _), (ib, _)) =>
+      val got = sumProj(ia * 100 + ib)
+      val want = parts(ia).zip(parts(ib)).map { case (x, y) => x + y }
+      // tolerance is FLOAT epsilon scale: the fixture's a+b is summed in
+      // Float before the (double) projection sees it
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-6, s"pair ($ia,$ib): $g vs $w") }
+    }
+  }
+
+  test("rpKnnRefined self-retrieval on exact duplicates") {
+    val df = vecFixture
+    val top1 = Similarity.rpKnnRefined(df, df, k = 1, dOut = 4,
+        refine = 4, excludeSelf = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (q, n) => assert(q == n, s"query $q got $n") }
+  }
+
+  test("randomProject rejects dOut outside [1, dIn] by name") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.randomProject(col("embedding"), dIn = 8, dOut = 9)
+    }
+    assert(e.getMessage.contains("dOut"))
+  }
+
+  // ------------------------------------------------------------------
+  // Bucketed external tables (Layout.saveBucketed — the q148 plan)
+  // ------------------------------------------------------------------
+
+  test("q148's bucketed orderkey join runs with zero Exchange below the join") {
+    import graft.operators.Layout
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_r14spec_bucketed"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.saveBucketed(li, "graft_q148_li", "l_orderkey", 8,
+        Seq("l_orderkey"), Some(s"$root/li"))
+      Layout.saveBucketed(ord, "graft_q148_ord", "o_orderkey", 8,
+        Seq("o_orderkey"), Some(s"$root/ord"))
+      val j = graft.queries.ExtensionQueries.bucketedOrderkeyJoin(spark)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed q148 join still shuffles:\n$p")
+      // layout must not change a single answer: parity vs the plain join
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_q148_li")
+      spark.sql("DROP TABLE IF EXISTS graft_q148_ord")
+    }
+  }
 }
