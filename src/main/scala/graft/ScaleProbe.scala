@@ -241,7 +241,9 @@ object ScaleProbe {
       // probe reads nprobe/nlist of the code partitions for a FIXED
       // query set — linear-in-corpus with a small constant
       "ivfsq" -> timed(s"$tag IVF-SQ8 save+probe (fixed query set)") {
-        val root = s"/tmp/graft_probe_ivfsq_${e.hashCode}"
+        // deterministic per-scale name (the bucketjoin convention):
+        // reruns overwrite instead of accumulating dead copies in /tmp
+        val root = s"/tmp/graft_probe_ivfsq_$tag"
         graft.operators.Similarity.saveIvfSqIndex(e, root, nlist = 32,
           kmeansIters = 2)
         graft.operators.Similarity.ivfSqKnnStored(spark, root,

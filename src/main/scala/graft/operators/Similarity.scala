@@ -169,18 +169,26 @@ object Similarity {
     }
   }
 
+  /** The deterministic hash stream every pseudo-random constant in this
+    * file derives from: md5(key) → first 15 hex nibbles → non-negative
+    * long in [0, 2^60). ONE definition — [[planeVector]] (LSH) and
+    * [[rpRow]] (JL signs) both map this stream, so the truncation/
+    * parsing contract cannot drift between them. */
+  private def md5Long(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Deterministic pseudo-random hyperplane for (table, plane): md5-derived
     * components in [-0.5, 0.5), materialized driver-side as a literal array
     * (tiny: planes × dim doubles) so the projection is one codegen'd dot
     * product per row instead of per-element interpreted lambdas. */
-  private def planeVector(table: Int, plane: Int, dim: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  private def planeVector(table: Int, plane: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
-      val hex = md.digest(s"$table|$plane|$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble - 0.5
+      md5Long(s"$table|$plane|$i").toDouble / (1L << 60).toDouble - 0.5
     }
-  }
 
   /** Sign-LSH bucket id for one table: `planes` sign bits of projections
     * onto deterministic hyperplanes. */
@@ -889,6 +897,36 @@ object Similarity {
     * `path`/corpus (neighbor_id, pq_code) partitioned by cell.
     * @return the trained [[PqModel]] (also persisted — [[ivfPqKnnStored]]
     *         reloads it from the layout) */
+  /** RESIDUAL cell assignment, the scaffolding every IVF-compressed
+    * layout shares (build AND append, PQ and SQ8): each prepared
+    * ("neighbor_id", "cv") row joins its `replicate` nearest cells and
+    * carries the residual v − centroid(cell) — the standard
+    * accuracy-per-byte move: the residual's spread is the within-cell
+    * scatter, much tighter than the raw sphere, so the same code budget
+    * reconstructs far more precisely. Each replicated copy encodes
+    * against ITS OWN cell's centroid. The centroid lookup is a literal
+    * array (zip_with subtraction is a HOF, but this is the one-time
+    * build/append path — never the per-candidate scoring loop). */
+  private def assignResiduals(prepared: DataFrame,
+                              cents: Array[Array[Double]],
+                              replicate: Int): DataFrame = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    prepared
+      .withColumn("cell",
+        explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+      .withColumn("res", zip_with(col("cv"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+  }
+
+  /** Shared cell-partitioned code write: one writer per cell (~nlist
+    * files, not tasks × cells). */
+  private def writeCellCodes(assigned: DataFrame, codes: Column,
+                             codeName: String, path: String,
+                             saveMode: String): Unit =
+    assigned.select(col("neighbor_id"), codes.as(codeName), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(saveMode).partitionBy("cell").parquet(s"$path/corpus")
+
   def saveIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
                      m: Int = 8, ksub: Int = 16, kmeansIters: Int = 3,
                      pqIters: Int = 3, replicate: Int = 2,
@@ -899,21 +937,7 @@ object Similarity {
       normalize(col(cVec)).as("cv")).persist()
     try {
       val cents = trainCentroids(cBuild, nlist, kmeansIters)
-      // RESIDUAL encoding (the standard IVF-PQ accuracy-per-byte move):
-      // codes quantize v − centroid(cell), whose spread is the
-      // within-cell scatter — much tighter than the raw sphere, so the
-      // same m×ksub budget reconstructs far more precisely. Each
-      // replicated copy encodes against ITS OWN cell's centroid. The
-      // centroid lookup is a literal array (zip_with subtraction is a
-      // HOF, but this is the one-time build path and the small probe
-      // side — never the per-candidate scoring loop).
-      val centLit = typedLit(cents.map(_.toSeq).toSeq)
-      val assigned = cBuild
-        .withColumn("cell",
-          explode(topCells(col("cv"), cents, math.max(replicate, 1))))
-        .withColumn("res", zip_with(col("cv"),
-          element_at(centLit, col("cell") + 1), (a, b) => a - b))
-        .persist()
+      val assigned = assignResiduals(cBuild, cents, replicate).persist()
       try {
         val model = trainPqOn(
           assigned.select(col("neighbor_id").as("__id"), col("res").as("cv")),
@@ -926,11 +950,8 @@ object Similarity {
           yield (s, c, model.codebooks(s)(c).toSeq))
           .toDF("blk", "cid", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-        assigned
-          .select(col("neighbor_id"),
-            model.encodeExpr(col("res")).as("pq_code"), col("cell"))
-          .repartition(col("cell")) // one writer per cell: ~nlist files, not tasks x cells
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+        writeCellCodes(assigned, model.encodeExpr(col("res")), "pq_code",
+          path, "overwrite")
         model
       } finally assigned.unpersist(): Unit
     } finally cBuild.unpersist(): Unit
@@ -967,16 +988,11 @@ object Similarity {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, path)
     val model = readPqModel(spark, path)
-    val centLit = typedLit(cents.map(_.toSeq).toSeq)
-    delta.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
-      .withColumn("cell",
-        explode(topCells(col("cv"), cents, math.max(replicate, 1))))
-      .withColumn("res", zip_with(col("cv"),
-        element_at(centLit, col("cell") + 1), (a, b) => a - b))
-      .select(col("neighbor_id"),
-        model.encodeExpr(col("res")).as("pq_code"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    val assigned = assignResiduals(
+      delta.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv")),
+      cents, replicate)
+    writeCellCodes(assigned, model.encodeExpr(col("res")), "pq_code",
+      path, "append")
   }
 
   /** Approximate top-k against a stored [[saveIvfPqIndex]]: queries
@@ -1054,6 +1070,11 @@ object Similarity {
     val topk = udaf(new graft.model.Aggregators.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[graft.model.Aggregators.ScoredId])
     scored
+      // same degenerate-score contract as rankTopK: a NULL score (null
+      // code elements from a non-finite vector) would crash the
+      // non-nullable buffer encoder; NaN would rank first — both mean
+      // "not a neighbor"
+      .filter(col("score").isNotNull && !isnan(col("score")))
       .groupBy("query_id")
       .agg(topk(col("score"), col("neighbor_id").cast("long")).as("tk"))
       .select(col("query_id"), posexplode(col("tk.items")).as(Seq("idx", "it")))
@@ -1134,7 +1155,14 @@ object Similarity {
     * aggregation with 2·dim partial min/max slots — no shuffle of the
     * vectors, no explode (an n×dim position explode would shuffle the
     * whole corpus). min/max are order-insensitive, so the model is
-    * bit-identical however the corpus is partitioned. */
+    * bit-identical however the corpus is partitioned.
+    *
+    * Non-finite elements (NaN from a zero-vector normalization upstream,
+    * ±Inf) are EXCLUDED from the stats: Spark's max orders NaN greatest,
+    * so one degenerate vector would otherwise poison every span to NaN
+    * and silently empty every downstream kNN. A dimension with no finite
+    * value at all gets (0, 0) — its codes are 0 and it contributes
+    * nothing to any score. */
   def trainSq(corpus: DataFrame, vecCol: String = "embedding"): SqModel = {
     val probe = corpus.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol)).as("d")).head(1)
@@ -1142,11 +1170,17 @@ object Similarity {
     val dim = probe(0).getInt(0)
     require(dim > 0, "trainSq: zero-length vectors")
     val v = col(vecCol).cast("array<double>")
+    // abs(x) < Inf is false for NaN (NaN compares greatest in Spark SQL)
+    // and for ±Inf — one predicate screens both
+    def fin(c: Column): Column =
+      when(abs(c) < lit(Double.PositiveInfinity), c)
     val aggs = (1 to dim).flatMap(i =>
-      Seq(min(element_at(v, i)), max(element_at(v, i))))
+      Seq(min(fin(element_at(v, i))), max(fin(element_at(v, i)))))
     val r = corpus.agg(aggs.head, aggs.tail: _*).head()
-    val mins = Array.tabulate(dim)(i => r.getDouble(2 * i))
-    val spans = Array.tabulate(dim)(i => r.getDouble(2 * i + 1) - mins(i))
+    val mins = Array.tabulate(dim)(i =>
+      if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i))
+    val spans = Array.tabulate(dim)(i =>
+      if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1) - mins(i))
     SqModel(mins, spans)
   }
 
@@ -1169,12 +1203,14 @@ object Similarity {
     zip_with(t, lit(m.mins), (x, mn) => mn + x)
   }
 
-  /** Encode a corpus: (id, codes) — a scan-side projection, no shuffle.
+  /** Encode a corpus: (id, codes) — a scan-side projection, no shuffle;
+    * the id column keeps its name (the [[pqEncode]] convention, so one
+    * `cId` threads through [[sqKnnRefined]]'s codes AND corpus sides).
     * NULL vectors encode to NULL codes (and score as "not a neighbor"
     * downstream, the [[rankTopK]] contract). */
   def sqEncode(df: DataFrame, model: SqModel, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame =
-    df.select(col(idCol).as("vec_id"), sqCodes(col(vecCol), model).as("codes"))
+    df.select(col(idCol), sqCodes(col(vecCol), model).as("codes"))
 
   /** Exact top-k over the QUANTIZED corpus: cosine of the raw query
     * against the per-row reconstruction. Same scale shape as
@@ -1231,13 +1267,7 @@ object Similarity {
       normalize(col(cVec)).as("cv")).persist()
     try {
       val cents = trainCentroids(cBuild, nlist, kmeansIters)
-      val centLit = typedLit(cents.map(_.toSeq).toSeq)
-      val assigned = cBuild
-        .withColumn("cell",
-          explode(topCells(col("cv"), cents, math.max(replicate, 1))))
-        .withColumn("res", zip_with(col("cv"),
-          element_at(centLit, col("cell") + 1), (a, b) => a - b))
-        .persist()
+      val assigned = assignResiduals(cBuild, cents, replicate).persist()
       try {
         val model = trainSq(assigned.select(col("res")), "res")
         import spark.implicits._
@@ -1247,11 +1277,8 @@ object Similarity {
         model.mins.indices.map(i => (i, model.mins(i), model.spans(i))).toSeq
           .toDF("i", "mn", "span")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
-        assigned
-          .select(col("neighbor_id"),
-            sqCodes(col("res"), model).as("sq_code"), col("cell"))
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+        writeCellCodes(assigned, sqCodes(col("res"), model), "sq_code",
+          path, "overwrite")
         model
       } finally assigned.unpersist(): Unit
     } finally cBuild.unpersist(): Unit
@@ -1268,16 +1295,11 @@ object Similarity {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, path)
     val model = readSqModel(spark, path)
-    val centLit = typedLit(cents.map(_.toSeq).toSeq)
-    delta.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv"))
-      .withColumn("cell",
-        explode(topCells(col("cv"), cents, math.max(replicate, 1))))
-      .withColumn("res", zip_with(col("cv"),
-        element_at(centLit, col("cell") + 1), (a, b) => a - b))
-      .select(col("neighbor_id"),
-        sqCodes(col("res"), model).as("sq_code"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    val assigned = assignResiduals(
+      delta.select(col(cId).as("neighbor_id"), normalize(col(cVec)).as("cv")),
+      cents, replicate)
+    writeCellCodes(assigned, sqCodes(col("res"), model), "sq_code",
+      path, "append")
   }
 
   private def readSqModel(spark: org.apache.spark.sql.SparkSession,
@@ -1369,15 +1391,13 @@ object Similarity {
   // — no RNG state, bit-identical across runs, engines, partitionings.
   // -------------------------------------------------------------------
 
-  /** Row `j` of the dOut×dIn sign matrix: entries ±1/√dOut from the md5
-    * stream, seed-tagged so independent projections coexist. */
+  /** Row `j` of the dOut×dIn sign matrix: entries ±1/√dOut from the
+    * shared [[md5Long]] stream, seed-tagged so independent projections
+    * coexist. */
   private def rpRow(seed: Int, j: Int, dIn: Int, dOut: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     val s = 1.0 / math.sqrt(dOut.toDouble)
     Array.tabulate(dIn) { i =>
-      val hex = md.digest(s"rp|$seed|$j|$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 0L) s else -s
+      if ((md5Long(s"rp|$seed|$j|$i") & 1L) == 0L) s else -s
     }
   }
 

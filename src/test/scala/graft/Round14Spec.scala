@@ -511,6 +511,37 @@ class Round14Spec extends SparkSpec {
       s"IVF-SQ8 scan is not partition-pruned:\n${scanLine.getOrElse("<no scan>")}")
   }
 
+  test("IVF-SQ8: a zero vector (NaN normalization) never poisons the grid") {
+    // a zero embedding normalizes to all-NaN; its residual is NaN in
+    // every dimension — before the finite-filter fix, ONE such vector
+    // made every span NaN and every query silently returned 0 rows
+    val df = vecFixture.union(
+      Seq((98L, Array.fill(8)(0f))).toDF("vec_id", "embedding"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_r14spec_ivfsq_nan"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val model = Similarity.saveIvfSqIndex(df, root, nlist = 4,
+      kmeansIters = 2)
+    assert(model.mins.forall(v => !v.isNaN && !v.isInfinite) &&
+      model.spans.forall(v => !v.isNaN && !v.isInfinite),
+      "degenerate vector leaked NaN/Inf into the SQ grid")
+    val qs = df.filter(col("vec_id") < 4)
+    val top = Similarity.ivfSqKnnRefined(spark, root, qs, df, k = 3,
+      refine = 4, nprobe = 4)
+    assert(top.count() == 12, "zero vector emptied the kNN results")
+  }
+
+  test("sqEncode keeps a custom id column name end-to-end") {
+    val df = vecFixture.withColumnRenamed("vec_id", "doc_id")
+    val m = Similarity.trainSq(df)
+    val codes = Similarity.sqEncode(df, m, idCol = "doc_id")
+    assert(codes.columns.toSeq == Seq("doc_id", "codes"))
+    val out = Similarity.sqKnnRefined(df.filter(col("doc_id") < 3), codes,
+      m, df, k = 2, refine = 2, qId = "doc_id", cId = "doc_id")
+    assert(out.count() == 6)
+  }
+
   test("appendToIvfSqIndex: appended copies surface without a rebuild") {
     val df = vecFixture
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_r14spec_ivfsq_app"
