@@ -110,21 +110,59 @@ object Quality {
       array_remove(graft.functions.TextFunctions.tokens(col(textCol)), "")))
   }
 
+  /** Bound + parallelize a labeled training input, shared by the two
+    * classifier fits: classifiers are STATISTICS, not indexes (the
+    * trainCentroids doctrine) — train on a deterministic hash-thinned
+    * sample of at most `maxTrainRows` rows, spread over enough
+    * partitions that every LBFGS pass parallelizes (a single-row-group
+    * parquet fixture otherwise runs every evaluation on ONE core).
+    * Spark 4's `LogisticRegression.fit` no longer caches its input, so
+    * the ~3·maxIter objective/gradient evaluations each re-run the full
+    * featurization lineage unless the caller materializes it — the
+    * measured cost of q142's fit was 30 single-threaded featurization
+    * passes, not the optimizer. Callers persist the RESULTING features
+    * frame and unpersist after the fit. */
+  private def boundedTrainInput(df: DataFrame, thinKey: Column,
+                                maxTrainRows: Long): DataFrame = {
+    require(maxTrainRows > 0,
+      s"maxTrainRows must be positive, got $maxTrainRows")
+    val n = df.count()
+    val thinned =
+      if (n <= maxTrainRows) df
+      // deterministic hash thin — the same ≈maxTrainRows-row sample
+      // whatever the partitioning
+      else df.filter(pmod(xxhash64(thinKey), lit(n)) < lit(maxTrainRows))
+    // ~256 rows/partition: the columnar materialization of UDT vectors
+    // costs ~1 ms/row, so fill parallelism (not optimizer math) bounds
+    // small-corpus training time
+    val parts = math.max(1, math.min(
+      df.sparkSession.sparkContext.defaultParallelism,
+      ((math.min(n, maxTrainRows) + 255L) / 256L).toInt))
+    thinned.repartition(parts)
+  }
+
   /** Fit the classifier on a labeled corpus (`labelCol` ∈ {0, 1};
     * 1 = keep-quality). `numFeatures` is the hashing-trick width —
     * collisions degrade gracefully; 2^18 suits web-scale vocabularies.
-    * Training cost: one cached featurization + `maxIter` distributed
-    * gradient aggregations over it. */
+    * Training cost: one count + one materialized featurization over at
+    * most `maxTrainRows` sampled rows ([[boundedTrainInput]]) + the
+    * `maxIter` distributed gradient aggregations. */
   def trainQualityClassifier(labeled: DataFrame, textCol: String,
                              labelCol: String, numFeatures: Int = 1 << 18,
                              maxIter: Int = 20,
-                             regParam: Double = 1e-4): QualityModel = {
-    val feats = hashedFeatures(labeled, textCol, numFeatures)
+                             regParam: Double = 1e-4,
+                             maxTrainRows: Long = 1L << 18): QualityModel = {
+    val base = boundedTrainInput(labeled, col(textCol), maxTrainRows)
+    val feats = hashedFeatures(base, textCol, numFeatures)
       .select(col("__feat"), col(labelCol).cast("double").as("__label"))
-    val lr = new org.apache.spark.ml.classification.LogisticRegression()
-      .setFeaturesCol("__feat").setLabelCol("__label")
-      .setMaxIter(maxIter).setRegParam(regParam)
-    QualityModel(lr.fit(feats), numFeatures)
+      .persist()
+    try {
+      feats.count() // materialize ONCE — see boundedTrainInput
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setFeaturesCol("__feat").setLabelCol("__label")
+        .setMaxIter(maxIter).setRegParam(regParam)
+      QualityModel(lr.fit(feats), numFeatures)
+    } finally feats.unpersist(): Unit
   }
 
   /** Score documents: (idCol, quality = P(label=1)), rounded to 4
@@ -177,28 +215,40 @@ object Quality {
 
   /** Fit language-ID on a labeled corpus (`langCol`: language tag, ≥ 2
     * distinct values; NULL-lang rows are skipped). The label inventory
-    * is a languages-sized driver collect; training is one cached
-    * featurization + `maxIter` distributed gradient aggregations. */
+    * is a languages-sized driver collect over the (bounded, sampled)
+    * training input; training is one count + one MATERIALIZED
+    * featurization ([[boundedTrainInput]] — Spark 4's fit re-runs an
+    * uncached lineage ~3·maxIter times) + the `maxIter` distributed
+    * gradient aggregations. */
   def trainLangId(labeled: DataFrame, textCol: String, langCol: String,
                   numFeatures: Int = 1 << 18, gramN: Int = 3,
-                  maxIter: Int = 20, regParam: Double = 1e-4): LangIdModel = {
+                  maxIter: Int = 20, regParam: Double = 1e-4,
+                  maxTrainRows: Long = 1L << 18): LangIdModel = {
     require(gramN >= 1, s"gramN must be positive, got $gramN")
-    val labels = labeled.select(col(langCol).cast("string")).distinct()
-      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
-      .filter(_ != null).sorted.toSeq
-    require(labels.size >= 2,
-      s"trainLangId needs >= 2 languages, got ${labels.mkString(", ")}")
-    val idx = map(labels.zipWithIndex.flatMap { case (l, i) =>
-      Seq(lit(l), lit(i.toDouble)) }: _*)
-    val feats = charGramFeatures(
-      labeled.filter(col(langCol).isNotNull), textCol, numFeatures, gramN)
-      .select(col("__feat"),
-        element_at(idx, col(langCol).cast("string")).as("__label"))
-    val lr = new org.apache.spark.ml.classification.LogisticRegression()
-      .setFeaturesCol("__feat").setLabelCol("__label")
-      .setFamily("multinomial")
-      .setMaxIter(maxIter).setRegParam(regParam)
-    LangIdModel(lr.fit(feats), numFeatures, gramN, labels)
+    val base = boundedTrainInput(
+      labeled.filter(col(langCol).isNotNull), col(textCol), maxTrainRows)
+      .persist()
+    try {
+      val labels = base.select(col(langCol).cast("string")).distinct()
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+        .filter(_ != null).sorted.toSeq
+      require(labels.size >= 2,
+        s"trainLangId needs >= 2 languages, got ${labels.mkString(", ")}")
+      val idx = map(labels.zipWithIndex.flatMap { case (l, i) =>
+        Seq(lit(l), lit(i.toDouble)) }: _*)
+      val feats = charGramFeatures(base, textCol, numFeatures, gramN)
+        .select(col("__feat"),
+          element_at(idx, col(langCol).cast("string")).as("__label"))
+        .persist()
+      try {
+        feats.count() // materialize ONCE — see boundedTrainInput
+        val lr = new org.apache.spark.ml.classification.LogisticRegression()
+          .setFeaturesCol("__feat").setLabelCol("__label")
+          .setFamily("multinomial")
+          .setMaxIter(maxIter).setRegParam(regParam)
+        LangIdModel(lr.fit(feats), numFeatures, gramN, labels)
+      } finally feats.unpersist(): Unit
+    } finally base.unpersist(): Unit
   }
 
   /** Predict: (idCol, lang, confidence = max class probability rounded
