@@ -817,4 +817,24 @@ class PlanSpec extends SparkSpec {
     assert(textScans.size == 1,
       s"expected one text-reading scan of the delta, got ${textScans.size}")
   }
+
+  test("sqKnn plan: bruteKnn shape — query side broadcast, only the top-k aggregation shuffles") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = Similarity.trainSq(e)
+    val codes = Similarity.sqEncode(e, m)
+    val out = Similarity.sqKnn(e.filter(col("vec_id") < 2), codes, m, k = 3)
+    out.collect()
+    val nodes = runtimeNodes(out.queryExecution.executedPlan)
+    // the corpus-side reconstruction is a scan-side projection: the only
+    // SHUFFLE left is the bounded per-partition top-k aggregation (the
+    // query-side BroadcastExchange moves ≤ |Q| rows, not a shuffle)
+    assert(nodes.count(n =>
+      n.contains("Exchange") && !n.contains("Broadcast")) <= 1,
+      s"sqKnn shuffles beyond the bounded top-k aggregation:\n${plan(out)}")
+    assert(nodes.contains("BroadcastNestedLoopJoinExec"),
+      s"query side should broadcast (the bruteKnn shape):\n${plan(out)}")
+    assert(!nodes.contains("SortMergeJoinExec"),
+      s"sqKnn must not sort-merge:\n${plan(out)}")
+  }
 }
