@@ -255,6 +255,58 @@ object Aggregators {
     def outputEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
   }
 
+  /** One sanitized vector row flowing into [[ArrayMinMax]] (a case-class
+    * wrapper so `Encoders.product` supplies the input encoder; the
+    * caller pre-encodes null/non-finite ELEMENTS as NaN). */
+  final case class VecRow(v: Seq[Double])
+
+  /** Elementwise (min, max) buffer of [[ArrayMinMax]]: two dim-length
+    * arrays, whatever the vector width. */
+  final case class MinMaxBuf(mins: Seq[Double], maxs: Seq[Double])
+
+  /** Per-dimension (min, max) over fixed-width double arrays in ONE
+    * aggregation slot — the scalar-quantizer grid trainer's combiner
+    * ([[graft.operators.Similarity.trainSq]]). The alternative (2·dim
+    * independent min/max aggregate EXPRESSIONS over `element_at`) blows
+    * past wholestage-codegen's method budget and the driver's planner at
+    * production embedding widths (768–4096 dims = thousands of agg
+    * slots); this buffer stays two arrays at any width. NaN elements
+    * (the caller's sentinel for null/±Inf input) are skipped; a
+    * dimension that never sees a finite value finishes (+Inf, −Inf) and
+    * the caller maps it to its degenerate grid. min/max are
+    * order-insensitive, so the result is bit-identical under any
+    * partitioning. */
+  final class ArrayMinMax(dim: Int)
+    extends Aggregator[VecRow, MinMaxBuf, MinMaxBuf] {
+    def zero: MinMaxBuf = MinMaxBuf(
+      Seq.fill(dim)(Double.PositiveInfinity),
+      Seq.fill(dim)(Double.NegativeInfinity))
+    def reduce(b: MinMaxBuf, a: VecRow): MinMaxBuf = {
+      if (a == null || a.v == null) b
+      else {
+        val mn = b.mins.toArray
+        val mx = b.maxs.toArray
+        val n = math.min(dim, a.v.length)
+        var i = 0
+        while (i < n) {
+          val x = a.v(i)
+          if (!x.isNaN) {
+            if (x < mn(i)) mn(i) = x
+            if (x > mx(i)) mx(i) = x
+          }
+          i += 1
+        }
+        MinMaxBuf(mn.toIndexedSeq, mx.toIndexedSeq)
+      }
+    }
+    def merge(x: MinMaxBuf, y: MinMaxBuf): MinMaxBuf = MinMaxBuf(
+      x.mins.lazyZip(y.mins).map((a, b) => math.min(a, b)).toIndexedSeq,
+      x.maxs.lazyZip(y.maxs).map((a, b) => math.max(a, b)).toIndexedSeq)
+    def finish(r: MinMaxBuf): MinMaxBuf = r
+    def bufferEncoder: Encoder[MinMaxBuf] = Encoders.product[MinMaxBuf]
+    def outputEncoder: Encoder[MinMaxBuf] = Encoders.product[MinMaxBuf]
+  }
+
   /** Geometric mean via log-space sums (stable + mergeable). */
   object GeoMean extends Aggregator[Double, (Double, Long), Double] {
     def zero: (Double, Long) = (0.0, 0L)

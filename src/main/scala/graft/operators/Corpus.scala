@@ -571,6 +571,19 @@ object Corpus {
       "epochs", "weight")
   }
 
+  /** EXACT budget floor-division `⌊num·total / den⌋` as a Column (cast
+    * to double only AFTER the exact divide, for the downstream share
+    * arithmetic): the product runs in DECIMAL(38,0) — `num·total` can
+    * overflow a long — and the divide is the SQL `div`
+    * (IntegralDivide), whose integer floor matches the oracle's `//`
+    * exactly at any token count. A double `/` would diverge from the
+    * replayed arithmetic once the product passes 2^53. */
+  private def budgetDiv(total: Column, budgetNum: Long,
+                        budgetDen: Long): Column =
+    call_function("div",
+      lit(budgetNum).cast("decimal(38,0)") * total,
+      lit(budgetDen)).cast("double")
+
   /** [[unimaxAllocation]] as a PLAN instead of a driver round-trip:
     * the per-source census, the ascending water-fill, and the weights
     * all stay inside one logical plan, so the allocation COMPOSES into
@@ -609,11 +622,15 @@ object Corpus {
       .withColumn("__pfx", coalesce(sum(col("cap")).over(
         asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
       .withColumn("__k", count(lit(1)).over(all))
-      // integer floor division BEFORE the double cast — the driver-side
-      // form computes budget as a Long, and the replayed arithmetic
-      // must see the identical value
-      .withColumn("__b", floor(lit(budgetNum) * sum(col("tokens")).over(all)
-        / lit(budgetDen)).cast("double"))
+      // EXACT integer floor division BEFORE the double cast — the
+      // replayed arithmetic must see the identical budget value. The
+      // product is computed in DECIMAL and divided with the SQL `div`
+      // (IntegralDivide): a long product can overflow for large
+      // numerators, and Spark's `/` on longs is DOUBLE division, which
+      // diverges from the oracle's integer floor-div once the product
+      // passes 2^53 tokens.
+      .withColumn("__b", budgetDiv(sum(col("tokens")).over(all),
+        budgetNum, budgetDen))
     val share = (col("__b") - col("__pfx")) / (col("__k") - col("__i") + 1)
     val lev = withB
       .withColumn("__share", share)
@@ -666,8 +683,9 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withT = per
       .withColumn("__sumw", sum(col("__w")).over(all))
-      .withColumn("__b", floor(lit(budgetNum) * sum(col("tokens")).over(all)
-        / lit(budgetDen)).cast("double"))
+      // exact integral floor-div, as unimaxWeights ([[budgetDiv]])
+      .withColumn("__b", budgetDiv(sum(col("tokens")).over(all),
+        budgetNum, budgetDen))
     val weight = when(col("__sumw") > 0, col("__w") / col("__sumw"))
       .otherwise(lit(0.0))
     val alloc = col("__b") * weight
@@ -869,5 +887,43 @@ object Corpus {
       .join(graft.model.Joins.maybeBroadcast(srcMap), Seq("src"))
       .select(col("__srco").as(sourceCol), col("tokens"), col("kl"),
         col("js"))
+  }
+
+  /** STAGE-YIELD FUNNEL over a composed pipeline's stage boundaries —
+    * how a curation chain is actually debugged in production: one row
+    * per stage with the gate name, the doc/token mass entering and
+    * leaving it, and the drop attribution. `stages` is the ordered list
+    * of (gate name, stage-output frame, token-count column evaluated on
+    * that frame); each row's `*_in` is the PREVIOUS stage's `*_out`
+    * (the first row — conventionally the raw input census — has NULL
+    * ins and drops).
+    *
+    * Scale shape: ONE count+sum aggregation per stage (riding whatever
+    * localCheckpoint cuts the chain already materializes — counting at
+    * a materialized boundary is nearly free), unioned into a
+    * stage-count-sized frame; the in/out pairing is a lag window over
+    * those K rows (one partition BY CONSTRUCTION, the bounded-frame
+    * doctrine). No data-sized shuffle, no second pass over any stage.
+    *
+    * Output: (stage, gate, docs_in, docs_out, tokens_in, tokens_out,
+    * dropped_docs, dropped_tokens) — all counts exact longs. */
+  def stageFunnel(stages: Seq[(String, DataFrame, Column)]): DataFrame = {
+    require(stages.nonEmpty, "stageFunnel needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"stageFunnel: duplicate gate names in ${stages.map(_._1)}")
+    val perStage = stages.zipWithIndex.map { case ((gate, df, tokens), i) =>
+      df.agg(count(lit(1)).as("docs"),
+        coalesce(sum(tokens.cast("long")), lit(0L)).as("tokens"))
+        .select(lit(i + 1).as("stage"), lit(gate).as("gate"),
+          col("docs"), col("tokens"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("stage").asc)
+    perStage.select(col("stage"), col("gate"),
+      lag(col("docs"), 1).over(w).as("docs_in"),
+      col("docs").as("docs_out"),
+      lag(col("tokens"), 1).over(w).as("tokens_in"),
+      col("tokens").as("tokens_out"),
+      (lag(col("docs"), 1).over(w) - col("docs")).as("dropped_docs"),
+      (lag(col("tokens"), 1).over(w) - col("tokens")).as("dropped_tokens"))
   }
 }

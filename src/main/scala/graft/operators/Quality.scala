@@ -113,9 +113,21 @@ object Quality {
   /** Bound + parallelize a labeled training input, shared by the two
     * classifier fits: classifiers are STATISTICS, not indexes (the
     * trainCentroids doctrine) — train on a deterministic hash-thinned
-    * sample of at most `maxTrainRows` rows, spread over enough
+    * sample of ≈`maxTrainRows` rows IN EXPECTATION (the thin keys on
+    * `xxhash64(thinKey, strata)`, so duplicate (key, stratum) rows share
+    * fate and the realized sample can land above or below the target —
+    * an expectation bound, not a hard cap), spread over enough
     * partitions that every LBFGS pass parallelizes (a single-row-group
     * parquet fixture otherwise runs every evaluation on ONE core).
+    *
+    * The thin is STRATIFIED-SAFE: the minimum-hash row of every stratum
+    * (label / language) always survives, so a rare class can never be
+    * silently emptied out of the fit by the hash draw — the stratum
+    * census is one strata-sized aggregation, broadcast back. Including
+    * the stratum in the hash key also decorrelates the draw from the
+    * text column alone (a pure-text key would give every duplicate text
+    * one shared fate ACROSS labels).
+    *
     * Spark 4's `LogisticRegression.fit` no longer caches its input, so
     * the ~3·maxIter objective/gradient evaluations each re-run the full
     * featurization lineage unless the caller materializes it — the
@@ -123,15 +135,32 @@ object Quality {
     * passes, not the optimizer. Callers persist the RESULTING features
     * frame and unpersist after the fit. */
   private def boundedTrainInput(df: DataFrame, thinKey: Column,
+                                strata: Column,
                                 maxTrainRows: Long): DataFrame = {
     require(maxTrainRows > 0,
       s"maxTrainRows must be positive, got $maxTrainRows")
     val n = df.count()
     val thinned =
       if (n <= maxTrainRows) df
-      // deterministic hash thin — the same ≈maxTrainRows-row sample
-      // whatever the partitioning
-      else df.filter(pmod(xxhash64(thinKey), lit(n)) < lit(maxTrainRows))
+      else {
+        // deterministic hash thin — the same ≈maxTrainRows-row expected
+        // sample whatever the partitioning
+        val h = xxhash64(thinKey, strata)
+        val withH = df.withColumn("__bti_s", strata)
+          .withColumn("__bti_h", h)
+        // strata-sized census: every stratum's min-hash row is a
+        // guaranteed survivor (aliased key — the census is a self-join
+        // on shared lineage, and the raw groupBy key would resolve to
+        // the probe side's attribute)
+        val mins = withH.groupBy(col("__bti_s").as("__bti_s2"))
+          .agg(min("__bti_h").as("__bti_hmin"))
+        withH
+          .join(graft.model.Joins.maybeBroadcast(mins),
+            col("__bti_s") <=> col("__bti_s2"), "left")
+          .filter(pmod(col("__bti_h"), lit(n)) < lit(maxTrainRows) ||
+            col("__bti_h") === col("__bti_hmin"))
+          .drop("__bti_s", "__bti_s2", "__bti_h", "__bti_hmin")
+      }
     // ~256 rows/partition: the columnar materialization of UDT vectors
     // costs ~1 ms/row, so fill parallelism (not optimizer math) bounds
     // small-corpus training time
@@ -144,15 +173,17 @@ object Quality {
   /** Fit the classifier on a labeled corpus (`labelCol` ∈ {0, 1};
     * 1 = keep-quality). `numFeatures` is the hashing-trick width —
     * collisions degrade gracefully; 2^18 suits web-scale vocabularies.
-    * Training cost: one count + one materialized featurization over at
-    * most `maxTrainRows` sampled rows ([[boundedTrainInput]]) + the
+    * Training cost: one count + one materialized featurization over
+    * ≈`maxTrainRows` sampled rows ([[boundedTrainInput]] — a label-
+    * stratified expectation bound, both classes always survive) + the
     * `maxIter` distributed gradient aggregations. */
   def trainQualityClassifier(labeled: DataFrame, textCol: String,
                              labelCol: String, numFeatures: Int = 1 << 18,
                              maxIter: Int = 20,
                              regParam: Double = 1e-4,
                              maxTrainRows: Long = 1L << 18): QualityModel = {
-    val base = boundedTrainInput(labeled, col(textCol), maxTrainRows)
+    val base = boundedTrainInput(labeled, col(textCol), col(labelCol),
+      maxTrainRows)
     val feats = hashedFeatures(base, textCol, numFeatures)
       .select(col("__feat"), col(labelCol).cast("double").as("__label"))
       .persist()
@@ -215,8 +246,11 @@ object Quality {
 
   /** Fit language-ID on a labeled corpus (`langCol`: language tag, ≥ 2
     * distinct values; NULL-lang rows are skipped). The label inventory
-    * is a languages-sized driver collect over the (bounded, sampled)
-    * training input; training is one count + one MATERIALIZED
+    * is a languages-sized driver collect over the FULL (pre-thin)
+    * input — a rare language the hash thin would have decimated still
+    * appears in the model's label set, and the stratified thin
+    * ([[boundedTrainInput]], strata = language) guarantees it at least
+    * one training row. Training is one count + one MATERIALIZED
     * featurization ([[boundedTrainInput]] — Spark 4's fit re-runs an
     * uncached lineage ~3·maxIter times) + the `maxIter` distributed
     * gradient aggregations. */
@@ -225,11 +259,12 @@ object Quality {
                   maxIter: Int = 20, regParam: Double = 1e-4,
                   maxTrainRows: Long = 1L << 18): LangIdModel = {
     require(gramN >= 1, s"gramN must be positive, got $gramN")
-    val base = boundedTrainInput(
-      labeled.filter(col(langCol).isNotNull), col(textCol), maxTrainRows)
+    val full = labeled.filter(col(langCol).isNotNull)
+    val base = boundedTrainInput(full, col(textCol), col(langCol),
+      maxTrainRows)
       .persist()
     try {
-      val labels = base.select(col(langCol).cast("string")).distinct()
+      val labels = full.select(col(langCol).cast("string")).distinct()
         .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
         .filter(_ != null).sorted.toSeq
       require(labels.size >= 2,

@@ -389,6 +389,120 @@ object Sampling {
           .as("seq_last"))
   }
 
+  /** DOC-BOUNDARY-RESPECTING sequence packing — the other standard
+    * export shape next to [[packSequences]]: no document ever crosses a
+    * sequence boundary (the instruction-tuning / contamination-sensitive
+    * pretraining contract), short docs are bin-packed to bound padding
+    * waste, and the whole assignment is deterministic, exact-integral,
+    * and SQL-replayable (no sequential first-fit state).
+    *
+    * The algorithm is harmonic length-bucketing: a doc of `len` tokens
+    * (0 < len ≤ seqLen) lands in bucket `b = seqLen div len` — b docs of
+    * its bucket always fit one sequence (each is ≤ seqLen div b tokens),
+    * so bucket b fills sequences b docs at a time in the deterministic
+    * md5-shuffled (hash, id) order. Every FULL sequence of bucket b is
+    * > b/(b+1) full (each doc is > seqLen/(b+1) tokens), so padding
+    * waste per full sequence is < seqLen/(b+1) — the worst case is the
+    * (seqLen/2, seqLen] bucket at < half a sequence, exactly the bound
+    * first-fit-decreasing gives without its sequential scan. Sequences
+    * number densely: buckets ascending, then fill order within the
+    * bucket; at most one partial (under-filled beyond the bound)
+    * sequence exists per OCCUPIED bucket.
+    *
+    * Docs longer than `seqLen` have no boundary-respecting assignment:
+    * they fail BY NAME unless `truncate = true` caps them at `seqLen`
+    * (the output's `n_tokens` is the KEPT count). Zero-token docs get a
+    * NULL (seq, off) — they occupy no interval, the [[packSequences]]
+    * convention.
+    *
+    * Output per doc: `n_tokens`, `seq` (global 0-based sequence id),
+    * `off` (token offset inside the sequence; `off + n_tokens ≤
+    * seqLen` always).
+    *
+    * Scale shape: one exact distributed rank ([[Layout.prefixSum]] over
+    * (bucket, hash, id) — range partition + keyed windows, no global
+    * sort), ONE bucket census collect (⌊seqLen/len⌋ takes ≤ ~2·√seqLen
+    * distinct values — the classic divisor bound, a property of seqLen,
+    * not the corpus), and one window KEYED by the sequence id (≤ seqLen
+    * rows per partition by construction) for the in-sequence offsets.
+    * Ids must be unique (the rank tie-breaker, as [[curriculumShards]]). */
+  def packSequencesBinned(df: DataFrame, idCol: String, tokenCol: Column,
+                          seqLen: Long, salt: String = "",
+                          truncate: Boolean = false,
+                          numPartitions: Option[Int] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val raw = tokenCol.cast("long")
+    val nonNeg = when(raw < 0, raise_error(concat(
+      lit("packSequencesBinned: negative token count for "),
+      col(idCol).cast("string")))).otherwise(raw)
+    val bounded =
+      if (truncate) least(nonNeg, lit(seqLen))
+      else when(nonNeg > seqLen, raise_error(concat(
+        lit("packSequencesBinned: document "), col(idCol).cast("string"),
+        lit(s" exceeds seqLen=$seqLen tokens and truncate=false — no " +
+          "boundary-respecting assignment exists; chunk it first or " +
+          "pass truncate=true"))).cast("long"))
+        .otherwise(nonNeg)
+    val keyed = df.select(col(idCol), bounded.as("n_tokens"))
+      .withColumn("__u", hashUniform(col(idCol), salt))
+      .withColumn("__bkt",
+        expr(s"CASE WHEN n_tokens > 0 THEN ${seqLen}L div n_tokens END"))
+      .withColumn("__one", lit(1L))
+    // exact global 1-based rank in (bucket asc nulls-first, hash, id)
+    // order — within a bucket this is the deterministic fill order
+    val ranked = graft.operators.Layout.prefixSum(keyed,
+      Seq("__bkt", "__u", idCol), "__one", "__rk", numPartitions)
+    // bucket census: ≤ ~2·√seqLen + 1 rows (divisor-count bound) — the
+    // collect is bounded by the seqLen CHOICE, independent of corpus size
+    val counts = ranked.groupBy("__bkt").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        r.getLong(1))
+      .sortBy(_._1.getOrElse(Long.MinValue)) // NULL bucket ranks first
+    // driver cumsums over the census: each bucket's global row offset
+    // (rows of every earlier bucket in rank order, NULL group included)
+    // and its first global sequence id (sequences number buckets
+    // ascending; bucket b mints ceil(count/b) of them)
+    var rowAcc = 0L
+    var seqAcc = 0L
+    val rowOff = Map.newBuilder[Long, Long]
+    val seqOff = Map.newBuilder[Long, Long]
+    counts.foreach { case (bOpt, c) =>
+      bOpt.foreach { b =>
+        rowOff += b -> rowAcc
+        seqOff += b -> seqAcc
+        seqAcc += (c + b - 1) / b
+      }
+      rowAcc += c
+    }
+    val rowOffLit = typedLit(rowOff.result())
+    val seqOffLit = typedLit(seqOff.result())
+    // 0-based rank within the bucket → which of the bucket's sequences
+    // (exact integral div, the oracle's `//`)
+    val rkInBucket = col("__rk") - lit(1L) -
+      element_at(rowOffLit, col("__bkt"))
+    val seqId = when(col("n_tokens") > 0,
+      element_at(seqOffLit, col("__bkt")) +
+        call_function("div", rkInBucket, col("__bkt")))
+    val withSeq = ranked.withColumn("seq", seqId)
+    // in-sequence offsets: a window KEYED by seq (≤ bucket-capacity ≤
+    // seqLen rows per partition). Zero-token docs are kept OUT of the
+    // window input — they would otherwise pool into one NULL-seq
+    // partition of unbounded size.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seq"))
+      .orderBy(col("__u").asc, col(idCol).asc)
+    val packed = withSeq.filter(col("seq").isNotNull)
+      .withColumn("off", coalesce(
+        sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val empty = withSeq.filter(col("seq").isNull)
+      .withColumn("off", lit(null).cast("long"))
+    packed.unionByName(empty)
+      .select(col(idCol), col("n_tokens"), col("seq"), col("off"))
+  }
+
   /** Materialize [[shuffleShards]] as the on-disk training export:
     * parquet hive-partitioned by `shard`, with each shard's rows laid
     * down in `pos` order (repartition on the shard key →

@@ -458,6 +458,7 @@ object Similarity {
           explode(topCells(col("cv"), cents, math.max(replicate, 1))))
         .repartition(col("cell")) // one writer per cell: ~nlist files, not tasks x cells
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+      stampBuild(spark, path)
     } finally cBuild.unpersist(): Unit
   }
 
@@ -650,6 +651,127 @@ object Similarity {
       else base
     saveIvfIndex(all.distinct(), newPath, nlist, kmeansIters, replicate,
       cId = "neighbor_id", cVec = "cv")
+  }
+
+  /** HEALTH / STALENESS report for any stored index layout
+    * ([[saveIvfIndex]] / [[saveIvfPqIndex]] / [[saveIvfSqIndex]]) — the
+    * operator a 100 TB serving owner runs to know WHEN to
+    * [[rebuildIvfIndex]], turning the append paths' "rebuild once
+    * appended volume rivals the corpus" contract from a comment into a
+    * measurement. Entirely METADATA-SIZED: cell row counts come from
+    * the parquet FOOTERS (one footer read per file, ~nlist + appended
+    * files), never a data scan; centroid/grid/codebook reads are the
+    * same bounded reads the probe paths do.
+    *
+    *  - per-cell population skew: min / median / max / p99 of rows per
+    *    cell, plus empty-cell count — a hot cell is a slow probe and a
+    *    k-means drift symptom;
+    *  - appended-vs-base fraction: files whose modification time
+    *    post-dates the build-completion stamp ([[stampBuild]], dropped
+    *    by every save path and never touched by appends) count as
+    *    appended, plus everything under the streaming `appends/` dir;
+    *  - `recommend_rebuild` wires the [[appendToIvfIndex]] /
+    *    [[rebuildIvfIndex]] advice: true once the appended fraction
+    *    reaches 1/2 (appended volume rivals the base corpus) or the
+    *    hottest cell exceeds 8× the median (the distribution no longer
+    *    matches the centroids), with the firing reason spelled out.
+    *
+    * Output: ONE row — (layout, nlist, dim, cells_occupied,
+    * cells_empty, rows_total, rows_base, rows_appended, appended_frac,
+    * cell_rows_min, cell_rows_median, cell_rows_p99, cell_rows_max,
+    * recommend_rebuild, reason). */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val cents = readCentroids(spark, path)
+    val nlist = cents.length
+    val dim = cents.head.length
+    val corpusDir = new HPath(s"$path/corpus")
+    val fs = corpusDir.getFileSystem(conf)
+    require(fs.exists(corpusDir),
+      s"$path/corpus does not exist — not a stored index layout")
+    // build time = the [[stampBuild]] marker, written AFTER the base
+    // corpus lands (the centroids' timestamp predates the corpus write)
+    // and never touched by appends. A legacy layout without the stamp
+    // cannot attribute appends — everything reports as base
+    // (Long.MaxValue sentinel), never as spurious drift.
+    val stampPath = new HPath(s"$path/corpus/_build_stamp")
+    val buildTime =
+      if (fs.exists(stampPath))
+        fs.getFileStatus(stampPath).getModificationTime
+      else Long.MaxValue
+    def footerRows(st: FileStatus): Long = {
+      val rf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf))
+      try rf.getRecordCount finally rf.close()
+    }
+    def parquetFiles(dir: HPath): Seq[FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) parquetFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    // cell id from the hive partition dir name (cell=N)
+    def cellOf(st: FileStatus): Option[Int] = {
+      val parent = st.getPath.getParent.getName
+      if (parent.startsWith("cell=")) scala.util.Try(
+        parent.stripPrefix("cell=").toInt).toOption
+      else None
+    }
+    val files = parquetFiles(corpusDir)
+    require(files.nonEmpty, s"$path/corpus holds no parquet files")
+    val perFile = files.map(st =>
+      (cellOf(st), footerRows(st), st.getModificationTime > buildTime))
+    val perCell = perFile.groupBy(_._1).collect {
+      case (Some(c), fsOfCell) => c -> fsOfCell.map(_._2).sum
+    }
+    val occupied = perCell.count(_._2 > 0)
+    val cellCounts = perCell.values.toArray.sorted
+    def pct(p: Double): Long =
+      if (cellCounts.isEmpty) 0L
+      else cellCounts(math.min(cellCounts.length - 1,
+        math.ceil(p * cellCounts.length).toInt - 1).max(0))
+    val total = perFile.map(_._2).sum
+    val appendedInPlace = perFile.collect { case (_, n, true) => n }.sum
+    // streaming appends dir (the DocStreaming twin's micro-batches)
+    val appendsDir = new HPath(s"$path/appends")
+    val appendedStream =
+      if (fs.exists(appendsDir)) parquetFiles(appendsDir).map(footerRows).sum
+      else 0L
+    val appended = appendedInPlace + appendedStream
+    val all = total + appendedStream
+    val appendedFrac =
+      if (all == 0) 0.0 else appended.toDouble / all
+    val median = pct(0.5)
+    val hottest = if (cellCounts.isEmpty) 0L else cellCounts.last
+    val layout =
+      if (fs.exists(new HPath(s"$path/sq"))) "ivf-sq8"
+      else if (fs.exists(new HPath(s"$path/pq"))) "ivf-pq"
+      else "ivf-flat"
+    val reasons = Seq(
+      if (appendedFrac >= 0.5)
+        Some(f"appended fraction $appendedFrac%.2f >= 0.5 — appended " +
+          "volume rivals the base corpus (frozen centroids/grid fit a " +
+          "shifted distribution; rebuildIvfIndex at a NEW path)")
+      else None,
+      if (median > 0 && hottest > 8 * median)
+        Some(s"hottest cell $hottest rows > 8x median $median — cell " +
+          "population has drifted from the centroids (probe latency " +
+          "skews; retrain)")
+      else None).flatten
+    import spark.implicits._
+    Seq((layout, nlist, dim, occupied, nlist - occupied,
+      all, all - appended, appended,
+      math.rint(appendedFrac * 1e4) / 1e4,
+      if (cellCounts.isEmpty) 0L else cellCounts.head, median,
+      pct(0.99), hottest,
+      reasons.nonEmpty, if (reasons.isEmpty) "healthy" else reasons.mkString("; ")))
+      .toDF("layout", "nlist", "dim", "cells_occupied", "cells_empty",
+        "rows_total", "rows_base", "rows_appended", "appended_frac",
+        "cell_rows_min", "cell_rows_median", "cell_rows_p99",
+        "cell_rows_max", "recommend_rebuild", "reason")
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
@@ -919,13 +1041,29 @@ object Similarity {
   }
 
   /** Shared cell-partitioned code write: one writer per cell (~nlist
-    * files, not tasks × cells). */
+    * files, not tasks × cells). An "overwrite" (= index build) finishes
+    * by dropping the [[stampBuild]] marker so [[indexHealth]] can
+    * attribute later in-place appends. */
   private def writeCellCodes(assigned: DataFrame, codes: Column,
                              codeName: String, path: String,
-                             saveMode: String): Unit =
+                             saveMode: String): Unit = {
     assigned.select(col("neighbor_id"), codes.as(codeName), col("cell"))
       .repartition(col("cell"))
       .write.mode(saveMode).partitionBy("cell").parquet(s"$path/corpus")
+    if (saveMode == "overwrite") stampBuild(assigned.sparkSession, path)
+  }
+
+  /** Drop the build-completion marker `corpus/_build_stamp`: written
+    * AFTER the base corpus lands (the centroids' timestamp is useless —
+    * they are written BEFORE the corpus), never touched by the append
+    * paths, so any corpus file newer than it was appended post-build.
+    * [[indexHealth]] reads it for the appended-vs-base split. */
+  private def stampBuild(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/corpus/_build_stamp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(p, true).close()
+  }
 
   def saveIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
                      m: Int = 8, ksub: Int = 16, kmeansIters: Int = 3,
@@ -1039,8 +1177,14 @@ object Similarity {
     // contract), so the probed cell set is collected and pushed into the
     // scan as a literal IN — guaranteed whole-partition pruning,
     // independent of the dynamic-pruning heuristics (which decline
-    // local-relation build sides)
-    val probedCells = probed.select("cell").distinct().collect()
+    // local-relation build sides). The probe frame is MATERIALIZED
+    // first (eager, |Q|·nprobe rows) so the collected cell set and the
+    // joined probe rows come from ONE evaluation — a nondeterministic
+    // query lineage (sample/limit over multiple files) re-executed in
+    // the join could otherwise carry cells the literal filter excluded,
+    // silently dropping candidates.
+    val probedM = probed.localCheckpoint(true)
+    val probedCells = probedM.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
     // self-enforcing bound on the driver-side literal: the collected set
     // is CELLS, not queries — capped by nlist regardless of how many
@@ -1051,7 +1195,7 @@ object Similarity {
     val dist = col("qres2") +
       graft.functions.AnnExpressions.adcSum(col("dtab"), col("pq_code"))
     val scored = stored.filter(col("cell").isin(probedCells: _*))
-      .join(broadcast(probed), "cell")
+      .join(broadcast(probedM), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), (-dist).as("score"))
       // a replicated neighbor reached via two cells carries two residual
@@ -1152,10 +1296,14 @@ object Similarity {
   }
 
   /** Learn the per-dimension (min, span) grid: ONE distributed
-    * aggregation with 2·dim partial min/max slots — no shuffle of the
+    * aggregation whose buffer is two dim-length arrays
+    * ([[graft.model.Aggregators.ArrayMinMax]]) — no shuffle of the
     * vectors, no explode (an n×dim position explode would shuffle the
-    * whole corpus). min/max are order-insensitive, so the model is
-    * bit-identical however the corpus is partitioned.
+    * whole corpus), and no per-dimension aggregate expressions (2·dim
+    * min/max slots blow past wholestage-codegen's method budget and the
+    * driver planner at production embedding widths, 768–4096). min/max
+    * are order-insensitive, so the model is bit-identical however the
+    * corpus is partitioned.
     *
     * Non-finite elements (NaN from a zero-vector normalization upstream,
     * ±Inf) are EXCLUDED from the stats: Spark's max orders NaN greatest,
@@ -1170,17 +1318,21 @@ object Similarity {
     val dim = probe(0).getInt(0)
     require(dim > 0, "trainSq: zero-length vectors")
     val v = col(vecCol).cast("array<double>")
-    // abs(x) < Inf is false for NaN (NaN compares greatest in Spark SQL)
-    // and for ±Inf — one predicate screens both
-    def fin(c: Column): Column =
-      when(abs(c) < lit(Double.PositiveInfinity), c)
-    val aggs = (1 to dim).flatMap(i =>
-      Seq(min(fin(element_at(v, i))), max(fin(element_at(v, i)))))
-    val r = corpus.agg(aggs.head, aggs.tail: _*).head()
+    // abs(x) < Inf is false for NaN (NaN compares greatest in Spark SQL),
+    // ±Inf, AND null — one predicate screens all three; the combiner's
+    // skip sentinel is NaN
+    val sanitized = transform(v, x =>
+      when(abs(x) < lit(Double.PositiveInfinity), x)
+        .otherwise(lit(Double.NaN)))
+    val mm = udaf(new graft.model.Aggregators.ArrayMinMax(dim),
+      org.apache.spark.sql.Encoders.product[graft.model.Aggregators.VecRow])
+    val r = corpus.agg(mm(sanitized).as("mm")).head().getStruct(0)
+    val rawMins = r.getSeq[Double](0)
+    val rawMaxs = r.getSeq[Double](1)
     val mins = Array.tabulate(dim)(i =>
-      if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i))
+      if (rawMins(i).isInfinite) 0.0 else rawMins(i))
     val spans = Array.tabulate(dim)(i =>
-      if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1) - mins(i))
+      if (rawMaxs(i).isInfinite) 0.0 else rawMaxs(i) - mins(i))
     SqModel(mins, spans)
   }
 
@@ -1348,13 +1500,18 @@ object Similarity {
     require(stored.columns.contains("sq_code"),
       s"$path/corpus lacks sq_code — not a saveIvfSqIndex layout " +
         "(use ivfKnnStored / ivfPqKnnStored for those)")
-    val probedCells = probed.select("cell").distinct().collect()
+    // materialize the probe frame before collecting its cell set — one
+    // evaluation feeds both the literal IN filter and the join, so a
+    // nondeterministic query lineage can't carry cells the filter
+    // excluded (the ivfPqKnnStored contract)
+    val probedM = probed.localCheckpoint(true)
+    val probedCells = probedM.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
     require(probedCells.size <= cents.length,
       s"probed cell set (${probedCells.size}) exceeds nlist " +
         s"(${cents.length}) — corrupt index layout at $path?")
     val scored = stored.filter(col("cell").isin(probedCells: _*))
-      .join(broadcast(probed), "cell")
+      .join(broadcast(probedM), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("base") +

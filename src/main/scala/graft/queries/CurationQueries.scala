@@ -408,8 +408,18 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
   //        doc count, token mass, and the source's UniMax weight —
   //        drift in ANY stage or stage boundary fails one hash.
   // -------------------------------------------------------------------
-  def q143(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Corpus, Decontaminate, Dedup, Quality, Sampling}
+  /** The v4 chain's stage frames, shared by q143 (final shard output)
+    * and q152 (stage-yield funnel) so the two oracle rows can never
+    * drift apart: both count/aggregate the SAME frames at the SAME
+    * localCheckpoint'ed boundaries. */
+  private[queries] final case class V4Stages(
+      input: DataFrame, extracted: DataFrame, en: DataFrame,
+      kept: DataFrame, fixed: DataFrame, para: DataFrame,
+      regated: DataFrame, sized: DataFrame, deduped: DataFrame,
+      trainSide: DataFrame, cleaned: DataFrame)
+
+  private[queries] def v4Stages(s: SparkSession, dir: String): V4Stages = {
+    import graft.operators.{Decontaminate, Dedup, Quality}
     val t = docs(s, dir)
       .select(col("doc_id"), col("source"),
         TextFunctions.tokens(col("text")).as("ts"))
@@ -466,17 +476,29 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     val deduped = Dedup.dropNearDupsKeepBest(sized, pairs,
       "doc_id", "n_chars2")
     val evalDocs = docs(s, dir).where(col("source") === "src0")
+    val trainSide = deduped.where(col("source") =!= "src0")
     val cleaned = Decontaminate.removeContaminatedSpans(
-      deduped.where(col("source") =!= "src0"), evalDocs,
+      trainSide, evalDocs,
       "doc_id", "text", minTokens = 12)
       .localCheckpoint(true)
+    V4Stages(t, extracted, en, kept, fixed, para, regated, sized,
+      deduped, trainSide, cleaned)
+  }
+
+  private[queries] def v4Toks(c: Column): Column =
+    array_remove(TextFunctions.tokens(c), "")
+
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Sampling}
+    val st = v4Stages(s, dir)
+    val cleaned = st.cleaned
     val alloc = Corpus.unimaxWeights(cleaned, "source",
-      size(toksOf(col("text"))), budgetNum = 3L, budgetDen = 2L,
+      size(v4Toks(col("text"))), budgetNum = 3L, budgetDen = 2L,
       maxEpochs = 2.0)
     val sharded = Sampling.shuffleShards(cleaned, "doc_id", numShards = 8)
     val out = sharded.groupBy("shard", "source").agg(
       count(lit(1)).as("n_docs"),
-      sum(size(toksOf(col("text"))).cast("long")).as("total_tokens"))
+      sum(size(v4Toks(col("text"))).cast("long")).as("total_tokens"))
       .join(alloc.select(col("source"), col("weight")), Seq("source"))
     sorted(out.select(col("shard"), col("source"), col("n_docs"),
       col("total_tokens"), col("weight")))
@@ -583,14 +605,17 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST""".stripMargin
 
-  /** q143's oracle: every stage replayed in SQL — plant, block-aware
-    * extraction, stopword language-ID, Gopher rules, within-doc then
-    * cross-doc line dedup with renumbered positions, the length
-    * re-gate, exact-Jaccard pairs + recursive closure + keep-best, the
-    * 12-gram decontamination islands, the UniMax water-fill, and the
-    * md5 shard assignment. Built programmatically so the language
-    * profiles stay single-sourced from [[TextFunctions.langProfiles]]. */
-  val q143Sql: String = {
+  /** The v4 chain's oracle CTE prefix: every stage replayed in SQL —
+    * plant, block-aware extraction, stopword language-ID, Gopher rules,
+    * within-doc then cross-doc line dedup with renumbered positions,
+    * the length re-gate, exact-Jaccard pairs + recursive closure +
+    * keep-best, the 12-gram decontamination islands, the UniMax
+    * water-fill, and the md5 shard assignment. Built programmatically
+    * so the language profiles stay single-sourced from
+    * [[TextFunctions.langProfiles]]. Shared by q143 (final select) and
+    * q152 (funnel select) — the two oracles read the SAME stage CTEs,
+    * mirroring the shared [[v4Stages]] on the Spark side. */
+  private[queries] val q143Ctes: String = {
     val profs = TextFunctions.langProfiles.sortBy(_._1)
     val hitExprs = profs.map { case (l, ws) =>
       val lst = ws.map(w => s"'$w'").mkString(", ")
@@ -840,7 +865,11 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
       |           AS BIGINT) / 1152921504606846976.0 * 8), 7) AS INT) AS shard
       |  FROM cln
-      |)
+      |)""".stripMargin
+  }
+
+  val q143Sql: String = q143Ctes +
+    """
       |SELECT shard, sh.source, count(*) AS n_docs,
       |       CAST(sum(ntok) AS BIGINT) AS total_tokens,
       |       w.weight
@@ -848,7 +877,6 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |GROUP BY shard, sh.source, w.weight
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // q104 — IMPORTANCE RESAMPLING toward a target distribution (the DSIR
@@ -1993,4 +2021,141 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |       CAST(sum(n_words) AS BIGINT) AS total_tokens
       |FROM sh GROUP BY 1
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q151 — DOC-BOUNDARY-RESPECTING sequence packing (the other standard
+  //        export shape next to q144's boundary-splitting concat): docs
+  //        harmonic-bucketed by b = seqLen div len (b docs of bucket b
+  //        always fit one sequence), filled in deterministic md5 order,
+  //        sequences numbered densely across buckets. seqLen = 64 with
+  //        truncate on, so the corpus's 65..99-token docs exercise the
+  //        truncation contract (n_tokens reports the KEPT count) inside
+  //        the oracle. The oracle replays the bucket arithmetic, the
+  //        per-bucket rank, the dense sequence numbering, and every
+  //        in-sequence offset — a drifted assignment anywhere fails the
+  //        hash.
+  // -------------------------------------------------------------------
+  def q151(s: SparkSession, dir: String): DataFrame =
+    sorted(Sampling.packSequencesBinned(docs(s, dir), "doc_id",
+      TextFunctions.nTokens(col("text")), seqLen = 64, truncate = true)
+      .select("doc_id", "n_tokens", "seq", "off"))
+
+  val q151Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT),
+      |          64) AS n,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |         AS BIGINT) / 1152921504606846976.0 AS u
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, n, u, 64 // n AS bkt FROM t WHERE n > 0
+      |), r AS (
+      |  SELECT doc_id, n, u, bkt,
+      |    row_number() OVER (PARTITION BY bkt ORDER BY u, doc_id) - 1 AS rk
+      |  FROM b
+      |), so AS (
+      |  SELECT bkt, count(*) AS c FROM r GROUP BY 1
+      |), so2 AS (
+      |  SELECT bkt,
+      |    coalesce(sum((c + bkt - 1) // bkt) OVER (ORDER BY bkt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS soff
+      |  FROM so
+      |), sq AS (
+      |  SELECT r.doc_id, r.n, r.u, so2.soff + r.rk // r.bkt AS seq
+      |  FROM r JOIN so2 USING (bkt)
+      |), o AS (
+      |  SELECT doc_id, n, seq,
+      |    coalesce(sum(n) OVER (PARTITION BY seq ORDER BY u, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM sq
+      |)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(seq AS BIGINT) AS seq, CAST(off AS BIGINT) AS off
+      |FROM o
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS BIGINT), NULL, NULL FROM t WHERE n = 0
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q152 — CURATION STAGE-YIELD FUNNEL: the v4 chain's per-stage
+  //        debugging view — one row per stage boundary with docs/tokens
+  //        in and out and the drop attribution, counted at the SAME
+  //        localCheckpoint'ed frames q143 aggregates (shared v4Stages
+  //        helper), so the funnel's leaf row and q143's totals cannot
+  //        drift apart. The oracle replays every stage count from the
+  //        SAME CTE chain as q143's oracle — a drifted gate anywhere
+  //        fails one of the two hashes.
+  // -------------------------------------------------------------------
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Corpus
+    val st = v4Stages(s, dir)
+    def tok = size(v4Toks(col("text"))).cast("long")
+    sorted(Corpus.stageFunnel(Seq(
+      ("input", st.input, size(col("ts")).cast("long")),
+      ("extract", st.extracted, tok),
+      ("langid", st.en, tok),
+      ("gopher", st.kept, tok),
+      ("line_dedup", st.fixed, tok),
+      ("paragraph_dedup", st.para, tok),
+      ("regate", st.regated, tok),
+      ("near_dup", st.deduped, tok),
+      ("drop_eval_source", st.trainSide, tok),
+      ("decontaminate", st.cleaned, tok))))
+  }
+
+  val q152Sql: String = q143Ctes +
+    """
+      |, lr AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |         string_agg(para, chr(10) ORDER BY np) AS text
+      |  FROM k1 GROUP BY 1, 2
+      |), fun AS MATERIALIZED (
+      |  SELECT 1 AS stage, 'input' AS gate, count(*) AS docs,
+      |         CAST(sum(len(ts)) AS BIGINT) AS tokens FROM t
+      |  UNION ALL
+      |  SELECT 2, 'extract', count(*),
+      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
+      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM x
+      |  UNION ALL
+      |  SELECT 3, 'langid', count(*),
+      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
+      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM en
+      |  UNION ALL
+      |  SELECT 4, 'gopher', count(*),
+      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
+      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM kept
+      |  UNION ALL
+      |  SELECT 5, 'line_dedup', count(*),
+      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
+      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM lr
+      |  UNION ALL
+      |  SELECT 6, 'paragraph_dedup', count(*),
+      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
+      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM reb
+      |  UNION ALL
+      |  SELECT 7, 'regate', count(*),
+      |         CAST(sum(len(tks)) AS BIGINT) FROM rg
+      |  UNION ALL
+      |  SELECT 8, 'near_dup', count(*),
+      |         CAST(sum(len(tks)) AS BIGINT) FROM dd
+      |  UNION ALL
+      |  SELECT 9, 'drop_eval_source', count(*),
+      |         CAST(sum(len(tks)) AS BIGINT) FROM dd WHERE source <> 'src0'
+      |  UNION ALL
+      |  SELECT 10, 'decontaminate', count(*),
+      |         CAST(sum(ntok) AS BIGINT) FROM cln
+      |)
+      |SELECT CAST(stage AS INT) AS stage, gate,
+      |       lag(docs) OVER (ORDER BY stage) AS docs_in,
+      |       docs AS docs_out,
+      |       lag(tokens) OVER (ORDER BY stage) AS tokens_in,
+      |       tokens AS tokens_out,
+      |       lag(docs) OVER (ORDER BY stage) - docs AS dropped_docs,
+      |       lag(tokens) OVER (ORDER BY stage) - tokens AS dropped_tokens
+      |FROM fun
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+      |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST,
+      |         7 NULLS FIRST, 8 NULLS FIRST""".stripMargin
 }

@@ -159,6 +159,8 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q147_rp_knn", q147 _, q147Sql), // verdict + Round14Spec JL laws
     ("q148_bucketed_join", q148 _, q148Sql),
     ("q149_ivfsq_stored", q149 _, q149Sql), // verdict + Round14Spec SQ laws
-    ("q150_temperature_mix", q150 _, q150Sql)
+    ("q150_temperature_mix", q150 _, q150Sql),
+    ("q151_packed_binned", q151 _, q151Sql),
+    ("q152_curation_funnel", q152 _, q152Sql)
   )
 }
