@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   * shows up as ~factor× over the bound, not 1.5×.
   */
 object ScaleProbe {
+
+  /** Replica construction shared with [[ScaleTail]]: fresh ids and
+    * REPLICA-DISJOINT shingles (every token suffixed with the replica
+    * number — group-ref replacement, token count and per-row cost
+    * unchanged), so no n-gram is shared across replicas and pair-based
+    * steps replicate linearly BY CONSTRUCTION; see the main() comment. */
+  def replicateDocs(docs1: DataFrame, n: Int): DataFrame =
+    docs1.sparkSession.range(n).toDF("rep").crossJoin(docs1)
+      .select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1_"), col("rep").cast("string"))).as("text"))
+
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 8
     require(factor >= 1, s"replication factor must be >= 1, got $factor")
@@ -57,11 +69,7 @@ object ScaleProbe {
     // is suffixed too, keeping the 1x and Nx workloads cost-identical
     // per row; within a replica the corpus's own near-dup structure is
     // preserved.
-    def docsN(n: Int): DataFrame =
-      spark.range(n).toDF("rep").crossJoin(docs1)
-        .select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
-          regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1_"), col("rep").cast("string"))).as("text"))
+    def docsN(n: Int): DataFrame = replicateDocs(docs1, n)
 
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // the embedding perturbation rotates by the replica index, so offsets

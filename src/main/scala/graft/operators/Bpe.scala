@@ -171,6 +171,208 @@ object Bpe {
         .join(dictT.select("w"), Seq("w"), "left_anti"), model))
   }
 
+  // ===================================================================
+  // Unigram language-model tokenizer (Kudo, ACL 2018 — the SentencePiece
+  // "unigram" algorithm), the second of the two standard subword
+  // trainers next to [[trainBpe]]. Same production scale shape: ONE
+  // distributed tokenize+count scan builds the bounded word-frequency
+  // dictionary; training then runs EM over the DICTIONARY — the E-step
+  // is a per-word Viterbi against the BROADCAST vocabulary
+  // (mapPartitions over the dictionary frame, sanctioned exactly like
+  // [[oovSegmentTable]]: per-element JVM dynamic programming over a
+  // vocabulary-bounded relation), the M-step is one token-count
+  // aggregation per round. At 100 TB the corpus is read once;
+  // everything after is O(dictionary · rounds).
+  //
+  // DETERMINISM over fidelity-to-paper where they conflict: this is
+  // Viterbi (hard) EM — each word contributes its single best
+  // segmentation, so the M-step counts are INTEGRAL (frequency-weighted
+  // longs), summation order cannot perturb them, and the trained
+  // vocabulary is bit-identical under any partitioning (the trainBpe
+  // doctrine; soft-EM posterior fractions would re-associate). Viterbi
+  // ties break (score, then fewer tokens, then lexicographic token
+  // stream) so segmentation itself is total-ordered.
+  // ===================================================================
+
+  /** A trained unigram-LM tokenizer: `pieces` (token → log-probability,
+    * sorted by token) and the training dictionary's segmentation. */
+  final case class UnigramModel(pieces: Map[String, Double],
+                                dictSegments: Map[String, Seq[String]]) {
+    /** Unknown-character penalty: below every real piece's log-prob, so
+      * an unknown char never outcompetes a known piece covering it. */
+    private val unkLp =
+      (if (pieces.isEmpty) 0.0 else pieces.values.min) - 100.0
+
+    /** Viterbi-best segmentation under the trained piece probabilities.
+      * Characters outside the vocabulary become single-char tokens at
+      * the unknown penalty (SentencePiece's unk semantics). Ties break
+      * deterministically: higher score, then fewer tokens, then the
+      * lexicographically smaller final piece (evaluated left-to-right,
+      * so the full chain is total-ordered). */
+    def segment(word: String): Seq[String] = {
+      if (word.isEmpty) return Seq.empty
+      val n = word.length
+      val maxLen = if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
+      // dp(i): best (score, tokens, lastPieceStart) for prefix of length i
+      val score = Array.fill(n + 1)(Double.NegativeInfinity)
+      val toks = Array.fill(n + 1)(Int.MaxValue)
+      val back = Array.fill(n + 1)(-1)
+      score(0) = 0.0; toks(0) = 0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - math.max(maxLen, 1))
+        while (j < i) {
+          if (score(j) != Double.NegativeInfinity) {
+            val piece = word.substring(j, i)
+            val lp = pieces.getOrElse(piece,
+              if (i - j == 1) unkLp else Double.NegativeInfinity)
+            if (lp != Double.NegativeInfinity) {
+              val s = score(j) + lp
+              val t = toks(j) + 1
+              val better = s > score(i) ||
+                (s == score(i) && (t < toks(i) ||
+                  (t == toks(i) && back(i) >= 0 &&
+                    piece < word.substring(back(i), i))))
+              if (better) { score(i) = s; toks(i) = t; back(i) = j }
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val out = List.newBuilder[String]
+      var p = n
+      val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (p > 0) { rev += word.substring(back(p), p); p = back(p) }
+      rev.reverse.foreach(out += _)
+      out.result()
+    }
+  }
+
+  /** Train a unigram-LM vocabulary of (at most) `vocabSize` pieces.
+    *
+    *  1. ONE distributed tokenize + word-count scan; the `maxDictWords`
+    *     most frequent words (freq desc, word asc) form the dictionary
+    *     — the [[trainBpe]] shape.
+    *  2. SEED: every substring of a dictionary word up to `maxPieceLen`
+    *     chars, scored by Σ freq over its occurrences; all single
+    *     characters survive unconditionally (coverage), the top
+    *     `seedSize` multi-char candidates by (score desc, token asc)
+    *     join them. Driver-side over the bounded dictionary.
+    *  3. `emRounds` rounds of Viterbi-EM: E — per-word best
+    *     segmentation against the broadcast vocabulary, distributed
+    *     over the persisted dictionary frame; M — ONE (token, Σ freq)
+    *     aggregation (integral counts). Each round keeps the single
+    *     chars plus the top multi-char pieces by (count desc, token
+    *     asc), shrinking by `shrink` per round but never below
+    *     `vocabSize` (the final round cuts exactly to it); zero-count
+    *     pieces drop (Viterbi never used them).
+    *
+    * Log-probs are `log(count / total)` from the final round, rounded
+    * to 12 decimals so the stored model is digit-stable across JVMs. */
+  def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
+                   maxDictWords: Int = 65536, maxPieceLen: Int = 8,
+                   seedSize: Int = 1 << 14, emRounds: Int = 4,
+                   shrink: Double = 0.75): UnigramModel = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    require(shrink > 0 && shrink <= 1, s"shrink must be in (0, 1], got $shrink")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w").asc)
+      .limit(maxDictWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(wordFreq.nonEmpty, "trainUnigram: empty corpus")
+    // ---- seed (driver, dictionary-bounded) ----
+    val seedScore = scala.collection.mutable.Map.empty[String, Long]
+    wordFreq.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= math.min(w.length, i + maxPieceLen)) {
+          val sub = w.substring(i, j)
+          seedScore(sub) = seedScore.getOrElse(sub, 0L) + f
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seedScore.keysIterator.filter(_.length == 1).toVector.sorted
+    val multis = seedScore.toSeq.filter(_._1.length > 1)
+      .sortBy { case (t, s) => (-s, t) }
+      .take(seedSize).map(_._1)
+    var vocab: Map[String, Double] = {
+      val tot = (chars ++ multis).map(seedScore).sum.toDouble
+      (chars ++ multis).map(t => t -> math.log(seedScore(t) / tot)).toMap
+    }
+    // ---- Viterbi-EM over the persisted dictionary frame ----
+    val dictDs = wordFreq.toSeq.toDF("w", "f").persist()
+    try {
+      dictDs.count() // materialize once; every round re-reads this
+      var round = 0
+      var multiBudget = multis.length
+      while (round < emRounds) {
+        val bcPieces = spark.sparkContext.broadcast(vocab)
+        // E: per-word Viterbi (broadcast vocab), M: one aggregation —
+        // counts are integral, so the result is partition-invariant
+        val counts: Map[String, Long] = dictDs.as[(String, Long)]
+          .mapPartitions { it =>
+            val m = UnigramModel(bcPieces.value, Map.empty)
+            it.flatMap { case (w, f) => m.segment(w).map(_ -> f) }
+          }
+          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .collect().toMap // vocabulary-bounded
+        bcPieces.destroy()
+        multiBudget = math.max(vocabSize - chars.length,
+          if (round == emRounds - 1) 0
+          else math.floor(multiBudget * shrink).toInt)
+        val keptMultis = counts.toSeq
+          .filter { case (t, c) => t.length > 1 && c > 0 }
+          .sortBy { case (t, c) => (-c, t) }
+          .take(multiBudget).map(_._1)
+        val kept = chars.filter(c =>
+          counts.getOrElse(c, 0L) > 0 || vocab.contains(c)) ++ keptMultis
+        val tot = kept.map(t => math.max(counts.getOrElse(t, 0L), 1L)).sum.toDouble
+        vocab = kept.map(t => t ->
+          math.rint(math.log(math.max(counts.getOrElse(t, 0L), 1L) / tot)
+            * 1e12) / 1e12).toMap
+        round += 1
+      }
+      val model = UnigramModel(vocab, Map.empty)
+      val segs = wordFreq.map { case (w, _) => w -> model.segment(w) }.toMap
+      UnigramModel(vocab, segs)
+    } finally dictDs.unpersist(): Unit
+  }
+
+  /** Unigram token count per document — the [[encodeTokenCounts]] shape
+    * over the unigram dictionary segmentation: explode words, one
+    * size-guarded broadcast join, out-of-dictionary words fall back to
+    * their character count. Nothing corpus-sized shuffles. */
+  def unigramTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                         model: UnigramModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val dictT = model.dictSegments.toSeq
+      .map { case (w, segs) => (w, segs.length) }
+      .toDF("w", "n_segs")
+    val seg = graft.model.Joins.maybeBroadcast(dictT)
+    words
+      .join(seg, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("n_segs"), length(col("w"))))
+        .as("n_uni_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** BPE token count per document: explode words, broadcast-join the
     * dictionary segmentation. Out-of-dictionary words default to the
     * character-level count (length + 1 symbols — each char plus the

@@ -161,6 +161,7 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q149_ivfsq_stored", q149 _, q149Sql), // verdict + Round14Spec SQ laws
     ("q150_temperature_mix", q150 _, q150Sql),
     ("q151_packed_binned", q151 _, q151Sql),
-    ("q152_curation_funnel", q152 _, q152Sql)
+    ("q152_curation_funnel", q152 _, q152Sql),
+    ("q153_unigram_train", q153 _, q153Sql) // verdict + Round15Spec EM laws
   )
 }

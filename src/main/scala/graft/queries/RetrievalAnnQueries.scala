@@ -1302,4 +1302,48 @@ private[queries] trait RetrievalAnnQueries { self: ExtensionQueryHelpers =>
   val q149Sql: String =
     """SELECT CAST(20 AS BIGINT) AS n_queries, 1 AS recall_ok,
       |       1 AS no_regression""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q153 — UNIGRAM-LM TOKENIZER TRAINING verdict (Kudo 2018, the
+  //        SentencePiece algorithm — the second standard subword
+  //        trainer next to q99's BPE): one word-count scan seeds the
+  //        substring vocabulary, Viterbi-EM over the bounded dictionary
+  //        (distributed E-step, one integral-count aggregation per
+  //        round) prunes to 256 pieces, the corpus encodes back through
+  //        the broadcast segmentation join. Oracle regenerates the
+  //        DuckDB-computable totals and the construction-true verdicts
+  //        (vocab within bound with real multi-char pieces learned;
+  //        n_words ≤ unigram tokens ≤ word chars — a piece covers ≥ 1
+  //        char, the unk fallback is the char split). The exact
+  //        EM/Viterbi behavior is pinned by Round15Spec's hand-computed
+  //        fixture (q99/q93 verdict doctrine).
+  // -------------------------------------------------------------------
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Bpe
+    val d = docs(s, dir)
+    val model = Bpe.trainUnigram(d, "text", vocabSize = 256,
+      maxPieceLen = 6, seedSize = 4096, emRounds = 3)
+    val enc = Bpe.unigramTokenCounts(d, "doc_id", "text", model)
+      .agg(sum("n_uni_tokens"), sum("n_words")).head()
+    val (uni, words) = (enc.getLong(0), enc.getLong(1))
+    val chars = d.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w")))).head().getLong(0)
+    val nDocs = d.count()
+    Seq((nDocs, words,
+      if (model.pieces.size <= 256 &&
+        model.pieces.keysIterator.exists(_.length > 1)) 1 else 0,
+      if (uni >= words && uni <= chars) 1 else 0))
+      .toDF("n_docs", "n_words", "vocab_ok", "compress_ok")
+  }
+
+  val q153Sql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |       (SELECT count(*) FROM w WHERE w <> '') AS n_words,
+      |       1 AS vocab_ok, 1 AS compress_ok""".stripMargin
 }

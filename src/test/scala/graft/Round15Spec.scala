@@ -253,6 +253,65 @@ class Round15Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (trainUnigram / UnigramModel.segment)
+  // ------------------------------------------------------------------
+
+  test("UnigramModel.segment: Viterbi picks the probable piece, unknown " +
+    "chars fall back to penalized singles, ties prefer fewer tokens") {
+    import graft.operators.Bpe
+    val m = Bpe.UnigramModel(Map(
+      "ab" -> math.log(0.5), "a" -> math.log(0.25), "b" -> math.log(0.25)),
+      Map.empty)
+    assert(m.segment("abab") == Seq("ab", "ab"))
+    assert(m.segment("aab") == Seq("a", "ab"))
+    assert(m.segment("abx") == Seq("ab", "x")) // x: unk single
+    assert(m.segment("") == Seq.empty)
+    // equal products: P(ab)=0.5 vs P(a)P(b)=0.0625 — piece wins; with
+    // equal-probability pieces the FEWER-token path wins
+    val eq = Bpe.UnigramModel(Map(
+      "ab" -> math.log(0.25), "a" -> math.log(0.5), "b" -> math.log(0.5)),
+      Map.empty)
+    assert(eq.segment("ab") == Seq("ab")) // 0.25 == 0.5*0.5 -> fewer tokens
+  }
+
+  test("trainUnigram learns the dominant multi-char piece, respects the " +
+    "vocab bound, and is partition-invariant") {
+    import graft.operators.Bpe
+    val docs = (1 to 60).map(i => (i.toLong, "ababab abab banana"))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainUnigram(docs, "text", vocabSize = 12,
+      maxPieceLen = 4, seedSize = 64, emRounds = 3)
+    val chars1 = m.pieces.keysIterator.count(_.length == 1)
+    assert(m.pieces.size <= 12 && m.pieces.size >= chars1)
+    assert(m.pieces.keysIterator.exists(_.length > 1),
+      s"no multi-char piece learned: ${m.pieces.keys.toSeq.sorted}")
+    // the dominant repeated bigram must be representable: the trained
+    // segmentation of 'ababab' uses multi-char pieces, not chars
+    assert(m.dictSegments("ababab").length < 6)
+    val m2 = Bpe.trainUnigram(docs.repartition(7), "text", vocabSize = 12,
+      maxPieceLen = 4, seedSize = 64, emRounds = 3)
+    assert(m.pieces == m2.pieces)
+    assert(m.dictSegments == m2.dictSegments)
+  }
+
+  test("unigramTokenCounts: n_words <= unigram tokens <= chars, OOV " +
+    "words count their characters") {
+    import graft.operators.Bpe
+    val train = (1 to 20).map(i => (i.toLong, "alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainUnigram(train, "text", vocabSize = 16,
+      maxPieceLen = 5, seedSize = 64, emRounds = 2)
+    val mixed = Seq((1L, "alpha zzqq")).toDF("doc_id", "text")
+    val r = Bpe.unigramTokenCounts(mixed, "doc_id", "text", m)
+      .collect().head
+    val (uni, words) = (r.getLong(1), r.getLong(2))
+    assert(words == 2)
+    assert(uni >= words && uni <= "alphazzqq".length)
+    // zzqq is OOV (z/q never seen): counts its 4 characters
+    assert(uni == m.dictSegments("alpha").length + 4)
+  }
+
+  // ------------------------------------------------------------------
   // trainSq array combiner (ADVICE r14)
   // ------------------------------------------------------------------
 
