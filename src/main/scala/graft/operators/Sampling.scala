@@ -503,6 +503,28 @@ object Sampling {
       .select(col(idCol), col("n_tokens"), col("seq"), col("off"))
   }
 
+  /** Materialize [[packSequencesBinned]] as the on-disk training
+    * export: parquet hive-partitioned by `shard = seq % numShards`
+    * (round-robin — shards stay balanced whatever the bucket mix), each
+    * shard's rows laid down in (seq, off) order, so a training loader
+    * streams `shard=k/` sequentially and reads whole sequences in
+    * boundary-respecting token order with no reader-side sort (the
+    * [[writeAssigned]] contract). Zero-token docs occupy no interval
+    * and are not exported. Adds one repartition on the shard key beyond
+    * the packing's own work. */
+  def writePackedBinned(df: DataFrame, idCol: String, tokenCol: Column,
+                        seqLen: Long, numShards: Int, path: String,
+                        salt: String = "",
+                        truncate: Boolean = false): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    packSequencesBinned(df, idCol, tokenCol, seqLen, salt, truncate)
+      .filter(col("seq").isNotNull)
+      .withColumn("shard", pmod(col("seq"), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"), col("off"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Materialize [[shuffleShards]] as the on-disk training export:
     * parquet hive-partitioned by `shard`, with each shard's rows laid
     * down in `pos` order (repartition on the shard key →

@@ -418,7 +418,48 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       regated: DataFrame, sized: DataFrame, deduped: DataFrame,
       trainSide: DataFrame, cleaned: DataFrame)
 
+  /** Build-once cache for the v4 chain's stage frames, keyed per
+    * (session, dir) — the cube/shingle-index doctrine: q143 and q152
+    * both consume the SAME ten localCheckpoint'ed stage boundaries, so
+    * the second consumer must ride the first one's materialization
+    * instead of re-running the whole chain (the chain is the single
+    * most expensive composed computation in the suite). Frames are
+    * checkpoint-backed; dropping the reference on invalidate lets the
+    * ContextCleaner reclaim the blocks. */
+  private[queries] val v4Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (V4Stages, () => Unit)]()
+
   private[queries] def v4Stages(s: SparkSession, dir: String): V4Stages = {
+    val entry = v4Cache.computeIfAbsent((s, dir), { case (ss, d) =>
+      val st = buildV4Stages(ss, d)
+      // hook registered AFTER the (throwing) build — the Tpch.cube
+      // contract: a failed build must not leak hook closures per retry
+      val detach = graft.util.SessionCleanup.onApplicationEnd(ss) { () =>
+        v4Cache.remove((ss, d)): Unit
+      }
+      (st, detach)
+    })
+    // application ended during build: the hook may have fired before the
+    // entry was inserted — evict post-insertion (see Tpch.cube)
+    if (s.sparkContext.isStopped)
+      Option(v4Cache.remove((s, dir))).foreach(_._2.apply())
+    entry._1
+  }
+
+  /** Eviction hook (bench warmup-cache drop, mirrors
+    * [[ExtensionQueryHelpers.invalidateShingles]]). */
+  def invalidateV4(s: SparkSession, dir: String): Unit =
+    Option(v4Cache.remove((s, dir))).foreach(_._2.apply())
+
+  /** Force-fill the v4-chain cache (bench `build_v4` accounting line —
+    * the chain is consumed by q143 AND q152 and must not be absorbed
+    * into whichever runs first). Materializing `cleaned` runs every
+    * stage: each boundary is localCheckpoint'ed eagerly at build. */
+  def warmV4(s: SparkSession, dir: String): Unit =
+    v4Stages(s, dir).cleaned.count(): Unit
+
+  private def buildV4Stages(s: SparkSession, dir: String): V4Stages = {
     import graft.operators.{Decontaminate, Dedup, Quality}
     val t = docs(s, dir)
       .select(col("doc_id"), col("source"),
@@ -2113,39 +2154,39 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |  FROM k1 GROUP BY 1, 2
       |), fun AS MATERIALIZED (
       |  SELECT 1 AS stage, 'input' AS gate, count(*) AS docs,
-      |         CAST(sum(len(ts)) AS BIGINT) AS tokens FROM t
+      |         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS tokens FROM t
       |  UNION ALL
       |  SELECT 2, 'extract', count(*),
-      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
-      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM x
+      |         CAST(coalesce(sum(len(list_filter(string_split_regex(
+      |           trim(text), '\s+'), y -> y <> ''))), 0) AS BIGINT) FROM x
       |  UNION ALL
       |  SELECT 3, 'langid', count(*),
-      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
-      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM en
+      |         CAST(coalesce(sum(len(list_filter(string_split_regex(
+      |           trim(text), '\s+'), y -> y <> ''))), 0) AS BIGINT) FROM en
       |  UNION ALL
       |  SELECT 4, 'gopher', count(*),
-      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
-      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM kept
+      |         CAST(coalesce(sum(len(list_filter(string_split_regex(
+      |           trim(text), '\s+'), y -> y <> ''))), 0) AS BIGINT) FROM kept
       |  UNION ALL
       |  SELECT 5, 'line_dedup', count(*),
-      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
-      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM lr
+      |         CAST(coalesce(sum(len(list_filter(string_split_regex(
+      |           trim(text), '\s+'), y -> y <> ''))), 0) AS BIGINT) FROM lr
       |  UNION ALL
       |  SELECT 6, 'paragraph_dedup', count(*),
-      |         CAST(sum(len(list_filter(string_split_regex(trim(text),
-      |           '\s+'), y -> y <> ''))) AS BIGINT) FROM reb
+      |         CAST(coalesce(sum(len(list_filter(string_split_regex(
+      |           trim(text), '\s+'), y -> y <> ''))), 0) AS BIGINT) FROM reb
       |  UNION ALL
       |  SELECT 7, 'regate', count(*),
-      |         CAST(sum(len(tks)) AS BIGINT) FROM rg
+      |         CAST(coalesce(sum(len(tks)), 0) AS BIGINT) FROM rg
       |  UNION ALL
       |  SELECT 8, 'near_dup', count(*),
-      |         CAST(sum(len(tks)) AS BIGINT) FROM dd
+      |         CAST(coalesce(sum(len(tks)), 0) AS BIGINT) FROM dd
       |  UNION ALL
       |  SELECT 9, 'drop_eval_source', count(*),
-      |         CAST(sum(len(tks)) AS BIGINT) FROM dd WHERE source <> 'src0'
+      |         CAST(coalesce(sum(len(tks)), 0) AS BIGINT) FROM dd WHERE source <> 'src0'
       |  UNION ALL
       |  SELECT 10, 'decontaminate', count(*),
-      |         CAST(sum(ntok) AS BIGINT) FROM cln
+      |         CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM cln
       |)
       |SELECT CAST(stage AS INT) AS stage, gate,
       |       lag(docs) OVER (ORDER BY stage) AS docs_in,

@@ -112,6 +112,30 @@ class Round15Spec extends SparkSpec {
     assert(e2.getMessage.contains("negative token count"))
   }
 
+  test("writePackedBinned lands each shard in (seq, off) order with " +
+    "round-robin sequence assignment and no zero-token rows") {
+    val dir = java.nio.file.Files.createTempDirectory("packedout").toString
+    val withEmpty = packFixture.unionByName(
+      Seq((9999L, 0L)).toDF("doc_id", "n"))
+    Sampling.writePackedBinned(withEmpty, "doc_id", col("n"), seqLen = 64,
+      numShards = 4, path = dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200) // the zero-token doc is not exported
+    assert(back.filter(col("seq") % 4 =!= col("shard")).count() == 0)
+    // within each shard FILE, rows are already in (seq, off) order
+    (0 until 4).foreach { k =>
+      val rows = spark.read.parquet(s"$dir/shard=$k")
+        .select("seq", "off").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"shard $k not laid down in (seq, off) order")
+    }
+    // the export agrees with the in-memory assignment
+    val mem = packed.filter(col("seq").isNotNull)
+      .select("doc_id", "seq", "off").collect().map(_.toSeq).toSet
+    val disk = back.select("doc_id", "seq", "off").collect().map(_.toSeq).toSet
+    assert(mem == disk)
+  }
+
   // ------------------------------------------------------------------
   // stratified classifier thin (ADVICE r14)
   // ------------------------------------------------------------------
