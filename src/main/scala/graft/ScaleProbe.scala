@@ -438,6 +438,27 @@ object ScaleProbe {
           d.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
           "source", length(col("text")), budget = 1000000L).count()
       },
+      // boundary-respecting packing: one prefixSum rank (range partition
+      // + keyed windows), a √seqLen-bounded bucket census collect, one
+      // seq-keyed window (≤ seqLen rows/partition) — replication grows
+      // every bucket factor×, so a superlinear ratio means the rank or
+      // the offset window leaked a data-sized sort
+      "packbinned" -> timed(s"$tag packed binned") {
+        graft.operators.Sampling.packSequencesBinned(d, "doc_id",
+          graft.functions.TextFunctions.nTokens(col("text")),
+          seqLen = 4096, truncate = true).count()
+      },
+      // unigram-LM training: the corpus scan is the only corpus-sized
+      // work (dictionary capped at maxDictWords); EM rounds are jobs
+      // over the bounded dictionary frame — the honest bound is
+      // linear-in-rows for the scan plus a dictionary-bound tail (the
+      // replica-suffixed vocabulary grows the dictionary toward its cap)
+      "unigram" -> timed(s"$tag unigram train") {
+        val m = graft.operators.Bpe.trainUnigram(d, "text",
+          vocabSize = 256, maxDictWords = 1 << 14, maxPieceLen = 6,
+          seedSize = 4096, emRounds = 2)
+        m.pieces.size.toLong
+      },
       // corpus-level MinHash overlap: one shingle scan + a map-side
       // combined groupBy(source) over k mins; the pair join is on the
       // sources-sized signature table — the honest bound is
