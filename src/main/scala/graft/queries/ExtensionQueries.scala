@@ -162,6 +162,7 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q150_temperature_mix", q150 _, q150Sql),
     ("q151_packed_binned", q151 _, q151Sql),
     ("q152_curation_funnel", q152 _, q152Sql),
-    ("q153_unigram_train", q153 _, q153Sql) // verdict + Round15Spec EM laws
+    ("q153_unigram_train", q153 _, q153Sql), // verdict + Round15Spec EM laws
+    ("q154_index_health", q154 _, q154Sql)
   )
 }

@@ -1304,6 +1304,53 @@ private[queries] trait RetrievalAnnQueries { self: ExtensionQueryHelpers =>
       |       1 AS no_regression""".stripMargin
 
   // -------------------------------------------------------------------
+  // q154 — STORED-INDEX HEALTH REPORT: build an IVF index over the
+  //        embeddings (replicate = 1, so stored rows = corpus rows
+  //        exactly), append the full corpus once (rows double, appended
+  //        fraction = 1/2 exactly), and report indexHealth. Every
+  //        emitted column is arithmetic over the corpus count + the
+  //        build parameters, so the oracle replays the report as a REAL
+  //        hash row (rows_total/base/appended, appended_frac, dim,
+  //        layout, nlist, the empty+occupied partition of nlist, and
+  //        the fired rebuild recommendation) — drift in the footer
+  //        census, the build-stamp attribution, or the advice threshold
+  //        fails the hash. Cell-level spread stays spec-pinned
+  //        (Round15Spec planted skew) — k-means placement is not
+  //        SQL-replayable.
+  // -------------------------------------------------------------------
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q154_health_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Similarity.saveIvfIndex(e, root, nlist = 8, kmeansIters = 2,
+      replicate = 1)
+    val assign = s.read.parquet(s"$root/corpus")
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    Similarity.appendToIvfIndex(assign, root)
+    Similarity.indexHealth(s, root)
+      .select(col("layout"), col("nlist"), col("dim"),
+        (col("cells_occupied") + col("cells_empty")).as("cells_all"),
+        col("rows_total"), col("rows_base"), col("rows_appended"),
+        col("appended_frac"), col("recommend_rebuild"))
+  }
+
+  val q154Sql: String =
+    """SELECT 'ivf-flat' AS layout, 8 AS nlist,
+      |       CAST((SELECT len(embedding) FROM embeddings LIMIT 1)
+      |            AS INTEGER) AS dim,
+      |       8 AS cells_all,
+      |       CAST(2 * count(*) AS BIGINT) AS rows_total,
+      |       CAST(count(*) AS BIGINT) AS rows_base,
+      |       CAST(count(*) AS BIGINT) AS rows_appended,
+      |       CAST(0.5 AS DOUBLE) AS appended_frac,
+      |       true AS recommend_rebuild
+      |FROM embeddings""".stripMargin
+
+  // -------------------------------------------------------------------
   // q153 — UNIGRAM-LM TOKENIZER TRAINING verdict (Kudo 2018, the
   //        SentencePiece algorithm — the second standard subword
   //        trainer next to q99's BPE): one word-count scan seeds the

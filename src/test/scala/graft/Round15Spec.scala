@@ -77,6 +77,18 @@ class Round15Spec extends SparkSpec {
     assert(ids.head == 0L && ids.last == ids.length - 1L)
   }
 
+  test("packSequencesBinned plan: keyed windows only — no " +
+    "single-partition stage in the returned plan") {
+    // the exact rank comes from prefixSum (range partition + keyed
+    // windows behind an eager checkpoint) and the in-sequence offsets
+    // from a seq-keyed window — nothing may degenerate to a global
+    // single-partition sort/window, which is the scale failure this
+    // operator exists to avoid
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition stage leaked into packSequencesBinned:\n$plan")
+  }
+
   test("packSequencesBinned is partition-invariant") {
     val a = packed.select("doc_id", "n_tokens", "seq", "off")
       .collect().map(_.toSeq).toSet
