@@ -143,6 +143,13 @@ object Quality {
     val thinned =
       if (n <= maxTrainRows) df
       else {
+        // thinning is a default the caller may not expect — say so
+        // loudly (the advisor's opt-in/logging ask): the fit sees a
+        // sample, not the corpus
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"boundedTrainInput: thinning $n labeled rows to " +
+            s"~$maxTrainRows (expectation; stratified min-hash rescue " +
+            "keeps every class) — raise maxTrainRows to train on more")
         // deterministic hash thin — the same ≈maxTrainRows-row expected
         // sample whatever the partitioning
         val h = xxhash64(thinKey, strata)
