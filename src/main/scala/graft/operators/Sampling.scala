@@ -413,7 +413,9 @@ object Sampling {
     * they fail BY NAME unless `truncate = true` caps them at `seqLen`
     * (the output's `n_tokens` is the KEPT count). Zero-token docs get a
     * NULL (seq, off) — they occupy no interval, the [[packSequences]]
-    * convention.
+    * convention; a NULL token count flows through the same way (NULL
+    * n_tokens, NULL assignment — also the packSequences convention),
+    * so coalesce upstream if unknown counts should be an error.
     *
     * Output per doc: `n_tokens`, `seq` (global 0-based sequence id),
     * `off` (token offset inside the sequence; `off + n_tokens ≤
