@@ -53,6 +53,15 @@ object Bench {
       System.gc()
     }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Multi-point load sampling: a single end-of-run load_avg cannot
+    // distinguish "the box was busy all run" from "a burst hit one
+    // query" — three rounds of verdict time went to clean-clone A/B
+    // adjudication of exactly that ambiguity. Samples land in the JSON
+    // as load_avg_samples (start / after-builds / mid-queries / end).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleLoad(): Unit = loadSamples += osBean.getSystemLoadAverage
+    sampleLoad()
     // Build/cache-fill accounting: the engine's usage model is build-once-
     // query-many (the reference holds an in-memory cube object), so the
     // cube build + persisted-cache fill and the shared shingle-index build
@@ -89,7 +98,33 @@ object Bench {
     // after the builds have already spent their minutes
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt).getOrElse(3))
-    val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).map { case (name, fn) =>
+    sampleLoad() // after the builds, before the timed query loop
+    // Per-query SPREAD travels in the artifact: min (the noise-robust
+    // plan-cost statistic on a shared box — headline, unchanged), median
+    // and max across reps, and a `suspect` flag when (max-min)/min
+    // exceeds SuspectBand — so a q45-style cross-round excursion
+    // self-adjudicates from BENCH_r{N}.json alone (wide spread = ambient
+    // noise; tight spread at a shifted min = a real plan change) instead
+    // of costing a clean-clone A/B session.
+    val SuspectBand = 0.5
+    final case class QStat(min: Double, med: Double, max: Double,
+                           suspect: Boolean)
+    def stat(times: Seq[Double]): QStat = {
+      val s = times.sorted
+      val med =
+        if (s.isEmpty) -1.0
+        else if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      val spread = if (s.isEmpty || s.head <= 0) 0.0
+        else (s.last - s.head) / s.head
+      QStat(if (s.isEmpty) -1.0 else s.head, med,
+        if (s.isEmpty) -1.0 else s.last,
+        s.length >= 2 && spread > SuspectBand)
+    }
+    val qList = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
+    val midAt = qList.length / 2
+    val timedQueries = qList.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midAt) sampleLoad()
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
@@ -103,9 +138,19 @@ object Bench {
       // failure latency, so a hard-broken query can't read as a speedup in
       // cross-round bench comparisons
       val (sec, n) = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, -1L)
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n")
-      name -> sec
+      val st = stat(ok.map(_._1))
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n" +
+        (if (st.suspect) f"  SUSPECT med=${st.med}%.2f max=${st.max}%.2f"
+         else ""))
+      (name, sec, st)
     }
+    sampleLoad() // end of the timed section
+    // builds are single-shot (a second run would measure the warm cache,
+    // not the build): min = med = max, never suspect
+    val allStats = builds.map { case (k, v) =>
+      (k, QStat(v, v, v, suspect = false)) } ++
+      timedQueries.map { case (k, _, st) => (k, st) }
+    val results = builds ++ timedQueries.map { case (k, v, _) => (k, v) }
     // Locale.ROOT: the f interpolator is locale-sensitive and a
     // comma-decimal default locale would emit unparseable JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -135,8 +180,13 @@ object Bench {
       b.result().mkString("+")
     }
     val machine =
-      s""""machine":{"load_avg":${num(os.getSystemLoadAverage)},"available_processors":${rt.availableProcessors},"max_heap_mb":${rt.maxMemory / (1024 * 1024)},"jvm":"${System.getProperty("java.vm.version")}","gc":"$gcNames"}"""
-    val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+      s""""machine":{"load_avg":${num(os.getSystemLoadAverage)},"load_avg_samples":[${loadSamples.map(num).mkString(",")}],"available_processors":${rt.availableProcessors},"max_heap_mb":${rt.maxMemory / (1024 * 1024)},"jvm":"${System.getProperty("java.vm.version")}","gc":"$gcNames"}"""
+    val statsJson = allStats.map { case (k, st) =>
+      "\"" + k + "\":{\"min\":" + num(st.min) + ",\"med\":" + num(st.med) +
+        ",\"max\":" + num(st.max) + ",\"suspect\":" + st.suspect + "}"
+    }.mkString("{", ",", "}")
+    val nSuspect = allStats.count(_._2.suspect)
+    val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"queries":$qs,"query_stats":$statsJson,"n_suspect":$nSuspect,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(fullJson)
     // The harness archives only a bounded TAIL of stdout (~2000 chars) and
     // parses a JSON line out of it; with 125+ per-query entries the full
@@ -148,7 +198,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("BENCH_LATEST.json").toAbsolutePath
     scala.util.Try(java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes("UTF-8"))): Unit
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"n_queries":${results.size},"n_failed":${failed.size},"n_suspect":$nSuspect,"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

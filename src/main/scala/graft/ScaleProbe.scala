@@ -34,10 +34,18 @@ object ScaleProbe {
     * REPLICA-DISJOINT shingles (every token suffixed with the replica
     * number — group-ref replacement, token count and per-row cost
     * unchanged), so no n-gram is shared across replicas and pair-based
-    * steps replicate linearly BY CONSTRUCTION; see the main() comment. */
+    * steps replicate linearly BY CONSTRUCTION; see the main() comment.
+    * Replica ids compose collision-proof as `doc_id * n + rep` (unique
+    * and replica-disjoint for ANY non-negative id range — a fixed
+    * additive stride would collide once ids reach the stride, silently
+    * breaking both the disjointness premise and packSequencesBinned's
+    * unique-id rank tie-breaker); negative ids fail by name. */
   def replicateDocs(docs1: DataFrame, n: Int): DataFrame =
     docs1.sparkSession.range(n).toDF("rep").crossJoin(docs1)
-      .select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+      .select((when(col("doc_id") < 0, raise_error(
+          lit("replicateDocs: negative doc_id breaks the collision-proof " +
+            "id composition"))).otherwise(col("doc_id")) * lit(n.toLong) +
+          col("rep")).as("doc_id"),
         regexp_replace(col("text"), lit("(\\S+)"),
           concat(lit("$1_"), col("rep").cast("string"))).as("text"))
 
@@ -101,7 +109,11 @@ object ScaleProbe {
       sec
     }
 
-    def dedupSuite(tag: String, d: DataFrame): Map[String, Double] = {
+    // highest original id, for collision-proof delta ids below (replica
+    // ids are doc_id * nReps + rep ≤ (maxDocId + 1) * nReps - 1)
+    val maxDocId = docs1.agg(max(col("doc_id"))).head().getLong(0)
+
+    def dedupSuite(tag: String, d: DataFrame, nReps: Int): Map[String, Double] = {
       val idx = graft.operators.Dedup
         .buildShingleIndex(d, "doc_id", "text", 3).persist()
       val r = Map(
@@ -124,13 +136,16 @@ object ScaleProbe {
         // near-dup dedup scales in corpus SCANS, not shuffles — the
         // per-micro-batch cost a streaming pipeline pays forever
         s"delta" -> timed(s"$tag nearDup delta ingest") {
-          // delta ids sit one replica-stride ABOVE the highest replica
-          // (a fixed offset collided with replica-90's id range once the
-          // factor reached 90 — only factor < embDim is required, which
-          // can exceed 90)
-          val delta = d.filter(col("doc_id") < 500)
-            .select((col("doc_id") + (factor + 1) * 10000000L).as("doc_id"),
-              col("text"))
+          // replica-0 rows carry ids doc_id * nReps under the
+          // collision-proof composition, so the fixed 500 originals are
+          // (id % nReps == 0, id < 500·nReps); delta ids offset by
+          // (maxDocId + 1) · nReps — strictly above every replica id for
+          // ANY id range (the old fixed stride collided once ids or the
+          // factor grew past it)
+          val delta = d.filter(col("doc_id") % nReps === 0 &&
+              col("doc_id") < 500L * nReps)
+            .select((col("doc_id") + lit((maxDocId + 1) * nReps))
+              .as("doc_id"), col("text"))
           // default maxDf on the delta side = the cap idx was built with:
           // mismatched caps would deflate exact-copy jaccard and quietly
           // turn the hit-heavy workload this step exists to time into a
@@ -637,9 +652,9 @@ object ScaleProbe {
       System.gc()
     }
     println(s"[probe] corpus 1x = $nDocs docs; factor = $factor")
-    val d1 = dedupSuite("1x", docsN(1))
+    val d1 = dedupSuite("1x", docsN(1), 1)
     clean()
-    val dN = dedupSuite(s"${factor}x", docsN(factor))
+    val dN = dedupSuite(s"${factor}x", docsN(factor), factor)
     clean()
     val a1 = annSuite("1x", embN(1))
     clean()

@@ -203,6 +203,14 @@ object Bpe {
     private val unkLp =
       (if (pieces.isEmpty) 0.0 else pieces.values.min) - 100.0
 
+    /** Longest piece length, hoisted out of [[segment]]: computed once
+      * per model instance (so once per broadcast deserialization on an
+      * executor), not per word — inside trainUnigram's E-step a per-call
+      * scan of all vocabulary keys costs O(|dict| · |vocab|) extra
+      * key-length reads per EM round, dominating training time. */
+    private lazy val maxLen: Int =
+      if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
+
     /** Viterbi-best segmentation under the trained piece probabilities.
       * Characters outside the vocabulary become single-char tokens at
       * the unknown penalty (SentencePiece's unk semantics). Ties break
@@ -212,7 +220,6 @@ object Bpe {
     def segment(word: String): Seq[String] = {
       if (word.isEmpty) return Seq.empty
       val n = word.length
-      val maxLen = if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
       // dp(i): best (score, tokens, lastPieceStart) for prefix of length i
       val score = Array.fill(n + 1)(Double.NegativeInfinity)
       val toks = Array.fill(n + 1)(Int.MaxValue)
@@ -249,7 +256,14 @@ object Bpe {
     }
   }
 
-  /** Train a unigram-LM vocabulary of (at most) `vocabSize` pieces.
+  /** Train a unigram-LM vocabulary of (at most) `vocabSize` pieces —
+    * EXCEPT that every single character seen in the dictionary is kept
+    * unconditionally (SentencePiece's `required_chars` coverage
+    * semantics: a dropped char would make some word unsegmentable), so
+    * on a corpus with more distinct characters than `vocabSize` the
+    * final vocabulary is exactly those characters and the true bound is
+    * `max(vocabSize, distinct chars)`. Verdicts over the trained size
+    * must use that bound, not `vocabSize` alone.
     *
     *  1. ONE distributed tokenize + word-count scan; the `maxDictWords`
     *     most frequent words (freq desc, word asc) form the dictionary
@@ -349,12 +363,35 @@ object Bpe {
     } finally dictDs.unpersist(): Unit
   }
 
+  /** Viterbi segment-count table for a DISTINCT word relation (one
+    * string column `w`) under a broadcast [[UnigramModel]] — the unigram
+    * analog of [[oovSegmentTable]], with the same sanction: per-element
+    * JVM dynamic programming over a VOCABULARY-bounded relation (distinct
+    * OOV words), never the corpus; the model ships once per executor. */
+  private def unigramOovTable(words: DataFrame,
+                              model: UnigramModel): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    words.select(col("w")).as[String]
+      .mapPartitions { it =>
+        val m = bc.value; it.map(w => (w, m.segment(w).length))
+      }
+      .toDF("w", "n_segs")
+  }
+
   /** Unigram token count per document — the [[encodeTokenCounts]] shape
     * over the unigram dictionary segmentation: explode words, one
     * size-guarded broadcast join, out-of-dictionary words fall back to
-    * their character count. Nothing corpus-sized shuffles. */
+    * their character count (an upper bound — a learned multi-char piece
+    * may cover part of an unseen word). `exactOov = true` instead
+    * Viterbi-segments the DISTINCT OOV vocabulary against the broadcast
+    * model (the [[encodeTokenCounts]] exactOov move), so counts equal
+    * the driver tokenizer ([[UnigramModel.segment]]) for EVERY word.
+    * Nothing corpus-sized shuffles either way. */
   def unigramTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                         model: UnigramModel): DataFrame = {
+                         model: UnigramModel,
+                         exactOov: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
@@ -364,7 +401,12 @@ object Bpe {
     val dictT = model.dictSegments.toSeq
       .map { case (w, segs) => (w, segs.length) }
       .toDF("w", "n_segs")
-    val seg = graft.model.Joins.maybeBroadcast(dictT)
+    val fullT =
+      if (!exactOov) dictT
+      else dictT.unionByName(unigramOovTable(
+        words.select("w").distinct()
+          .join(dictT.select("w"), Seq("w"), "left_anti"), model))
+    val seg = graft.model.Joins.maybeBroadcast(fullT)
     words
       .join(seg, Seq("w"), "left")
       .groupBy(col(idCol))

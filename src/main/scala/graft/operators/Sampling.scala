@@ -517,14 +517,82 @@ object Sampling {
   def writePackedBinned(df: DataFrame, idCol: String, tokenCol: Column,
                         seqLen: Long, numShards: Int, path: String,
                         salt: String = "",
-                        truncate: Boolean = false): Unit = {
+                        truncate: Boolean = false): Unit =
+    writeBinnedAssignment(
+      packSequencesBinned(df, idCol, tokenCol, seqLen, salt, truncate),
+      numShards, path)
+
+  /** The [[writePackedBinned]] landing step over an ALREADY-computed
+    * [[packSequencesBinned]] assignment — shared with the tokenizer-true
+    * export so a caller holding the packed frame doesn't re-derive it. */
+  private def writeBinnedAssignment(packed: DataFrame, numShards: Int,
+                                    path: String): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    packSequencesBinned(df, idCol, tokenCol, seqLen, salt, truncate)
+    packed
       .filter(col("seq").isNotNull)
       .withColumn("shard", pmod(col("seq"), lit(numShards.toLong)).cast("int"))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("seq"), col("off"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** TOKENIZER-TRUE boundary-respecting packing: compose a trained
+    * subword tokenizer's distributed encode with [[packSequencesBinned]]
+    * — sequence capacity is budgeted in REAL tokenizer tokens (the
+    * counts the training loader will actually see), not word or char
+    * proxies. `exactOov = true` (default) makes the counts equal the
+    * driver tokenizer for EVERY word, OOV included.
+    *
+    * ONE MATERIALIZATION: the encode DAG (corpus explode + vocab join +
+    * per-doc aggregate) is eagerly `localCheckpoint`ed before packing —
+    * the packing's rank, bucket census, and offset window otherwise each
+    * re-derive the full encode per consumer (the composed-chain doctrine;
+    * see the stage-yield funnel's shared-frames move). The returned
+    * frame's plan reads the checkpoint, never the raw corpus.
+    *
+    * Returns the packed assignment (`idCol`, n_tokens, seq, off) with
+    * `n_tokens` the KEPT (possibly truncated) tokenizer token count. */
+  def packTokenizedBpe(docs: DataFrame, idCol: String, textCol: String,
+                       model: graft.operators.Bpe.BpeModel, seqLen: Long,
+                       salt: String = "", truncate: Boolean = true,
+                       exactOov: Boolean = true): DataFrame =
+    packCheckpointedCounts(
+      graft.operators.Bpe.encodeTokenCounts(docs, idCol, textCol, model,
+        exactOov),
+      idCol, "n_bpe_tokens", seqLen, salt, truncate)
+
+  /** [[packTokenizedBpe]] over a trained unigram-LM tokenizer
+    * ([[graft.operators.Bpe.UnigramModel]]) — same composition, same
+    * one-materialization contract. */
+  def packTokenizedUnigram(docs: DataFrame, idCol: String, textCol: String,
+                           model: graft.operators.Bpe.UnigramModel,
+                           seqLen: Long, salt: String = "",
+                           truncate: Boolean = true,
+                           exactOov: Boolean = true): DataFrame =
+    packCheckpointedCounts(
+      graft.operators.Bpe.unigramTokenCounts(docs, idCol, textCol, model,
+        exactOov),
+      idCol, "n_uni_tokens", seqLen, salt, truncate)
+
+  private def packCheckpointedCounts(counts0: DataFrame, idCol: String,
+                                     tokenCol: String, seqLen: Long,
+                                     salt: String,
+                                     truncate: Boolean): DataFrame = {
+    val counts = counts0.select(col(idCol), col(tokenCol))
+      .localCheckpoint(true)
+    packSequencesBinned(counts, idCol, col(tokenCol), seqLen, salt,
+      truncate)
+  }
+
+  /** Land a tokenizer-true packed assignment ([[packTokenizedBpe]] /
+    * [[packTokenizedUnigram]] output) as the on-disk training export —
+    * the [[writePackedBinned]] layout (hive-partitioned round-robin
+    * shards, (seq, off)-ordered within each) WITHOUT re-deriving the
+    * packing. Returns the packed frame it wrote, for verdicts/joins. */
+  def writePackedTokenized(packed: DataFrame, numShards: Int,
+                           path: String): DataFrame = {
+    writeBinnedAssignment(packed, numShards, path)
+    packed
   }
 
   /** Materialize [[shuffleShards]] as the on-disk training export:

@@ -691,12 +691,28 @@ object Similarity {
     val fs = corpusDir.getFileSystem(conf)
     require(fs.exists(corpusDir),
       s"$path/corpus does not exist — not a stored index layout")
-    // build time = the [[stampBuild]] marker, written AFTER the base
-    // corpus lands (the centroids' timestamp predates the corpus write)
-    // and never touched by appends. A legacy layout without the stamp
-    // cannot attribute appends — everything reports as base
-    // (Long.MaxValue sentinel), never as spurious drift.
+    // base-vs-appended attribution = the [[stampBuild]] MANIFEST: the
+    // stamp records the NAMES of the base corpus files at build time, so
+    // a file is appended iff it is not a member — granularity-independent
+    // (mtime comparison silently mis-files same-tick appends on coarse-
+    // granularity filesystems, e.g. 1 s on some object stores). A legacy
+    // EMPTY stamp falls back to the old strict-mtime comparison; a
+    // missing stamp cannot attribute appends — everything reports as
+    // base (Long.MaxValue sentinel), never as spurious drift.
     val stampPath = new HPath(s"$path/corpus/_build_stamp")
+    val baseNames: Option[Set[String]] =
+      if (!fs.exists(stampPath)) None
+      else {
+        val len = fs.getFileStatus(stampPath).getLen
+        if (len == 0L) None
+        else {
+          val buf = new Array[Byte](len.toInt)
+          val in = fs.open(stampPath)
+          try in.readFully(0L, buf) finally in.close()
+          Some(new String(buf, "UTF-8").split("\n").iterator
+            .filter(_.nonEmpty).toSet)
+        }
+      }
     val buildTime =
       if (fs.exists(stampPath))
         fs.getFileStatus(stampPath).getModificationTime
@@ -720,10 +736,20 @@ object Similarity {
         parent.stripPrefix("cell=").toInt).toOption
       else None
     }
+    def isAppended(st: FileStatus, rel: String): Boolean = baseNames match {
+      case Some(set) => !set.contains(rel)
+      case None      => st.getModificationTime > buildTime
+    }
     val files = parquetFiles(corpusDir)
     require(files.nonEmpty, s"$path/corpus holds no parquet files")
-    val perFile = files.map(st =>
-      (cellOf(st), footerRows(st), st.getModificationTime > buildTime))
+    // footer census over a bounded thread pool: the reads are
+    // independent metadata fetches (latency-bound on object stores), so
+    // a 10⁵-file store reports in seconds instead of minutes; result
+    // order matches `files` (futures resolved in submit order)
+    val perFile = mapBounded(files, FooterCensusThreads) { st =>
+      (cellOf(st), footerRows(st),
+        isAppended(st, relName(fs, corpusDir, st)))
+    }
     val perCell = perFile.groupBy(_._1).collect {
       case (Some(c), fsOfCell) => c -> fsOfCell.map(_._2).sum
     }
@@ -738,7 +764,8 @@ object Similarity {
     // streaming appends dir (the DocStreaming twin's micro-batches)
     val appendsDir = new HPath(s"$path/appends")
     val appendedStream =
-      if (fs.exists(appendsDir)) parquetFiles(appendsDir).map(footerRows).sum
+      if (fs.exists(appendsDir))
+        mapBounded(parquetFiles(appendsDir), FooterCensusThreads)(footerRows).sum
       else 0L
     val appended = appendedInPlace + appendedStream
     val all = total + appendedStream
@@ -772,6 +799,35 @@ object Similarity {
         "rows_total", "rows_base", "rows_appended", "appended_frac",
         "cell_rows_min", "cell_rows_median", "cell_rows_p99",
         "cell_rows_max", "recommend_rebuild", "reason")
+  }
+
+  /** MAINTENANCE entry point wiring [[indexHealth]] to
+    * [[rebuildIvfIndex]]: measure the stored layout's health; when the
+    * report fires `recommend_rebuild` (appended volume rivals the base,
+    * or a hot cell signals centroid drift), retrain a fresh layout at
+    * `newPath` — never in place — otherwise do NOTHING beyond the
+    * metadata-sized footer census (a healthy store costs no data scan
+    * and no write). Returns the health row either way, extended with
+    * `rebuilt` and `new_path` (NULL when no rebuild ran) so a scheduler
+    * can log one row per maintenance tick and consumers can switch
+    * paths when `rebuilt` is true. */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String, newPath: String, nlist: Int = 16,
+                    kmeansIters: Int = 3, replicate: Int = 2): DataFrame = {
+    require(newPath != path,
+      "maintainIndex rebuilds at a fresh path — newPath must differ " +
+        "from path (rebuildIvfIndex's crash-safety contract)")
+    val health = indexHealth(spark, path)
+    // indexHealth returns a driver-local one-row frame (the census is
+    // metadata-sized) — reading the flag re-runs nothing
+    val rebuild = health.select("recommend_rebuild")
+      .head().getBoolean(0)
+    if (rebuild)
+      rebuildIvfIndex(spark, path, newPath, nlist, kmeansIters, replicate)
+    health
+      .withColumn("rebuilt", lit(rebuild))
+      .withColumn("new_path",
+        if (rebuild) lit(newPath) else lit(null).cast("string"))
   }
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
@@ -1053,16 +1109,70 @@ object Similarity {
     if (saveMode == "overwrite") stampBuild(assigned.sparkSession, path)
   }
 
-  /** Drop the build-completion marker `corpus/_build_stamp`: written
+  /** Parallelism for the [[indexHealth]] footer census: independent
+    * metadata reads, latency-bound on object stores. */
+  private val FooterCensusThreads: Int =
+    math.min(32, Runtime.getRuntime.availableProcessors)
+
+  /** Map `f` over `items` on a bounded thread pool, preserving order.
+    * Exceptions from `f` re-throw unwrapped so by-name errors surface
+    * by name. Driver-side only — for bounded metadata loops, never
+    * data. */
+  private def mapBounded[A, B](items: Seq[A], parallelism: Int)
+                              (f: A => B): Seq[B] =
+    if (items.sizeIs <= 1 || parallelism <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        val futures = items.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally { pool.shutdown(): Unit }
+    }
+
+  /** A file's path relative to `root`, scheme/authority-independent
+    * (both sides via URI path), for the [[stampBuild]] manifest. */
+  private def relName(fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path,
+                      st: org.apache.hadoop.fs.FileStatus): String = {
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+  }
+
+  /** Drop the build-completion manifest `corpus/_build_stamp`: written
     * AFTER the base corpus lands (the centroids' timestamp is useless —
     * they are written BEFORE the corpus), never touched by the append
-    * paths, so any corpus file newer than it was appended post-build.
-    * [[indexHealth]] reads it for the appended-vs-base split. */
+    * paths. It records the NAME of every base corpus parquet file (one
+    * per line, corpus-relative, sorted), so [[indexHealth]] attributes
+    * appended-vs-base by set MEMBERSHIP — a monotonic marker immune to
+    * filesystem mtime granularity (1 s on some object stores), where a
+    * same-tick append under a strict-mtime rule silently counted as
+    * base. */
   private def stampBuild(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
+    val corpusDir = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = corpusDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) parquetFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          Seq(relName(fs, corpusDir, st))
+        else Nil
+      }
+    val names = parquetFiles(corpusDir).sorted
     val p = new org.apache.hadoop.fs.Path(s"$path/corpus/_build_stamp")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.create(p, true).close()
+    val out = fs.create(p, true)
+    // zero base files (degenerate build) writes an EMPTY stamp — the
+    // legacy-mtime fallback — instead of a lone newline that would parse
+    // as an empty manifest and mis-file the base as appended
+    try if (names.nonEmpty)
+      out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   def saveIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,

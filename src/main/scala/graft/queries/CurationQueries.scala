@@ -2199,4 +2199,72 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
       |         4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST,
       |         7 NULLS FIRST, 8 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q155 — TOKENIZER-TRUE PACKED EXPORT verdict: the full export
+  //        composition a training pipeline actually runs — train a BPE
+  //        tokenizer (q99's trainer), encode the corpus to EXACT per-doc
+  //        token counts (exactOov — the driver tokenizer's counts for
+  //        every word), pack boundary-respecting sequences budgeted in
+  //        those REAL tokens (q151's harmonic bucketing), land the
+  //        loader-ready shard layout, and read the export back. The
+  //        counts frame materializes ONCE (localCheckpoint inside
+  //        packTokenizedBpe — plan-pinned in Round16Spec). BPE counts
+  //        aren't SQL-replayable, so the verdicts are construction-true
+  //        laws computed against the SAME encode frame: packed totals
+  //        equal the (truncation-adjusted) encode totals, no doc crosses
+  //        a sequence boundary, sequence ids stay dense, and the
+  //        read-back export carries exactly the packed rows and tokens.
+  //        n_docs / packed_docs replay in DuckDB (a doc packs iff it has
+  //        a non-whitespace char).
+  // -------------------------------------------------------------------
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Bpe, Sampling}
+    val seqLen = 512L
+    val numShards = 4
+    val d = docs(s, dir)
+    val model = Bpe.trainBpe(d, "text", numMerges = 64)
+    val packed0 = Sampling.packTokenizedBpe(d, "doc_id", "text", model,
+      seqLen, truncate = true, exactOov = true)
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_q155_" +
+      s"packed_${s.sparkContext.applicationId}_" +
+      Integer.toHexString(dir.hashCode)
+    val packed = Sampling.writePackedTokenized(packed0, numShards, scratch)
+      .localCheckpoint(true) // laws below aggregate it three ways
+    // the SAME encode the packing consumed, truncation-adjusted
+    val encRow = Bpe.encodeTokenCounts(d, "doc_id", "text", model,
+        exactOov = true)
+      .agg(sum(least(col("n_bpe_tokens"), lit(seqLen))).as("t"),
+        count(lit(1)).as("c")).head()
+    val (encTotal, encDocs) = (encRow.getLong(0), encRow.getLong(1))
+    val nDocs = d.count()
+    val p = packed.filter(col("seq").isNotNull)
+      .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"),
+        max(col("off") + col("n_tokens")).as("hi"), min("off").as("lo"),
+        countDistinct("seq").as("nseq"), max("seq").as("mseq")).head()
+    val (pDocs, pTok) = (p.getLong(0), p.getLong(1))
+    val boundaryOk = p.getLong(2) <= seqLen && p.getLong(3) == 0L
+    val denseOk = p.getLong(4) == p.getLong(5) + 1L
+    val e = s.read.parquet(scratch)
+      .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"),
+        countDistinct("shard").as("sh")).head()
+    val exportOk = e.getLong(0) == pDocs && e.getLong(1) == pTok &&
+      e.getLong(2) <= numShards
+    Seq((nDocs, pDocs,
+      if (pTok == encTotal && pDocs == encDocs) 1 else 0,
+      if (boundaryOk) 1 else 0,
+      if (denseOk) 1 else 0,
+      if (exportOk) 1 else 0))
+      .toDF("n_docs", "packed_docs", "tokens_ok", "boundary_ok",
+        "dense_ok", "export_ok")
+  }
+
+  val q155Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE regexp_matches(text, '\S'))
+      |            AS BIGINT) AS packed_docs,
+      |       1 AS tokens_ok, 1 AS boundary_ok, 1 AS dense_ok,
+      |       1 AS export_ok
+      |FROM documents""".stripMargin
 }

@@ -163,6 +163,8 @@ object ExtensionQueries extends ExtensionQueryHelpers
     ("q151_packed_binned", q151 _, q151Sql),
     ("q152_curation_funnel", q152 _, q152Sql),
     ("q153_unigram_train", q153 _, q153Sql), // verdict + Round15Spec EM laws
-    ("q154_index_health", q154 _, q154Sql)
+    ("q154_index_health", q154 _, q154Sql),
+    ("q155_packed_tokenized", q155 _, q155Sql), // verdict + Round16Spec laws
+    ("q156_maintain_index", q156 _, q156Sql)
   )
 }

@@ -1321,8 +1321,12 @@ private[queries] trait RetrievalAnnQueries { self: ExtensionQueryHelpers =>
   def q154(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = emb(s, dir).select("vec_id", "embedding")
+    // per-session discriminator (applicationId) in the scratch path:
+    // keyed by dir.hashCode alone, two concurrent sessions (or a
+    // hash-colliding second dataset dir) would race on the delete +
+    // rebuild of the same path while the other reads it
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_q154_health_" +
-      Integer.toHexString(dir.hashCode)
+      s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1371,19 +1375,76 @@ private[queries] trait RetrievalAnnQueries { self: ExtensionQueryHelpers =>
     val d = docs(s, dir)
     val model = Bpe.trainUnigram(d, "text", vocabSize = 256,
       maxPieceLen = 6, seedSize = 4096, emRounds = 3)
-    val enc = Bpe.unigramTokenCounts(d, "doc_id", "text", model)
+    val enc = Bpe.unigramTokenCounts(d, "doc_id", "text", model,
+        exactOov = true)
       .agg(sum("n_uni_tokens"), sum("n_words")).head()
     val (uni, words) = (enc.getLong(0), enc.getLong(1))
     val chars = d.select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .agg(sum(length(col("w")))).head().getLong(0)
     val nDocs = d.count()
+    // vocab bound = max(vocabSize, required chars): trainUnigram keeps
+    // every dictionary character unconditionally (SentencePiece
+    // required_chars coverage), so a high-codepoint-diversity corpus
+    // legitimately exceeds vocabSize by exactly its char overflow
+    val nChars = model.pieces.keysIterator.count(_.length == 1)
     Seq((nDocs, words,
-      if (model.pieces.size <= 256 &&
+      if (model.pieces.size <= math.max(256, nChars) &&
         model.pieces.keysIterator.exists(_.length > 1)) 1 else 0,
       if (uni >= words && uni <= chars) 1 else 0))
       .toDF("n_docs", "n_words", "vocab_ok", "compress_ok")
   }
+
+  // -------------------------------------------------------------------
+  // q156 — INDEX MAINTENANCE entry point (indexHealth → conditional
+  //        rebuildIvfIndex): plant exactly the drift q154 measures
+  //        (append the full corpus in place — appended fraction 1/2),
+  //        run maintainIndex, and verify it (a) returned the pre-rebuild
+  //        health row with the fired flag, (b) rebuilt at the NEW path
+  //        exactly once, and (c) the fresh layout collapsed the
+  //        duplicated vectors (distinct on id+vector) back to the corpus
+  //        count with zero appended rows. Every column is arithmetic
+  //        over the corpus count + build parameters → REAL hash row
+  //        (the q154 doctrine). The healthy-store no-op (zero jobs
+  //        beyond the footer census, no write) is law-pinned in
+  //        Round16Spec — a no-op leaves nothing SQL-visible to hash.
+  // -------------------------------------------------------------------
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q156_" +
+      s"maint_${s.sparkContext.applicationId}_" +
+      Integer.toHexString(dir.hashCode)
+    val rebuiltPath = s"${base}_rebuilt"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rebuiltPath), true)
+    Similarity.saveIvfIndex(e, base, nlist = 8, kmeansIters = 2,
+      replicate = 1)
+    val assign = s.read.parquet(s"$base/corpus")
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    Similarity.appendToIvfIndex(assign, base)
+    val rep = Similarity.maintainIndex(s, base, rebuiltPath, nlist = 8,
+      kmeansIters = 2, replicate = 1)
+    val fresh = Similarity.indexHealth(s, rebuiltPath)
+      .select(col("rows_total").as("new_rows_total"),
+        col("appended_frac").as("new_appended_frac"))
+    rep.select(col("layout"), col("rows_total"), col("appended_frac"),
+        col("rebuilt"),
+        when(col("new_path") === rebuiltPath, 1).otherwise(0)
+          .as("new_path_set"))
+      .crossJoin(fresh)
+  }
+
+  val q156Sql: String =
+    """SELECT 'ivf-flat' AS layout,
+      |       CAST(2 * count(*) AS BIGINT) AS rows_total,
+      |       CAST(0.5 AS DOUBLE) AS appended_frac,
+      |       true AS rebuilt, 1 AS new_path_set,
+      |       CAST(count(*) AS BIGINT) AS new_rows_total,
+      |       CAST(0.0 AS DOUBLE) AS new_appended_frac
+      |FROM embeddings""".stripMargin
 
   val q153Sql: String =
     """WITH w AS (

@@ -37,14 +37,27 @@ object VecStreaming {
     * permanent crash loop (the same hazard the text twin guards).
     *
     * Ids must be numeric ([[Similarity.nearDupDelta]]'s sentinel
-    * contract). */
+    * contract).
+    *
+    * `healthEveryN > 0` runs [[Similarity.indexHealth]] every Nth batch
+    * (batchId % N == 0), AFTER the batch's own append lands, and writes
+    * the one-row report to `<indexDir>/health/batch=<id>` (per-batch-id
+    * overwrite — replay-idempotent like the appends) with a loud log
+    * when `recommend_rebuild` fires. The stream NEVER rebuilds in place
+    * — centroid retrain under a live append stream is the crash-
+    * corruption case [[Similarity.rebuildIvfIndex]] forbids; the owner
+    * watches the health rows (or the log) and runs
+    * [[Similarity.maintainIndex]] offline with the stream stopped. The
+    * check is metadata-sized (footer census), so an every-Nth cadence
+    * costs no data scan. */
   def startNearDupDedup(vecs: DataFrame, idCol: String, vecCol: String,
                         indexDir: String, survivorsDir: String,
                         checkpointDir: String,
                         threshold: Double, nprobe: Int = 4,
                         replicate: Int = 2, dim: Int = 64,
                         planes: Int = 0, tables: Int = 0,
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        healthEveryN: Int = 0): StreamingQuery = {
     val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       val appendsDir = s"$indexDir/appends"
@@ -79,6 +92,18 @@ object VecStreaming {
         .parquet(s"$survivorsDir/batch=$batchId")
       assign.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$appendsDir/batch=$batchId")
+      if (healthEveryN > 0 && batchId % healthEveryN == 0) {
+        val health = Similarity.indexHealth(spark, indexDir)
+          .withColumn("batch", lit(batchId))
+        val row = health.select("recommend_rebuild", "reason").head()
+        if (row.getBoolean(0))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"[vec-stream] index $indexDir batch $batchId " +
+            s"recommends rebuild: ${row.getString(1)} — stop the stream " +
+            "and run Similarity.maintainIndex at a fresh path")
+        health.coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexDir/health/batch=$batchId")
+      }
     }
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
