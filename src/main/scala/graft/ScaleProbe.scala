@@ -463,6 +463,17 @@ object ScaleProbe {
           graft.functions.TextFunctions.nTokens(col("text")),
           seqLen = 4096, truncate = true).count()
       },
+      // tokenizer-true packing: one train scan (dictionary-capped), the
+      // encode scan + vocabulary-bounded broadcast join + exact-OOV
+      // distinct (grows with the replica-suffixed vocabulary), ONE
+      // checkpoint of the doc-sized counts, then the packbinned shape —
+      // the honest bound is linear-in-rows; a superlinear ratio means
+      // the encode leaked past the checkpoint into the packing windows
+      "packtok" -> timed(s"$tag tokenizer-true pack") {
+        val m = graft.operators.Bpe.trainBpe(d, "text", numMerges = 8)
+        graft.operators.Sampling.packTokenizedBpe(d, "doc_id", "text", m,
+          seqLen = 4096, truncate = true).count()
+      },
       // unigram-LM training: the corpus scan is the only corpus-sized
       // work (dictionary capped at maxDictWords); EM rounds are jobs
       // over the bounded dictionary frame — the honest bound is
