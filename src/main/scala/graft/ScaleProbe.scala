@@ -585,17 +585,21 @@ object ScaleProbe {
           d.withColumn("text", regexp_replace(col("text"),
             "((\\S+ ){10})", "$1\n")), "doc_id", "text").count()
       },
-      // trained language-ID: training is maxIter gradient aggregations
-      // over one hashed char-gram featurization (linear in chars, fixed
-      // feature width), scoring one broadcast-coefficient projection —
-      // superlinear means the featurization fell out of codegen or the
-      // label map degenerated into a join
+      // trained language-ID: the fit is BOUNDED to a fixed stratified
+      // sample (maxTrainRows below the 1x corpus, so BOTH scales train
+      // on the same-size sample — the operator's own 100 TB doctrine:
+      // train on a bounded sample, predict over the corpus). The gated
+      // corpus-sized work is the labeled count + thin filter + the
+      // broadcast-coefficient predict scan, all linear; an UNbounded fit
+      // is ungateable — LBFGS line-search count on identical data swings
+      // the r15-shaped step 12.5 s → 223 s run-to-run (r16 diagnosis),
+      // drowning any scaling signal in convergence luck
       "langid" -> timed(s"$tag trained language-id") {
         val labeled = d.withColumn("lang",
           element_at(array(lit("aa"), lit("bb"), lit("cc")),
             pmod(col("doc_id"), lit(3)).cast("int") + 1))
         val m = graft.operators.Quality.trainLangId(labeled, "text", "lang",
-          numFeatures = 1 << 16, maxIter = 5)
+          numFeatures = 1 << 16, maxIter = 5, maxTrainRows = 4096)
         graft.operators.Quality.predictLang(m, d, "doc_id", "text").count()
       },
       // compaction plan: one range partition + a partition-KEYED window +

@@ -58,6 +58,11 @@ object ScaleTail {
       "dupshare" -> timed(s"$tag dup-ngram share") {
         graft.operators.Corpus.duplicateNgramShare(d, "doc_id", "text").count()
       },
+      // joined round 16: its 8x gate ratio crossed 4 (5.0x) — the same
+      // over-4 criterion that picked the original three steps
+      "lmscore" -> timed(s"$tag bigram LM score") {
+        graft.operators.Corpus.lmScore(d, "doc_id", "text").count()
+      },
       "dsir" -> timed(s"$tag importance resample") {
         graft.operators.Sampling.importanceResample(
           d, d.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
