@@ -773,10 +773,7 @@ object Similarity {
       if (all == 0) 0.0 else appended.toDouble / all
     val median = pct(0.5)
     val hottest = if (cellCounts.isEmpty) 0L else cellCounts.last
-    val layout =
-      if (fs.exists(new HPath(s"$path/sq"))) "ivf-sq8"
-      else if (fs.exists(new HPath(s"$path/pq"))) "ivf-pq"
-      else "ivf-flat"
+    val layout = detectLayout(spark, path)
     val reasons = Seq(
       if (appendedFrac >= 0.5)
         Some(f"appended fraction $appendedFrac%.2f >= 0.5 — appended " +
@@ -801,29 +798,101 @@ object Similarity {
         "cell_rows_max", "recommend_rebuild", "reason")
   }
 
-  /** MAINTENANCE entry point wiring [[indexHealth]] to
-    * [[rebuildIvfIndex]]: measure the stored layout's health; when the
-    * report fires `recommend_rebuild` (appended volume rivals the base,
-    * or a hot cell signals centroid drift), retrain a fresh layout at
-    * `newPath` — never in place — otherwise do NOTHING beyond the
-    * metadata-sized footer census (a healthy store costs no data scan
-    * and no write). Returns the health row either way, extended with
-    * `rebuilt` and `new_path` (NULL when no rebuild ran) so a scheduler
-    * can log one row per maintenance tick and consumers can switch
-    * paths when `rebuilt` is true. */
+  /** Stored-layout kind: `ivf-flat`, `ivf-sq8`, or `ivf-pq` — the same
+    * marker-dir rule every stored-index consumer uses. */
+  private def detectLayout(spark: org.apache.spark.sql.SparkSession,
+                           path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/sq"))) "ivf-sq8"
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq"))) "ivf-pq"
+    else "ivf-flat"
+  }
+
+  /** LAYOUT-AWARE offline rebuild of any stored index at `newPath`
+    * (never in place — [[rebuildIvfIndex]]'s crash-safety contract),
+    * preserving the stored layout kind and `nlist` (read from the
+    * centroids unless overridden):
+    *
+    *  - `ivf-flat`, no `source`: [[rebuildIvfIndex]] — the stored
+    *    vectors ARE the source (lossless), base + appends, distinct.
+    *  - `ivf-flat` with `source`: retrain directly from the caller's
+    *    original corpus (the streaming-append owner's path: the source
+    *    table already holds every vector, so the fresh k-means sees the
+    *    true current distribution, not the replicate-exploded store).
+    *  - `ivf-sq8` / `ivf-pq`: REQUIRE `source` and retrain
+    *    centroids + grid / codebooks from the original vectors. The
+    *    stored codes are LOSSY — re-encoding reconstructions would
+    *    compound quantization error into the new grid and silently
+    *    degrade recall, so a quantized store without its source corpus
+    *    fails BY NAME instead (a 100 TB serving owner keeps source
+    *    embeddings in cold storage precisely for retrains; PQ geometry
+    *    m/ksub is preserved from the stored codebooks).
+    *
+    * Returns the layout that was rebuilt. */
+  def rebuildStoredIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newPath: String,
+                         source: Option[DataFrame] = None,
+                         nlist: Int = 0, kmeansIters: Int = 3,
+                         replicate: Int = 2, sId: String = "vec_id",
+                         sVec: String = "embedding"): String = {
+    require(newPath != path,
+      "rebuild writes a fresh layout — newPath must differ from path")
+    val layout = detectLayout(spark, path)
+    val nl = if (nlist > 0) nlist else readCentroids(spark, path).length
+    def need: DataFrame = source.getOrElse(throw new IllegalArgumentException(
+      s"rebuildStoredIndex: $path is $layout — its codes are lossy, so " +
+        "a rebuild needs the ORIGINAL vectors; pass source = the " +
+        "embedding corpus (re-encoding reconstructions would compound " +
+        "quantization error into the new grid)"))
+    layout match {
+      case "ivf-flat" => source match {
+        case Some(src) =>
+          saveIvfIndex(src, newPath, nl, kmeansIters, replicate, sId, sVec)
+        case None =>
+          rebuildIvfIndex(spark, path, newPath, nl, kmeansIters, replicate)
+      }
+      case "ivf-sq8" =>
+        saveIvfSqIndex(need, newPath, nl, kmeansIters, replicate, sId, sVec): Unit
+      case "ivf-pq" =>
+        // preserve the stored code geometry: m sub-blocks, ksub centroids
+        val pq = spark.read.parquet(s"$path/pq")
+          .agg(max("blk"), max("cid")).head()
+        saveIvfPqIndex(need, newPath, nl, pq.getInt(0) + 1,
+          pq.getInt(1) + 1, kmeansIters, 3, replicate, sId, sVec): Unit
+    }
+    layout
+  }
+
+  /** MAINTENANCE entry point wiring [[indexHealth]] to a conditional
+    * [[rebuildStoredIndex]]: measure the stored layout's health; when
+    * the report fires `recommend_rebuild` (appended volume rivals the
+    * base, or a hot cell signals centroid drift), retrain a fresh
+    * layout at `newPath` — never in place — otherwise do NOTHING beyond
+    * the metadata-sized footer census (a healthy store costs no data
+    * scan and no write). Quantized layouts need `source` (the original
+    * vectors) to rebuild — see [[rebuildStoredIndex]]. Returns the
+    * health row either way, extended with `rebuilt` and `new_path`
+    * (NULL when no rebuild ran) so a scheduler can log one row per
+    * maintenance tick and consumers can switch paths when `rebuilt` is
+    * true. */
   def maintainIndex(spark: org.apache.spark.sql.SparkSession,
-                    path: String, newPath: String, nlist: Int = 16,
-                    kmeansIters: Int = 3, replicate: Int = 2): DataFrame = {
+                    path: String, newPath: String, nlist: Int = 0,
+                    kmeansIters: Int = 3, replicate: Int = 2,
+                    source: Option[DataFrame] = None,
+                    sId: String = "vec_id",
+                    sVec: String = "embedding"): DataFrame = {
     require(newPath != path,
       "maintainIndex rebuilds at a fresh path — newPath must differ " +
-        "from path (rebuildIvfIndex's crash-safety contract)")
+        "from path (rebuildStoredIndex's crash-safety contract)")
     val health = indexHealth(spark, path)
     // indexHealth returns a driver-local one-row frame (the census is
     // metadata-sized) — reading the flag re-runs nothing
     val rebuild = health.select("recommend_rebuild")
       .head().getBoolean(0)
     if (rebuild)
-      rebuildIvfIndex(spark, path, newPath, nlist, kmeansIters, replicate)
+      rebuildStoredIndex(spark, path, newPath, source, nlist,
+        kmeansIters, replicate, sId, sVec): Unit
     health
       .withColumn("rebuilt", lit(rebuild))
       .withColumn("new_path",

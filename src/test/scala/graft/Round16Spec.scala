@@ -224,6 +224,71 @@ class Round16Spec extends SparkSpec {
         "bare census — it must add nothing beyond the health measurement")
   }
 
+  test("maintainIndex on a drifted SQ8 store rebuilds the SAME layout " +
+    "from the source corpus; without the source it fails by name") {
+    val dir = java.nio.file.Files.createTempDirectory("maint_sq").toString
+    // range starts at 1: id = 0 makes sin(i*id) the all-zero vector,
+    // whose normalize() is NaN and destabilizes k-means realization
+    val base = spark.range(1, 65).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)), i =>
+        sin(i * col("id")).cast("double")).as("embedding"))
+    Similarity.saveIvfSqIndex(base, dir, nlist = 4, kmeansIters = 2,
+      replicate = 1)
+    // plant the drift: duplicate the stored codes in place (frac 0.5)
+    val assign = spark.read.parquet(s"$dir/corpus")
+      .select(col("neighbor_id"), col("sq_code"), col("cell"))
+      .localCheckpoint(true)
+    assign.repartition(col("cell")).write.mode("append")
+      .partitionBy("cell").parquet(s"$dir/corpus")
+    // quantized codes are lossy: no source → by-name error, nothing built
+    val e = intercept[IllegalArgumentException] {
+      Similarity.maintainIndex(spark, dir, s"${dir}_x")
+    }
+    assert(e.getMessage.contains("ivf-sq8") &&
+      e.getMessage.contains("source"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${dir}_x")))
+    // with the source corpus the rebuild lands the SAME layout kind
+    val fresh = s"${dir}_rebuilt"
+    val row = Similarity.maintainIndex(spark, dir, fresh,
+      kmeansIters = 2, replicate = 1, source = Some(base))
+      .collect().head
+    assert(row.getAs[Boolean]("rebuilt") &&
+      row.getAs[String]("layout") == "ivf-sq8")
+    val h = Similarity.indexHealth(spark, fresh).collect().head
+    assert(h.getAs[String]("layout") == "ivf-sq8")
+    // nlist carries over as the ORIGINAL store's realized centroid count
+    // (k-means may realize fewer than requested on a degenerate fixture —
+    // the carry-over contract is store → store, not request → store)
+    assert(h.getAs[Int]("nlist") == row.getAs[Int]("nlist"),
+      "nlist must carry over from the store")
+    assert(h.getAs[Long]("rows_total") == 64 &&
+      h.getAs[Long]("rows_appended") == 0)
+    // the fresh store serves: stored kNN against itself finds itself
+    val knn = Similarity.ivfSqKnnStored(spark, fresh,
+      base.limit(4), k = 1, nprobe = 4)
+    assert(knn.count() == 4)
+  }
+
+  test("rebuildStoredIndex preserves PQ code geometry (m, ksub) from " +
+    "the stored codebooks") {
+    val dir = java.nio.file.Files.createTempDirectory("maint_pq").toString
+    val base = spark.range(1, 65).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)), i =>
+        sin(i * col("id")).cast("double")).as("embedding"))
+    Similarity.saveIvfPqIndex(base, dir, nlist = 4, m = 4, ksub = 8,
+      kmeansIters = 2, replicate = 1)
+    val fresh = s"${dir}_rebuilt"
+    val layout = Similarity.rebuildStoredIndex(spark, dir, fresh,
+      source = Some(base), kmeansIters = 2, replicate = 1)
+    assert(layout == "ivf-pq")
+    val pq = spark.read.parquet(s"$fresh/pq")
+      .agg(max("blk"), max("cid")).head()
+    assert(pq.getInt(0) + 1 == 4 && pq.getInt(1) + 1 == 8,
+      "rebuilt codebooks must keep the stored m and ksub")
+  }
+
   // ------------------------------------------------------------------
   // membership stamp + parallel footer census
   // ------------------------------------------------------------------
