@@ -1179,30 +1179,15 @@ object Similarity {
   }
 
   /** Parallelism for the [[indexHealth]] footer census: independent
-    * metadata reads, latency-bound on object stores. */
-  private val FooterCensusThreads: Int =
-    math.min(32, Runtime.getRuntime.availableProcessors)
+    * metadata reads, latency-bound on object stores
+    * ([[graft.util.ParquetMeta]] is the shared machinery). */
+  private val FooterCensusThreads: Int = graft.util.ParquetMeta.CensusThreads
 
-  /** Map `f` over `items` on a bounded thread pool, preserving order.
-    * Exceptions from `f` re-throw unwrapped so by-name errors surface
-    * by name. Driver-side only — for bounded metadata loops, never
-    * data. */
+  /** See [[graft.util.ParquetMeta.mapBounded]] — shared with the
+    * streaming store health census. */
   private def mapBounded[A, B](items: Seq[A], parallelism: Int)
                               (f: A => B): Seq[B] =
-    if (items.sizeIs <= 1 || parallelism <= 1) items.map(f)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, items.size))
-      try {
-        val futures = items.map(a => pool.submit(
-          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-        try futures.map(_.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
-        }
-      } finally { pool.shutdown(): Unit }
-    }
+    graft.util.ParquetMeta.mapBounded(items, parallelism)(f)
 
   /** A file's path relative to `root`, scheme/authority-independent
     * (both sides via URI path), for the [[stampBuild]] manifest. */

@@ -248,6 +248,14 @@ object DocStreaming {
                    storeDir: String): Unit =
     StoreCompaction.compact(spark, storeDir, Seq("doc_id", "s"))
 
+  /** Health report for this twin's shingle store — live batch-partition
+    * count, footer-census row counts, and the compaction
+    * recommendation; see [[StoreCompaction.storeHealth]]. */
+  def storeHealth(spark: org.apache.spark.sql.SparkSession,
+                  storeDir: String, maxLiveBatches: Int = 16)
+  : org.apache.spark.sql.DataFrame =
+    StoreCompaction.storeHealth(spark, storeDir, maxLiveBatches)
+
   private[streaming] def recoverCompaction(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit =

@@ -84,6 +84,59 @@ private[graft] object StoreCompaction {
     finishRename(fs, root)
   }
 
+  /** HEALTH report for a per-batch-id streaming store — the streaming
+    * twin of [[graft.operators.Similarity.indexHealth]], measuring the
+    * store-scan cost every future micro-batch will pay: one row with
+    * the live (uncompacted) batch-partition count, the compacted
+    * snapshot's presence, file and row counts on each side (parquet
+    * FOOTER census on a bounded pool — metadata-sized, never a data
+    * scan), and `recommend_compaction` once live partitions exceed
+    * `maxLiveBatches` — every batch re-reads the whole store, so the
+    * small-files listing + open cost grows per batch until
+    * [[compact]] folds history into `batch=-1` (run with the stream
+    * STOPPED). An interrupted compaction is healed BEFORE measuring, so
+    * the report never reads a store that the next batch would first
+    * repair. */
+  def storeHealth(spark: SparkSession, storeDir: String,
+                  maxLiveBatches: Int = 16): org.apache.spark.sql.DataFrame = {
+    import graft.util.ParquetMeta
+    require(maxLiveBatches > 0,
+      s"maxLiveBatches must be positive, got $maxLiveBatches")
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"$storeDir does not exist")
+    recover(fs, root)
+    val conf = spark.sessionState.newHadoopConf()
+    val batches = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap {
+      st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch="))
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+            .map(_ -> st.getPath)
+        else None
+    }
+    val (compacted, live) = batches.partition(_._1 < 0)
+    def census(dirs: Seq[Path]): (Long, Long) = {
+      val files = dirs.flatMap(ParquetMeta.parquetFiles(fs, _))
+      (files.size.toLong,
+        ParquetMeta.mapBounded(files)(ParquetMeta.footerRows(_, conf)).sum)
+    }
+    val (liveFiles, liveRows) = census(live.map(_._2))
+    val (compFiles, compRows) = census(compacted.map(_._2))
+    val fire = live.size > maxLiveBatches
+    val reason =
+      if (fire)
+        s"${live.size} live batch partitions > $maxLiveBatches — every " +
+          "micro-batch re-reads the whole store, so listing/open cost " +
+          "now grows per batch; stop the stream and run compactStore"
+      else "healthy"
+    import spark.implicits._
+    Seq((live.size, compacted.nonEmpty, liveFiles + compFiles,
+      liveRows + compRows, liveRows, compRows, fire, reason))
+      .toDF("batches_live", "has_compacted", "files", "rows_total",
+        "rows_live", "rows_compacted", "recommend_compaction", "reason")
+  }
+
   /** Rename `.compact_tmp` -> `batch=-1` WITH the manifest still inside
     * (deleting it first would re-open a loss window: a crash between that
     * delete and the rename leaves a manifest-less tmp holding the only

@@ -126,4 +126,16 @@ object VecStreaming {
                    indexDir: String): Unit =
     StoreCompaction.compact(spark, s"$indexDir/appends",
       Seq("neighbor_id", "cv"), partCols = Seq("cell"))
+
+  /** Health report for this twin's appends store — live batch-partition
+    * count, footer-census row counts, and the compaction
+    * recommendation; see [[StoreCompaction.storeHealth]]. (The INDEX
+    * health — cell skew, appended fraction, rebuild advice — is
+    * [[Similarity.indexHealth]]; this measures the per-batch appends
+    * layout that [[compactStore]] maintains.) */
+  def storeHealth(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, maxLiveBatches: Int = 16)
+  : org.apache.spark.sql.DataFrame =
+    StoreCompaction.storeHealth(spark, s"$indexDir/appends",
+      maxLiveBatches)
 }

@@ -118,6 +118,24 @@ class Round16Spec extends SparkSpec {
       s"packing does not read the checkpointed counts:\n$plan")
   }
 
+  test("packTokenizedUnigram: same composition laws under the unigram " +
+    "tokenizer — totals equal the exact encode, boundaries hold") {
+    val model = Bpe.trainUnigram(packDocs, "text", vocabSize = 32,
+      maxPieceLen = 3, seedSize = 16, emRounds = 2)
+    val packed = Sampling.packTokenizedUnigram(
+      packDocs, "doc_id", "text", model, SeqLen)
+    val enc = Bpe.unigramTokenCounts(packDocs, "doc_id", "text", model,
+        exactOov = true)
+      .select(col("doc_id"),
+        least(col("n_uni_tokens"), lit(SeqLen)).as("want"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = packed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == enc, "unigram packed totals diverged from the encode")
+    packed.filter(col("seq").isNotNull)
+      .select("off", "n_tokens").collect()
+      .foreach(r => assert(r.getLong(0) + r.getLong(1) <= SeqLen))
+  }
+
   test("writePackedTokenized: the export carries exactly the packed " +
     "rows, round-robin sharded, (seq, off)-ordered within each shard") {
     val dir = java.nio.file.Files.createTempDirectory("packtok").toString
@@ -349,6 +367,34 @@ class Round16Spec extends SparkSpec {
     // already counted on the appended side
     assert(row.getAs[Long]("rows_appended") >= 2)
     assert(row.getAs[Long]("rows_total") >= 22)
+  }
+
+  test("storeHealth: footer census over a per-batch store, compaction " +
+    "recommendation fires past the live-batch bound and clears after " +
+    "compactStore") {
+    import graft.streaming.DocStreaming
+    val dir = java.nio.file.Files.createTempDirectory("storehealth").toString
+    (0 until 5).foreach { b =>
+      Seq((b.toLong * 10, s"s$b")).toDF("doc_id", "s")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$b")
+    }
+    val h1 = DocStreaming.storeHealth(spark, dir, maxLiveBatches = 3)
+      .collect().head
+    assert(h1.getAs[Int]("batches_live") == 5)
+    assert(!h1.getAs[Boolean]("has_compacted"))
+    assert(h1.getAs[Long]("rows_total") == 5 &&
+      h1.getAs[Long]("rows_live") == 5)
+    assert(h1.getAs[Boolean]("recommend_compaction"))
+    assert(h1.getAs[String]("reason").contains("compactStore"))
+    DocStreaming.compactStore(spark, dir)
+    val h2 = DocStreaming.storeHealth(spark, dir, maxLiveBatches = 3)
+      .collect().head
+    // compaction folds every batch except the newest into batch=-1
+    assert(h2.getAs[Int]("batches_live") == 1)
+    assert(h2.getAs[Boolean]("has_compacted"))
+    assert(h2.getAs[Long]("rows_total") == 5)
+    assert(h2.getAs[Long]("rows_compacted") == 4)
+    assert(!h2.getAs[Boolean]("recommend_compaction"))
   }
 
   // ------------------------------------------------------------------
