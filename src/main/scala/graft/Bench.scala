@@ -1,6 +1,58 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Cross-round bench comparison helpers — separated from the main so the
+  * artifact-parsing contract is law-testable (Round17Spec). */
+object BenchCompare {
+
+  /** Per-query min from a prior bench artifact: prefer
+    * `query_stats.<q>.min` (the r16+ spread instrument), fall back to
+    * the flat `queries` map (earlier artifacts recorded min-of-reps
+    * directly). Negative sentinels (failed queries) are dropped — a
+    * breakage must not become a comparison baseline. */
+  def parsePrevMins(json: String): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(json)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d)  => Some(d)
+      case JInt(i)     => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case JLong(l)    => Some(l.toDouble)
+      case _           => None
+    }
+    def numMap(v: JValue, pick: JValue => JValue): Map[String, Double] =
+      v match {
+        case JObject(fields) => fields.flatMap { case (k, f) =>
+          num(pick(f)).map(k -> _) }.toMap
+        case _ => Map.empty
+      }
+    val flat = numMap(j \ "queries", identity)
+    val stats = numMap(j \ "query_stats", _ \ "min")
+    (flat ++ stats).filter(_._2 > 0)
+  }
+
+  /** The newest committed reps-10 record in `dir`
+    * (`BENCH_REPS10_r<N>.json`, highest N) — the comparison baseline
+    * when `SPARK_GRAFT_BENCH_PREV` doesn't name one explicitly. */
+  def latestRecord(dir: java.nio.file.Path): Option[java.nio.file.Path] = {
+    val re = "BENCH_REPS10_r(\\d+)\\.json".r
+    val cands = scala.util.Try {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case re(n) => Some((n.toInt, p))
+            case _     => None
+          }
+        }.toList
+      } finally s.close()
+    }.getOrElse(Nil)
+    cands.sortBy(-_._1).headOption.map(_._2)
+  }
+}
+
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR at
   * local[32], one JSON line. AQE on; shuffle partitions sized to the core
   * count (not 200 — at local scale oversized shuffles dominate runtime). */
@@ -181,12 +233,43 @@ object Bench {
     }
     val machine =
       s""""machine":{"load_avg":${num(os.getSystemLoadAverage)},"load_avg_samples":[${loadSamples.map(num).mkString(",")}],"available_processors":${rt.availableProcessors},"max_heap_mb":${rt.maxMemory / (1024 * 1024)},"jvm":"${System.getProperty("java.vm.version")}","gc":"$gcNames"}"""
+    // Cross-round comparator: the verdict used to hand-join the previous
+    // round's reps-10 record to classify min-to-min deltas — the artifact
+    // now does it itself. Baseline: SPARK_GRAFT_BENCH_PREV if set, else
+    // the newest committed BENCH_REPS10_r<N>.json in the working dir;
+    // per-query prev_min/delta land in query_stats, and any >1.3x
+    // min-to-min shift lists itself in "regressions" pre-classified by
+    // the suspect flag (wide spread = ambient noise; tight spread at a
+    // shifted min = a real plan change).
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .orElse(BenchCompare.latestRecord(java.nio.file.Paths.get(".")))
+    val prevMins: Map[String, Double] = prevPath.flatMap { p =>
+      scala.util.Try(BenchCompare.parsePrevMins(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))).toOption
+    }.getOrElse(Map.empty)
+    val RegressionBand = 1.3
+    def prevFor(k: String, min: Double): Option[Double] =
+      if (min <= 0) None else prevMins.get(k)
     val statsJson = allStats.map { case (k, st) =>
+      val prev = prevFor(k, st.min).map(pm =>
+        ",\"prev_min\":" + num(pm) + ",\"delta\":" + num(st.min / pm))
+        .getOrElse("")
       "\"" + k + "\":{\"min\":" + num(st.min) + ",\"med\":" + num(st.med) +
-        ",\"max\":" + num(st.max) + ",\"suspect\":" + st.suspect + "}"
+        ",\"max\":" + num(st.max) + ",\"suspect\":" + st.suspect + prev + "}"
     }.mkString("{", ",", "}")
+    val regressions = allStats.flatMap { case (k, st) =>
+      prevFor(k, st.min).filter(pm => st.min / pm > RegressionBand)
+        .map(pm => (k, st, pm, st.min / pm))
+    }.sortBy(-_._4)
+    val regJson = regressions.map { case (k, st, pm, r) =>
+      s"""{"q":"$k","min":${num(st.min)},"prev_min":${num(pm)},""" +
+        s""""ratio":${num(r)},"suspect":${st.suspect}}"""
+    }.mkString("[", ",", "]")
+    val prevSrc = prevPath.map(p => "\"" + p.toString + "\"").getOrElse("null")
     val nSuspect = allStats.count(_._2.suspect)
-    val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"queries":$qs,"query_stats":$statsJson,"n_suspect":$nSuspect,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"queries":$qs,"query_stats":$statsJson,"n_suspect":$nSuspect,"prev_source":$prevSrc,"regressions":$regJson,"n_regressions":${regressions.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(fullJson)
     // The harness archives only a bounded TAIL of stdout (~2000 chars) and
     // parses a JSON line out of it; with 125+ per-query entries the full
@@ -198,7 +281,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("BENCH_LATEST.json").toAbsolutePath
     scala.util.Try(java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes("UTF-8"))): Unit
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"n_queries":${results.size},"n_failed":${failed.size},"n_suspect":$nSuspect,"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"n_queries":${results.size},"n_failed":${failed.size},"n_suspect":$nSuspect,"n_regressions":${regressions.size},"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

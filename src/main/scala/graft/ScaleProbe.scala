@@ -88,9 +88,16 @@ object ScaleProbe {
     val embDim = emb1.select(size(col("embedding"))).head().getInt(0)
     require(factor < embDim,
       s"replication factor must be < embedding dim $embDim, got $factor")
+    // ids compose collision-proof as vec_id * n + rep (the replicateDocs
+    // rule): unique and replica-disjoint for ANY non-negative id range —
+    // the previous fixed additive stride collided once ids reached it,
+    // silently merging replicas and breaking the replica-0 query filters
     def embN(n: Int): DataFrame =
       spark.range(n).toDF("rep").crossJoin(emb1)
-        .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
+        .select((when(col("vec_id") < 0, raise_error(
+            lit("embN: negative vec_id breaks the collision-proof id " +
+              "composition"))).otherwise(col("vec_id")) * lit(n.toLong) +
+            col("rep")).as("vec_id"),
           // rotate each replica's vector by `rep` positions: deterministic,
           // norm-preserving, and DISTINCT per replica (a single shared
           // transform like reverse() makes all replicas bit-identical to
@@ -180,7 +187,13 @@ object ScaleProbe {
       r
     }
 
-    def annSuite(tag: String, e: DataFrame): Map[String, Double] = Map(
+    // `n` = the replication factor of `e` (ids are orig * n + rep), so
+    // the replica-0 fixed-query filters derive from the modulus: orig id
+    // a multiple of 1000 AND rep == 0  <=>  vec_id % (1000 * n) == 0 —
+    // range-independent, unlike the old `< stride` cutoffs
+    def annSuite(tag: String, e: DataFrame, n: Int): Map[String, Double] = {
+      val rep0Query = col("vec_id") % lit(1000L * n) === 0
+      Map(
       "neardup" -> timed(s"$tag embedding near-dup") {
         graft.operators.Similarity.nearDupPairs(e, 0.9).count()
       },
@@ -189,7 +202,7 @@ object ScaleProbe {
         // 1000, so a bare modulus would scale the query count with the
         // factor and a linear index would read as ~factor² here)
         graft.operators.Similarity.ivfKnn(
-          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e.filter(rep0Query),
           e, 5, nlist = 32, nprobe = 4).count()
       },
       // PQ train+encode: Lloyd iterations are fixed-count distributed
@@ -223,7 +236,7 @@ object ScaleProbe {
       // the bounded top-k, so the honest bound is linear-in-corpus
       "hardneg" -> timed(s"$tag hard negatives") {
         graft.operators.Similarity.hardNegatives(
-          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e.filter(rep0Query),
           e, k = 5, lo = 0.3, hi = 0.9).count()
       },
       // prototype pruning: scoring is a per-row projection against 16
@@ -232,7 +245,8 @@ object ScaleProbe {
       // honest bound is linear-in-rows; superlinear means the order
       // statistics leaked a per-cluster sort
       "protoprune" -> timed(s"$tag prototype prune") {
-        val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        val cents = e.filter(col("vec_id") % lit(n.toLong) === 0 &&
+            col("vec_id") < 16L * n).orderBy("vec_id")
           .select(graft.operators.Similarity.normalize(col("embedding"))
             .as("nv"))
           .collect().map(_.getSeq[Double](0).toArray)
@@ -248,7 +262,7 @@ object ScaleProbe {
         val m = graft.operators.Similarity.trainSq(e)
         val codes = graft.operators.Similarity.sqEncode(e, m)
         graft.operators.Similarity.sqKnn(
-          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e.filter(rep0Query),
           codes, m, 5).count()
       },
       // random projection: dOut dotp kernels per row (scan-side), the
@@ -256,7 +270,7 @@ object ScaleProbe {
       // bounded by |Q|·k·refine rows — linear-in-corpus
       "rpknn" -> timed(s"$tag RP reduce+refine kNN (fixed query set)") {
         graft.operators.Similarity.rpKnnRefined(
-          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e.filter(rep0Query),
           e, k = 5, dOut = 16, refine = 4).count()
       },
       // IVF-SQ8: build is Lloyd aggregations + a residual min/max
@@ -270,9 +284,10 @@ object ScaleProbe {
         graft.operators.Similarity.saveIvfSqIndex(e, root, nlist = 32,
           kmeansIters = 2)
         graft.operators.Similarity.ivfSqKnnStored(spark, root,
-          e.filter(col("vec_id") % 1000 === 0 && col("vec_id") < 10000000L),
+          e.filter(rep0Query),
           k = 5, nprobe = 4).count()
       })
+    }
 
     // events: replicas get fresh event ids but the SAME users/timestamps,
     // so per-user activity densifies factor× — the worst direction for
@@ -280,9 +295,13 @@ object ScaleProbe {
     // operator leaks a global sort or a range fan-out)
     val ev1 = graft.sources.Sources.readEvents(spark, sfDir)
       .select("event_id", "user_id", "event_type", "ts")
+    // same collision-proof multiplicative composition as embN/replicateDocs
     def evN(n: Int): DataFrame =
       spark.range(n).toDF("rep").crossJoin(ev1)
-        .select((col("event_id") + col("rep") * lit(10000000L)).as("event_id"),
+        .select((when(col("event_id") < 0, raise_error(
+            lit("evN: negative event_id breaks the collision-proof id " +
+              "composition"))).otherwise(col("event_id")) * lit(n.toLong) +
+            col("rep")).as("event_id"),
           col("user_id"), col("event_type"), col("ts"))
 
     def eventsSuite(tag: String, ev: DataFrame): Map[String, Double] = Map(
@@ -671,9 +690,9 @@ object ScaleProbe {
     clean()
     val dN = dedupSuite(s"${factor}x", docsN(factor), factor)
     clean()
-    val a1 = annSuite("1x", embN(1))
+    val a1 = annSuite("1x", embN(1), 1)
     clean()
-    val aN = annSuite(s"${factor}x", embN(factor))
+    val aN = annSuite(s"${factor}x", embN(factor), factor)
     clean()
     val p1 = pipeSuite("1x", docsN(1)) ++ bm25Step("1x", docsN(1), 1)
     clean()

@@ -384,14 +384,18 @@ object Bpe {
     * over the unigram dictionary segmentation: explode words, one
     * size-guarded broadcast join, out-of-dictionary words fall back to
     * their character count (an upper bound — a learned multi-char piece
-    * may cover part of an unseen word). `exactOov = true` instead
-    * Viterbi-segments the DISTINCT OOV vocabulary against the broadcast
-    * model (the [[encodeTokenCounts]] exactOov move), so counts equal
-    * the driver tokenizer ([[UnigramModel.segment]]) for EVERY word.
-    * Nothing corpus-sized shuffles either way. */
+    * may cover part of an unseen word). `exactOov = true` (the
+    * DEFAULT — one documented default across both tokenizers and the
+    * packed-export compositions) instead Viterbi-segments the DISTINCT
+    * OOV vocabulary against the broadcast model (the
+    * [[encodeTokenCounts]] exactOov move), so counts equal the driver
+    * tokenizer ([[UnigramModel.segment]]) for EVERY word. Nothing
+    * corpus-sized shuffles either way; pass `exactOov = false` only
+    * when an upper-bound proxy is acceptable and the distinct-OOV
+    * segmentation pass is worth skipping. */
   def unigramTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                          model: UnigramModel,
-                         exactOov: Boolean = false): DataFrame = {
+                         exactOov: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
@@ -419,12 +423,14 @@ object Bpe {
     * dictionary segmentation. Out-of-dictionary words default to the
     * character-level count (length + 1 symbols — each char plus the
     * end-of-word marker merged onto the last char counts as length;
-    * see [[BpeModel.segment]]); `exactOov = true` instead segments the
-    * distinct OOV vocabulary exactly (merge-applied), so counts equal
-    * the driver tokenizer for EVERY word. One scan + one size-guarded
-    * broadcast join; nothing corpus-sized shuffles. */
+    * see [[BpeModel.segment]]); `exactOov = true` (the DEFAULT — one
+    * documented default across both tokenizers and the packed-export
+    * compositions) instead segments the distinct OOV vocabulary exactly
+    * (merge-applied), so counts equal the driver tokenizer for EVERY
+    * word. One scan + one size-guarded broadcast join; nothing
+    * corpus-sized shuffles. */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                        model: BpeModel, exactOov: Boolean = false): DataFrame = {
+                        model: BpeModel, exactOov: Boolean = true): DataFrame = {
     val words = docs
       .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
@@ -445,7 +451,7 @@ object Bpe {
     * true` applies the learned merges to the distinct OOV vocabulary,
     * making the stream identical to [[BpeModel.segment]] word by word. */
   def encodeSegments(docs: DataFrame, idCol: String, textCol: String,
-                     model: BpeModel, exactOov: Boolean = false): DataFrame = {
+                     model: BpeModel, exactOov: Boolean = true): DataFrame = {
     val words = docs
       .select(col(idCol),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))

@@ -350,6 +350,28 @@ object Corpus {
         sum("total_dl").as("total_dl")))
   }
 
+  /** Maintenance tick for a BM25 store: health-census the POSTINGS
+    * sub-store (the largest — its live batch count is the committed
+    * batch count all three sub-stores share, and its listing/open cost
+    * is what every probe pays) and [[compactBm25Store]] only when it
+    * fires `recommend_compaction` —
+    * [[graft.streaming.StoreCompaction.maintainStore]]'s
+    * measure-then-act contract applied across the three sub-stores at
+    * once. A healthy store is a metadata-sized no-op. Run with any
+    * ingest stream STOPPED. Returns the pre-compaction postings health
+    * row extended with `compacted`. */
+  def maintainBm25Store(spark: org.apache.spark.sql.SparkSession,
+                        path: String, maxLiveBatches: Int = 16)
+  : org.apache.spark.sql.DataFrame = {
+    import graft.streaming.StoreCompaction
+    bm25RecoverCompaction(spark, path)
+    val health = StoreCompaction.storeHealth(spark, s"$path/postings",
+      maxLiveBatches)
+    val fire = health.select("recommend_compaction").head().getBoolean(0)
+    if (fire) compactBm25Store(spark, path)
+    health.withColumn("compacted", lit(fire))
+  }
+
   private def bm25NextBatch(spark: org.apache.spark.sql.SparkSession,
                             path: String): Long =
     bm25Committed(spark, path).foldLeft(-1L)(math.max) + 1

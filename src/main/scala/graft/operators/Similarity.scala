@@ -717,18 +717,14 @@ object Similarity {
       if (fs.exists(stampPath))
         fs.getFileStatus(stampPath).getModificationTime
       else Long.MaxValue
-    def footerRows(st: FileStatus): Long = {
-      val rf = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf))
-      try rf.getRecordCount finally rf.close()
-    }
+    // shared listing (hidden `_`/`.` entries skipped, matching Spark's
+    // partition discovery): a leftover _temporary dir from a crashed
+    // write must not count rows Spark's read would never see — that
+    // would break the rows_total == scanned invariant Round15Spec pins
+    def footerRows(st: FileStatus): Long =
+      graft.util.ParquetMeta.footerRows(st, conf)
     def parquetFiles(dir: HPath): Seq[FileStatus] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        if (st.isDirectory) parquetFiles(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
-        else Nil
-      }
+      graft.util.ParquetMeta.parquetFiles(fs, dir)
     // cell id from the hive partition dir name (cell=N)
     def cellOf(st: FileStatus): Option[Int] = {
       val parent = st.getPath.getParent.getName
@@ -820,14 +816,18 @@ object Similarity {
     *    original corpus (the streaming-append owner's path: the source
     *    table already holds every vector, so the fresh k-means sees the
     *    true current distribution, not the replicate-exploded store).
-    *  - `ivf-sq8` / `ivf-pq`: REQUIRE `source` and retrain
-    *    centroids + grid / codebooks from the original vectors. The
-    *    stored codes are LOSSY — re-encoding reconstructions would
-    *    compound quantization error into the new grid and silently
-    *    degrade recall, so a quantized store without its source corpus
-    *    fails BY NAME instead (a 100 TB serving owner keeps source
-    *    embeddings in cold storage precisely for retrains; PQ geometry
-    *    m/ksub is preserved from the stored codebooks).
+    *  - `ivf-sq8` / `ivf-pq`: retrain centroids + grid / codebooks
+    *    from the ORIGINAL vectors — the caller's `source`, or, when
+    *    none is passed, the store's recorded `_lineage` (source path +
+    *    columns stamped at save time via `sourcePath`), which makes
+    *    scheduled maintenance hands-off. The stored codes are LOSSY —
+    *    re-encoding reconstructions would compound quantization error
+    *    into the new grid and silently degrade recall, so a quantized
+    *    store with neither source nor usable lineage fails BY NAME
+    *    instead (a 100 TB serving owner keeps source embeddings in
+    *    cold storage precisely for retrains; PQ geometry m/ksub is
+    *    preserved from the stored codebooks; lineage is carried
+    *    forward into the fresh layout).
     *
     * Returns the layout that was rebuilt. */
   def rebuildStoredIndex(spark: org.apache.spark.sql.SparkSession,
@@ -840,11 +840,33 @@ object Similarity {
       "rebuild writes a fresh layout — newPath must differ from path")
     val layout = detectLayout(spark, path)
     val nl = if (nlist > 0) nlist else readCentroids(spark, path).length
-    def need: DataFrame = source.getOrElse(throw new IllegalArgumentException(
-      s"rebuildStoredIndex: $path is $layout — its codes are lossy, so " +
-        "a rebuild needs the ORIGINAL vectors; pass source = the " +
-        "embedding corpus (re-encoding reconstructions would compound " +
-        "quantization error into the new grid)"))
+    // ORIGINAL vectors for a lossy-layout retrain: the caller's explicit
+    // `source` wins; otherwise the store's recorded lineage
+    // ([[writeLineage]]) makes the rebuild hands-off — read the recorded
+    // table with the recorded columns, and carry the lineage forward
+    // into the fresh layout. Only a store with neither (or whose
+    // recorded path is gone) fails by name.
+    def need: (DataFrame, String, String, Option[String]) = source match {
+      case Some(src) => (src, sId, sVec, None)
+      case None => readLineage(spark, path) match {
+        case Some((srcPath, lid, lvec)) =>
+          val p = new org.apache.hadoop.fs.Path(srcPath)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          require(fs.exists(p),
+            s"rebuildStoredIndex: $path records source lineage $srcPath, " +
+              "but that path no longer exists — pass source = the " +
+              "embedding corpus explicitly (lossy codes cannot be " +
+              "re-encoded)")
+          (spark.read.parquet(srcPath), lid, lvec, Some(srcPath))
+        case None => throw new IllegalArgumentException(
+          s"rebuildStoredIndex: $path is $layout — its codes are lossy, " +
+            "so a rebuild needs the ORIGINAL vectors; pass source = the " +
+            "embedding corpus (re-encoding reconstructions would " +
+            "compound quantization error into the new grid), or save " +
+            "the index with sourcePath to enable hands-off lineage " +
+            "rebuilds")
+      }
+    }
     layout match {
       case "ivf-flat" => source match {
         case Some(src) =>
@@ -853,13 +875,17 @@ object Similarity {
           rebuildIvfIndex(spark, path, newPath, nl, kmeansIters, replicate)
       }
       case "ivf-sq8" =>
-        saveIvfSqIndex(need, newPath, nl, kmeansIters, replicate, sId, sVec): Unit
+        val (src, id, vec, fwd) = need
+        saveIvfSqIndex(src, newPath, nl, kmeansIters, replicate, id, vec,
+          sourcePath = fwd): Unit
       case "ivf-pq" =>
         // preserve the stored code geometry: m sub-blocks, ksub centroids
         val pq = spark.read.parquet(s"$path/pq")
           .agg(max("blk"), max("cid")).head()
-        saveIvfPqIndex(need, newPath, nl, pq.getInt(0) + 1,
-          pq.getInt(1) + 1, kmeansIters, 3, replicate, sId, sVec): Unit
+        val (src, id, vec, fwd) = need
+        saveIvfPqIndex(src, newPath, nl, pq.getInt(0) + 1,
+          pq.getInt(1) + 1, kmeansIters, 3, replicate, id, vec,
+          sourcePath = fwd): Unit
     }
     layout
   }
@@ -870,8 +896,10 @@ object Similarity {
     * base, or a hot cell signals centroid drift), retrain a fresh
     * layout at `newPath` — never in place — otherwise do NOTHING beyond
     * the metadata-sized footer census (a healthy store costs no data
-    * scan and no write). Quantized layouts need `source` (the original
-    * vectors) to rebuild — see [[rebuildStoredIndex]]. Returns the
+    * scan and no write). Quantized layouts need the original vectors to
+    * rebuild — `source`, or the `_lineage` recorded at save time, which
+    * makes the maintenance tick fully hands-off — see
+    * [[rebuildStoredIndex]]. Returns the
     * health row either way, extended with `rebuilt` and `new_path`
     * (NULL when no rebuild ran) so a scheduler can log one row per
     * maintenance tick and consumers can switch paths when `rebuilt` is
@@ -1211,14 +1239,12 @@ object Similarity {
                          path: String): Unit = {
     val corpusDir = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val fs = corpusDir.getFileSystem(spark.sessionState.newHadoopConf())
-    def parquetFiles(dir: org.apache.hadoop.fs.Path): Seq[String] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        if (st.isDirectory) parquetFiles(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet"))
-          Seq(relName(fs, corpusDir, st))
-        else Nil
-      }
-    val names = parquetFiles(corpusDir).sorted
+    // shared listing (hidden `_`/`.` entries skipped, matching Spark's
+    // partition discovery): a leftover _temporary file from a crashed
+    // write must not enter the manifest — Spark's read skips it, so its
+    // membership would mis-attribute real base files as appended
+    val names = graft.util.ParquetMeta.parquetFiles(fs, corpusDir)
+      .map(st => relName(fs, corpusDir, st)).sorted
     val p = new org.apache.hadoop.fs.Path(s"$path/corpus/_build_stamp")
     val out = fs.create(p, true)
     // zero base files (degenerate build) writes an EMPTY stamp — the
@@ -1229,10 +1255,55 @@ object Similarity {
     finally out.close()
   }
 
+  /** SOURCE LINEAGE for quantized layouts: `_lineage` (next to the
+    * centroids, three lines — source table path, id column, vector
+    * column) records WHERE the original vectors live, because SQ8/PQ
+    * codes are lossy and a retrain needs them
+    * ([[rebuildStoredIndex]]'s by-name contract). Written LAST, after
+    * the full layout lands, so a half-built index never advertises a
+    * retrain source; written only when the builder passed `sourcePath`
+    * — lineage is a promise that reading that path yields the build
+    * corpus, which only the caller can make (a filtered or transformed
+    * build frame must NOT record its base table). */
+  private def writeLineage(spark: org.apache.spark.sql.SparkSession,
+                           path: String, sourcePath: Option[String],
+                           cId: String, cVec: String): Unit =
+    sourcePath.foreach { src =>
+      require(!src.contains("\n") && !cId.contains("\n") &&
+        !cVec.contains("\n"),
+        "lineage fields may not contain newlines (line-oriented manifest)")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$path/_lineage"), true)
+      try out.write(s"$src\n$cId\n$cVec\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Recorded (sourcePath, idCol, vecCol) of a stored layout, when the
+    * build passed `sourcePath` — see [[writeLineage]]. */
+  def readLineage(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Option[(String, String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_lineage")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      require(lines.length == 3,
+        s"$path/_lineage is malformed: expected 3 lines " +
+          s"(sourcePath, idCol, vecCol), got ${lines.length}")
+      Some((lines(0), lines(1), lines(2)))
+    }
+  }
+
   def saveIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
                      m: Int = 8, ksub: Int = 16, kmeansIters: Int = 3,
                      pqIters: Int = 3, replicate: Int = 2,
-                     cId: String = "vec_id", cVec: String = "embedding")
+                     cId: String = "vec_id", cVec: String = "embedding",
+                     sourcePath: Option[String] = None)
   : PqModel = {
     val spark = corpus.sparkSession
     val cBuild = corpus.select(col(cId).as("neighbor_id"),
@@ -1254,6 +1325,7 @@ object Similarity {
           .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
         writeCellCodes(assigned, model.encodeExpr(col("res")), "pq_code",
           path, "overwrite")
+        writeLineage(spark, path, sourcePath, cId, cVec)
         model
       } finally assigned.unpersist(): Unit
     } finally cBuild.unpersist(): Unit
@@ -1576,7 +1648,8 @@ object Similarity {
     * vectors are NOT stored. */
   def saveIvfSqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
                      kmeansIters: Int = 3, replicate: Int = 2,
-                     cId: String = "vec_id", cVec: String = "embedding")
+                     cId: String = "vec_id", cVec: String = "embedding",
+                     sourcePath: Option[String] = None)
   : SqModel = {
     val spark = corpus.sparkSession
     val cBuild = corpus.select(col(cId).as("neighbor_id"),
@@ -1595,6 +1668,7 @@ object Similarity {
           .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
         writeCellCodes(assigned, sqCodes(col("res"), model), "sq_code",
           path, "overwrite")
+        writeLineage(spark, path, sourcePath, cId, cVec)
         model
       } finally assigned.unpersist(): Unit
     } finally cBuild.unpersist(): Unit

@@ -2219,45 +2219,20 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
   //        a non-whitespace char).
   // -------------------------------------------------------------------
   def q155(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import graft.operators.{Bpe, Sampling}
     val seqLen = 512L
-    val numShards = 4
     val d = docs(s, dir)
     val model = Bpe.trainBpe(d, "text", numMerges = 64)
-    val packed0 = Sampling.packTokenizedBpe(d, "doc_id", "text", model,
-      seqLen, truncate = true, exactOov = true)
-    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_q155_" +
-      s"packed_${s.sparkContext.applicationId}_" +
-      Integer.toHexString(dir.hashCode)
-    val packed = Sampling.writePackedTokenized(packed0, numShards, scratch)
-      .localCheckpoint(true) // laws below aggregate it three ways
-    // the SAME encode the packing consumed, truncation-adjusted
-    val encRow = Bpe.encodeTokenCounts(d, "doc_id", "text", model,
-        exactOov = true)
-      .agg(sum(least(col("n_bpe_tokens"), lit(seqLen))).as("t"),
-        count(lit(1)).as("c")).head()
-    val (encTotal, encDocs) = (encRow.getLong(0), encRow.getLong(1))
-    val nDocs = d.count()
-    val p = packed.filter(col("seq").isNotNull)
-      .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"),
-        max(col("off") + col("n_tokens")).as("hi"), min("off").as("lo"),
-        countDistinct("seq").as("nseq"), max("seq").as("mseq")).head()
-    val (pDocs, pTok) = (p.getLong(0), p.getLong(1))
-    val boundaryOk = p.getLong(2) <= seqLen && p.getLong(3) == 0L
-    val denseOk = p.getLong(4) == p.getLong(5) + 1L
-    val e = s.read.parquet(scratch)
-      .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"),
-        countDistinct("shard").as("sh")).head()
-    val exportOk = e.getLong(0) == pDocs && e.getLong(1) == pTok &&
-      e.getLong(2) <= numShards
-    Seq((nDocs, pDocs,
-      if (pTok == encTotal && pDocs == encDocs) 1 else 0,
-      if (boundaryOk) 1 else 0,
-      if (denseOk) 1 else 0,
-      if (exportOk) 1 else 0))
-      .toDF("n_docs", "packed_docs", "tokens_ok", "boundary_ok",
-        "dense_ok", "export_ok")
+    packedExportVerdict(s, d,
+      Sampling.packTokenizedBpe(d, "doc_id", "text", model, seqLen,
+        truncate = true),
+      // the SAME encode the packing consumed (verdict side re-derives
+      // it independently), truncation-adjusted below
+      Bpe.encodeTokenCounts(d, "doc_id", "text", model), "n_bpe_tokens",
+      seqLen, numShards = 4,
+      s"${System.getProperty("java.io.tmpdir")}/graft_q155_" +
+        s"packed_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(dir.hashCode))
   }
 
   val q155Sql: String =
@@ -2267,4 +2242,141 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       |       1 AS tokens_ok, 1 AS boundary_ok, 1 AS dense_ok,
       |       1 AS export_ok
       |FROM documents""".stripMargin
+
+  /** Shared verdict body of q155/q158 — the tokenizer-true packed-export
+    * composition with its construction-true laws, parameterized over the
+    * trained tokenizer lane (BPE / unigram-LM). `packed0` must be the
+    * [[Sampling]] packTokenized* output and `counts` an INDEPENDENT
+    * re-derivation of the encode it consumed (`countCol` its token
+    * column). The scratch export is deleted once the verdicts have
+    * aggregated (ADVICE r16: the per-applicationId path otherwise
+    * accumulates one copy per run on a shared box). */
+  private def packedExportVerdict(s: SparkSession, d: DataFrame,
+                                  packed0: DataFrame, counts: DataFrame,
+                                  countCol: String, seqLen: Long,
+                                  numShards: Int, scratch: String)
+  : DataFrame = {
+    import s.implicits._
+    import graft.operators.Sampling
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(s.sessionState.newHadoopConf())
+    val packed = Sampling.writePackedTokenized(packed0, numShards, scratch)
+      .localCheckpoint(true) // laws below aggregate it three ways
+    try {
+      val encRow = counts
+        .agg(sum(least(col(countCol), lit(seqLen))).as("t"),
+          count(lit(1)).as("c")).head()
+      val (encTotal, encDocs) = (encRow.getLong(0), encRow.getLong(1))
+      val nDocs = d.count()
+      val p = packed.filter(col("seq").isNotNull)
+        .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"),
+          max(col("off") + col("n_tokens")).as("hi"), min("off").as("lo"),
+          countDistinct("seq").as("nseq"), max("seq").as("mseq")).head()
+      val (pDocs, pTok) = (p.getLong(0), p.getLong(1))
+      val boundaryOk = p.getLong(2) <= seqLen && p.getLong(3) == 0L
+      val denseOk = p.getLong(4) == p.getLong(5) + 1L
+      val e = s.read.parquet(scratch)
+        .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"),
+          countDistinct("shard").as("sh")).head()
+      val exportOk = e.getLong(0) == pDocs && e.getLong(1) == pTok &&
+        e.getLong(2) <= numShards
+      Seq((nDocs, pDocs,
+        if (pTok == encTotal && pDocs == encDocs) 1 else 0,
+        if (boundaryOk) 1 else 0,
+        if (denseOk) 1 else 0,
+        if (exportOk) 1 else 0))
+        .toDF("n_docs", "packed_docs", "tokens_ok", "boundary_ok",
+          "dense_ok", "export_ok")
+    } finally fs.delete(scratchPath, true): Unit
+  }
+
+  // -------------------------------------------------------------------
+  // q157 — STREAMING-STORE MAINTENANCE (storeHealth → conditional
+  //        compact): plant a 20-batch per-batch-id store (the
+  //        DocStreaming shingle-store layout, one hive write — batch b
+  //        holds one row per doc with s = b, so every row is globally
+  //        unique and all counts are construction arithmetic), run
+  //        maintainStore twice, and verify (a) the first tick saw 20
+  //        live partitions > 16, fired, and compacted batches 0..18
+  //        into batch=-1 (19 × n_docs rows) leaving the newest batch
+  //        (n_docs rows) live, (b) the second tick is a healthy no-op
+  //        (1 live partition, nothing compacted twice), and (c) the
+  //        read-back store carries exactly the planted 20 × n_docs
+  //        rows — compaction lost and duplicated nothing. Every column
+  //        is arithmetic over count(documents) → REAL hash row (the
+  //        q156 doctrine applied to the streaming batch stores). The
+  //        zero-jobs/no-write healthy no-op is law-pinned in
+  //        Round17Spec.
+  // -------------------------------------------------------------------
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.DocStreaming
+    val nBatches = 20L
+    val d = docs(s, dir).select("doc_id")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q157_" +
+      s"store_${s.sparkContext.applicationId}_" +
+      Integer.toHexString(dir.hashCode)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(rootPath, true)
+    try {
+      d.withColumn("batch",
+          explode(sequence(lit(0L), lit(nBatches - 1L))))
+        .select(col("doc_id"), col("batch").as("s"), col("batch"))
+        .write.mode("overwrite").partitionBy("batch").parquet(root)
+      val first = DocStreaming.maintainStore(s, root)
+        .select("batches_live", "recommend_compaction", "compacted")
+        .head()
+      val second = DocStreaming.maintainStore(s, root)
+        .select("batches_live", "has_compacted", "rows_live",
+          "rows_compacted", "rows_total", "compacted")
+        .head()
+      val readBack = s.read.parquet(root).count()
+      Seq((d.count(), first.getInt(0), first.getBoolean(1),
+        first.getBoolean(2), second.getInt(0), second.getBoolean(1),
+        second.getLong(2), second.getLong(3), second.getLong(4),
+        second.getBoolean(5), readBack))
+        .toDF("n_docs", "batches_before", "rec_before", "compacted",
+          "batches_after", "has_compacted", "rows_live_after",
+          "rows_compacted_after", "rows_total_after", "second_compacted",
+          "rows_readback")
+    } finally fs.delete(rootPath, true): Unit
+  }
+
+  val q157Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       20 AS batches_before, true AS rec_before, true AS compacted,
+      |       1 AS batches_after, true AS has_compacted,
+      |       CAST(count(*) AS BIGINT) AS rows_live_after,
+      |       CAST(19 * count(*) AS BIGINT) AS rows_compacted_after,
+      |       CAST(20 * count(*) AS BIGINT) AS rows_total_after,
+      |       false AS second_compacted,
+      |       CAST(20 * count(*) AS BIGINT) AS rows_readback
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q158 — UNIGRAM-LM PACKED EXPORT verdict: q155's end-to-end export
+  //        chain on the second standard subword lane — train the
+  //        unigram-LM tokenizer (q153's trainer), encode to exact
+  //        per-doc token counts (the exactOov DEFAULT — unified this
+  //        round), pack + shard + read back, same construction-true
+  //        laws via the shared verdict body.
+  // -------------------------------------------------------------------
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bpe, Sampling}
+    val seqLen = 512L
+    val d = docs(s, dir)
+    val model = Bpe.trainUnigram(d, "text", vocabSize = 256,
+      maxPieceLen = 6, seedSize = 2048, emRounds = 2)
+    packedExportVerdict(s, d,
+      Sampling.packTokenizedUnigram(d, "doc_id", "text", model, seqLen,
+        truncate = true),
+      Bpe.unigramTokenCounts(d, "doc_id", "text", model), "n_uni_tokens",
+      seqLen, numShards = 4,
+      s"${System.getProperty("java.io.tmpdir")}/graft_q158_" +
+        s"packed_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(dir.hashCode))
+  }
+
+  val q158Sql: String = q155Sql
 }

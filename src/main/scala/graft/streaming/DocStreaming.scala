@@ -63,14 +63,24 @@ object DocStreaming {
     * consume.
     *
     * Ids must be numeric ([[graft.operators.Dedup.nearDupDelta]]'s
-    * sentinel contract). */
+    * sentinel contract).
+    *
+    * `healthEveryN > 0` writes a [[StoreCompaction.storeHealth]] row for
+    * the shingle store every Nth batch to `<storeDir>_health/batch=<id>`
+    * (OUTSIDE the store — the store root is pure `batch=` hive
+    * partitions) and logs loudly when it recommends compaction; the
+    * stream itself never compacts (compaction merges committed
+    * partitions and is an offline op — [[maintainStore]] with the
+    * stream stopped). */
   def startNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
                         storeDir: String, survivorsDir: String,
                         checkpointDir: String,
                         n: Int = 3, k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.8,
                         maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        healthEveryN: Int = 0,
+                        maxLiveBatches: Int = 16): StreamingQuery = {
     // running store-size estimate so steady-state batches skip the
     // full-store count job the bloom sizing would otherwise pay (one
     // count on the first batch of a lifetime seeds it; replays can
@@ -121,6 +131,19 @@ object DocStreaming {
       // deltaIdx is checkpoint-materialized inside nearDupDelta, so this
       // count reads cached blocks, not the pipeline
       knownShingles.set(math.max(knownShingles.get(), 0L) + deltaIdx.count())
+      if (healthEveryN > 0 && batchId % healthEveryN == 0) {
+        val health = StoreCompaction
+          .storeHealth(spark, storeDir, maxLiveBatches)
+          .withColumn("batch", lit(batchId))
+        val row = health.select("recommend_compaction", "reason").head()
+        if (row.getBoolean(0))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"[doc-stream] shingle store $storeDir batch $batchId " +
+              s"recommends compaction: ${row.getString(1)} — stop the " +
+              "stream and run DocStreaming.maintainStore")
+        health.coalesce(1).write.mode("overwrite")
+          .parquet(s"${storeDir}_health/batch=$batchId")
+      }
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -255,6 +278,17 @@ object DocStreaming {
                   storeDir: String, maxLiveBatches: Int = 16)
   : org.apache.spark.sql.DataFrame =
     StoreCompaction.storeHealth(spark, storeDir, maxLiveBatches)
+
+  /** Maintenance tick for this twin's shingle store: [[storeHealth]] →
+    * conditional [[compactStore]] ([[StoreCompaction.maintainStore]]'s
+    * measure-then-act contract — a healthy store is a metadata-sized
+    * no-op). Run with the stream STOPPED. Returns the pre-compaction
+    * health row extended with `compacted`. */
+  def maintainStore(spark: org.apache.spark.sql.SparkSession,
+                    storeDir: String, maxLiveBatches: Int = 16)
+  : org.apache.spark.sql.DataFrame =
+    StoreCompaction.maintainStore(spark, storeDir, Seq("doc_id", "s"),
+      maxLiveBatches = maxLiveBatches)
 
   private[streaming] def recoverCompaction(
       fs: org.apache.hadoop.fs.FileSystem,

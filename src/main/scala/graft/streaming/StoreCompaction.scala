@@ -137,6 +137,34 @@ private[graft] object StoreCompaction {
         "rows_live", "rows_compacted", "recommend_compaction", "reason")
   }
 
+  /** MAINTENANCE entry point wiring [[storeHealth]] to a conditional
+    * [[compact]] — the store twin of
+    * [[graft.operators.Similarity.maintainIndex]]'s measure-then-act
+    * doctrine: census the per-batch layout (metadata-sized, footer
+    * reads only); when the report fires `recommend_compaction` (live
+    * batch partitions exceed `maxLiveBatches`, so every future
+    * micro-batch pays a growing listing/open cost), fold history into
+    * `batch=-1`; otherwise do NOTHING beyond the census — a healthy
+    * store costs no data scan and no write. Run with the stream
+    * STOPPED ([[compact]]'s contract — it merges every partition below
+    * the newest, and only the newest is replay-exempt). Returns the
+    * PRE-compaction health row extended with `compacted`, so a
+    * scheduler logs one row per maintenance tick and the row records
+    * what the tick saw and did. */
+  def maintainStore(spark: SparkSession, storeDir: String,
+                    dataCols: Seq[String], partCols: Seq[String] = Nil,
+                    merge: org.apache.spark.sql.DataFrame =>
+                      org.apache.spark.sql.DataFrame = _.distinct(),
+                    maxLiveBatches: Int = 16)
+  : org.apache.spark.sql.DataFrame = {
+    val health = storeHealth(spark, storeDir, maxLiveBatches)
+    // storeHealth returns a driver-local one-row frame (the census is
+    // metadata-sized) — reading the flag re-runs nothing
+    val fire = health.select("recommend_compaction").head().getBoolean(0)
+    if (fire) compact(spark, storeDir, dataCols, partCols, merge)
+    health.withColumn("compacted", lit(fire))
+  }
+
   /** Rename `.compact_tmp` -> `batch=-1` WITH the manifest still inside
     * (deleting it first would re-open a loss window: a crash between that
     * delete and the rename leaves a manifest-less tmp holding the only

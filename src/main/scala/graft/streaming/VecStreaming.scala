@@ -138,4 +138,17 @@ object VecStreaming {
   : org.apache.spark.sql.DataFrame =
     StoreCompaction.storeHealth(spark, s"$indexDir/appends",
       maxLiveBatches)
+
+  /** Maintenance tick for this twin's appends store: [[storeHealth]] →
+    * conditional [[compactStore]] ([[StoreCompaction.maintainStore]]'s
+    * measure-then-act contract — a healthy store is a metadata-sized
+    * no-op; the compacted snapshot stays cell-partitioned so probe-side
+    * pruning keeps working). Run with the stream STOPPED. Returns the
+    * pre-compaction health row extended with `compacted`. */
+  def maintainStore(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, maxLiveBatches: Int = 16)
+  : org.apache.spark.sql.DataFrame =
+    StoreCompaction.maintainStore(spark, s"$indexDir/appends",
+      Seq("neighbor_id", "cv"), partCols = Seq("cell"),
+      maxLiveBatches = maxLiveBatches)
 }

@@ -33,6 +33,11 @@ private[graft] object ParquetMeta {
         try futures.map(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            // failure path: CANCEL the queued reads — plain shutdown()
+            // would let them keep running on non-daemon threads after
+            // the exception propagates, delaying the failure and holding
+            // filesystem connections open
+            pool.shutdownNow(): Unit
             throw e.getCause
         }
       } finally { pool.shutdown(): Unit }

@@ -35,11 +35,13 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("encodeTokenCounts: dictionary words by model, OOV by char count") {
+  test("encodeTokenCounts: dictionary words by model, loose OOV mode " +
+    "(exactOov = false) counts characters") {
     val m = Bpe.trainBpe(corpus, "text", numMerges = 4)
     val docs = Seq((1L, "low lower zzz"), (2L, "newest a"))
       .toDF("doc_id", "text")
-    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text", m)
+    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text", m,
+        exactOov = false)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     val low = m.segment("low").length // 2
@@ -51,7 +53,8 @@ class BpeSpec extends SparkSpec {
   test("encodeSegments equals driver-side segmentation incl. OOV fallback") {
     val m = Bpe.trainBpe(corpus, "text", numMerges = 4)
     val docs = Seq((1L, "low zzz")).toDF("doc_id", "text")
-    val got = Bpe.encodeSegments(docs, "doc_id", "text", m)
+    val got = Bpe.encodeSegments(docs, "doc_id", "text", m,
+        exactOov = false)
       .orderBy("pos", "token")
       .collect().map(r => (r.getInt(1), r.getString(2)))
     val expected = Seq(0 -> "lo", 0 -> "w</w>", 1 -> "z", 1 -> "z",
@@ -84,9 +87,10 @@ class BpeSpec extends SparkSpec {
       Seq("low", "lowest", "zzz").map(m.segment(_).length.toLong).sum)
     assert(counts(2L) ==
       Seq("newest", "low", "a").map(m.segment(_).length.toLong).sum)
-    // and the default path genuinely differs on a merge-applicable OOV
+    // and the loose path genuinely differs on a merge-applicable OOV
     // word (it char-splits), proving exactOov isn't vacuous here
-    val dflt = Bpe.encodeTokenCounts(docs, "doc_id", "text", m)
+    val dflt = Bpe.encodeTokenCounts(docs, "doc_id", "text", m,
+        exactOov = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dflt(1L) > counts(1L),
       "char-split OOV count should exceed the merge-applied count")

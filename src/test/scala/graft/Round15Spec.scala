@@ -332,15 +332,16 @@ class Round15Spec extends SparkSpec {
     assert(m.dictSegments == m2.dictSegments)
   }
 
-  test("unigramTokenCounts: n_words <= unigram tokens <= chars, OOV " +
-    "words count their characters") {
+  test("unigramTokenCounts: n_words <= unigram tokens <= chars, loose " +
+    "OOV mode (exactOov = false) counts characters") {
     import graft.operators.Bpe
     val train = (1 to 20).map(i => (i.toLong, "alpha beta alpha"))
       .toDF("doc_id", "text")
     val m = Bpe.trainUnigram(train, "text", vocabSize = 16,
       maxPieceLen = 5, seedSize = 64, emRounds = 2)
     val mixed = Seq((1L, "alpha zzqq")).toDF("doc_id", "text")
-    val r = Bpe.unigramTokenCounts(mixed, "doc_id", "text", m)
+    val r = Bpe.unigramTokenCounts(mixed, "doc_id", "text", m,
+        exactOov = false)
       .collect().head
     val (uni, words) = (r.getLong(1), r.getLong(2))
     assert(words == 2)

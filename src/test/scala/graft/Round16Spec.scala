@@ -41,11 +41,12 @@ class Round16Spec extends SparkSpec {
     assert(got(12L) == exact("zq"))
   }
 
-  test("unigramTokenCounts default char-count OOV fallback is an upper " +
+  test("unigramTokenCounts loose char-count OOV fallback is an upper " +
     "bound on the exact count, and dict words agree either way") {
     val docs = Seq((10L, "aaa zzz abz abab"), (11L, "aaa ab"))
       .toDF("doc_id", "text")
-    val loose = Bpe.unigramTokenCounts(docs, "doc_id", "text", uniModel)
+    val loose = Bpe.unigramTokenCounts(docs, "doc_id", "text", uniModel,
+        exactOov = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = Bpe.unigramTokenCounts(docs, "doc_id", "text", uniModel,
         exactOov = true)
