@@ -654,6 +654,32 @@ object ScaleProbe {
       Map("bm25build" -> build, "bm25probe" -> probe)
     }
 
+    // store-maintenance loop: plant 32·n single-writer batch partitions
+    // (10 rows each) and run maintainStore end-to-end — the health
+    // census is 32n bounded-pool footer reads, the fired compaction one
+    // read + distinct + single-snapshot write over the 32n partitions;
+    // both linear in the partition count by construction, so a
+    // superlinear ratio means the listing recursed quadratically or the
+    // merge lost its one-pass shape. The planted store is file-count-
+    // dominated on purpose: small-files structure is exactly what the
+    // maintenance loop exists to bound.
+    def maintStep(tag: String, n: Int): Map[String, Double] = {
+      val root = s"/tmp/graft_probe_maint_$n"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true): Unit
+      val nBatches = 32L * n
+      spark.range(10).select(col("id").as("doc_id"))
+        .withColumn("batch", explode(sequence(lit(0L), lit(nBatches - 1L))))
+        .select(col("doc_id"), col("batch").as("s"), col("batch"))
+        .repartition(col("batch"))
+        .write.mode("overwrite").partitionBy("batch").parquet(root)
+      Map("maintstore" -> timed(s"$tag store maintain (census+compact)") {
+        graft.streaming.DocStreaming.maintainStore(spark, root)
+          .select("rows_total").head().getLong(0)
+      })
+    }
+
     // O(log n) closure on an adversarial CHAIN (diameter = node count —
     // the regime where min-label propagation needs diameter rounds and
     // the star-rewrite algorithm its log n): rounds grow only
@@ -700,11 +726,11 @@ object ScaleProbe {
       bm25Step(s"${factor}x", docsN(factor), factor)
     clean()
     val e1 = eventsSuite("1x", evN(1)) ++ ingestStep("1x", 1) ++
-      navStep("1x", 1) ++ ccLognStep("1x", 1)
+      navStep("1x", 1) ++ ccLognStep("1x", 1) ++ maintStep("1x", 1)
     clean()
     val eN = eventsSuite(s"${factor}x", evN(factor)) ++
       ingestStep(s"${factor}x", factor) ++ navStep(s"${factor}x", factor) ++
-      ccLognStep(s"${factor}x", factor)
+      ccLognStep(s"${factor}x", factor) ++ maintStep(s"${factor}x", factor)
 
     val bound = 1.5 * factor
     val noiseFloorSec = 0.3

@@ -181,7 +181,9 @@ object DocStreaming {
     * [[startNearDupDedup]] for near-dups). */
   def startBm25Ingest(docs: DataFrame, idCol: String, textCol: String,
                       storeDir: String, checkpointDir: String,
-                      trigger: Trigger = Trigger.AvailableNow())
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      healthEveryN: Int = 0,
+                      maxLiveBatches: Int = 16)
   : StreamingQuery = {
     val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       // heal an interrupted offline compaction before writing — same
@@ -189,6 +191,24 @@ object DocStreaming {
       graft.operators.Corpus.bm25RecoverCompaction(batch.sparkSession, storeDir)
       graft.operators.Corpus.writeBm25Batch(batch, idCol, textCol,
         storeDir, batchId, mode = "overwrite")
+      // per-batch health hook (the startNearDupDedup twins' contract):
+      // census the POSTINGS sub-store — its committed-batch count is
+      // shared by all three sub-stores and its listing cost is what
+      // every probe pays — and log loudly when compaction is due; the
+      // stream itself never compacts (offline op, stream stopped)
+      if (healthEveryN > 0 && batchId % healthEveryN == 0) {
+        val health = StoreCompaction.storeHealth(batch.sparkSession,
+            s"$storeDir/postings", maxLiveBatches)
+          .withColumn("batch", lit(batchId))
+        val row = health.select("recommend_compaction", "reason").head()
+        if (row.getBoolean(0))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"[bm25-stream] store $storeDir batch $batchId " +
+              s"recommends compaction: ${row.getString(1)} — stop the " +
+              "stream and run Corpus.maintainBm25Store")
+        health.coalesce(1).write.mode("overwrite")
+          .parquet(s"$storeDir/health/batch=$batchId")
+      }
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

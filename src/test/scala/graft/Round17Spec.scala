@@ -294,6 +294,35 @@ class Round17Spec extends SparkSpec {
     assert(spark.read.parquet(store).columns.contains("batch"))
   }
 
+  test("startBm25Ingest healthEveryN writes a postings-store health row " +
+    "under the store's health/ dir (outside the probed sub-stores)") {
+    val in = java.nio.file.Files.createTempDirectory("bm25h_in").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25h_st").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25h_c").toString
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = DocStreaming.startBm25Ingest(stream, "doc_id", "text",
+      store, ckpt, healthEveryN = 1)
+    q.awaitTermination(120000)
+    val h = spark.read.parquet(s"$store/health/batch=0").collect()
+    assert(h.length == 1)
+    assert(h.head.getAs[Int]("batches_live") == 1)
+    assert(!h.head.getAs[Boolean]("recommend_compaction"))
+    // the store still searches: health/ is invisible to the probe
+    val res = Corpus.bm25SearchStored(spark, store,
+      Seq((1L, "alpha")).toDF("query_id", "qtext"), "query_id", "qtext",
+      k = 2).collect()
+    assert(res.length == 1 && res.head.getAs[Long]("doc_id") == 1L)
+  }
+
   // ------------------------------------------------------------------
   // BM25 store maintenance
   // ------------------------------------------------------------------
