@@ -241,14 +241,37 @@ object Bench {
     // min-to-min shift lists itself in "regressions" pre-classified by
     // the suspect flag (wide spread = ambient noise; tight spread at a
     // shifted min = a real plan change).
-    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV")
-      .map(java.nio.file.Paths.get(_))
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .orElse(BenchCompare.latestRecord(java.nio.file.Paths.get(".")))
-    val prevMins: Map[String, Double] = prevPath.flatMap { p =>
-      scala.util.Try(BenchCompare.parsePrevMins(
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))).toOption
-    }.getOrElse(Map.empty)
+    // failure modes are LOUD, never silent: a typo'd SPARK_GRAFT_BENCH_PREV
+    // disables the comparator by name instead of falling back to some
+    // other baseline, and an unparseable/empty record disables it instead
+    // of emitting "0 regressions against <named baseline>" for a
+    // comparison that never happened
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
+      case Some(p) =>
+        val path = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.isRegularFile(path)) Some(path)
+        else {
+          System.err.println(s"[bench] SPARK_GRAFT_BENCH_PREV=$p is not " +
+            "a readable file — cross-round comparator DISABLED (no " +
+            "silent fallback)")
+          None
+        }
+      case None => BenchCompare.latestRecord(java.nio.file.Paths.get("."))
+    }
+    val prevParsed: Option[(java.nio.file.Path, Map[String, Double])] =
+      prevPath.flatMap { p =>
+        val m = scala.util.Try(BenchCompare.parsePrevMins(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+          .getOrElse(Map.empty[String, Double])
+        if (m.nonEmpty) Some((p, m))
+        else {
+          System.err.println(s"[bench] prev record $p is unparseable or " +
+            "empty — cross-round comparator DISABLED for this run")
+          None
+        }
+      }
+    val prevMins: Map[String, Double] = prevParsed.map(_._2)
+      .getOrElse(Map.empty)
     val RegressionBand = 1.3
     def prevFor(k: String, min: Double): Option[Double] =
       if (min <= 0) None else prevMins.get(k)
@@ -267,7 +290,10 @@ object Bench {
       s"""{"q":"$k","min":${num(st.min)},"prev_min":${num(pm)},""" +
         s""""ratio":${num(r)},"suspect":${st.suspect}}"""
     }.mkString("[", ",", "]")
-    val prevSrc = prevPath.map(p => "\"" + p.toString + "\"").getOrElse("null")
+    // prev_source names the baseline ONLY when it actually parsed —
+    // regressions:[] next to a named source must mean "compared, clean"
+    val prevSrc = prevParsed.map(p => "\"" + p._1.toString + "\"")
+      .getOrElse("null")
     val nSuspect = allStats.count(_._2.suspect)
     val fullJson = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"queries":$qs,"query_stats":$statsJson,"n_suspect":$nSuspect,"prev_source":$prevSrc,"regressions":$regJson,"n_regressions":${regressions.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(fullJson)

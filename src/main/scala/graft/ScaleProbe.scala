@@ -326,8 +326,10 @@ object ScaleProbe {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
         col("o_totalprice"))
     def ingestStep(tag: String, n: Int): Map[String, Double] = {
+      // same collision-proof multiplicative composition as embN/evN —
+      // the additive stride collides once orderkeys reach it (~sf 17)
       val on = spark.range(n).toDF("rep").crossJoin(orders1)
-        .select((col("o_orderkey") + col("rep") * lit(100000000L)).as("o_orderkey"),
+        .select((col("o_orderkey") * lit(n.toLong) + col("rep")).as("o_orderkey"),
           col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
         .withColumn("o_year", year(col("o_orderdate")))
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
@@ -377,8 +379,9 @@ object ScaleProbe {
     def navStep(tag: String, n: Int): Map[String, Double] = {
       import graft.operators.AggregateNavigator
       import graft.operators.AggregateNavigator.NavMeasure
+      // multiplicative replica ids — see ingestStep
       val on = spark.range(n).toDF("rep").crossJoin(orders1)
-        .select((col("o_orderkey") + col("rep") * lit(100000000L)).as("o_orderkey"),
+        .select((col("o_orderkey") * lit(n.toLong) + col("rep")).as("o_orderkey"),
           col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
         .withColumn("o_year", year(col("o_orderdate")))
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))

@@ -336,14 +336,16 @@ object Corpus {
     * postings/doclen snapshots' committed set). Stats rows are SUMMED,
     * not distinct'd — they are aggregates, and two batches with equal
     * totals must stay two batches' worth of mass. Run with any ingest
-    * stream STOPPED. */
+    * stream STOPPED. Returns whether any sub-store actually merged
+    * ([[graft.streaming.StoreCompaction.compact]]'s contract) —
+    * non-short-circuiting so every sub-store gets its pass. */
   def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Unit = {
+                       path: String): Boolean = {
     bm25Recover(spark, path)
     import graft.streaming.StoreCompaction
     StoreCompaction.compact(spark, s"$path/postings",
-      Seq("term", "doc_id", "tf"))
-    StoreCompaction.compact(spark, s"$path/doclen", Seq("doc_id", "dl"))
+      Seq("term", "doc_id", "tf")) |
+    StoreCompaction.compact(spark, s"$path/doclen", Seq("doc_id", "dl")) |
     StoreCompaction.compact(spark, s"$path/stats",
       Seq("n_docs", "total_dl"),
       merge = _.agg(sum("n_docs").as("n_docs"),
@@ -357,19 +359,30 @@ object Corpus {
     * fires `recommend_compaction` —
     * [[graft.streaming.StoreCompaction.maintainStore]]'s
     * measure-then-act contract applied across the three sub-stores at
-    * once. A healthy store is a metadata-sized no-op. Run with any
+    * once. A healthy store is a metadata-sized no-op; crash debris
+    * (uncommitted batch dirs) is healed BEFORE measuring, so the row
+    * describes exactly the store a probe would read. Run with any
     * ingest stream STOPPED. Returns the pre-compaction postings health
-    * row extended with `compacted`. */
+    * row extended with `compacted` (true only when a merge landed). */
   def maintainBm25Store(spark: org.apache.spark.sql.SparkSession,
                         path: String, maxLiveBatches: Int = 16)
   : org.apache.spark.sql.DataFrame = {
     import graft.streaming.StoreCompaction
-    bm25RecoverCompaction(spark, path)
+    // FULL heal, not just compaction recovery: uncommitted batch dirs
+    // (written but never reached the stats commit marker) are crash
+    // debris no probe ever reads — censusing them would report a state
+    // no reader sees and could fire compaction on phantom partitions.
+    // Safe here by the same contract as compactBm25Store: maintenance
+    // runs with any ingest stream stopped.
+    bm25Recover(spark, path)
     val health = StoreCompaction.storeHealth(spark, s"$path/postings",
       maxLiveBatches)
     val fire = health.select("recommend_compaction").head().getBoolean(0)
-    if (fire) compactBm25Store(spark, path)
-    health.withColumn("compacted", lit(fire))
+    // `compacted` records that a merge actually landed (the
+    // StoreCompaction.maintainStore contract): a fired recommendation
+    // over sub-stores with nothing mergeable stays false
+    val merged = fire && compactBm25Store(spark, path)
+    health.withColumn("compacted", lit(merged))
   }
 
   private def bm25NextBatch(spark: org.apache.spark.sql.SparkSession,

@@ -2260,9 +2260,13 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     import graft.operators.Sampling
     val scratchPath = new org.apache.hadoop.fs.Path(scratch)
     val fs = scratchPath.getFileSystem(s.sessionState.newHadoopConf())
-    val packed = Sampling.writePackedTokenized(packed0, numShards, scratch)
-      .localCheckpoint(true) // laws below aggregate it three ways
+    // the export write sits INSIDE the try: a failure mid-shard-write
+    // must still delete the partial scratch dir, or every failed run
+    // leaks one per-applicationId copy (the accumulation this cleanup
+    // exists to prevent)
     try {
+      val packed = Sampling.writePackedTokenized(packed0, numShards, scratch)
+        .localCheckpoint(true) // laws below aggregate it three ways
       val encRow = counts
         .agg(sum(least(col(countCol), lit(seqLen))).as("t"),
           count(lit(1)).as("c")).head()

@@ -131,19 +131,10 @@ object DocStreaming {
       // deltaIdx is checkpoint-materialized inside nearDupDelta, so this
       // count reads cached blocks, not the pipeline
       knownShingles.set(math.max(knownShingles.get(), 0L) + deltaIdx.count())
-      if (healthEveryN > 0 && batchId % healthEveryN == 0) {
-        val health = StoreCompaction
-          .storeHealth(spark, storeDir, maxLiveBatches)
-          .withColumn("batch", lit(batchId))
-        val row = health.select("recommend_compaction", "reason").head()
-        if (row.getBoolean(0))
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"[doc-stream] shingle store $storeDir batch $batchId " +
-              s"recommends compaction: ${row.getString(1)} — stop the " +
-              "stream and run DocStreaming.maintainStore")
-        health.coalesce(1).write.mode("overwrite")
-          .parquet(s"${storeDir}_health/batch=$batchId")
-      }
+      if (healthEveryN > 0 && batchId % healthEveryN == 0)
+        StoreCompaction.healthTick(spark, storeDir, s"${storeDir}_health",
+          batchId, maxLiveBatches, "doc-stream",
+          "DocStreaming.maintainStore")
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -194,21 +185,13 @@ object DocStreaming {
       // per-batch health hook (the startNearDupDedup twins' contract):
       // census the POSTINGS sub-store — its committed-batch count is
       // shared by all three sub-stores and its listing cost is what
-      // every probe pays — and log loudly when compaction is due; the
-      // stream itself never compacts (offline op, stream stopped)
-      if (healthEveryN > 0 && batchId % healthEveryN == 0) {
-        val health = StoreCompaction.storeHealth(batch.sparkSession,
-            s"$storeDir/postings", maxLiveBatches)
-          .withColumn("batch", lit(batchId))
-        val row = health.select("recommend_compaction", "reason").head()
-        if (row.getBoolean(0))
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"[bm25-stream] store $storeDir batch $batchId " +
-              s"recommends compaction: ${row.getString(1)} — stop the " +
-              "stream and run Corpus.maintainBm25Store")
-        health.coalesce(1).write.mode("overwrite")
-          .parquet(s"$storeDir/health/batch=$batchId")
-      }
+      // every probe pays; the shared tick body logs loudly when
+      // compaction is due (the stream itself never compacts — offline
+      // op, stream stopped)
+      if (healthEveryN > 0 && batchId % healthEveryN == 0)
+        StoreCompaction.healthTick(batch.sparkSession,
+          s"$storeDir/postings", s"$storeDir/health", batchId,
+          maxLiveBatches, "bm25-stream", "Corpus.maintainBm25Store")
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

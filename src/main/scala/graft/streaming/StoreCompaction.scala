@@ -43,14 +43,18 @@ private[graft] object StoreCompaction {
     * on the compacted data. Pass a custom `merge` when rows are
     * aggregates rather than unique facts — e.g. the BM25 stats store
     * SUMS its per-batch rows (distinct would collapse two batches that
-    * happen to share identical totals). */
+    * happen to share identical totals). Returns whether a merge
+    * actually ran: a store with fewer than two partitions below the
+    * newest has nothing to fold and is left untouched — callers
+    * reporting maintenance ticks must not claim a compaction that
+    * never happened. */
   def compact(spark: SparkSession, storeDir: String, dataCols: Seq[String],
               partCols: Seq[String] = Nil,
               merge: org.apache.spark.sql.DataFrame =>
-                org.apache.spark.sql.DataFrame = _.distinct()): Unit = {
+                org.apache.spark.sql.DataFrame = _.distinct()): Boolean = {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
+    if (!fs.exists(root)) return false
     val tmp = new Path(root, ".compact_tmp")
     val manifest = new Path(tmp, "_compact_manifest")
     def batchDirs(): Seq[(Long, Path)] =
@@ -65,10 +69,10 @@ private[graft] object StoreCompaction {
     recover(fs, root)
     val dirs = batchDirs()
     val numeric = dirs.map(_._1).filter(_ >= 0)
-    if (numeric.isEmpty) return
+    if (numeric.isEmpty) return false
     val maxBatch = numeric.max
     val sources = dirs.filter(_._1 < maxBatch)
-    if (sources.size < 2) return // nothing worth merging
+    if (sources.size < 2) return false // nothing worth merging
     val snap = merge(spark.read.parquet(storeDir)
       .filter(col("batch") < maxBatch)
       .select((dataCols ++ partCols).map(col): _*))
@@ -82,6 +86,7 @@ private[graft] object StoreCompaction {
     finally out.close()
     sources.foreach(s => fs.delete(s._2, true): Unit)
     finishRename(fs, root)
+    true
   }
 
   /** HEALTH report for a per-batch-id streaming store — the streaming
@@ -150,7 +155,12 @@ private[graft] object StoreCompaction {
     * the newest, and only the newest is replay-exempt). Returns the
     * PRE-compaction health row extended with `compacted`, so a
     * scheduler logs one row per maintenance tick and the row records
-    * what the tick saw and did. */
+    * what the tick saw and DID: `compacted` is true only when a merge
+    * actually landed — a fired recommendation over a store with
+    * nothing mergeable (fewer than two partitions below the newest,
+    * e.g. maxLiveBatches = 1 on a two-batch store) reports
+    * recommend_compaction = true, compacted = false instead of
+    * claiming a compaction that never ran. */
   def maintainStore(spark: SparkSession, storeDir: String,
                     dataCols: Seq[String], partCols: Seq[String] = Nil,
                     merge: org.apache.spark.sql.DataFrame =>
@@ -161,8 +171,31 @@ private[graft] object StoreCompaction {
     // storeHealth returns a driver-local one-row frame (the census is
     // metadata-sized) — reading the flag re-runs nothing
     val fire = health.select("recommend_compaction").head().getBoolean(0)
-    if (fire) compact(spark, storeDir, dataCols, partCols, merge)
-    health.withColumn("compacted", lit(fire))
+    val merged = fire && compact(spark, storeDir, dataCols, partCols, merge)
+    health.withColumn("compacted", lit(merged))
+  }
+
+  /** Shared per-batch health hook body for the streaming twins'
+    * `healthEveryN` option: census `probedDir`, stamp the batch id on
+    * the row, WARN by name when compaction is due (`remedy` names the
+    * offline op to run with the stream stopped — the stream itself
+    * never compacts), and land the row at `outDir/batch=<id>`
+    * (overwrite — replay-idempotent like every foreachBatch sink
+    * here). Kept in ONE place so the twins cannot drift. */
+  private[graft] def healthTick(spark: SparkSession, probedDir: String,
+                                outDir: String, batchId: Long,
+                                maxLiveBatches: Int, logTag: String,
+                                remedy: String): Unit = {
+    val health = storeHealth(spark, probedDir, maxLiveBatches)
+      .withColumn("batch", lit(batchId))
+    val row = health.select("recommend_compaction", "reason").head()
+    if (row.getBoolean(0))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"[$logTag] store $probedDir batch $batchId recommends " +
+          s"compaction: ${row.getString(1)} — stop the stream and run " +
+          remedy)
+    health.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/batch=$batchId")
   }
 
   /** Rename `.compact_tmp` -> `batch=-1` WITH the manifest still inside

@@ -195,6 +195,24 @@ class Round17Spec extends SparkSpec {
     assert(census() == before, "a healthy tick must not touch the store")
   }
 
+  test("maintainStore never claims a compaction that did not run: a " +
+    "fired recommendation over a store with nothing mergeable reports " +
+    "compacted = false") {
+    // 2 batches > maxLiveBatches = 1 fires the recommendation, but only
+    // ONE partition sits below the newest — compact() has nothing to
+    // fold and must not be reported as having run
+    val dir = plantStore(nBatches = 2, nDocs = 3)
+    val r = DocStreaming.maintainStore(spark, dir, maxLiveBatches = 1)
+      .collect().head
+    assert(r.getAs[Boolean]("recommend_compaction"))
+    assert(!r.getAs[Boolean]("compacted"),
+      "nothing merged — the tick row must say so")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=-1")))
+    assert(spark.read.parquet(dir).count() == 6, "store untouched")
+  }
+
   test("maintainStore on a healthy store runs no jobs beyond the " +
     "footer census (metadata-sized no-op)") {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
