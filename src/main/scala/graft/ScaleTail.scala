@@ -67,6 +67,13 @@ object ScaleTail {
         graft.operators.Sampling.importanceResample(
           d, d.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
           budget = 100, buckets = 512).count()
+      },
+      // joined round 17: its 8x gate ratio crossed 4 (4.1x) — the same
+      // over-4 criterion as the rest of the suite
+      "srcoverlap" -> timed(s"$tag source overlap matrix") {
+        graft.operators.Corpus.sourceOverlap(
+          d.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
+          "source", "text", n = 3, k = 32).count()
       })
 
     val noiseFloorSec = 0.3
