@@ -24,6 +24,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // MLlib's netlib BLAS has a Vector-API (SIMD) implementation that only
+  // loads when the incubator module is present — without it every LBFGS
+  // gradient pass and k-means distance loop falls back to scalar Java
+  // (the bench warmup logs "Failed to load ... VectorBLAS")
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local mode = driver-only JVM; the box has 128 GiB — a roomy heap

@@ -20,14 +20,44 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[qbench] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    // SPARK_GRAFT_JOBLOG=1: per-job wall time + call site on stderr —
+    // the guide-§1 "where does the time go" instrument for multi-job
+    // queries (closures, index builds, eager materializations), since
+    // the UI is off in bench runs
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description"))
+                .orElse(Option(p.getProperty("callSite.short"))))
+              .getOrElse("?")
+            starts.put(j.jobId, (System.nanoTime(), site)): Unit
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
+              System.err.println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3fs  $site")
+            }
+          }
+        })
     }
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-      fn(spark, sfDir).explain("formatted")
+    // comma-separated names: profile several queries in ONE JVM (startup
+    // costs ~30 s per sbt runMain — amortize it across a profiling sweep)
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { nm =>
+      val fn = SparkEntry.queries(nm)
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[qbench] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
+      if (sys.env.contains("SPARK_GRAFT_SHOW"))
+        fn(spark, sfDir).show(50, truncate = false)
+    }
     spark.stop()
   }
 }

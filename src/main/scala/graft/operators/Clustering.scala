@@ -81,11 +81,17 @@ object Clustering {
   : (DataFrame, DataFrame) = {
     require(threshold > -1 && threshold < 1,
       s"threshold $threshold not in (-1, 1)")
+    // materialized before fanning out to the two self-join sides: the
+    // centroid-literal projection defeats plan canonicalization (the
+    // guardedBucketPairs lesson), so without it the scan + normalize +
+    // topCells argmax ran once per side; the checkpointed relation is
+    // (id, vec, cell) — the bytes the join shuffle moves anyway
     val rows = df
       .select(col(idCol).as("__id"),
         Similarity.normalize(col(vecCol)).as("__nv"))
       .withColumn("__cell", explode(Similarity.topCells(col("__nv"),
         centroids, math.max(replicate, 1))))
+      .localCheckpoint(true)
     val pairs = rows.toDF("i", "iv", "__cell")
       .join(rows.toDF("j", "jv", "__cell"), "__cell")
       .filter(col("i") < col("j"))

@@ -141,26 +141,35 @@ object Corpus {
     * scoreable and are excluded. */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
               model: DataFrame = null): DataFrame = {
-    val train = Option(model).getOrElse(docs)
     def toks(df: DataFrame, keep: Column*): DataFrame =
       df.select(keep :+ array_remove(tokens(col(textCol)), "").as("toks"): _*)
-    def bigrams(df: DataFrame, keep: Column*): DataFrame =
-      toks(df, keep: _*)
-        .withColumn("n", size(col("toks")))
+    // tokenize ONCE and materialize: the token-array frame feeds the
+    // unigram counts, the vocabulary, the bigram model AND (when
+    // self-scoring, the common case) the scoring pass — composed lazily
+    // each consumer re-ran the corpus scan + split (4 scans per action;
+    // at 100 TB four tokenizations of the corpus). Staging the tokenized
+    // corpus between stages is the CCNet production shape.
+    val docToks = toks(docs, col(idCol)).localCheckpoint(true)
+    val trainToks = Option(model)
+      .map(m => toks(m).localCheckpoint(true))
+      .getOrElse(docToks.select(col("toks")))
+    def bigramsFrom(df: DataFrame, keep: Column*): DataFrame =
+      df.withColumn("n", size(col("toks")))
         .filter(col("n") >= 2)
         .select(keep :+ explode(zip_with(
           slice(col("toks"), lit(1), col("n") - 1),
           slice(col("toks"), lit(2), col("n") - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
         .select(keep :+ col("bg.w1") :+ col("bg.w2"): _*)
-    val tok = toks(train).select(explode(col("toks")).as("w"))
+    val tok = trainToks.select(explode(col("toks")).as("w"))
     val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
       .withColumnRenamed("w", "w1")
     val vocab = tok.agg(countDistinct("w").as("v"))
-    val bgc = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val bgc = bigramsFrom(trainToks)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
     // left join: a scored bigram unseen in training has cbg = 0 (pure
     // smoothing mass) — self-scoring always hits, held-out may not
-    bigrams(docs, col(idCol))
+    bigramsFrom(docToks, col(idCol))
       .join(bgc, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(graft.model.Joins.maybeBroadcast(vocab))

@@ -1254,7 +1254,12 @@ object Dedup {
         "saveParagraphStore")
     val store = batchId.map(b => storeAll.filter(col("batch") =!= b))
       .getOrElse(storeAll).select("__h")
+    // delta-sized fixed-width rows materialized ONCE: occ feeds the
+    // bloom-hit filter, the fresh filter, the within-delta election and
+    // the store update — composed lazily the split+normalize+md5
+    // pipeline re-ran per branch (4-6× per action)
     val occ = paragraphOccurrences(delta, idCol, textCol, sep)
+      .localCheckpoint(true)
     // the Bloom layer wants LONG keys (the docShingles doctrine) — fold
     // the 16-byte census hash through xxhash64 for the probe only; the
     // exact confirm joins still run on the full md5 bytes

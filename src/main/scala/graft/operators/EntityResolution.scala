@@ -72,12 +72,17 @@ object EntityResolution {
     // pass (cross scan, adoption, within-delta pairs) and sharing wins,
     // but here it has one consumer and the localCheckpoint barrier
     // serializes the passes (measured: q101 3.5 s → 5.1 s shared).
-    val edges = blockPasses.map { pass =>
+    // passes are independent until the edge union, and each pass's eager
+    // leg (keyRows + gram-order materialization inside
+    // pairsWithinDistanceBlocked) is a chain of small jobs — submit the
+    // passes concurrently (Par: guide-§2.6 job overlap) instead of
+    // serializing 3× the per-job latency on the driver thread
+    val edges = graft.util.Par.run(blockPasses.map { pass => () =>
       passEdges(recs, keyCol, pass,
         FuzzyJoin.pairsWithinDistanceBlocked(
           recs.select((pass.map(col) :+ col(keyCol)): _*),
           keyCol, maxDist, q, pass))
-    }.reduce(_ unionByName _)
+    }).reduce(_ unionByName _)
     labelByClosure(recs, edges)
   }
 
@@ -203,8 +208,13 @@ object EntityResolution {
       "every blocking pass needs at least one column")
     val recs = delta.withColumn("__rid", col(idCol))
     // per-pass corpus adoption table + key relations; ckeys materialized
-    // (feeds both the cross-scan key derivation and the adoption join)
-    val passData = blockPasses.map { pass =>
+    // (feeds both the cross-scan key derivation and the adoption join).
+    // The corpus leg (ckeys → kCorpus, a dependency chain) and the delta
+    // leg (kDelta) of every pass are independent of every other leg —
+    // 2·passes eager materialization chains submitted concurrently
+    // (Par: guide-§2.6 job overlap) instead of serially; measured 94
+    // near-idle sequential jobs on q107's three-pass delta resolve.
+    val corpusLegs = graft.util.Par.run(blockPasses.map { pass => () =>
       val ckeys = resolvedCorpus
         .filter(col(keyCol).isNotNull)
         .groupBy((pass.map(col) :+ col(keyCol)): _*)
@@ -212,8 +222,15 @@ object EntityResolution {
         .localCheckpoint(true)
       val kCorpus = FuzzyJoin.keyRowsOf(
         ckeys.select((pass.map(col) :+ col(keyCol)): _*), keyCol, q, pass)
+      (ckeys, kCorpus)
+    } ++ blockPasses.map { pass => () =>
       val kDelta = FuzzyJoin.keyRowsOf(
         delta.select((pass.map(col) :+ col(keyCol)): _*), keyCol, q, pass)
+      (kDelta, kDelta)
+    })
+    val passData = blockPasses.zipWithIndex.map { case (pass, i) =>
+      val (ckeys, kCorpus) = corpusLegs(i)
+      val (kDelta, _) = corpusLegs(blockPasses.size + i)
       (pass, ckeys, kCorpus, kDelta)
     }
     // ONE union gram order across every pass and both sides

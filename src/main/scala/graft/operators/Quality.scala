@@ -195,11 +195,15 @@ object Quality {
       .select(col("__feat"), col(labelCol).cast("double").as("__label"))
       .persist()
     try {
+      val sc = feats.sparkSession.sparkContext
+      sc.setJobDescription("quality: featurize")
       feats.count() // materialize ONCE — see boundedTrainInput
       val lr = new org.apache.spark.ml.classification.LogisticRegression()
         .setFeaturesCol("__feat").setLabelCol("__label")
         .setMaxIter(maxIter).setRegParam(regParam)
-      QualityModel(lr.fit(feats), numFeatures)
+      sc.setJobDescription("quality: lbfgs fit")
+      try QualityModel(lr.fit(feats), numFeatures)
+      finally sc.setJobDescription(null)
     } finally feats.unpersist(): Unit
   }
 
@@ -283,12 +287,16 @@ object Quality {
           element_at(idx, col(langCol).cast("string")).as("__label"))
         .persist()
       try {
+        val sc = feats.sparkSession.sparkContext
+        sc.setJobDescription("langid: featurize")
         feats.count() // materialize ONCE — see boundedTrainInput
         val lr = new org.apache.spark.ml.classification.LogisticRegression()
           .setFeaturesCol("__feat").setLabelCol("__label")
           .setFamily("multinomial")
           .setMaxIter(maxIter).setRegParam(regParam)
-        LangIdModel(lr.fit(feats), numFeatures, gramN, labels)
+        sc.setJobDescription("langid: lbfgs fit")
+        try LangIdModel(lr.fit(feats), numFeatures, gramN, labels)
+        finally sc.setJobDescription(null)
       } finally feats.unpersist(): Unit
     } finally base.unpersist(): Unit
   }

@@ -281,8 +281,12 @@ object Sampling {
         .agg(count(lit(1)).as("c"))
         .collect() // ≤ buckets rows — driver-bound by design
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cr = histogram(raw)
-    val ct = histogram(target)
+    // the two bounded histogram collects are independent scans — overlap
+    // them (guide §2.6); at scale the target scan back-fills the raw
+    // scan's tail
+    val hists = graft.util.Par.run(Seq(
+      () => histogram(raw), () => histogram(target)))
+    val (cr, ct) = (hists(0), hists(1))
     val totR = cr.values.sum.toDouble
     val totT = ct.values.sum.toDouble
     val ratio: Seq[Double] = (0 until buckets).map { b =>

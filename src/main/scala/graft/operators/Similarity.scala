@@ -451,14 +451,20 @@ object Similarity {
     try {
       val cents = trainCentroids(cBuild, nlist, kmeansIters)
       import spark.implicits._
-      cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      cBuild.withColumn("cell",
-          explode(topCells(col("cv"), cents, math.max(replicate, 1))))
-        .repartition(col("cell")) // one writer per cell: ~nlist files, not tasks x cells
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-      stampBuild(spark, path)
+      // centroid and corpus writes are independent — overlap them
+      // (guide-§2.6); the stamp stays tied to the END of the corpus
+      // write inside its thunk (it lists the corpus files)
+      graft.util.Par.run(Seq(
+        () => cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+        () => {
+          cBuild.withColumn("cell",
+              explode(topCells(col("cv"), cents, math.max(replicate, 1))))
+            .repartition(col("cell")) // one writer per cell: ~nlist files, not tasks x cells
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+          stampBuild(spark, path)
+        }))
     } finally cBuild.unpersist(): Unit
   }
 
@@ -1316,15 +1322,20 @@ object Similarity {
           assigned.select(col("neighbor_id").as("__id"), col("res").as("cv")),
           m, ksub, pqIters)
         import spark.implicits._
-        cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
-          .toDF("cell", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-        (for (s <- 0 until m; c <- 0 until ksub)
-          yield (s, c, model.codebooks(s)(c).toSeq))
-          .toDF("blk", "cid", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-        writeCellCodes(assigned, model.encodeExpr(col("res")), "pq_code",
-          path, "overwrite")
+        // the three layout writes are independent (tiny centroid/codebook
+        // tables + the partitioned code write, which ends with its own
+        // stamp) — overlap them (guide-§2.6); lineage stays LAST, after
+        // the full layout lands (the half-built-index contract)
+        graft.util.Par.run(Seq(
+          () => cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
+            .toDF("cell", "centroid")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+          () => (for (s <- 0 until m; c <- 0 until ksub)
+            yield (s, c, model.codebooks(s)(c).toSeq))
+            .toDF("blk", "cid", "centroid")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/pq"),
+          () => writeCellCodes(assigned, model.encodeExpr(col("res")),
+            "pq_code", path, "overwrite")))
         writeLineage(spark, path, sourcePath, cId, cVec)
         model
       } finally assigned.unpersist(): Unit
@@ -1660,14 +1671,18 @@ object Similarity {
       try {
         val model = trainSq(assigned.select(col("res")), "res")
         import spark.implicits._
-        cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
-          .toDF("cell", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-        model.mins.indices.map(i => (i, model.mins(i), model.spans(i))).toSeq
-          .toDF("i", "mn", "span")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
-        writeCellCodes(assigned, sqCodes(col("res"), model), "sq_code",
-          path, "overwrite")
+        // independent layout writes overlapped; lineage last (see
+        // saveIvfPqIndex)
+        graft.util.Par.run(Seq(
+          () => cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
+            .toDF("cell", "centroid")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+          () => model.mins.indices.map(i =>
+            (i, model.mins(i), model.spans(i))).toSeq
+            .toDF("i", "mn", "span")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/sq"),
+          () => writeCellCodes(assigned, sqCodes(col("res"), model),
+            "sq_code", path, "overwrite")))
         writeLineage(spark, path, sourcePath, cId, cVec)
         model
       } finally assigned.unpersist(): Unit

@@ -316,11 +316,16 @@ private[queries] trait RetrievalAnnQueries { self: ExtensionQueryHelpers =>
       srcs.count { case (id, _) =>
         top.getOrElse(id + 100000L, Set.empty[Long]).contains(id) }
     }
-    val plain = hitsOf(
-      Similarity.ivfPqKnnStored(s, root, queries, k = 5, nprobe = 8))
-    val refined = hitsOf(
-      Similarity.ivfPqKnnRefined(s, root, queries, e, k = 5, refine = 4,
-        nprobe = 8))
+    // the two probes read the same frozen on-disk index and are
+    // independent — overlap them (guide-§2.6 job overlap) instead of
+    // serializing two multi-job probe chains on the driver thread
+    val probes = graft.util.Par.run(Seq(
+      () => hitsOf(
+        Similarity.ivfPqKnnStored(s, root, queries, k = 5, nprobe = 8)),
+      () => hitsOf(
+        Similarity.ivfPqKnnRefined(s, root, queries, e, k = 5, refine = 4,
+          nprobe = 8))))
+    val (plain, refined) = (probes(0), probes(1))
     Seq((srcs.length.toLong, if (refined >= 18) 1 else 0,
       if (refined >= plain) 1 else 0))
       .toDF("n_queries", "recall_ok", "no_regression")

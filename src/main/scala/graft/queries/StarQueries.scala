@@ -1747,10 +1747,15 @@ private[queries] trait StarQueries { self: ExtensionQueryHelpers =>
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val ord = s.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_orderpriority")
-    Layout.saveBucketed(li, "graft_q148_li", "l_orderkey", numBuckets = 8,
-      sortCols = Seq("l_orderkey"), path = Some(s"$root/li"))
-    Layout.saveBucketed(ord, "graft_q148_ord", "o_orderkey", numBuckets = 8,
-      sortCols = Seq("o_orderkey"), path = Some(s"$root/ord"))
+    // the two bucketed ingests are independent writes — overlap them
+    // (guide §2.6 job overlap; same catalog, different tables/paths)
+    graft.util.Par.run[Unit](Seq(
+      () => Layout.saveBucketed(li, "graft_q148_li", "l_orderkey",
+        numBuckets = 8, sortCols = Seq("l_orderkey"),
+        path = Some(s"$root/li")),
+      () => Layout.saveBucketed(ord, "graft_q148_ord", "o_orderkey",
+        numBuckets = 8, sortCols = Seq("o_orderkey"),
+        path = Some(s"$root/ord"))))
     val j = bucketedOrderkeyJoin(s)
     sorted(j.groupBy("o_orderpriority").agg(
       count(lit(1)).as("n_items"),
