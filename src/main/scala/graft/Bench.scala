@@ -100,6 +100,8 @@ object Bench {
       // memory/GC with the sf target's build and bleed into its line items
       // (observed: build_cube 12.7s -> 37.9s with the caches held).
       graft.builders.Tpch.invalidate(spark, warmDir)
+      // pairs cache sits atop the shingle cache — drop it first
+      graft.queries.ExtensionQueries.invalidateNeardupPairs(spark, warmDir)
       graft.queries.ExtensionQueries.invalidateShingles(spark, warmDir)
       graft.queries.ExtensionQueries.invalidateV4(spark, warmDir)
       System.gc()
@@ -133,6 +135,12 @@ object Bench {
     val builds = Seq(
       timed("build_cube") { graft.builders.Tpch.warm(spark, sfDir) },
       timed("build_shingles") { graft.queries.ExtensionQueries.warmShingles(spark, sfDir) },
+      // the shared full-corpus LSH pair set + closure, consumed by
+      // q20/q34/q45/q90/q103/q122/q125 — same accounting argument as the
+      // other builds: without its own line, q103 (alphabetically first)
+      // absorbs the fill on rep 1
+      timed("build_neardup_pairs") {
+        graft.queries.ExtensionQueries.warmNeardupPairs(spark, sfDir) },
       // the ten-stage curation chain is cached per (session, dir) and
       // consumed by q143 AND q152 — same accounting argument: without
       // its own line, q143 (alphabetically first) absorbs the build on

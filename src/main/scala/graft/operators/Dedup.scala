@@ -736,8 +736,16 @@ object Dedup {
     * `pairs` with [[connectedComponents]] and anti-join every non-minimum
     * cluster member out of `docs`. Docs in no pair survive untouched. */
   def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
-                   iCol: String = "i", jCol: String = "j"): DataFrame = {
-    val losers = connectedComponents(pairs, iCol, jCol)
+                   iCol: String = "i", jCol: String = "j"): DataFrame =
+    dropNearDupsWith(docs, connectedComponents(pairs, iCol, jCol), idCol)
+
+  /** [[dropNearDups]] against a PRECOMPUTED closure (the
+    * (doc_id, component) shape [[connectedComponents]] returns) — the
+    * build-once cache shape: several consumers of one pair set close it
+    * once and share the component table. */
+  def dropNearDupsWith(docs: DataFrame, components: DataFrame,
+                       idCol: String): DataFrame = {
+    val losers = components
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -757,8 +765,15 @@ object Dedup {
     * holds the smallest id. `scoreCol` must be numeric. */
   def dropNearDupsKeepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
                            scoreCol: String,
-                           iCol: String = "i", jCol: String = "j"): DataFrame = {
-    val member = connectedComponents(pairs, iCol, jCol)
+                           iCol: String = "i", jCol: String = "j"): DataFrame =
+    dropNearDupsKeepBestWith(docs, connectedComponents(pairs, iCol, jCol),
+      idCol, scoreCol)
+
+  /** [[dropNearDupsKeepBest]] against a precomputed closure — see
+    * [[dropNearDupsWith]]. */
+  def dropNearDupsKeepBestWith(docs: DataFrame, components: DataFrame,
+                               idCol: String, scoreCol: String): DataFrame = {
+    val member = components
       .join(docs.select(col(idCol).as("doc_id"),
         coalesce(col(scoreCol).cast("double"),
           lit(Double.NegativeInfinity)).as("__s")), "doc_id")
@@ -784,8 +799,15 @@ object Dedup {
     * Output: (groupCol, n_docs, n_clustered, n_dropped, dup_share). */
   def dedupReport(docs: DataFrame, pairs: DataFrame, idCol: String,
                   groupCol: String,
-                  iCol: String = "i", jCol: String = "j"): DataFrame = {
-    val cc = connectedComponents(pairs, iCol, jCol)
+                  iCol: String = "i", jCol: String = "j"): DataFrame =
+    dedupReportWith(docs, connectedComponents(pairs, iCol, jCol),
+      idCol, groupCol)
+
+  /** [[dedupReport]] against a precomputed closure — see
+    * [[dropNearDupsWith]]. */
+  def dedupReportWith(docs: DataFrame, components: DataFrame, idCol: String,
+                      groupCol: String): DataFrame = {
+    val cc = components
       .withColumnRenamed("doc_id", idCol)
     docs.select(col(idCol), col(groupCol))
       .join(cc, Seq(idCol), "left")

@@ -648,8 +648,14 @@ object Sampling {
   def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                     splits: Seq[(String, Double)] =
                       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-                    salt: String = ""): DataFrame = {
-    val roots = Dedup.connectedComponents(pairs).toDF("__lss_id", "__lss_root")
+                    salt: String = "",
+                    componentsDf: Option[DataFrame] = None): DataFrame = {
+    // componentsDf: a PRECOMPUTED closure of `pairs` (the build-once
+    // cache shape — see Dedup.dropNearDupsWith); when absent the split
+    // closes the pairs itself
+    val roots = componentsDf
+      .getOrElse(Dedup.connectedComponents(pairs))
+      .toDF("__lss_id", "__lss_root")
     val keyed = df
       .join(graft.model.Joins.maybeBroadcast(roots),
         col(idCol) === col("__lss_id"), "left")

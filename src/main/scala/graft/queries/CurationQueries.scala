@@ -487,8 +487,14 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       .select(col("doc_id"), col("source"),
         TextFunctions.tokens(col("text")).as("ts"))
       .where(size(col("ts")) >= 24)
-    val ref = t.select(col("doc_id").as("rid"),
-      concat_ws(" ", slice(col("ts"), 1, 12)).as("boiler"))
+    // the plant joins on rid = doc_id % 7 + 1 ∈ [1, 7], so only the
+    // boilers of docs 1..7 can ever match — filtering here turns a
+    // whole-corpus tokenize pass (the optimizer cannot infer the
+    // expression's domain) into a 7-row broadcast side; join output is
+    // identical by construction
+    val ref = t.where(col("doc_id").between(1, 7))
+      .select(col("doc_id").as("rid"),
+        concat_ws(" ", slice(col("ts"), 1, 12)).as("boiler"))
     def own = concat_ws(" ", slice(col("ts"), 11, 8))
     val frPad = Seq.fill(2)(
       "le la les et en du des un une est").mkString(" ")
@@ -1541,12 +1547,12 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
   //        arithmetic. Membership-level oracle: the recursive-CTE
   //        closure (q34 vocabulary) + the same hash in DuckDB.
   // -------------------------------------------------------------------
-  def q122(s: SparkSession, dir: String): DataFrame =
-    sorted(Sampling.leakSafeSplit(docs(s, dir), "doc_id",
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.8,
-        maxDf = None, shinglesDf = Some(shingles3(s, dir))))
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, comps) = neardupPairs3(s, dir)
+    sorted(Sampling.leakSafeSplit(docs(s, dir), "doc_id", pairs,
+      componentsDf = Some(comps))
       .select(col("doc_id"), col("split")))
+  }
 
   val q122Sql: String = {
     val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
@@ -1587,10 +1593,9 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
   // -------------------------------------------------------------------
   def q125(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text",
-      n = 3, k = 32, bands = 8, threshold = 0.8,
-      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
-    val train = Sampling.leakSafeSplit(d, "doc_id", pairs)
+    val (pairs, comps) = neardupPairs3(s, dir)
+    val train = Sampling.leakSafeSplit(d, "doc_id", pairs,
+      componentsDf = Some(comps))
       .filter(col("split") === "train")
     sorted(Sampling.curriculumShards(train, "doc_id",
       col("n_chars").cast("double"), numShards = 4, pivots = 16)

@@ -73,6 +73,59 @@ private[queries] trait ExtensionQueryHelpers {
       // estimate taken against the persisted index is stale once dropped)
       graft.model.Joins.invalidateEstimates()
     }
+  /** Shared full-corpus MinHash-LSH near-dup pair set + its transitive
+    * closure, persisted per (session, dir) — the shingles3 doctrine one
+    * level up: SEVEN queries (q20/q34/q45/q90/q103/q122/q125) consume
+    * the IDENTICAL `minhashLsh(docs, n=3, k=32, bands=8, threshold=0.8)`
+    * pair set over the shared capped index, and five of them also close
+    * it; without the cache each re-ran signature aggregation + banded
+    * candidate join + exact verification (+ one closure) per query. The
+    * components frame is the closure's output relation (local
+    * union-find at fixture scale — a LocalRelation, free to reuse;
+    * checkpointed labels on the distributed path). The bench accounts
+    * the fill on its own `build_neardup_pairs` line (the build-once-
+    * query-many model — same contract as build_cube/build_shingles). */
+  private[queries] val neardupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      ((DataFrame, DataFrame), () => Unit)]()
+  private[queries] def neardupPairs3(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame) = {
+    val entry = neardupCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      val p = Dedup.minhashLsh(docs(ss, d), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.8,
+        maxDf = None, shinglesDf = Some(shingles3(ss, d)))
+      if (!sys.env.contains("SPARK_GRAFT_NO_CACHE"))
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the closure evaluates `p`, filling its persist; hook registered
+      // AFTER the (throwing) build — the Tpch.cube contract
+      val comps = Dedup.connectedComponents(p)
+      val detach = graft.util.SessionCleanup.onApplicationEnd(ss) { () =>
+        neardupCache.remove((ss, d)): Unit
+      }
+      ((p, comps), detach)
+    })
+    if (s.sparkContext.isStopped)
+      Option(neardupCache.remove((s, dir))).foreach(_._2.apply())
+    entry._1
+  }
+
+  /** Force-fill the shared near-dup pair/closure cache (bench
+    * `build_neardup_pairs` accounting line). */
+  def warmNeardupPairs(s: SparkSession, dir: String): Unit = {
+    val (p, _) = neardupPairs3(s, dir)
+    p.count(): Unit
+  }
+
+  /** Eviction hook: drop + unpersist the shared pair set (the closure
+    * frame is a local relation / checkpoint — ContextCleaner reclaims
+    * its blocks once the reference drops). */
+  def invalidateNeardupPairs(s: SparkSession, dir: String): Unit =
+    Option(neardupCache.remove((s, dir))).foreach { case ((p, _), detach) =>
+      p.unpersist()
+      detach()
+      graft.model.Joins.invalidateEstimates()
+    }
+
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   /** Fixture-generation-robust events reader — see Sources.readEvents

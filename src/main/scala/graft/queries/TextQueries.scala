@@ -132,9 +132,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
   //       a legitimate oracle for the approximate pipeline
   // -------------------------------------------------------------------
   def q20(s: SparkSession, dir: String): DataFrame =
-    sorted(Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-      n = 3, k = 32, bands = 8, threshold = 0.8,
-      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
+    sorted(neardupPairs3(s, dir)._1
       .withColumn("jaccard", round(col("jaccard"), 6)))
 
   val q20Sql: String = q19Sql
@@ -219,10 +217,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
   //       component = min reachable id.
   // -------------------------------------------------------------------
   def q34(s: SparkSession, dir: String): DataFrame =
-    sorted(Dedup.connectedComponents(
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.8,
-        maxDf = None, shinglesDf = Some(shingles3(s, dir)))))
+    sorted(neardupPairs3(s, dir)._2)
 
   val q34Sql: String = {
     val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
@@ -456,10 +451,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
   // -------------------------------------------------------------------
   def q45(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text",
-      n = 3, k = 32, bands = 8, threshold = 0.8,
-      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
-    sorted(Dedup.dropNearDups(d, pairs, "doc_id")
+    sorted(Dedup.dropNearDupsWith(d, neardupPairs3(s, dir)._2, "doc_id")
       .groupBy("source")
       .agg(count("*").as("n_docs"), sum("n_chars").as("sum_chars")))
   }
@@ -761,9 +753,7 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
   // -------------------------------------------------------------------
   def q90(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    sorted(Dedup.dedupReport(d,
-      Dedup.minhashLsh(d, "doc_id", "text", n = 3, k = 32, bands = 8,
-        threshold = 0.8, maxDf = None, shinglesDf = Some(shingles3(s, dir))),
+    sorted(Dedup.dedupReportWith(d, neardupPairs3(s, dir)._2,
       "doc_id", "source"))
   }
 
@@ -809,13 +799,10 @@ private[queries] trait TextQueries { self: ExtensionQueryHelpers =>
   //        (n_chars DESC, doc_id) row_number over the recursive-CTE
   //        closure.
   // -------------------------------------------------------------------
-  def q103(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-      n = 3, k = 32, bands = 8, threshold = 0.8,
-      maxDf = None, shinglesDf = Some(shingles3(s, dir)))
-    sorted(Dedup.dropNearDupsKeepBest(docs(s, dir), pairs,
+  def q103(s: SparkSession, dir: String): DataFrame =
+    sorted(Dedup.dropNearDupsKeepBestWith(docs(s, dir),
+      neardupPairs3(s, dir)._2,
       "doc_id", "n_chars").select("doc_id", "n_chars"))
-  }
 
   val q103Sql: String = {
     val cte = shingleCteWith(Some(Dedup.DefaultMaxDf))
