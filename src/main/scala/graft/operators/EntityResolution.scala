@@ -77,13 +77,15 @@ object EntityResolution {
     // pairsWithinDistanceBlocked) is a chain of small jobs — submit the
     // passes concurrently (Par: guide-§2.6 job overlap) instead of
     // serializing 3× the per-job latency on the driver thread
+    val sc = records.sparkSession.sparkContext
     val edges = graft.util.Par.run(blockPasses.map { pass => () =>
-      passEdges(recs, keyCol, pass,
-        FuzzyJoin.pairsWithinDistanceBlocked(
-          recs.select((pass.map(col) :+ col(keyCol)): _*),
-          keyCol, maxDist, q, pass))
+      graft.util.Jobs.labeled(sc, s"er: pass keys [${pass.mkString(",")}]")(
+        passEdges(recs, keyCol, pass,
+          FuzzyJoin.pairsWithinDistanceBlocked(
+            recs.select((pass.map(col) :+ col(keyCol)): _*),
+            keyCol, maxDist, q, pass)))
     }).reduce(_ unionByName _)
-    labelByClosure(recs, edges)
+    graft.util.Jobs.labeled(sc, "er: closure")(labelByClosure(recs, edges))
   }
 
   /** Standard DERIVED blocking passes — the "caller precomputes the
@@ -207,37 +209,46 @@ object EntityResolution {
     require(blockPasses.forall(_.nonEmpty),
       "every blocking pass needs at least one column")
     val recs = delta.withColumn("__rid", col(idCol))
-    // per-pass corpus adoption table + key relations; ckeys materialized
-    // (feeds both the cross-scan key derivation and the adoption join).
-    // The corpus leg (ckeys → kCorpus, a dependency chain) and the delta
-    // leg (kDelta) of every pass are independent of every other leg —
-    // 2·passes eager materialization chains submitted concurrently
-    // (Par: guide-§2.6 job overlap) instead of serially; measured 94
+    val sc = delta.sparkSession.sparkContext
+    // per-pass corpus adoption table + key relation: ckeys carries the
+    // gram set, so ONE checkpointed relation serves both the adoption
+    // join (pass…, key, __ent) and the cross-scan key side (pass…, __k,
+    // __gs) — the previous shape chained a SECOND checkpoint (keyRows
+    // over ckeys) whose distinct exchange was pure redundancy (the
+    // groupBy already dedupes per (pass…, key)) and whose barrier cost
+    // one more serial action per pass. The corpus leg and the delta leg
+    // of every pass stay independent — 2·passes eager materializations
+    // submitted concurrently (Par: guide-§2.6 job overlap); measured 94
     // near-idle sequential jobs on q107's three-pass delta resolve.
-    val corpusLegs = graft.util.Par.run(blockPasses.map { pass => () =>
-      val ckeys = resolvedCorpus
-        .filter(col(keyCol).isNotNull)
-        .groupBy((pass.map(col) :+ col(keyCol)): _*)
-        .agg(min(col("entity_id")).as("__ent"))
-        .localCheckpoint(true)
-      val kCorpus = FuzzyJoin.keyRowsOf(
-        ckeys.select((pass.map(col) :+ col(keyCol)): _*), keyCol, q, pass)
-      (ckeys, kCorpus)
+    val keyLegs = graft.util.Par.run(blockPasses.map { pass => () =>
+      graft.util.Jobs.labeled(sc,
+        s"er-delta: corpus keys [${pass.mkString(",")}]") {
+        resolvedCorpus
+          .filter(col(keyCol).isNotNull)
+          .groupBy((pass.map(col) :+ col(keyCol)): _*)
+          .agg(min(col("entity_id")).as("__ent"))
+          .withColumn("__gs", FuzzyJoin.gramSet(col(keyCol), q))
+          .localCheckpoint(true)
+      }
     } ++ blockPasses.map { pass => () =>
-      val kDelta = FuzzyJoin.keyRowsOf(
-        delta.select((pass.map(col) :+ col(keyCol)): _*), keyCol, q, pass)
-      (kDelta, kDelta)
+      graft.util.Jobs.labeled(sc,
+        s"er-delta: delta keys [${pass.mkString(",")}]") {
+        FuzzyJoin.keyRowsOf(
+          delta.select((pass.map(col) :+ col(keyCol)): _*), keyCol, q, pass)
+      }
     })
     val passData = blockPasses.zipWithIndex.map { case (pass, i) =>
-      val (ckeys, kCorpus) = corpusLegs(i)
-      val (kDelta, _) = corpusLegs(blockPasses.size + i)
-      (pass, ckeys, kCorpus, kDelta)
+      val ckeysG = keyLegs(i)
+      val kCorpus = ckeysG.select((pass.map(col) :+
+        col(keyCol).as("__k") :+ col("__gs")): _*)
+      (pass, ckeysG.drop("__gs"), kCorpus, keyLegs(blockPasses.size + i))
     }
     // ONE union gram order across every pass and both sides
-    val counts = FuzzyJoin.gramCountsOf(
-      passData.flatMap { case (_, _, kc, kd) => Seq(kc, kd) }: _*)
+    val counts = graft.util.Jobs.labeled(sc, "er-delta: gram order")(
+      FuzzyJoin.gramCountsOf(
+        passData.flatMap { case (_, _, kc, kd) => Seq(kc, kd) }: _*))
     // smallest adopted stored entity per delta RECORD, over all passes
-    val adopt = passData.map { case (pass, ckeys, kCorpus, kDelta) =>
+    val adoptPlan = passData.map { case (pass, ckeys, kCorpus, kDelta) =>
       val cross = FuzzyJoin.crossPairsFromKeys(kCorpus, kDelta, counts,
         maxDist, q, pass)
       val adoptByKey = cross
@@ -253,16 +264,38 @@ object EntityResolution {
       passEdges(recs, keyCol, pass,
         FuzzyJoin.pairsFromKeys(kDelta, counts, maxDist, q, pass))
     }.reduce(_ unionByName _)
-    val labeled = labelByClosure(recs, edges)
-      .withColumnRenamed("entity_id", "__comp")
-    // propagate the component-min adoption to every member
-    val compAdopt = labeled
-      .join(adopt.withColumnRenamed("__rid", idCol), Seq(idCol), "left")
-      .groupBy(col("__comp"))
+    // the adoption aggregation and the within-delta closure share no
+    // inputs past `counts` — materialize them concurrently (guide §2.6):
+    // the adoption's cross-scan stages back-fill cores the closure's
+    // small serial rounds (or driver-side union-find) leave idle. The
+    // adoption table is record-sized (one row per adopted delta record).
+    val legs = graft.util.Par.run(Seq(
+      () => graft.util.Jobs.labeled(sc, "er-delta: adoption")(
+        adoptPlan.localCheckpoint(true)),
+      () => graft.util.Jobs.labeled(sc, "er-delta: closure")(
+        Dedup.connectedComponents(edges))))
+    val (adopt, comp) = (legs(0), legs(1))
+    // propagate the component-min adoption to every member. Derived from
+    // the closure labels and the (small, checkpointed) adoption table
+    // alone, so the final plan embeds the record-side join ONCE — the
+    // previous shape joined the full labeled relation twice (build side
+    // of this aggregation AND probe side of the final join), evaluating
+    // the delta scan + label join per side.
+    val compOf = comp.select(col("doc_id").as("__rid"),
+      col("component").as("__cmp"))
+    val compAdopt = adopt
+      .join(compOf, Seq("__rid"), "left")
+      .groupBy(coalesce(col("__cmp"), col("__rid")).as("__comp"))
       .agg(min(col("__adopt")).as("__compAdopt"))
-    labeled
-      .join(compAdopt, Seq("__comp"))
+    recs
+      .join(compOf, Seq("__rid"), "left")
+      .withColumn("__comp", coalesce(col("__cmp"), col("__rid")))
+      // LEFT join: components with no adopted member have no compAdopt
+      // row (the old inner join saw them as null-__compAdopt rows built
+      // from the full labeled relation) — coalesce restores the same
+      // "new entity keeps its component min id" labeling
+      .join(compAdopt, Seq("__comp"), "left")
       .withColumn("entity_id", coalesce(col("__compAdopt"), col("__comp")))
-      .drop("__comp", "__compAdopt")
+      .drop("__rid", "__cmp", "__comp", "__compAdopt")
   }
 }

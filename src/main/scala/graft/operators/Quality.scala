@@ -196,14 +196,13 @@ object Quality {
       .persist()
     try {
       val sc = feats.sparkSession.sparkContext
-      sc.setJobDescription("quality: featurize")
-      feats.count() // materialize ONCE — see boundedTrainInput
+      graft.util.Jobs.labeled(sc, "quality: featurize")(
+        feats.count()) // materialize ONCE — see boundedTrainInput
       val lr = new org.apache.spark.ml.classification.LogisticRegression()
         .setFeaturesCol("__feat").setLabelCol("__label")
         .setMaxIter(maxIter).setRegParam(regParam)
-      sc.setJobDescription("quality: lbfgs fit")
-      try QualityModel(lr.fit(feats), numFeatures)
-      finally sc.setJobDescription(null)
+      graft.util.Jobs.labeled(sc, "quality: lbfgs fit")(
+        QualityModel(lr.fit(feats), numFeatures))
     } finally feats.unpersist(): Unit
   }
 
@@ -288,15 +287,14 @@ object Quality {
         .persist()
       try {
         val sc = feats.sparkSession.sparkContext
-        sc.setJobDescription("langid: featurize")
-        feats.count() // materialize ONCE — see boundedTrainInput
+        graft.util.Jobs.labeled(sc, "langid: featurize")(
+          feats.count()) // materialize ONCE — see boundedTrainInput
         val lr = new org.apache.spark.ml.classification.LogisticRegression()
           .setFeaturesCol("__feat").setLabelCol("__label")
           .setFamily("multinomial")
           .setMaxIter(maxIter).setRegParam(regParam)
-        sc.setJobDescription("langid: lbfgs fit")
-        try LangIdModel(lr.fit(feats), numFeatures, gramN, labels)
-        finally sc.setJobDescription(null)
+        graft.util.Jobs.labeled(sc, "langid: lbfgs fit")(
+          LangIdModel(lr.fit(feats), numFeatures, gramN, labels))
       } finally feats.unpersist(): Unit
     } finally base.unpersist(): Unit
   }

@@ -475,11 +475,10 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     v4Stages(s, dir).cleaned.count(): Unit
 
   /** Label the jobs a stage boundary triggers (guide-§1.5 job labels:
-    * the bench UI and the JOBLOG profiler attribute time per stage). */
-  private def lbl[A](s: SparkSession, what: String)(body: => A): A = {
-    s.sparkContext.setJobDescription(what)
-    try body finally s.sparkContext.setJobDescription(null)
-  }
+    * the bench UI and the JOBLOG profiler attribute time per stage).
+    * Restores the caller's previous description (advisor note r17). */
+  private def lbl[A](s: SparkSession, what: String)(body: => A): A =
+    graft.util.Jobs.labeled(s.sparkContext, what)(body)
 
   private def buildV4Stages(s: SparkSession, dir: String): V4Stages = {
     import graft.operators.{Decontaminate, Dedup, Quality}
