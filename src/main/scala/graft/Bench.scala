@@ -312,9 +312,23 @@ object Bench {
     // record to a file and make the FINAL stdout line a compact summary
     // guaranteed to fit in the tail — any last-parseable-line or
     // first-parseable-line-of-tail parser finds it whole.
-    val fullPath = java.nio.file.Paths.get("BENCH_LATEST.json").toAbsolutePath
+    // The artifact name embeds the CORE COUNT: the round-17 driver's
+    // 8-core scaling run overwrote the 32-core run's BENCH_LATEST.json
+    // (the verdict's only complete end-of-round record) — per-cpus names
+    // make two runs at different cpus leave BOTH full artifacts on disk.
+    val fullPath = java.nio.file.Paths.get(s"BENCH_LATEST_c$cpus.json")
+      .toAbsolutePath
     scala.util.Try(java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes("UTF-8"))): Unit
+    // Compact per-query minima as their own stdout line JUST BEFORE the
+    // total line: integer milliseconds, ordered as `results` (builds
+    // first, then queries sorted by name — the names themselves would
+    // blow the tail budget; they are recoverable from the full artifact
+    // or SparkEntry.queries.keys.sorted). With ~166 entries this is
+    // ~800 B, so the archived tail holds it whole next to the total
+    // line and a cross-round comparison can be reconstructed from the
+    // tail alone even if the full artifact is lost.
+    println(s"""{"metric":"per_query_ms","cpus":"$cpus","order":"builds,then-name-asc","ms":[${results.map(r => math.round(r._2 * 1000)).mkString(",")}]}""")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,"cpus":"$cpus",$machine,"n_queries":${results.size},"n_failed":${failed.size},"n_suspect":$nSuspect,"n_regressions":${regressions.size},"failed":[${failed.take(10).mkString(",")}],"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }

@@ -164,9 +164,13 @@ object Tpch {
     // If the application ended DURING the build, the cleanup hook may have
     // fired (immediately, via SessionCleanup's late-registration path)
     // before computeIfAbsent inserted the entry — its remove was a no-op.
-    // Post-insertion check closes that window.
-    if (spark.sparkContext.isStopped)
+    // Post-insertion check closes that window; FAIL rather than hand back
+    // a cube bound to a stopped context (advisor note r17).
+    if (spark.sparkContext.isStopped) {
       Option(cache.remove((spark, dir))).foreach(_._2.apply())
+      throw new IllegalStateException(
+        "Tpch.cube: SparkContext stopped during cube build")
+    }
     entry._1
   }
 

@@ -57,17 +57,25 @@ object TextFunctions {
     * language; documents with zero hits everywhere get "und" =
     * undetermined). A real deployment would use character n-gram profiles;
     * the plumbing — score vector + argmax in one projection — is identical. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    // struct (hits DESC via negation, lang ASC) → array_min = argmax
-    val scored = langProfiles.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        (-size(filter(toks, t => t.isInCollection(words)))).as("neg"),
-        lit(lang).as("lang"))
-    }
-    val best = array_min(array(scored: _*))
-    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
-  }
+  def langId(text: Column): Column =
+    // let-binding via a single-element transform: the token array is
+    // bound ONCE as the lambda variable and the six profile filters read
+    // the bound VALUE — referencing `tokens(text)` directly from each
+    // filter re-ran the regex split per profile (HOFs take the
+    // interpreted path, which gets no common-subexpression elimination:
+    // 6 splits per row, and any caller inlining langId into a filter
+    // branch multiplied that again)
+    element_at(transform(array(tokens(text)), toks => {
+      // struct (hits DESC via negation, lang ASC) → array_min = argmax
+      val scored = langProfiles.sortBy(_._1).map { case (lang, words) =>
+        struct(
+          (-size(filter(toks, t => t.isInCollection(words)))).as("neg"),
+          lit(lang).as("lang"))
+      }
+      val best = array_min(array(scored: _*))
+      when(best.getField("neg") === 0, lit("und"))
+        .otherwise(best.getField("lang"))
+    }), 1)
 
   /** Best-profile hit count (the score behind [[langId]]). */
   def langScore(text: Column): Column = {

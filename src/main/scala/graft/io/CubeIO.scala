@@ -369,7 +369,7 @@ object CubeIO {
       .select(deltaData.columns.map(col).toSeq: _*) // align column order for union
     val merged = Fact.aggregate(
       existing.unionByName(deltaData), meta.idVars, stored)
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     Some(TouchedMerge(pCols, touched.length, deltaData, merged))
   }
 

@@ -355,14 +355,14 @@ object AggregateNavigator {
     // folded is consumed by every per-grain untouched branch of the
     // final union — checkpoint it (the `touched` pattern) or the scan +
     // fold re-executes once per grain in the write job
-    val folded = merged.filter(col(RowCountCol) > 0).localCheckpoint(true)
+    val folded = merged.filter(col(RowCountCol) > 0).transform(graft.util.Stage.materialize)
     // touched keys: the retraction's distinct finest-grain tuples —
     // delta-sized by construction, materialized once and fed into every
     // per-grain repair join through the size-guarded broadcast policy
     // (a retraction CAN be corpus-sized; an unconditional hint would
     // OOM executors exactly when the repair is biggest)
     val touched = retraction.select(gcols.map(col): _*).distinct()
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val schema = retractRaw.schema
     // repair joins are NULL-SAFE on the grain keys: a grain column can
     // legitimately hold NULL (gid already separates "not in grain"), and

@@ -91,7 +91,7 @@ object Clustering {
         Similarity.normalize(col(vecCol)).as("__nv"))
       .withColumn("__cell", explode(Similarity.topCells(col("__nv"),
         centroids, math.max(replicate, 1))))
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val pairs = rows.toDF("i", "iv", "__cell")
       .join(rows.toDF("j", "jv", "__cell"), "__cell")
       .filter(col("i") < col("j"))

@@ -149,9 +149,9 @@ object Corpus {
     // each consumer re-ran the corpus scan + split (4 scans per action;
     // at 100 TB four tokenizations of the corpus). Staging the tokenized
     // corpus between stages is the CCNet production shape.
-    val docToks = toks(docs, col(idCol)).localCheckpoint(true)
+    val docToks = toks(docs, col(idCol)).transform(graft.util.Stage.materialize)
     val trainToks = Option(model)
-      .map(m => toks(m).localCheckpoint(true))
+      .map(m => toks(m).transform(graft.util.Stage.materialize))
       .getOrElse(docToks.select(col("toks")))
     def bigramsFrom(df: DataFrame, keep: Column*): DataFrame =
       df.withColumn("n", size(col("toks")))

@@ -40,7 +40,7 @@ object Decontaminate {
     // the single consumer and a checkpoint would be a pure extra pass
     val base = Dedup.docShingles(evalDocs, idCol, textCol, n)
       .select("s").distinct()
-    val hashes = if (expectedItems.isEmpty) base.localCheckpoint(true) else base
+    val hashes = if (expectedItems.isEmpty) base.transform(graft.util.Stage.materialize) else base
     serializeBloom(hashes, "s", expectedItems.getOrElse(hashes.count()), fpp)
   }
 
@@ -145,7 +145,7 @@ object Decontaminate {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     val evalG = Dedup.gramRows(evalDocs, idCol, textCol, minTokens)
       .select(col(idCol).as("eval_id"), col("__h")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val bloom = serializeBloom(
       evalG.select(xxhash64(col("__h")).as("__hx")).distinct(), "__hx",
       evalG.count(), fpp)
@@ -173,7 +173,7 @@ object Decontaminate {
                      minTokens: Int, fpp: Double = 1e-6): EvalGramIndex = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     val evalGrams = Dedup.gramRows(evalDocs, idCol, textCol, minTokens)
-      .select("__h").distinct().localCheckpoint(true)
+      .select("__h").distinct().transform(graft.util.Stage.materialize)
     EvalGramIndex(serializeBloom(
       evalGrams.select(xxhash64(col("__h")).as("__hx")), "__hx",
       evalGrams.count(), fpp), evalGrams, minTokens)

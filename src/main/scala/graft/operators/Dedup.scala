@@ -60,7 +60,7 @@ object Dedup {
     // verification semi-join all consume this — without materialization
     // the fingerprint+distinct corpus pass runs three times
     val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.util.Stage.materialize)
     val bloom = Decontaminate.serializeBloom(
       corpusFp.select(xxhash64(col("fp")).as("h")), "h",
       expectedItems.getOrElse(corpusFp.count()), fpp)
@@ -238,7 +238,7 @@ object Dedup {
         .filter(col("i") < col("j"))
         .select("i", "j")
     }
-    val parted = rows.repartition(keys.map(col): _*).localCheckpoint(true)
+    val parted = rows.repartition(keys.map(col): _*).transform(graft.util.Stage.materialize)
     val sizes = parted.groupBy(keys.map(col): _*)
       .agg(count("*").as("__bsz"), min(col(id)).as("__bmin"))
     // size-guarded broadcast: the hot set is tiny by contract (only
@@ -507,7 +507,7 @@ object Dedup {
       var labels = t("labels init")(
         edges.select(col("src").as("doc_id")).distinct()
           .withColumn("component", col("doc_id"))
-          .localCheckpoint(true))
+          .transform(graft.util.Stage.materialize))
       var round = 0
       var converged = false
       while (!converged && round < maxIter) {
@@ -528,7 +528,7 @@ object Dedup {
             // id-type-generic (no typed sentinel): null nbr_min = no change
             (col("nbr_min").isNotNull && col("nbr_min") < col("component"))
               .as("changed"))
-          .localCheckpoint(true))
+          .transform(graft.util.Stage.materialize))
         val changed = t("changed scan")(next.filter(col("changed")).limit(1).count())
         // previous round's blocks are GC'd by ContextCleaner
         labels = next.select("doc_id", "component")
@@ -658,7 +658,7 @@ object Dedup {
         greatest(col(iCol), col(jCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     // one star half-round: m(u) = min over u's closed neighborhood;
     // rewrite each kept (u, v) edge to (m_u, v). `keepLarger` selects
@@ -706,7 +706,7 @@ object Dedup {
     var edgeSig = sig(edges)
     while (!stable && round < maxIter) {
       val next = star(star(edges, keepLarger = true), keepLarger = false)
-        .localCheckpoint(true)
+        .transform(graft.util.Stage.materialize)
       val nextSig = sig(next)
       stable = nextSig == edgeSig
       edges = next
@@ -729,7 +729,7 @@ object Dedup {
       .select(col(iCol).as("doc_id")).distinct()
       .join(starLabels.select("doc_id"), Seq("doc_id"), "left_anti")
       .withColumn("component", col("doc_id"))
-    starLabels.unionByName(selfOnly).localCheckpoint(true)
+    starLabels.unionByName(selfOnly).transform(graft.util.Stage.materialize)
   }
 
   /** Keep one canonical document per near-dup cluster: transitively close
@@ -884,21 +884,34 @@ object Dedup {
     // it was built under — the buildShingleIndex contract) and skips the
     // re-materialization.
     // name-normalized: downstream renames are positional (capShingles
-    // contract), so a provided index must be coerced to (doc_id, s)
+    // contract), so a provided index must be coerced to (doc_id, s).
+    // A provided (carved) index is materialized too: the fixed-width
+    // (doc_id, s) rows feed SIX consumers (signatures, within sizes,
+    // both within-verification sides, the bloom probe, cross sizes) —
+    // each re-ran the carve filter over the stored index per branch.
     val deltaIdx = deltaShinglesDf
-      .map(_.select("doc_id", "s"))
+      .map(_.select("doc_id", "s").transform(graft.util.Stage.materialize))
       .getOrElse(buildShingleIndex(delta, idCol, textCol, n, maxDf)
-        .localCheckpoint(true))
-    val within = minhashLsh(delta, idCol, textCol, n, k, bands, threshold,
-      maxDf = None, shinglesDf = Some(deltaIdx))
+        .transform(graft.util.Stage.materialize))
+    val sc = delta.sparkSession.sparkContext
+    def within() = graft.util.Jobs.labeled(sc, "neardup-delta: within-LSH")(
+      minhashLsh(delta, idCol, textCol, n, k, bands, threshold,
+        maxDf = None, shinglesDf = Some(deltaIdx)))
     val edges = corpusIndex match {
-      case None => within.select("i", "j")
+      case None => within().select("i", "j")
       case Some(corpusIdx) =>
-        val cross = crossPairsBloom(corpusIdx, deltaIdx, threshold, fpp,
-          expectedShingles, distinctCorpus)
-          // collapse every corpus endpoint to the sentinel (see scaladoc)
-          .select(lit(Long.MinValue).as("i"), col("j"))
-        within.select("i", "j").unionByName(cross)
+        // the within-delta LSH leg (band materialization) and the
+        // cross-corpus leg (corpus count + bloom build + intersection)
+        // share only the already-materialized deltaIdx — overlap them
+        // (guide §2.6); previously five eager barriers ran serially
+        val legs = graft.util.Par.run(Seq(
+          () => within(),
+          () => graft.util.Jobs.labeled(sc, "neardup-delta: cross-bloom")(
+            crossPairsBloom(corpusIdx, deltaIdx, threshold, fpp,
+              expectedShingles, distinctCorpus))))
+        // collapse every corpus endpoint to the sentinel (see scaladoc)
+        legs(0).select("i", "j").unionByName(
+          legs(1).select(lit(Long.MinValue).as("i"), col("j")))
     }
     (dropNearDups(delta, edges, idCol), deltaIdx)
   }
@@ -933,7 +946,7 @@ object Dedup {
     val deltaIdx = deltaIdx0.select("doc_id", "s")
     val corpus0 = corpusIdx.select("doc_id", "s")
     val corpus =
-      if (distinctCorpus) corpus0.distinct().localCheckpoint(true)
+      if (distinctCorpus) corpus0.distinct().transform(graft.util.Stage.materialize)
       else corpus0
     val deltaHit = bloomPrefilteredDelta(corpus, deltaIdx, fpp,
       expectedShingles)
@@ -945,7 +958,7 @@ object Dedup {
     // surviving candidate pair.
     val inter = corpus.toDF("i", "s").join(deltaHit.toDF("j", "s"), "s")
       .groupBy("i", "j").agg(count("*").as("inter"))
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val sizesI = corpus
       .join(inter.select(col("i").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
@@ -1281,7 +1294,7 @@ object Dedup {
     // the store update — composed lazily the split+normalize+md5
     // pipeline re-ran per branch (4-6× per action)
     val occ = paragraphOccurrences(delta, idCol, textCol, sep)
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     // the Bloom layer wants LONG keys (the docShingles doctrine) — fold
     // the 16-byte census hash through xxhash64 for the probe only; the
     // exact confirm joins still run on the full md5 bytes

@@ -228,7 +228,7 @@ object EntityResolution {
           .groupBy((pass.map(col) :+ col(keyCol)): _*)
           .agg(min(col("entity_id")).as("__ent"))
           .withColumn("__gs", FuzzyJoin.gramSet(col(keyCol), q))
-          .localCheckpoint(true)
+          .transform(graft.util.Stage.materialize)
       }
     } ++ blockPasses.map { pass => () =>
       graft.util.Jobs.labeled(sc,
@@ -271,7 +271,7 @@ object EntityResolution {
     // adoption table is record-sized (one row per adopted delta record).
     val legs = graft.util.Par.run(Seq(
       () => graft.util.Jobs.labeled(sc, "er-delta: adoption")(
-        adoptPlan.localCheckpoint(true)),
+        adoptPlan.transform(graft.util.Stage.materialize)),
       () => graft.util.Jobs.labeled(sc, "er-delta: closure")(
         Dedup.connectedComponents(edges))))
     val (adopt, comp) = (legs(0), legs(1))

@@ -77,13 +77,13 @@ object Events {
     val frontiers = stages.tail.scanLeft(
       events.filter(col(typeCol) === stages.head)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
-        .localCheckpoint(true)) {
+        .transform(graft.util.Stage.materialize)) {
       case (prev, stage) =>
         events.filter(col(typeCol) === stage)
           .join(prev.withColumnRenamed("t", "t_prev"), userCol)
           .filter(col(tsCol) > col("t_prev"))
           .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
-          .localCheckpoint(true)
+          .transform(graft.util.Stage.materialize)
     }
     frontiers.zip(stages.zipWithIndex).map { case (df, (stage, i)) =>
       df.agg(count("*").as("n_users"))

@@ -69,7 +69,7 @@ object FuzzyJoin {
       .distinct()
       .withColumnRenamed(keyCol, "__k")
       .withColumn("__gs", gramSet(col("__k"), q))
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
 
   /** Prefix-bucket rows (block…, __g, __k): each key's `prefLen` rarest
     * grams under the shared global order `counts`, plus the sentinel
@@ -176,7 +176,7 @@ object FuzzyJoin {
     keys.map(_.select(explode(col("__gs")).as("__g")))
       .reduce(_ unionByName _)
       .groupBy("__g").count()
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
 
   /** Self-join pair enumeration over precomputed keys + gram order. */
   private[operators] def pairsFromKeys(keys: DataFrame, counts: DataFrame,

@@ -195,7 +195,7 @@ object Layout {
       .map(n => df.repartitionByRange(n, keys: _*))
       .getOrElse(df.repartitionByRange(keys: _*))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     // partition totals, in range (= pid) order: pid p's offset is the
     // sum of every earlier partition's total
     val totals = staged.groupBy("__pid")

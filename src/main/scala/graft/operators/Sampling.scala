@@ -583,7 +583,7 @@ object Sampling {
                                      salt: String,
                                      truncate: Boolean): DataFrame = {
     val counts = counts0.select(col(idCol), col(tokenCol))
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     packSequencesBinned(counts, idCol, col(tokenCol), seqLen, salt,
       truncate)
   }

@@ -452,19 +452,23 @@ object Similarity {
       val cents = trainCentroids(cBuild, nlist, kmeansIters)
       import spark.implicits._
       // centroid and corpus writes are independent — overlap them
-      // (guide-§2.6); the stamp stays tied to the END of the corpus
-      // write inside its thunk (it lists the corpus files)
+      // (guide-§2.6). The stamp is written only AFTER Par.run returns,
+      // i.e. after BOTH writes succeeded: a centroids write failing
+      // behind a completed corpus write must not leave a stamped layout
+      // with missing/partial centroids on disk (this path has no lineage
+      // file to signal incompleteness — advisor note r17). Par.run does
+      // not cancel sibling legs on failure, so a failed leg still lets
+      // the other write complete — harmless precisely because the stamp
+      // gates here.
       graft.util.Par.run(Seq(
         () => cents.zipWithIndex.toSeq.map { case (c, id) => (id, c.toSeq) }
           .toDF("cell", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
-        () => {
-          cBuild.withColumn("cell",
+        () => cBuild.withColumn("cell",
               explode(topCells(col("cv"), cents, math.max(replicate, 1))))
             .repartition(col("cell")) // one writer per cell: ~nlist files, not tasks x cells
-            .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-          stampBuild(spark, path)
-        }))
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")))
+      stampBuild(spark, path)
     } finally cBuild.unpersist(): Unit
   }
 
@@ -1233,9 +1237,9 @@ object Similarity {
   }
 
   /** Drop the build-completion manifest `corpus/_build_stamp`: written
-    * AFTER the base corpus lands (the centroids' timestamp is useless —
-    * they are written BEFORE the corpus), never touched by the append
-    * paths. It records the NAME of every base corpus parquet file (one
+    * AFTER every layout write of the build lands (corpus AND centroids
+    * — a stamp must assert a complete layout), never touched by the
+    * append paths. It records the NAME of every base corpus parquet file (one
     * per line, corpus-relative, sorted), so [[indexHealth]] attributes
     * appended-vs-base by set MEMBERSHIP — a monotonic marker immune to
     * filesystem mtime granularity (1 s on some object stores), where a
@@ -1430,7 +1434,7 @@ object Similarity {
     // query lineage (sample/limit over multiple files) re-executed in
     // the join could otherwise carry cells the literal filter excluded,
     // silently dropping candidates.
-    val probedM = probed.localCheckpoint(true)
+    val probedM = probed.transform(graft.util.Stage.materialize)
     val probedCells = probedM.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
     // self-enforcing bound on the driver-side literal: the collected set
@@ -1757,7 +1761,7 @@ object Similarity {
     // evaluation feeds both the literal IN filter and the join, so a
     // nondeterministic query lineage can't carry cells the filter
     // excluded (the ivfPqKnnStored contract)
-    val probedM = probed.localCheckpoint(true)
+    val probedM = probed.transform(graft.util.Stage.materialize)
     val probedCells = probedM.select("cell").distinct().collect()
       .map(_.getInt(0)).toSeq
     require(probedCells.size <= cents.length,

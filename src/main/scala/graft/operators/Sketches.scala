@@ -105,7 +105,7 @@ object Sketches {
     val merged = existing.unionByName(deltaCells)
       .groupBy(grain.map(col): _*)
       .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy)
@@ -246,7 +246,7 @@ object Sketches {
         .as(mgCol))
       .join(ns, grain)
       .select((grain.map(col) :+ col(mgCol) :+ col("n_items")): _*)
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy)

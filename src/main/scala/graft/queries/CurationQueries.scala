@@ -456,9 +456,13 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       (st, detach)
     })
     // application ended during build: the hook may have fired before the
-    // entry was inserted — evict post-insertion (see Tpch.cube)
-    if (s.sparkContext.isStopped)
+    // entry was inserted — evict post-insertion (see Tpch.cube), and FAIL
+    // rather than hand back frames bound to a stopped context
+    if (s.sparkContext.isStopped) {
       Option(v4Cache.remove((s, dir))).foreach(_._2.apply())
+      throw new IllegalStateException(
+        "v4Stages: SparkContext stopped during chain build")
+    }
     entry._1
   }
 
@@ -526,7 +530,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     val extracted = lbl(s, "v4: extract") {
       planted.select(col("doc_id"), col("source"),
         TextFunctions.stripHtmlBlocks(col("html")).as("text"))
-        .localCheckpoint(true)
+        .transform(graft.util.Stage.materialize)
     }
     val en = extracted.where(TextFunctions.langId(col("text")) === "en")
     val gop = Quality.gopherReport(en, "doc_id", "text",
@@ -536,14 +540,14 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       Seq("doc_id"), "left_semi")
     val fixed = lbl(s, "v4: lang+gopher+lines") {
       Dedup.removeRepeatedLines(kept, "doc_id", "text")
-        .localCheckpoint(true)
+        .transform(graft.util.Stage.materialize)
     }
     val para = Dedup.dropDuplicateParagraphs(fixed, "doc_id", "text")
     def toksOf(c: Column) = array_remove(TextFunctions.tokens(c), "")
     val regated = para.where(size(toksOf(col("text"))) >= 10)
     val sized = lbl(s, "v4: paradedup+regate") {
       regated.withColumn("n_chars2", length(col("text")))
-        .localCheckpoint(true)
+        .transform(graft.util.Stage.materialize)
     }
     // capped shingle index materialized ONCE and fed to the LSH with
     // maxDf = None — the buildShingleIndex contract: passing a raw frame
@@ -552,7 +556,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     // sizes — 4× per action)
     val v4ShIdx = lbl(s, "v4: shingle-index") {
       Dedup.buildShingleIndex(sized, "doc_id", "text", n = 3)
-        .localCheckpoint(true)
+        .transform(graft.util.Stage.materialize)
     }
     val pairs = Dedup.minhashLsh(sized, "doc_id", "text",
       n = 3, k = 32, bands = 8, threshold = 0.8,
@@ -565,7 +569,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       Decontaminate.removeContaminatedSpans(
         trainSide, evalDocs,
         "doc_id", "text", minTokens = 12)
-        .localCheckpoint(true)
+        .transform(graft.util.Stage.materialize)
     }
     V4Stages(t, extracted, en, kept, fixed, para, regated, sized,
       deduped, trainSide, cleaned)
@@ -1075,7 +1079,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     // checkpoint instead of re-running tokenize+shingle+cap each
     // (the buildShingleIndex contract)
     val shIdx = Dedup.buildShingleIndex(filtered, "doc_id", "text", n = 3)
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val pairs = Dedup.minhashLsh(filtered, "doc_id", "text",
       n = 3, k = 32, bands = 8, threshold = 0.8,
       maxDf = None, shinglesDf = Some(shIdx))
@@ -1084,7 +1088,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     // anti-join re-ran per scan
     val deduped = Dedup.dropNearDupsKeepBest(filtered, pairs,
       "doc_id", "n_chars")
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val resampled = Sampling.importanceResample(deduped,
       deduped.filter(col("lang") === "en"), "doc_id", "text",
       budget = 100, buckets = 256)
@@ -1407,7 +1411,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
     val cleaned = Decontaminate.removeContaminatedSpans(
       d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
       "doc_id", "text", minTokens = 12)
-      .localCheckpoint(true)
+      .transform(graft.util.Stage.materialize)
     val scored = Corpus.lmScore(cleaned, "doc_id", "text")
       .join(cleaned.select("doc_id", "source"), "doc_id")
     val kept = Quality.scoreBuckets(scored, "source", "nll")
@@ -1971,15 +1975,29 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       lit("</h1><!-- hidden --><p>"),
       concat_ws(" ", slice(col("ts"), lit(6), size(col("ts")) - 5)),
       lit(" &amp; more &lt;tags&gt;</p></body></html>"))
-    val extracted = t.select(col("doc_id"),
+    // materialize the EXTRACT stage before the Gopher gate (the v4-chain
+    // stage-boundary doctrine v3 never got): gopherReport derives ~9
+    // per-doc metrics from `text`, and with the strip chain composed
+    // lazily ProjectCollapsing inlines the synthesized-html + 10-regex
+    // pipeline into EVERY metric expression (the interpreted HOF path
+    // gets no common-subexpression elimination) — measured as one 2.5 s
+    // job for 5000 docs where the strip alone (q137) and the gate alone
+    // (q134) each cost < 0.35 s. Materialized, the strip runs once per
+    // row and the gate reads a stored string column.
+    val extracted = lbl(s, "v3: html extract")(t.select(col("doc_id"),
       TextFunctions.stripHtml(html).as("text"))
+      .transform(graft.util.Stage.materialize))
     val gop = graft.operators.Quality.gopherReport(extracted, "doc_id",
       "text", graft.operators.Quality.GopherParams(minWords = 10,
         maxWords = 1000,
         stopwords = Seq("the", "a", "data", "value", "table")))
-    val kept = extracted.join(
+    // gate survivors materialized too: `kept` feeds the URL-dedup
+    // winners join, the survivor semi-join AND the final shard
+    // aggregation — lazily the Gopher report re-ran per consumer
+    val kept = lbl(s, "v3: gopher gate")(extracted.join(
       gop.where(col("passes") === 1).select("doc_id"),
       Seq("doc_id"), "left_semi")
+      .transform(graft.util.Stage.materialize))
     val id = col("doc_id")
     val url = concat(
       when(id % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
@@ -2333,7 +2351,7 @@ private[queries] trait CurationQueries { self: ExtensionQueryHelpers =>
       // aggregations (checkpoint read, export read-back) overlap too
       val legs = graft.util.Par.run[Any](Seq(
         () => Sampling.writePackedTokenized(packed0, numShards, scratch)
-          .localCheckpoint(true), // laws below aggregate it three ways
+          .transform(graft.util.Stage.materialize), // laws below aggregate it three ways
         () => counts
           .agg(sum(least(col(countCol), lit(seqLen))).as("t"),
             count(lit(1)).as("c")).head(),

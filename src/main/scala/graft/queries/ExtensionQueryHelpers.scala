@@ -51,9 +51,14 @@ private[queries] trait ExtensionQueryHelpers {
       (sh, detach)
     })
     // application ended during build: the hook may have fired before the
-    // entry was inserted — evict post-insertion (see Tpch.cube)
-    if (s.sparkContext.isStopped)
+    // entry was inserted — evict post-insertion (see Tpch.cube), and FAIL
+    // rather than hand back frames bound to a stopped context (they would
+    // throw on first use downstream with a far less explicit error)
+    if (s.sparkContext.isStopped) {
       Option(shingleCache.remove((s, dir))).foreach(_._2.apply())
+      throw new IllegalStateException(
+        "shingles3: SparkContext stopped during index build")
+    }
     entry._1
   }
 
@@ -104,8 +109,11 @@ private[queries] trait ExtensionQueryHelpers {
       }
       ((p, comps), detach)
     })
-    if (s.sparkContext.isStopped)
+    if (s.sparkContext.isStopped) {
       Option(neardupCache.remove((s, dir))).foreach(_._2.apply())
+      throw new IllegalStateException(
+        "neardupPairs3: SparkContext stopped during pair-set build")
+    }
     entry._1
   }
 

@@ -1748,7 +1748,12 @@ private[queries] trait StarQueries { self: ExtensionQueryHelpers =>
     val ord = s.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_orderpriority")
     // the two bucketed ingests are independent writes — overlap them
-    // (guide §2.6 job overlap; same catalog, different tables/paths)
+    // (guide §2.6 job overlap; different tables/paths). NOTE the
+    // concurrent saveAsTable registrations assume the IN-MEMORY session
+    // catalog (synchronized; this engine always runs with it) — a Hive
+    // metastore backend is not advertised thread-safe for concurrent
+    // catalog writes, so serialize the registrations there (advisor
+    // note r17).
     graft.util.Par.run[Unit](Seq(
       () => Layout.saveBucketed(li, "graft_q148_li", "l_orderkey",
         numBuckets = 8, sortCols = Seq("l_orderkey"),

@@ -12,8 +12,12 @@ package graft.util
 object Par {
 
   /** Evaluate the thunks concurrently and return their results in input
-    * order. The first failure propagates (the rest complete — the thunks
-    * used here are metadata-sized materializations, not long scans).
+    * order. NO-CANCEL semantics: a failing leg does not cancel its
+    * siblings — every leg runs to completion (invokeAll), so a call site
+    * whose legs WRITE to disk must gate any completion marker (stamp,
+    * lineage) on Par.run returning, never inside a leg. The first
+    * failure (in input order) propagates with every other leg's failure
+    * attached via addSuppressed — no exception is silently dropped.
     * Pool threads are created at call time, so Spark's inheritable
     * thread-local properties (job group/description) propagate from the
     * caller into every leg. */
@@ -25,13 +29,19 @@ object Par {
       val futs = pool.invokeAll(thunks.map { t =>
         new java.util.concurrent.Callable[A] { def call(): A = t() }
       }.asJava)
-      futs.asScala.toSeq.map { f =>
-        try f.get()
+      val results = futs.asScala.toSeq.map { f =>
+        try Right(f.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
+            Left(e.getCause)
         }
       }
+      results.collectFirst { case Left(first) =>
+        results.collect { case Left(e) if e ne first => e }
+          .foreach(first.addSuppressed)
+        throw first
+      }
+      results.collect { case Right(a) => a }
     } finally pool.shutdown()
   }
 }
